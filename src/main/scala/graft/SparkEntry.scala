@@ -1,13 +1,178 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Reco
+import graft.plans.LabelPropagation
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is a named entry in
+  * [[queries]]; every SQL-expressible one has matching ANSI SQL in
+  * [[oracleSql]] (run by the driver in DuckDB over the same parquet tables).
+  * Column names and types are kept identical on both sides — the driver
+  * hash-compares values after sorting columns by name.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7 step 4): the full J2 recommendation
+    * pipeline — good ratings → co-rating graph → label-propagation
+    * communities → per-user recommendation sets. Driver smoke-checks rows>0
+    * on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qRecommendations(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // Shared building blocks
+  // ---------------------------------------------------------------------------
+
+  /** ANSI-SQL twin of [[Tables.ratings]] — keep in lockstep. */
+  private val ratingsCte: String =
+    """ratings AS (
+      |  SELECT o_custkey AS userId, l_partkey AS productId,
+      |         CAST(CAST(FLOOR(l_quantity) AS BIGINT) % 5 + 1 AS DOUBLE) AS rating
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)""".stripMargin
+
+  /** ANSI-SQL twin of [[Reco.goodRatings]] over distinct (user, product). */
+  private val goodCte: String =
+    """good AS (
+      |  SELECT DISTINCT userId, productId FROM ratings
+      |  WHERE rating > 3.0 AND userId < 1000
+      |)""".stripMargin
+
+  private val pairsCte: String =
+    """pairs AS (
+      |  SELECT DISTINCT a.userId AS src, b.userId AS dst
+      |  FROM good a JOIN good b
+      |    ON a.productId = b.productId AND a.userId < b.userId
+      |)""".stripMargin
+
+  private val edgesCte: String =
+    """edges AS (
+      |  SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
+      |)""".stripMargin
+
+  /** Unrolled synchronous label propagation (fixed 5 supersteps, Gelly
+    * max-label tiebreak) as non-recursive CTE chain — the SQL twin of
+    * [[LabelPropagation.run]]. Returns CTE text ending with `l<iters>`.
+    */
+  private def lpCtes(iters: Int): String = {
+    val init = "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)"
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, l.label AS label, count(*) AS cnt
+         |  FROM edges e JOIN l${i - 1} l ON e.src = l.id
+         |  GROUP BY e.dst, l.label
+         |),
+         |b$i AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label DESC) AS rn
+         |    FROM c$i)
+         |  WHERE rn = 1
+         |),
+         |l$i AS (
+         |  SELECT p.id AS id, COALESCE(b.label, p.label) AS label
+         |  FROM l${i - 1} p LEFT JOIN b$i b ON p.id = b.id
+         |)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  private def graphPrefix: String =
+    s"WITH $ratingsCte,\n$goodCte,\n$pairsCte,\n$edgesCte,\n${lpCtes(5)}"
+
+  // Spark-side shared builders -------------------------------------------------
+
+  private def good(spark: SparkSession, dir: String): DataFrame =
+    Reco.goodRatings(Tables.ratings(spark, dir)).select("userId", "productId").distinct()
+
+  private def communityLabels(spark: SparkSession, dir: String): DataFrame =
+    LabelPropagation.run(Reco.undirected(Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(spark, dir)))))
+
+  private def qRecommendations(spark: SparkSession, dir: String): DataFrame =
+    Reco.recommendations(communityLabels(spark, dir), good(spark, dir))
+
+  // ---------------------------------------------------------------------------
+  // Driver contract maps
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 — ProductReviewAggregation (SURVEY §2 rows 1.1-1.6)
+    "q01_top_products" -> ((s, dir) => Reco.topProducts(Tables.ratings(s, dir))),
+    // J2 rows 2.2-2.4 — filters + projection
+    "q02_good_ratings" -> ((s, dir) =>
+      Reco.goodRatings(Tables.ratings(s, dir)).select("userId", "productId", "rating")),
+    // J2 rows 2.6-2.7 — co-rating pair self-join + distinct
+    "q03_corating_pairs" -> ((s, dir) =>
+      Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(s, dir)))),
+    // J2 row 2.8 — undirected closure
+    "q04_undirected_edges" -> ((s, dir) =>
+      Reco.undirected(Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(s, dir))))),
+    // Support 4.3/4.4 — deterministic DB/stream split
+    "q05_sample_split" -> ((s, dir) => Reco.sampleSplit(Tables.ratings(s, dir))),
+    // J2 rows 2.9-2.11 — label propagation communities
+    "q06_communities" -> ((s, dir) => communityLabels(s, dir)),
+    // J2 row 2.12 — community sizes
+    "q07_community_sizes" -> ((s, dir) => Reco.communitySizes(communityLabels(s, dir))),
+    // J2 row 2.15 — flagship recommendation generation
+    "q08_recommendations" -> ((s, dir) => qRecommendations(s, dir)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_top_products" ->
+      s"""WITH $ratingsCte
+         |SELECT productId, avg(rating) AS avg_rating, count(*) AS cnt
+         |FROM ratings GROUP BY productId HAVING count(*) > 10
+         |ORDER BY avg_rating DESC, productId LIMIT 20""".stripMargin,
+    "q02_good_ratings" ->
+      s"""WITH $ratingsCte
+         |SELECT userId, productId, rating FROM ratings
+         |WHERE rating > 3.0 AND userId < 1000""".stripMargin,
+    "q03_corating_pairs" ->
+      s"""WITH $ratingsCte,
+         |$goodCte
+         |SELECT src, dst FROM (
+         |  SELECT DISTINCT a.userId AS src, b.userId AS dst
+         |  FROM good a JOIN good b
+         |    ON a.productId = b.productId AND a.userId < b.userId)""".stripMargin,
+    "q04_undirected_edges" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte
+         |SELECT src, dst FROM pairs
+         |UNION ALL SELECT dst AS src, src AS dst FROM pairs""".stripMargin,
+    "q05_sample_split" ->
+      s"""WITH $ratingsCte
+         |SELECT userId, productId, rating,
+         |       CASE WHEN (userId * 131 + productId * 31 + CAST(rating AS BIGINT)) % 1000 < 700
+         |            THEN 0 ELSE 1 END AS bucket
+         |FROM ratings WHERE userId < 1000""".stripMargin,
+    "q06_communities" ->
+      s"""$graphPrefix
+         |SELECT id, label FROM l5""".stripMargin,
+    "q07_community_sizes" ->
+      s"""$graphPrefix
+         |SELECT label, count(*) AS members FROM l5 GROUP BY label""".stripMargin,
+    "q08_recommendations" ->
+      s"""$graphPrefix,
+         |members AS (
+         |  SELECT u.id AS u_id, v.id AS v_id
+         |  FROM l5 u JOIN l5 v ON u.label = v.label AND u.id <> v.id
+         |),
+         |cand AS (
+         |  SELECT DISTINCT m.u_id AS userId, g.productId
+         |  FROM members m JOIN good g ON m.v_id = g.userId
+         |),
+         |unseen AS (
+         |  SELECT c.userId, c.productId FROM cand c
+         |  LEFT JOIN good r ON c.userId = r.userId AND c.productId = r.productId
+         |  WHERE r.userId IS NULL
+         |)
+         |SELECT userId, (list_sort(list(productId)))[1:20] AS recommendedProducts
+         |FROM unseen GROUP BY userId""".stripMargin,
+  )
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators of the reference's batch jobs, re-expressed as
+  * composable DataFrame transforms (SURVEY.md §2 J1/J2).
+  *
+  * Every function is a pure LogicalPlan builder — no actions, no driver
+  * materialization (the reference's `collect()`-to-HashMap pattern at
+  * `batch/Recommendations.java:40-51,68-77` is deliberately replaced by
+  * distributed joins; that is the single biggest 100-TB-readiness change).
+  */
+object Reco {
+
+  /** J1 — global top-K products by mean rating, HAVING count > minReviews.
+    *
+    * Reference: `batch/ProductReviewAggregation.java:37-51` (manual sum/count
+    * loop in a `reduceGroup`, per-partition `sortPartition(DESC).first(K)` —
+    * i.e. only *approximate* top-K unless parallelism = 1).
+    *
+    * Spark: hash-aggregate with map-side partial aggregation, then exact
+    * global top-K via `TakeOrderedAndProject` (per-partition heaps + driver
+    * merge of K rows — no global sort materialized). Deterministic tiebreak
+    * `productId ASC` added for oracle stability; a strict improvement over
+    * the reference's nondeterminism.
+    *
+    * Scale: the aggregate shuffles |distinct productId| rows, not the input;
+    * top-K never shuffles more than K rows per partition.
+    */
+  def topProducts(ratings: DataFrame, k: Int = 20, minReviews: Long = 10): DataFrame =
+    ratings
+      .groupBy("productId")
+      .agg(avg("rating").as("avg_rating"), count(lit(1)).as("cnt"))
+      .where(col("cnt") > minReviews)
+      .orderBy(desc("avg_rating"), asc("productId"))
+      .limit(k)
+
+  /** J2 — "good ratings" predicate: rating > 3.0 and (batch scope) userId < maxUser.
+    * Reference: `batch/Recommendations.java:153` (`userId < 1000`) and
+    * `FilterBadRatings` at `:172-176` (`rating > 3.0`).
+    * Both predicates push down to the parquet scan under Catalyst.
+    */
+  def goodRatings(ratings: DataFrame, maxUser: Long = 1000): DataFrame =
+    ratings.where(col("rating") > 3.0 && col("userId") < maxUser)
+
+  /** J2 — co-rating user-pair edges: users who rated the same product.
+    *
+    * Reference: `batch/Recommendations.java:157-170` — groups edges by
+    * productId and emits every unordered pair of rating users with nested
+    * loops inside one `GroupReduceFunction` (O(k²) rows buffered per group).
+    *
+    * Spark: distinct (userId, productId) then a self-equi-join on productId
+    * with `a.userId < b.userId` for canonical unordered pairs, then distinct.
+    * Catalyst plans a shuffled join on productId; AQE's skew-join splitting
+    * handles hot products (the reference has no skew guard at all).
+    */
+  def coRatingPairs(goodRatings: DataFrame): DataFrame = {
+    val r = goodRatings.select("userId", "productId").distinct()
+    val a = r.as("a")
+    val b = r.as("b")
+    a.join(b, col("a.productId") === col("b.productId") && col("a.userId") < col("b.userId"))
+      .select(col("a.userId").as("src"), col("b.userId").as("dst"))
+      .distinct()
+  }
+
+  /** J2 — undirected closure: add the reversed edge for every edge.
+    * Reference: Gelly `Graph.getUndirected()` at `batch/Recommendations.java:116-122`.
+    * Union-all of the edge list with its swap; no shuffle (narrow union).
+    */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** J2 — community sizes: count of members per community label.
+    * Reference: `batch/Recommendations.java:83-98` (reduceGroup + driver print).
+    */
+  def communitySizes(labels: DataFrame): DataFrame =
+    labels.groupBy("label").agg(count(lit(1)).as("members"))
+
+  /** J2 — the flagship recommendation generation (SURVEY.md §2 row 2.15).
+    *
+    * Reference: single-threaded driver loops over two collected HashMaps at
+    * `batch/Recommendations.java:68-77`: for user u, for each co-community
+    * user v, recommend every product v rated that u has not rated.
+    *
+    * Spark relational rewrite (fully distributed):
+    *   members    = labels ⋈ labels on label  (u, v pairs, u ≠ v)
+    *   candidates = members ⋈ ratings on v    → (u, product) distinct
+    *   recs       = candidates LEFT ANTI ratings on (u, product)
+    *   output     = groupBy(u).collect_set(product) sorted, capped at `cap`
+    *
+    * Scale: three shuffles (label join, candidate join, anti join), each on a
+    * key present in the data — no driver state. `slice(..., cap)` bounds the
+    * output row width exactly like `MAX_RECOMMENDATION_SIZE = 20` at
+    * `streaming/RealTimeRecommendations.java:35`.
+    */
+  def recommendations(labels: DataFrame, ratings: DataFrame, cap: Int = 20): DataFrame = {
+    val r = ratings.select("userId", "productId").distinct()
+    val u = labels.select(col("id").as("u_id"), col("label"))
+    val v = labels.select(col("id").as("v_id"), col("label"))
+    val members = u.join(v, Seq("label")).where(col("u_id") =!= col("v_id"))
+    val candidates = members
+      .join(r, members("v_id") === r("userId"))
+      .select(col("u_id").as("userId"), col("productId"))
+      .distinct()
+    val unseen = candidates.join(r, Seq("userId", "productId"), "left_anti")
+    unseen
+      .groupBy("userId")
+      .agg(slice(sort_array(collect_set(col("productId"))), 1, cap).as("recommendedProducts"))
+  }
+
+  /** Support op 4.3/4.4 (`spliter.py:22-25`): deterministic DB/stream split.
+    *
+    * The reference uses a seeded pandas `sample(frac)` + index-complement
+    * (`drop`). Seeded sampling is engine-specific, so for oracle parity the
+    * split predicate here is a deterministic modulo over the row key — same
+    * semantics (partition a filtered table into two complementary subsets),
+    * reproducible in any engine. `bucket` ∈ {0 = "db", 1 = "stream"}.
+    */
+  def sampleSplit(ratings: DataFrame, maxUser: Long = 1000, dbPermille: Int = 700): DataFrame =
+    ratings
+      .where(col("userId") < maxUser)
+      .withColumn(
+        "bucket",
+        when((col("userId") * 131 + col("productId") * 31 + col("rating").cast("long")) % 1000 < dbPermille, lit(0))
+          .otherwise(lit(1)))
+
+  /** Per-group top-N via ranking window (generalizes 1.5/1.6 to grouped
+    * top-K; the building block the streaming job's `limit(20)` needs when
+    * applied per user). Deterministic: rank over (key DESC value, ASC id).
+    */
+  def topNPerGroup(df: DataFrame, groupCol: String, orderCol: String, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(desc(orderCol), asc(idCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
+  }
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.oracleSql vs graft.Verify output.
+
+Mimics the driver's correctness gate: for each query, load the Spark result
+parquet (written by graft.Verify) and run the oracle SQL in DuckDB over the
+raw testdata parquet tables; compare as sorted multisets of rows with columns
+sorted by name. Local tooling only — the Scala library has no Python deps.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            failures += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        try:
+            exp = con.execute(oracle[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        if sorted(c.lower() for c in got_cols) != sorted(c.lower() for c in exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
+            failures += 1
+            continue
+        g, e = canon(got, got_cols), canon(exp, exp_cols)
+        if g == e:
+            print(f"OK   {name}: {len(g)} rows")
+        else:
+            failures += 1
+            print(f"FAIL {name}: {len(g)} vs {len(e)} rows")
+            diff_g = [r for r in g if r not in set(e)][:3]
+            diff_e = [r for r in e if r not in set(g)][:3]
+            print(f"     spark-only: {diff_g}")
+            print(f"     oracle-only: {diff_e}")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
