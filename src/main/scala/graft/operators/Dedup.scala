@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: every variant is bounded by a *bucketing* step before any
+  * pairwise work — exact dedup buckets on the full text hash, MinHash on LSH
+  * band signatures, SimHash on 16-bit chunks, embedding near-dup on IVF
+  * cells (see [[Similarity]]). Nothing ever materializes the O(N²) pair
+  * space at 100 TB; candidate pairs are only generated within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct text with the canonical
+    * (minimum) doc_id and the duplicate count. Bucketing key is the full
+    * text (hash aggregate) — at scale, group on xxhash64(text) first and
+    * resolve rare collisions inside the group.
+    */
+  def exactGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), md5(col("text").cast("binary")).as("text_md5"))
+
+  /** The deduplicated table: keeps only the canonical (min doc_id) row per
+    * distinct text, metadata intact. Window-min avoids a self-join.
+    */
+  def dropExactDuplicates(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text")
+    documents
+      .withColumn("min_id", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("min_id"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs: distinct word-n-gram
+    * shingles per doc → inverted index (explode) → self-join on shingle →
+    * |A∩B| per pair → Jaccard = i / (|A|+|B|-i) ≥ threshold.
+    *
+    * This is the exact (quadratic-within-bucket) baseline the MinHash path
+    * approximates; the shingle inverted index bounds the join to pairs that
+    * share ≥1 shingle. Skew guard at scale: drop shingles whose document
+    * frequency exceeds a cap (stop-shingles) before the self-join.
+    */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Long = 1000): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), n)).as("shingle"))
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("df") <= maxShingleDf)
+      .select("doc_id", "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "inter", "jaccard")
+  }
+
+  /** MinHash signature + LSH banding near-dup candidates.
+    *
+    * shingle → 32-bit murmur hash → k permutations h_i(x) = (a_i·x + b_i)
+    * mod p → per-doc min per permutation → signature; band the signature
+    * (bands × rowsPerBand = k) and bucket-join on (band index, band hash).
+    * With k=64, 16 bands × 4 rows, the S-curve crosses ~0.5 Jaccard.
+    *
+    * Everything is DataFrame-native: the signature is k min() aggregates
+    * (one shuffle), banding is an array slice + explode (narrow), the
+    * bucket join is an equi-join on the band key — LSH is exactly "make
+    * near-dup detection a shuffle join", which is what survives 100 TB.
+    *
+    * @return candidate pairs with the fraction of agreeing minhashes
+    *         (estimate of Jaccard) — filter/verify downstream.
+    */
+  def minhashPairs(documents: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val p = 2147483647L // 2^31-1, Mersenne prime
+    // deterministic permutation parameters (fixed seed arithmetic, no RNG —
+    // Date/random are nondeterministic across runs and engines)
+    val as = (0 until k).map(i => 2L * i + 1)         // odd multipliers
+    val bs = (0 until k).map(i => 1000003L * (i + 1) % p)
+
+    val sh = documents
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"),
+        (hash(col("shingle")).cast("long") + lit(2147483648L)).as("h")) // [0, 2^32)
+    val sigCols = (0 until k).map(i =>
+      min((col("h") * as(i) + bs(i)) % p).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bandHash"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** SimHash near-dup: 64-bit signature from token hashes (per bit: sign of
+    * the Σ±1 vote over tokens), candidate pairs from 16-bit chunk banding
+    * (any pair within Hamming distance 3×16-bit-chunk mismatch shares ≥1 of
+    * 4 chunks by pigeonhole when distance ≤ 3), verified with bit_count.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val sig = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("chunk"), col("col").as("chunkVal"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunkVal") === col("b.chunkVal")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}

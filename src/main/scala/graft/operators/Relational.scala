@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational operator coverage beyond the reference's surface
+  * (SURVEY.md §2 "categories with NO instance" — window functions, rollup/
+  * cube, semi/anti joins, set operations, scalar functions). The reference
+  * never needed these; a user replacing it with this library at 100 TB will.
+  *
+  * Float determinism rule (oracle hash-parity): money columns are cast to
+  * DECIMAL before SUM so the aggregate is exact and order-independent, then
+  * cast back to DOUBLE for a stable output schema. Averages are computed as
+  * exact-decimal-sum / count, never via engine-specific AVG(decimal) typing.
+  */
+object Relational {
+
+  /** Exact, shuffle-order-independent money sum: SUM(CAST(c AS DEC(18,2))) → DOUBLE. */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact mean: decimal sum / count, both deterministic. */
+  def moneyAvg(c: Column): Column =
+    (sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1))).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: scan → filter (pushed to
+    * parquet) → hash aggregate with map-side partials. disc_price is computed
+    * in exact decimal arithmetic per row before the sum.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc  = col("l_discount").cast("decimal(12,2)")
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(12,2)") - disc)).cast("double").as("sum_disc_price"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Star join: fact ⋈ two dimensions, dims broadcast (the plan a 1000-
+    * executor cluster wants: no shuffle of the fact table beyond the final
+    * aggregate).
+    */
+  def revenueByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** Ranking + frame windows: top-N orders per customer with running spend.
+    * Deterministic total order inside each partition (tiebreak o_orderkey).
+    * The running sum uses an explicit ROWS frame — sequential within the
+    * frame, so bit-identical across engines.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+      .where(col("rn") <= n)
+  }
+
+  /** ROLLUP hierarchy totals (orderstatus → orderpriority → grand total). */
+  def orderRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+
+  /** CUBE over lineitem flags. */
+  def lineitemCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+
+  /** LEFT SEMI: customers holding at least one open order (EXISTS). */
+  def customersWithOpenOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(
+        orders.where(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** LEFT ANTI: customers with no orders at all (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Set-operation composition: symmetric difference of "rich customers" vs
+    * "customers with a big order" = (A ∪ B) \ (A ∩ B). Exercises UNION,
+    * INTERSECT and EXCEPT in one deterministic output.
+    */
+  def setOpsSymmetricDiff(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rich = customer.where(col("c_acctbal") > 7000).select(col("c_custkey").as("custkey"))
+    val big  = orders.where(col("o_totalprice") > 300000).select(col("o_custkey").as("custkey")).distinct()
+    rich.union(big).distinct().except(rich.intersect(big))
+  }
+
+  /** Scalar-function sweep over events: date parts, string ops, JSON
+    * extraction, math — all codegen'd built-ins, no UDFs (SURVEY.md §2
+    * "no scalar functions in the reference"; indispensable in practice).
+    */
+  def eventScalars(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      year(col("ts")).as("y"),
+      month(col("ts")).as("m"),
+      dayofmonth(col("ts")).as("d"),
+      hour(col("ts")).as("h"),
+      upper(col("event_type")).as("etype"),
+      length(col("event_type")).as("etype_len"),
+      concat(col("event_type"), lit("#"), col("user_id").cast("string")).as("tag"),
+      substring(col("event_type"), 1, 2).as("prefix"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+      floor(col("value")).cast("long").as("value_floor"),
+      ceil(col("value")).cast("long").as("value_ceil"),
+      sqrt(col("value")).as("value_sqrt"),
+      abs(col("user_id") - lit(75)).as("dist_from_mid"))
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — brute-force cosine top-k as the exact baseline, an
+  * IVF (inverted-file, coarse-quantizer) variant as the scale path.
+  *
+  * Float determinism: all arithmetic is promoted to DOUBLE and folded
+  * left-to-right within each row (`zip_with` + `aggregate`), so the result
+  * is bit-identical regardless of partitioning — per-row scalar work has no
+  * shuffle-order dependence. That is what makes the cosine queries DuckDB-
+  * oracle-able.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two float vectors in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Reference implementation via higher-order functions (interpreted
+    * lambdas) — kept as the numeric ground truth the native expression is
+    * tested against bit-for-bit.
+    */
+  def cosineFold(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine similarity via the codegen'd single-pass Catalyst expression
+    * [[org.apache.spark.sql.graft.CosineSimilarity]] — same bits, one fused loop, stays
+    * inside WholeStageCodegen.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.CosineSimilarity(
+        org.apache.spark.sql.graft.shim.expression(a),
+        org.apache.spark.sql.graft.shim.expression(b)))
+
+  /** Exact brute-force cosine top-k: queries × corpus cross join, ranked per
+    * query. The cross join is the point — it is the O(Q·N) baseline that IVF
+    * beats; keep Q small or use [[ivfTopK]].
+    *
+    * @param queries  (q_id Long, q_emb Array[Float])
+    * @param corpus   (vec_id Long, embedding Array[Float])
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    val scored = queries.crossJoin(corpus)
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** IVF cell assignment: nearest of the deterministic seed centroids.
+    *
+    * Centroid selection is data-deterministic (every vec_id divisible by
+    * `centroidStride`) rather than trained k-means — the partition/bucket
+    * mechanics (the part that matters for the Spark plan) are identical,
+    * and swapping in trained centroids is a drop-in. The centroid set is
+    * broadcast; assignment is a map-side broadcast join + per-row argmax —
+    * no shuffle of the corpus.
+    */
+  def ivfAssign(corpus: DataFrame, centroidStride: Int = 37): DataFrame = {
+    val centroids = corpus
+      .where(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("c_sim"), asc("c_id"))
+    corpus.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, scan only those
+    * cells' vectors. At scale the corpus is written bucketed by `cell`, so a
+    * probe is a partition-pruned scan + shuffle join on cell id — O(N·nprobe
+    * / nCells) work per query instead of O(N).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5, nprobe: Int = 4,
+              centroidStride: Int = 37): DataFrame = {
+    val assigned = ivfAssign(corpus, centroidStride)
+    val centroids = corpus
+      .where(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("c_sim"), asc("c_id"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    probes.join(assigned, "cell")
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
+    * [[Dedup]]): all pairs with cosine ≥ threshold. Exact quadratic form
+    * here; at scale, run it per-IVF-cell (join on `cell` from [[ivfAssign]])
+    * to bound the pair space.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("a_emb"), col("b_emb")))
+      .where(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming rebuild of J3 — RealTimeRecommendations
+  * (`streaming/RealTimeRecommendations.java:34-71`).
+  *
+  * Transport mapping (SURVEY.md §1.1): the reference moves JSON `Review`
+  * events over Kafka and keeps state in Redis. This container has no Kafka
+  * connector jar, and external KV state is an anti-pattern on Spark anyway —
+  * so: file-stream JSON source with the reference's exact `Review` schema,
+  * parquet tables instead of Redis keys, file JSON sink instead of the
+  * output topic. On a real cluster the same code binds to
+  * `format("kafka")` by swapping the source/sink lines only.
+  *
+  * Scale notes:
+  *  - The reference does 2 synchronous Redis RPCs *per event* on the hot
+  *    path (`RealTimeRecommendations.java:96-104`). Here enrichment is a
+  *    per-micro-batch stream–static join: the 20-row `topProducts` side is
+  *    broadcast, the `userRecommendations` side is a regular shuffle (or
+  *    broadcast when it fits), amortizing lookups over the whole batch.
+  *  - Exactly-once: checkpointed file sink; the reference has no delivery
+  *    guarantee at all.
+  */
+object RealTime {
+
+  /** The reference's wire schema — `streaming/models/Review.java:6-11`,
+    * JSON envelope per `kafka_stream_generator.py:28-31`.
+    */
+  val reviewSchema: StructType = StructType(Seq(
+    StructField("userId", LongType),
+    StructField("productId", LongType),
+    StructField("review", DoubleType),
+    StructField("timestamp", LongType)))
+
+  /** Streaming source — stand-in for the Kafka `Reviews` topic
+    * (`RealTimeRecommendations.java:40-48`).
+    */
+  def readReviews(spark: SparkSession, inDir: String): DataFrame =
+    spark.readStream.schema(reviewSchema).json(inDir)
+
+  /** Sink #1 — state update (`RealTimeRecommendations.java:49,72-88`:
+    * `SADD userRatings:{uid}` per event). Here: append the micro-batch to
+    * the ratings parquet table the batch jobs read. Idempotence comes from
+    * the streaming checkpoint (a batch is appended exactly once).
+    */
+  def updateRatings(reviews: DataFrame, ratingsDir: String, checkpointDir: String): StreamingQuery =
+    reviews.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(
+          col("userId"), col("productId"), col("review").as("rating"), col("timestamp"))
+          .write.mode("append").parquet(ratingsDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The enrichment transform (`RealTimeRecommendations.java:50-56,89-124`):
+    * per event, look up the user's precomputed recommendations; cold-start
+    * fallback to global topProducts; cap at `cap` items
+    * (`MAX_RECOMMENDATION_SIZE = 20` at `:35`).
+    *
+    * Pure LogicalPlan transform — works identically on a batch or streaming
+    * `reviews` DataFrame (that equivalence is what lets the batch twin be
+    * DuckDB-oracled while the streaming path is spec-tested).
+    *
+    * @param userRecs static (userId Long, recommendedProducts Array[Long])
+    * @param topProducts static (productId Long, ...) — the J1 result
+    */
+  def enrich(reviews: DataFrame, userRecs: DataFrame, topProducts: DataFrame, cap: Int = 20): DataFrame = {
+    // 20-row side → single-row array literal, broadcast to every task
+    // (replaces the per-event `SMEMBERS topProducts` at `:101-105`).
+    val topArr = broadcast(
+      topProducts.agg(
+        sort_array(collect_list(col("productId"))).as("fallbackProducts")))
+    reviews
+      .join(userRecs, Seq("userId"), "left")
+      .crossJoin(topArr)
+      .select(
+        col("userId"),
+        slice(
+          transform(
+            when(size(col("recommendedProducts")) > 0, col("recommendedProducts"))
+              .otherwise(col("fallbackProducts")),
+            x => x.cast("string")),
+          1, cap).as("recommendedProducts"))
+  }
+
+  /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
+    * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
+    * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.
+    */
+  def writeOutput(enriched: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    enriched
+      .select(to_json(struct(col("userId"), col("recommendedProducts"))).as("value"))
+      .writeStream
+      .format("text")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Reco
+
+/** Property-based invariants (SURVEY.md §5.3) over small generated rating
+  * tables. ScalaCheck generators sampled under fixed seeds (the
+  * scalatest-scalacheck bridge isn't in the offline cache, so sampling is
+  * driven manually — still property-shaped, still deterministic).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ratingGen: Gen[List[(Long, Long, Double)]] =
+    Gen.listOfN(25, for {
+      u <- Gen.choose(1L, 8L)
+      p <- Gen.choose(1L, 6L)
+      r <- Gen.oneOf(1.0, 2.0, 3.0, 4.0, 5.0)
+    } yield (u, p, r))
+
+  private def samples(n: Int): Seq[List[(Long, Long, Double)]] =
+    (1 to n).flatMap(i => ratingGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("co-rating pairs are canonical, deduped, bounded by sum of C(k,2)") {
+    for (rows <- samples(5)) {
+      val df = rows.toDF("userId", "productId", "rating")
+      val p = Reco.coRatingPairs(df).as[(Long, Long)].collect()
+      assert(p.forall { case (a, b) => a < b })
+      assert(p.distinct.length === p.length)
+      val bound = rows.map(t => (t._1, t._2)).distinct
+        .groupBy(_._2).values
+        .map { g => val k = g.map(_._1).distinct.size.toLong; k * (k - 1) / 2 }
+        .sum
+      assert(p.length <= bound)
+    }
+  }
+
+  test("recommendations exclude already-rated products (the :74 invariant)") {
+    for (rows <- samples(5)) {
+      val df = rows.toDF("userId", "productId", "rating").select("userId", "productId")
+      val labels = df.select($"userId".as("id")).distinct()
+        .withColumn("label", $"id" % 2) // arbitrary 2-community split
+      val recs = Reco.recommendations(labels, df)
+        .select($"userId", org.apache.spark.sql.functions.explode($"recommendedProducts").as("p"))
+        .as[(Long, Long)].collect().toSet
+      val rated = rows.map(t => (t._1, t._2)).toSet
+      assert((recs & rated).isEmpty)
+    }
+  }
+
+  test("sampleSplit buckets are a partition: disjoint and exhaustive") {
+    for (rows <- samples(5)) {
+      val df = rows.toDF("userId", "productId", "rating")
+      val split = Reco.sampleSplit(df, maxUser = 1000)
+      assert(split.count() === df.count())
+      assert(split.where($"bucket" =!= 0 && $"bucket" =!= 1).count() === 0)
+    }
+  }
+}

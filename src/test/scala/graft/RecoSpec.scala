@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Reco
+
+class RecoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("topProducts honors HAVING and K, ordered desc with id tiebreak") {
+    val top = Reco.topProducts(Tables.ratings(spark, TestSpark.sf)).collect()
+    assert(top.length <= 20)
+    assert(top.forall(_.getAs[Long]("cnt") > 10))
+    val avgs = top.map(_.getAs[Double]("avg_rating"))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("coRatingPairs emits C(k,2) canonical pairs per product") {
+    val r = Seq((1L, 10L, 5.0), (2L, 10L, 4.0), (3L, 10L, 5.0), (4L, 20L, 5.0))
+      .toDF("userId", "productId", "rating")
+    val pairs = Reco.coRatingPairs(r).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("undirected closure is symmetric") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val u = Reco.undirected(e).as[(Long, Long)].collect().toSet
+    assert(u === Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("recommendations never contain a product the user already rated") {
+    val labels = Seq((1L, 99L), (2L, 99L)).toDF("id", "label")
+    val ratings = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+      .toDF("userId", "productId")
+    val recs = Reco.recommendations(labels, ratings)
+      .select($"userId", explode($"recommendedProducts").as("p"))
+      .as[(Long, Long)].collect()
+    // user 1 already rated 10,11 -> only 12 can be recommended; user 2 -> only 10
+    assert(recs.toSet === Set((1L, 12L), (2L, 10L)))
+  }
+
+  test("sampleSplit buckets partition the filtered input exactly") {
+    val s = Reco.sampleSplit(Tables.ratings(spark, TestSpark.sf))
+    val total = Tables.ratings(spark, TestSpark.sf).where($"userId" < 1000).count()
+    val byBucket = s.groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(byBucket.values.sum === total)
+    assert(byBucket.keySet.subsetOf(Set(0, 1)))
+  }
+}

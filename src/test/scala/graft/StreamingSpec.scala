@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.RealTime
+
+/** J3 pipeline specs: file-stream source → enrichment → sinks, driven
+  * synchronously with AvailableNow + awaitTermination (the deterministic
+  * test harness SURVEY.md §5.4 calls for).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeEvents(dir: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, "part-0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  private val userRecs = Seq(
+    (1L, Array(101L, 102L)),
+    (2L, Array(201L))).toDF("userId", "recommendedProducts")
+  private val topProducts = Seq(
+    (11L, 4.9), (12L, 4.8), (13L, 4.7)).toDF("productId", "avg_rating")
+
+  test("enrich: known user gets own recs, cold-start user gets fallback, cap applies") {
+    val reviews = Seq((1L, 5L, 5.0, 1000L), (99L, 6L, 4.0, 1001L))
+      .toDF("userId", "productId", "review", "timestamp")
+    val out = RealTime.enrich(reviews, userRecs, topProducts, cap = 2)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("101", "102"))
+    assert(out(99L) === Seq("11", "12")) // sorted fallback, capped at 2
+  }
+
+  test("end-to-end micro-batch: json source -> enrich -> json sink + ratings append") {
+    val in = tmp("stream-in")
+    val outDir = tmp("stream-out")
+    val ratingsDir = tmp("ratings") + "/table"
+    writeEvents(in, Seq(
+      """{"userId": 1, "productId": 3, "review": 5.0, "timestamp": 1105916400}""",
+      """{"userId": 42, "productId": 9, "review": 2.0, "timestamp": 1105916401}"""))
+
+    val reviews = RealTime.readReviews(spark, in)
+    val q1 = RealTime.updateRatings(reviews, ratingsDir, tmp("ck1"))
+    q1.awaitTermination(60000)
+
+    val q2 = RealTime.writeOutput(
+      RealTime.enrich(RealTime.readReviews(spark, in), userRecs, topProducts),
+      outDir, tmp("ck2")).start()
+    q2.awaitTermination(60000)
+
+    val appended = spark.read.parquet(ratingsDir)
+    assert(appended.count() === 2)
+    assert(appended.columns.toSet === Set("userId", "productId", "rating", "timestamp"))
+
+    val out = spark.read.json(outDir)
+      .select($"userId", $"recommendedProducts")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("101", "102"))
+    assert(out(42L) === Seq("11", "12", "13")) // cold start -> global top products
+  }
+
+  test("streaming windowed aggregation with watermark (tumbling twin)") {
+    val in = tmp("stream-win")
+    writeEvents(in, Seq(
+      """{"userId": 1, "productId": 3, "review": 5.0, "timestamp": 0}""",
+      """{"userId": 2, "productId": 4, "review": 3.0, "timestamp": 60}""",
+      """{"userId": 3, "productId": 5, "review": 4.0, "timestamp": 1000}"""))
+    val agg = RealTime.readReviews(spark, in)
+      .withColumn("ts", timestamp_seconds($"timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").select("cnt").as[Long].collect()
+    // ts 0s and 60s share the first 15-min window; 1000s falls in the second
+    assert(rows.sorted.toSeq === Seq(1L, 2L))
+  }
+}
