@@ -46,13 +46,20 @@ object SparkEntry {
         .select("userId", "productId").distinct().cache()
     }
 
+  private def coPairs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "pairs") {
+      Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(spark, dir))).cache()
+    }
+
   private def communityLabels(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "labels") {
-      LabelPropagation.run(Reco.undirected(Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(spark, dir)))))
+      LabelPropagation.run(Reco.undirected(coPairs(spark, dir)))
     }
 
   private def qRecommendations(spark: SparkSession, dir: String): DataFrame =
-    Reco.recommendations(communityLabels(spark, dir), good(spark, dir))
+    cached(spark, dir, "recs") {
+      Reco.recommendations(communityLabels(spark, dir), good(spark, dir)).cache()
+    }
 
   private def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val reviews = Tables.ratings(spark, dir).select("userId").distinct()
@@ -73,11 +80,10 @@ object SparkEntry {
     "q02_good_ratings" -> ((s, dir) =>
       Reco.goodRatings(Tables.ratings(s, dir)).select("userId", "productId", "rating")),
     // J2 rows 2.6-2.7 — co-rating pair self-join + distinct
-    "q03_corating_pairs" -> ((s, dir) =>
-      Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(s, dir)))),
-    // J2 row 2.8 — undirected closure
-    "q04_undirected_edges" -> ((s, dir) =>
-      Reco.undirected(Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(s, dir))))),
+    "q03_corating_pairs" -> ((s, dir) => coPairs(s, dir)),
+    // J2 row 2.8 — undirected closure (cached pairs: both union branches
+    // read the same materialization instead of re-running the self-join)
+    "q04_undirected_edges" -> ((s, dir) => Reco.undirected(coPairs(s, dir))),
     // Support 4.3/4.4 — deterministic DB/stream split
     "q05_sample_split" -> ((s, dir) => Reco.sampleSplit(Tables.ratings(s, dir))),
     // J2 rows 2.9-2.11 — label propagation communities
@@ -103,6 +109,10 @@ object SparkEntry {
     "q17_setops" -> ((s, dir) =>
       Relational.setOpsSymmetricDiff(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q18_event_scalars" -> ((s, dir) => Relational.eventScalars(Tables.events(s, dir))),
+    // GraphX path over the co-rating graph (no SQL oracle: iterative-to-
+    // fixpoint; invariants spec-tested in GraphSpec)
+    "q19_connected_components" -> ((s, dir) =>
+      graft.plans.GraphOps.connectedComponents(s, Reco.undirected(coPairs(s, dir)))),
 
     // ---- event-time windows (batch forms; streaming twins in graft.streaming) ----
     "q20_window_tumbling" -> ((s, dir) => TimeWindows.tumbling(Tables.events(s, dir))),
@@ -465,15 +475,17 @@ object SparkEntry {
   private def graphPrefix: String =
     s"WITH $ratingsCte,\n$goodCte,\n$pairsCte,\n$edgesCte,\n${lpCtes(5)}"
 
-  /** ANSI twin of [[Reco.recommendations]] over `l5` + `good`. */
+  /** ANSI twin of [[Reco.recommendations]] over `l5` + `good` (community-
+    * product rewrite — see the algebra note in Reco.recommendations).
+    */
   private val recsCtes: String =
-    """members AS (
-      |  SELECT u.id AS u_id, v.id AS v_id
-      |  FROM l5 u JOIN l5 v ON u.label = v.label AND u.id <> v.id
+    """comm_products AS (
+      |  SELECT DISTINCT l.label, g.productId
+      |  FROM l5 l JOIN good g ON l.id = g.userId
       |),
       |cand AS (
-      |  SELECT DISTINCT m.u_id AS userId, g.productId
-      |  FROM members m JOIN good g ON m.v_id = g.userId
+      |  SELECT l.id AS userId, c.productId
+      |  FROM l5 l JOIN comm_products c ON l.label = c.label
       |),
       |unseen AS (
       |  SELECT c.userId, c.productId FROM cand c

@@ -93,11 +93,15 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
+    // one reference to the token array per lambda element (slice), not n
+    // (element_at×n): interpreted higher-order lambdas re-evaluate every
+    // referenced subtree per element, so each extra reference re-runs the
+    // regex split for every shingle of every row
     when(size(t) >= n,
       array_distinct(
         transform(
           sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+          i => array_join(slice(t, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
 }

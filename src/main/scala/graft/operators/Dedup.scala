@@ -50,12 +50,20 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000): DataFrame = {
+    // Materialize the inverted index once: it feeds four plan branches
+    // (sizes, stop-shingle counts, both self-join sides), and without the
+    // barrier each branch would re-run the shingle lambdas per row. On a
+    // cluster this is persist()/a written bucketed table; semantics equal.
     val sh = documents
       .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), n)).as("shingle"))
-    val filtered = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .where(col("df") <= maxShingleDf)
-      .select("doc_id", "shingle")
+      .localCheckpoint()
+    // document frequency via aggregate + join, not a window: the groupBy
+    // gets map-side partial aggregation and shuffles |distinct shingles|
+    // rows, where a count-over-window would sort-shuffle the full index
+    val stopShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf)
+      .select("shingle")
+    val filtered = sh.join(stopShingles, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = filtered.as("a")
       .join(filtered.as("b"),
@@ -90,21 +98,27 @@ object Dedup {
                    minEstJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val p = 2147483647L // 2^31-1, Mersenne prime
-    // deterministic permutation parameters (fixed seed arithmetic, no RNG —
-    // Date/random are nondeterministic across runs and engines)
-    val as = (0 until k).map(i => 2L * i + 1)         // odd multipliers
-    val bs = (0 until k).map(i => 1000003L * (i + 1) % p)
 
-    val sh = documents
+    // Signature building is a pure map over the documents scan — shingle →
+    // 32-bit murmur → codegen'd k-permutation MinHash (see
+    // [[org.apache.spark.sql.graft.MinHashSignature]]). No explode, no
+    // k-aggregate shuffle: at 100 TB the only shuffle in this operator is
+    // the band bucket join.
+    val hs = transform(
+      TextAnalysis.shingles(col("text"), n),
+      s => hash(s).cast("long") + lit(2147483648L)) // [0, 2^32)
+    // Barrier after the shingle-hash lambdas: the banded self-join reads the
+    // signature table twice, and CollapseProject would otherwise inline (and
+    // re-run) the whole shingle pipeline into both sides.
+    val sig = documents
+      .select(col("doc_id"), hs.as("hs"))
+      .localCheckpoint()
+      .where(size(col("hs")) > 0)
       .select(col("doc_id"),
-        explode(TextAnalysis.shingles(col("text"), n)).as("shingle"))
-      .select(col("doc_id"),
-        (hash(col("shingle")).cast("long") + lit(2147483648L)).as("h")) // [0, 2^32)
-    val sigCols = (0 until k).map(i =>
-      min((col("h") * as(i) + bs(i)) % p).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+        org.apache.spark.sql.graft.shim.column(
+          org.apache.spark.sql.graft.MinHashSignature(
+            org.apache.spark.sql.graft.shim.expression(col("hs")), k)).as("sig"))
+      .localCheckpoint()
 
     val banded = sig.select(
       col("doc_id"), col("sig"),
@@ -144,6 +158,7 @@ object Dedup {
         (0 until 64).map(i =>
           when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
+      .localCheckpoint() // chunk self-join reads it twice
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -36,7 +36,11 @@ object LabelPropagation {
     * @return DataFrame of (`id` Long, `label` Long).
     */
   def run(edges: DataFrame, iters: Int = 5, eager: Boolean = true): DataFrame = {
-    val e = edges.select("src", "dst")
+    // Materialize the edge list once: every round references it, and without
+    // this the upstream plan (e.g. the co-rating self-join) would re-execute
+    // per superstep — O(iters) scans instead of one.
+    val e = if (eager) edges.select("src", "dst").localCheckpoint()
+            else edges.select("src", "dst")
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     val byVertex = Window.partitionBy("id").orderBy(desc("cnt"), desc("label"))

@@ -1,0 +1,83 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: k-permutation MinHash signature of a shingle
+  * hash set, in one codegen'd nested loop.
+  *
+  * Input: array<long> of (32-bit-range) shingle hashes. Output: array<long>
+  * of k signature values, m_j = min_i (h_i·a_j + b_j) mod p with the fixed
+  * deterministic permutation parameters a_j = 2j+1 (odd), b_j =
+  * (1000003·(j+1)) mod p, p = 2³¹−1 (Mersenne).
+  *
+  * Why an Expression: the lambda form (`transform` × `array_min` per
+  * permutation) evaluates k×|shingles| interpreted lambdas per document —
+  * measured 5× slower than the k-aggregate shuffle it replaced. This fuses
+  * the whole signature into one compiled loop, keeping MinHash a pure
+  * map-side operation: the only shuffle left in LSH dedup is the band
+  * bucket join.
+  *
+  * Empty input → empty signature (caller filters docs with no shingles).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) {
+      new GenericArrayData(Array.empty[Long])
+    } else {
+      val m = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (h * (2L * j + 1) + (1000003L * (j + 1)) % P) % P
+          if (v < m(j)) m(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(m)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $m = new long[$n == 0 ? 0 : $k];
+         |java.util.Arrays.fill($m, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    final long $v = ($h * (2L * $j + 1) + (1000003L * ($j + 1)) % ${P}L) % ${P}L;
+         |    if ($v < $m[$j]) $m[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new $gad($m);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Reco
+import graft.plans.{GraphOps, LabelPropagation}
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val twoTriangles =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+
+  test("connected components: two triangles -> two components keyed by min id") {
+    val cc = GraphOps.connectedComponents(
+      spark, Reco.undirected(twoTriangles.toDF("src", "dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L && cc(12L) === 10L)
+  }
+
+  test("LP communities never span connected components (real graph, sf0.001)") {
+    val edges = Reco.undirected(
+      Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(spark, TestSpark.sf))))
+      .localCheckpoint()
+    val lp = LabelPropagation.run(edges).as[(Long, Long)].collect().toMap
+    val cc = GraphOps.connectedComponents(spark, edges).as[(Long, Long)].collect().toMap
+    // all vertices sharing an LP label are in the same component
+    lp.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(cc).toSet.size === 1)
+    }
+  }
+
+  test("GraphX LP agrees with DataFrame LP on the trivially-converged graph") {
+    // a single complete triangle converges to one community in both
+    val edges = Reco.undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"))
+    val df = LabelPropagation.run(edges).as[(Long, Long)].collect().toMap
+    val gx = GraphOps.labelPropagationGraphX(spark, edges).as[(Long, Long)].collect().toMap
+    assert(df.values.toSet.size === 1)
+    assert(gx.values.toSet.size === 1)
+  }
+}
