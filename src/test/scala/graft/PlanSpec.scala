@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100-TB design contract: dimension joins
+  * broadcast, top-K never global-sorts, scans prune columns and push
+  * filters. A regression here is a performance bug even when results stay
+  * correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan
+    plan.collect {
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case f: FileSourceScanExec => f }
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+  }
+
+  test("q11 star join broadcasts both dimensions (no fact-table shuffle join)") {
+    val df = SparkEntry.queries("q11_revenue_by_nation")(spark, TestSpark.sf)
+    assert(planString(df).contains("BroadcastHashJoin"))
+    assert(!planString(df).contains("SortMergeJoin"))
+  }
+
+  test("q01 top-K plans as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q01_top_products")(spark, TestSpark.sf)
+    assert(planString(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("q02 filters are pushed down to the parquet scan") {
+    val df = SparkEntry.queries("q02_good_ratings")(spark, TestSpark.sf)
+    val pushed = scans(df).map(_.metadata.getOrElse("PushedFilters", ""))
+    assert(pushed.exists(_.contains("LessThan(o_custkey,1000)")),
+      s"expected o_custkey pushdown, got: $pushed")
+  }
+
+  test("q10 scan prunes to only the referenced lineitem columns") {
+    val df = SparkEntry.queries("q10_pricing_summary")(spark, TestSpark.sf)
+    val liScan = scans(df).find(_.requiredSchema.fieldNames.contains("l_returnflag"))
+    assert(liScan.isDefined)
+    val cols = liScan.get.requiredSchema.fieldNames.toSet
+    assert(!cols.contains("l_shipdate") && !cols.contains("l_partkey"),
+      s"scan reads more than needed: $cols")
+  }
+
+  test("similarity cosine participates in generated code (no codegen fallback)") {
+    // AQE defers codegen compilation, so assert with it off; our doGenCode
+    // emits Math.sqrt — present iff the expression compiled into a
+    // whole-stage codegen unit instead of falling back to interpreted eval
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("q37_sim_topk_brute")(spark, TestSpark.sf)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.startsWith("Found 0 WholeStageCodegen"))
+      assert(codegen.contains("Math.sqrt"), "native cosine fell out of codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}

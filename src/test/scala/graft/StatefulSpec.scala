@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{RealTime, Stateful}
+
+class StatefulSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mapGroupsWithState keeps running per-user stats across micro-batches") {
+    val in = Files.createTempDirectory("stateful-in").toString
+    Files.write(java.nio.file.Paths.get(in, "b1.json"),
+      Seq(
+        """{"userId": 1, "productId": 3, "review": 4.0, "timestamp": 10}""",
+        """{"userId": 1, "productId": 4, "review": 2.0, "timestamp": 20}""",
+        """{"userId": 2, "productId": 5, "review": 5.0, "timestamp": 30}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    val reviews = RealTime.readReviews(spark, in).as[Stateful.Review]
+    val q = Stateful.runningUserStats(spark, reviews)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_stats")
+      .option("checkpointLocation", Files.createTempDirectory("stateful-ck").toString)
+      .start()
+    q.processAllAvailable()
+
+    // second batch arrives: user 1 reviews again — state must accumulate
+    Files.write(java.nio.file.Paths.get(in, "b2.json"),
+      Seq("""{"userId": 1, "productId": 9, "review": 3.0, "timestamp": 40}""")
+        .mkString("\n").getBytes("UTF-8"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("user_stats").as[Stateful.UserStats].collect()
+    val u1 = rows.filter(_.userId == 1).maxBy(_.nReviews)
+    assert(u1.nReviews === 3)
+    assert(u1.meanRating === 3.0) // (4+2+3)/3
+    assert(u1.lastTimestamp === 40)
+    val u2 = rows.filter(_.userId == 2).maxBy(_.nReviews)
+    assert(u2.nReviews === 1 && u2.meanRating === 5.0)
+  }
+}
