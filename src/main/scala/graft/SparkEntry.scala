@@ -114,6 +114,16 @@ object SparkEntry {
     "q19_connected_components" -> ((s, dir) =>
       graft.plans.GraphOps.connectedComponents(s, Reco.undirected(coPairs(s, dir)))),
 
+    // AS-OF temporal join (scalable union+running-last implementation)
+    "q23_asof_join" -> ((s, dir) =>
+      Relational.asofJoin(Tables.events(s, dir), Tables.orders(s, dir))),
+    // HLL sketch distinct counts (approximate → no SQL oracle; accuracy
+    // asserted against exact counts in RelationalSpec)
+    "q24_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))),
+
     // ---- event-time windows (batch forms; streaming twins in graft.streaming) ----
     "q20_window_tumbling" -> ((s, dir) => TimeWindows.tumbling(Tables.events(s, dir))),
     "q21_window_sliding" -> ((s, dir) => TimeWindows.sliding(Tables.events(s, dir))),
@@ -275,6 +285,17 @@ object SparkEntry {
         |  abs(user_id - 75) AS dist_from_mid
         |FROM events""".stripMargin,
 
+    "q23_asof_join" ->
+      """WITH uorders AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS t, max(o_orderkey) AS o_key
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_key, o.t,
+        |         row_number() OVER (PARTITION BY e.event_id ORDER BY o.t DESC, o.o_key DESC) AS rn
+        |  FROM e LEFT JOIN uorders o ON e.user_id = o.user_id AND o.t <= e.ts)
+        |SELECT event_id, user_id, ts, o_key AS last_order_key, t AS last_order_ts
+        |FROM j WHERE rn = 1""".stripMargin,
     "q20_window_tumbling" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events)
         |SELECT make_timestamp(((epoch_ms(t) // 900000) * 900000) * 1000) AS ws,

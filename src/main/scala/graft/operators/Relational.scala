@@ -104,6 +104,41 @@ object Relational {
     rich.union(big).distinct().except(rich.intersect(big))
   }
 
+  /** AS-OF join: for each event, the user's most recent order at-or-before
+    * the event time.
+    *
+    * Implementation is the scalable union trick — tag both sides, sort each
+    * user's timeline once, and carry the latest right-side payload forward
+    * with `last(_, ignoreNulls)` over a running frame:
+    *   one shuffle on the key, one per-partition sort, zero row blow-up —
+    * versus the naive range-join (every event × every earlier order per
+    * user) whose intermediate is quadratic per key. The right side is
+    * pre-aggregated to one row per (key, time) (max order key) so the
+    * result is deterministic.
+    *
+    * Events with no prior order keep NULL order columns (left semantics).
+    */
+  def asofJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val right = orders
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("t"))
+      .agg(max("o_orderkey").as("o_key"))
+      .select(col("user_id"), col("t"), col("o_key"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"))
+    val left = events
+      .select(col("user_id"), col("ts").as("t"),
+        lit(null).cast("long").as("o_key"), lit(1).as("side"), col("event_id"))
+    // at equal t the right row sorts first (side 0 < 1) → o_orderdate == ts
+    // counts as "at-or-before"
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("side"), col("o_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("last_order_key", last(col("o_key"), ignoreNulls = true).over(w))
+      .withColumn("last_order_ts", last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        col("last_order_key"), col("last_order_ts"))
+  }
+
   /** Scalar-function sweep over events: date parts, string ops, JSON
     * extraction, math — all codegen'd built-ins, no UDFs (SURVEY.md §2
     * "no scalar functions in the reference"; indispensable in practice).

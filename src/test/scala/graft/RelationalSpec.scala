@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofJoin picks the latest at-or-before order, NULL when none") {
+    val events = Seq(
+      (100L, 1L, Timestamp.valueOf("2020-01-10 00:00:00")),
+      (101L, 1L, Timestamp.valueOf("2020-01-01 00:00:00")), // exactly at order t
+      (102L, 2L, Timestamp.valueOf("2020-01-05 00:00:00"))) // user with no orders
+      .toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (7L, 1L, Timestamp.valueOf("2020-01-01 00:00:00")),
+      (9L, 1L, Timestamp.valueOf("2020-01-08 00:00:00")),
+      (8L, 1L, Timestamp.valueOf("2020-01-12 00:00:00"))) // after both events
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Relational.asofJoin(events, orders)
+      .select("event_id", "last_order_key")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === Some(9L)) // latest ≤ Jan 10 is the Jan 8 order
+    assert(out(101L) === Some(7L)) // equal timestamp counts as at-or-before
+    assert(out(102L) === None)     // no orders for user 2
+  }
+
+  test("approx_count_distinct lands within 10% of exact (q24 contract)") {
+    val approx = SparkEntry.queries("q24_approx_distinct")(spark, TestSpark.sf)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, TestSpark.sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.1, s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("rollup includes the grand-total row") {
+    val r = Relational.orderRollup(Tables.orders(spark, TestSpark.sf))
+      .where($"o_orderstatus".isNull && $"o_orderpriority".isNull)
+      .select("n_orders").as[Long].collect()
+    assert(r.length === 1)
+    assert(r.head === Tables.orders(spark, TestSpark.sf).count())
+  }
+
+  test("semi and anti joins partition the customer set") {
+    val c = Tables.customer(spark, TestSpark.sf)
+    val o = Tables.orders(spark, TestSpark.sf)
+    val withO = c.join(o.select($"o_custkey".as("c_custkey")), Seq("c_custkey"), "left_semi").count()
+    val withoutO = Relational.customersWithoutOrders(c, o).count()
+    assert(withO + withoutO === c.count())
+  }
+}
