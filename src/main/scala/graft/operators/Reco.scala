@@ -56,8 +56,20 @@ object Reco {
     * Catalyst plans a shuffled join on productId; AQE's skew-join splitting
     * handles hot products (the reference has no skew guard at all).
     */
-  def coRatingPairs(goodRatings: DataFrame): DataFrame = {
-    val r = goodRatings.select("userId", "productId").distinct()
+  def coRatingPairs(goodRatings: DataFrame, maxRatersPerProduct: Option[Int] = None): DataFrame = {
+    val distinctRatings = goodRatings.select("userId", "productId").distinct()
+    // Optional skew guard (documented deviation from the reference, default
+    // off — SURVEY §4): a product rated by k users contributes C(k,2) pairs,
+    // so one viral product can dominate the join. Capping raters per product
+    // (keep the k smallest userIds — deterministic) bounds the worst bucket
+    // at C(cap,2); AQE skew-split handles moderate skew below the cap.
+    val r = maxRatersPerProduct match {
+      case Some(cap) =>
+        val w = Window.partitionBy("productId").orderBy("userId")
+        distinctRatings.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= cap).drop("rn")
+      case None => distinctRatings
+    }
     val a = r.as("a")
     val b = r.as("b")
     a.join(b, col("a.productId") === col("b.productId") && col("a.userId") < col("b.userId"))
