@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.Bucketing
+import graft.streaming.{RealTime, StreamJoins}
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed join plans without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, TestSpark.sf).select("l_orderkey", "l_quantity"),
+        "li_bucketed", "l_orderkey", 8)
+      Bucketing.writeBucketed(
+        Tables.orders(spark, TestSpark.sf)
+          .select($"o_orderkey".as("l_orderkey"), $"o_totalprice"),
+        "ord_bucketed", "l_orderkey", 8)
+      val joined = Bucketing.bucketedJoin(spark, "li_bucketed", "ord_bucketed", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it is still correct
+      val expected = Tables.lineitem(spark, TestSpark.sf)
+        .join(Tables.orders(spark, TestSpark.sf),
+          $"l_orderkey" === $"o_orderkey").count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain join's rows under skew") {
+    // power-law key: one hot key with 500 rows
+    val big = ((1 to 500).map(i => (1L, i)) ++ (1 to 50).map(i => (2L, i)))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedEquiJoin(big, small, "k", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "payload", "name").exceptAll(
+      plain.select("k", "payload", "name")).count() === 0)
+  }
+
+  test("stream-stream interval join matches pairs within the window, evicts beyond it") {
+    val in1 = Files.createTempDirectory("ss-left").toString
+    val in2 = Files.createTempDirectory("ss-right").toString
+    def write(dir: String, name: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(dir, name), rows.mkString("\n").getBytes("UTF-8"))
+    // left event at t=100; right events at t=110 (in window), t=200 (outside)
+    write(in1, "l.json", Seq("""{"userId": 1, "productId": 10, "review": 5.0, "timestamp": 100}"""))
+    write(in2, "r.json", Seq(
+      """{"userId": 1, "productId": 11, "review": 4.0, "timestamp": 110}""",
+      """{"userId": 1, "productId": 12, "review": 4.0, "timestamp": 200}""",
+      """{"userId": 2, "productId": 13, "review": 4.0, "timestamp": 105}"""))
+    val joined = StreamJoins.intervalJoin(
+      RealTime.readReviews(spark, in1), RealTime.readReviews(spark, in2))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join")
+      .option("checkpointLocation", Files.createTempDirectory("ss-ck").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join")
+      .select("userId", "l_product", "r_product")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows === Set((1L, 10L, 11L))) // only the in-window same-user pair
+  }
+}
