@@ -1,0 +1,21 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's first gate: `SparkEntry.entry` must return rows on sf0.001
+  * with a caller-supplied session (no session config of ours can be assumed).
+  */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("entry() produces recommendation rows on the smoke dataset") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSet === Set("userId", "recommendedProducts"))
+    assert(df.count() > 0)
+  }
+
+  test("every oracleSql key names an existing query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql without query: $unknown")
+  }
+}

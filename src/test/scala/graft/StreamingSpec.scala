@@ -65,6 +65,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(42L) === Seq("11", "12", "13")) // cold start -> global top products
   }
 
+  test("streaming session windows merge within the gap and split beyond it") {
+    val in = tmp("stream-sess")
+    writeEvents(in, Seq(
+      """{"userId": 1, "productId": 1, "review": 1.0, "timestamp": 0}""",
+      """{"userId": 1, "productId": 2, "review": 1.0, "timestamp": 100}""",  // same session (gap 5 min)
+      """{"userId": 1, "productId": 3, "review": 1.0, "timestamp": 1000}""") // > 5 min later -> new session
+    )
+    val agg = RealTime.readReviews(spark, in)
+      .withColumn("ts", timestamp_seconds($"timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes"), $"userId")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val ns = spark.table("sess_out").select("n").as[Long].collect().sorted.toSeq
+    assert(ns === Seq(1L, 2L))
+  }
+
   test("streaming windowed aggregation with watermark (tumbling twin)") {
     val in = tmp("stream-win")
     writeEvents(in, Seq(
