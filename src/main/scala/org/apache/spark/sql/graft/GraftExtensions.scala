@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSim)
     e.injectFunction(GraftExtensions.minhashSig)
+    e.injectFunction(GraftExtensions.topK)
   }
 }
 
@@ -35,10 +36,21 @@ object GraftExtensions {
     info("minhash_signature", "minhash_signature(hashes) - 64-permutation MinHash signature"),
     (args: Seq[Expression]) => MinHashSignature(args.head, 64))
 
+  private[graft] val topK = (
+    FunctionIdentifier("top_k"),
+    info("top_k", "top_k(score, payload, k) - exact per-group top-k with map-side partial aggregation"),
+    (args: Seq[Expression]) => {
+      val k = args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"top_k k must be an int literal, got $other")
+      }
+      ExactTopK(args(0), args(1), k).toAggregateExpression()
+    })
+
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineSim, minhashSig).foreach { case (id, inf, builder) =>
+    Seq(cosineSim, minhashSig, topK).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }
