@@ -86,11 +86,44 @@ object Similarity {
     * / nCells) work per query instead of O(N).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5, nprobe: Int = 4,
-              centroidStride: Int = 37): DataFrame = {
-    val assigned = ivfAssign(corpus, centroidStride)
-    val centroids = corpus
-      .where(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+              centroidStride: Int = 37): DataFrame =
+    ivfTopKWithCentroids(queries, corpus,
+      corpus.where(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+      k, nprobe)
+
+  /** IVF with trained coarse quantizer: MLlib KMeans centroids instead of
+    * the deterministic stride seeds — better-balanced cells on clustered
+    * data, identical bucket mechanics. The centroid table (tiny) is
+    * collected from the fitted model and broadcast exactly like
+    * [[ivfAssign]]'s; on a cluster the model is fit on a sample.
+    */
+  def kmeansCentroids(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                      nCells: Int = 16, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(feats)
+    val rows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(_.toFloat))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("c_id", "c_emb")
+  }
+
+  /** [[ivfTopK]] against an explicit centroid table (e.g. from
+    * [[kmeansCentroids]]).
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                           k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), asc("c_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
     val wProbe = Window.partitionBy("q_id").orderBy(desc("c_sim"), asc("c_id"))
     val probes = queries.join(broadcast(centroids))
       .withColumn("c_sim", cosine(col("q_emb"), col("c_emb")))

@@ -45,6 +45,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("KMeans-trained IVF reaches at least stride-seed recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val brute = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val centroids = Similarity.kmeansCentroids(spark, emb, nCells = 14)
+    val trained = Similarity.ivfTopKWithCentroids(q, emb, centroids, k = 5, nprobe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & trained).size.toDouble / brute.size
+    assert(recall >= 0.3, s"trained-IVF recall too low: $recall")
+  }
+
   test("bruteForceTopK ranks are dense 1..k per query") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.where($"vec_id" === 0)
