@@ -124,6 +124,20 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n_events"))),
 
+    // PIVOT: per-user event-type count matrix
+    "q25_pivot" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+    // edit distance (dynamic-programming Levenshtein — identical ints in
+    // any standard implementation, so oracle-safe)
+    "q26_edit_distance" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_name"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).as("dist"),
+        levenshtein(col("c_mktsegment"), col("c_name")).as("seg_dist"))),
+
     // ---- event-time windows (batch forms; streaming twins in graft.streaming) ----
     "q20_window_tumbling" -> ((s, dir) => TimeWindows.tumbling(Tables.events(s, dir))),
     "q21_window_sliding" -> ((s, dir) => TimeWindows.sliding(Tables.events(s, dir))),
@@ -285,6 +299,19 @@ object SparkEntry {
         |  abs(user_id - 75) AS dist_from_mid
         |FROM events""".stripMargin,
 
+    "q25_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q26_edit_distance" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER) AS dist,
+        |  CAST(levenshtein(c_mktsegment, c_name) AS INTEGER) AS seg_dist
+        |FROM customer""".stripMargin,
     "q23_asof_join" ->
       """WITH uorders AS (
         |  SELECT o_custkey AS user_id, o_orderdate AS t, max(o_orderkey) AS o_key

@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Community detection by synchronous label propagation.
@@ -43,15 +42,16 @@ object LabelPropagation {
             else edges.select("src", "dst")
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    val byVertex = Window.partitionBy("id").orderBy(desc("cnt"), desc("label"))
     for (_ <- 1 to iters) {
       val neighborLabels = e.join(labels, e("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
+      // argmax via max(struct(cnt, label)): lexicographic struct ordering is
+      // exactly the (most-frequent, then max-label) Gelly tiebreak, and a
+      // hash aggregate beats sorting every (id) partition for row_number
       val best = neighborLabels
         .groupBy("id", "label").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(byVertex))
-        .where(col("rn") === 1)
-        .select(col("id"), col("label").as("newLabel"))
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), col("label"))).getField("label").as("newLabel"))
       val updated = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
       labels = if (eager) updated.localCheckpoint() else updated
