@@ -442,6 +442,33 @@ object SparkEntry {
          |         ${cosineSql("a.embedding", "b.embedding")} AS sim
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE sim >= 0.4""".stripMargin,
+    "q41_sim_topk_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+         |probes AS (
+         |  SELECT q_id, q_emb, cell FROM (
+         |    SELECT q.q_id, q.q_emb, c.c_id AS cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosineSql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS rn
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id, ${cosineSql("p.q_emb", "a.embedding")} AS sim
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |  WHERE p.q_id <> a.vec_id)
+         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT q_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     "q42_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -65,6 +65,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(42L) === Seq("11", "12", "13")) // cold start -> global top products
   }
 
+  test("rate-limited replay emits the static rows in order") {
+    val static = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      .toDF("k", "v")
+    val stream = graft.streaming.Replay.replayStream(spark, static, "k", rowsPerSecond = 50)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("replay_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("replay_out").count() < 5 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+      }
+    } finally q.stop()
+    val rows = spark.table("replay_out").select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(rows.size >= 5)
+    assert(rows(0L) === "a" && rows(4L) === "e")
+  }
+
   test("streaming session windows merge within the gap and split beyond it") {
     val in = tmp("stream-sess")
     writeEvents(in, Seq(
