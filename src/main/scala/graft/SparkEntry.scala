@@ -124,6 +124,16 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n_events"))),
 
+    // GROUPING SETS with grouping_id (finer than rollup/cube)
+    "q27_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       count(*) AS n_orders,
+          |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    }),
     // PIVOT: per-user event-type count matrix
     "q25_pivot" -> ((s, dir) =>
       Tables.events(s, dir).groupBy("user_id")
@@ -299,6 +309,11 @@ object SparkEntry {
         |  abs(user_id - 75) AS dist_from_mid
         |FROM events""".stripMargin,
 
+    "q27_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
     "q25_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

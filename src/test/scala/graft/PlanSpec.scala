@@ -53,6 +53,21 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads more than needed: $cols")
   }
 
+  test("partitioned writes enable partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("part-events").toString
+    Tables.events(spark, TestSpark.sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("event_type") === "click")
+    val scan = scans(read).head
+    val pruned = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pruned.contains("event_type"), s"no partition pruning: $pruned")
+    // only the click partition's rows are read
+    assert(read.count() ===
+      Tables.events(spark, TestSpark.sf)
+        .where(org.apache.spark.sql.functions.col("event_type") === "click").count())
+  }
+
   test("similarity cosine participates in generated code (no codegen fallback)") {
     // AQE defers codegen compilation, so assert with it off; our doGenCode
     // emits Math.sqrt — present iff the expression compiled into a
