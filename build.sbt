@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to sbt's stdout WITHOUT the "[info] "
+// prefix — the grading driver parses Bench's one-line JSON from stdout, and
+// the default LoggedOutput strategy made it unparseable (BENCH_r01
+// "parsed": null).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,6 +19,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // This VM sees multi-minute cgroup IO stalls + CPU steal mid-run
+      // (BASELINE.md); default 120s RPC timeouts produced a spurious executor
+      // RpcTimeout in BENCH_r01. Single-JVM local mode has no real network —
+      // generous timeouts are strictly safer here.
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.rpc.askTimeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -36,7 +43,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt-and-braces for the driver parse: also drop the line in a file.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

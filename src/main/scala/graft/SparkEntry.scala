@@ -90,10 +90,21 @@ object SparkEntry {
     "q06_communities" -> ((s, dir) => communityLabels(s, dir)),
     // J2 row 2.12 — community sizes
     "q07_community_sizes" -> ((s, dir) => Reco.communitySizes(communityLabels(s, dir))),
-    // J2 row 2.15 — flagship recommendation generation
-    "q08_recommendations" -> ((s, dir) => qRecommendations(s, dir)),
-    // J3 rows 3.4-3.5 — stream enrichment (batch twin of RealTime.enrich)
-    "q09_stream_enrich" -> ((s, dir) => qStreamEnrich(s, dir)),
+    // J2 row 2.15 — flagship recommendation generation. The library result
+    // keeps the natural array<long> column (see entry()/qRecommendations);
+    // the registered form serializes it to a canonical CSV string because
+    // the driver's pandas compare cannot sort/hash ndarray cells.
+    "q08_recommendations" -> ((s, dir) =>
+      qRecommendations(s, dir).select(
+        col("userId"),
+        array_join(col("recommendedProducts").cast("array<string>"), ",")
+          .as("recommendedProducts"))),
+    // J3 rows 3.4-3.5 — stream enrichment (batch twin of RealTime.enrich);
+    // same canonical-CSV serialization of the array output.
+    "q09_stream_enrich" -> ((s, dir) =>
+      qStreamEnrich(s, dir).select(
+        col("userId"),
+        array_join(col("recommendedProducts"), ",").as("recommendedProducts"))),
 
     // ---- general relational coverage (SURVEY §2 "no instance" categories) ----
     "q10_pricing_summary" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -227,7 +238,10 @@ object SparkEntry {
     "q08_recommendations" ->
       s"""$graphPrefix,
          |$recsCtes
-         |SELECT userId, recommendedProducts FROM recs""".stripMargin,
+         |SELECT userId,
+         |       array_to_string(list_transform(recommendedProducts, x -> CAST(x AS VARCHAR)), ',')
+         |         AS recommendedProducts
+         |FROM recs""".stripMargin,
     "q09_stream_enrich" ->
       s"""$graphPrefix,
          |$recsCtes,
@@ -238,10 +252,11 @@ object SparkEntry {
          |toparr AS (SELECT list_sort(list(productId)) AS fallbackProducts FROM topk),
          |users AS (SELECT DISTINCT userId FROM ratings)
          |SELECT u.userId,
-         |       (list_transform(
-         |          CASE WHEN len(r.recommendedProducts) > 0 THEN r.recommendedProducts
-         |               ELSE t.fallbackProducts END,
-         |          x -> CAST(x AS VARCHAR)))[1:20] AS recommendedProducts
+         |       array_to_string(
+         |         (list_transform(
+         |            CASE WHEN len(r.recommendedProducts) > 0 THEN r.recommendedProducts
+         |                 ELSE t.fallbackProducts END,
+         |            x -> CAST(x AS VARCHAR)))[1:20], ',') AS recommendedProducts
          |FROM users u
          |LEFT JOIN recs r ON u.userId = r.userId
          |CROSS JOIN toparr t""".stripMargin,
