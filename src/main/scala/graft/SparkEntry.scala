@@ -120,10 +120,12 @@ object SparkEntry {
     "q17_setops" -> ((s, dir) =>
       Relational.setOpsSymmetricDiff(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q18_event_scalars" -> ((s, dir) => Relational.eventScalars(Tables.events(s, dir))),
-    // GraphX path over the co-rating graph (no SQL oracle: iterative-to-
-    // fixpoint; invariants spec-tested in GraphSpec)
+    // Connected components over the co-rating graph — bounded alternating
+    // large-star/small-star DataFrame rounds (GraphX Pregel fixpoint remains
+    // as the interop cross-check in GraphOps/GraphSpec). Edge direction is
+    // irrelevant to CC, so the canonical pair list feeds it directly.
     "q19_connected_components" -> ((s, dir) =>
-      graft.plans.GraphOps.connectedComponents(s, Reco.undirected(coPairs(s, dir)))),
+      graft.plans.GraphOps.connectedComponentsDF(coPairs(s, dir))),
 
     // AS-OF temporal join (scalable union+running-last implementation)
     "q23_asof_join" -> ((s, dir) =>
@@ -323,6 +325,24 @@ object SparkEntry {
         |  sqrt(value) AS value_sqrt,
         |  abs(user_id - 75) AS dist_from_mid
         |FROM events""".stripMargin,
+
+    // Transitive min-label closure as a recursive CTE: label m spreads from
+    // the component minimum outward (guard label < dst bounds growth), so
+    // min(label) per vertex = the component's minimum member id — exactly
+    // the large-star/small-star fixpoint labeling.
+    "q19_connected_components" ->
+      s"""WITH RECURSIVE $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |$edgesCte,
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+         |  WHERE r.label < e.dst
+         |)
+         |SELECT id, min(label) AS component FROM reach GROUP BY id""".stripMargin,
 
     "q27_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.graphx.lib.{ConnectedComponents, LabelPropagation => GxLP}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** GraphX interop for the graph stage of J2 (`batch/Recommendations.java:
   * 100-134` builds Gelly graphs for community detection).
@@ -22,12 +23,94 @@ object GraphOps {
     Graph.fromEdges(edgeRdd, defaultValue = 0L)
   }
 
-  /** Connected components (min vertex id per component — deterministic). */
-  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+  /** Connected components (min vertex id per component — deterministic).
+    *
+    * GraphX Pregel fixpoint, iteration-capped: an unbounded `run` re-shuffles
+    * the whole graph once per superstep until global convergence — the
+    * superstep count grows with graph diameter, which is the classic
+    * scale-killer. The DataFrame implementation [[connectedComponentsDF]]
+    * (O(log) rounds, Tungsten end-to-end) is the primary path; this GraphX
+    * form remains as the interop cross-check.
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIterations: Int = 20): DataFrame = {
     import spark.implicits._
-    ConnectedComponents.run(toGraph(spark, edges))
+    val edgeRdd = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+    edgeRdd.persist()
+    try ConnectedComponents.run(Graph.fromEdges(edgeRdd, defaultValue = 0L), maxIterations)
       .vertices.map { case (id, comp) => (id, comp) }
       .toDF("id", "component")
+    finally () // persisted RDD is unpersisted with the graph by GraphX's cleanup
+  }
+
+  /** Connected components as alternating large-star / small-star rounds over
+    * a DataFrame edge list (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", 2014) — the 100-TB-safe form:
+    *
+    *   large-star: every node points its larger neighbors at the minimum of
+    *               its neighborhood (incl. itself);
+    *   small-star: every node and its smaller neighbors link to the minimum
+    *               smaller neighbor.
+    *
+    * Each round is two hash-aggregates + two shuffle joins on a monotonically
+    * star-collapsing edge set; convergence is O(log n) rounds (vs diameter
+    * for naive min-propagation), checked by an edge-multiset fingerprint and
+    * capped at `maxRounds`. `localCheckpoint` per round truncates lineage
+    * (reliable `checkpoint` on a cluster).
+    *
+    * @param edges src/dst Long columns; direction and duplicates irrelevant.
+    * @return (`id` Long, `component` Long) — component = min member id,
+    *         matching GraphX's ConnectedComponents labeling.
+    */
+  def connectedComponentsDF(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // canonical undirected pair set, self-loops dropped
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+
+    // XOR-combined hash: order-independent and overflow-free under ANSI
+    // (a SUM of xxhash64 values overflows Long).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: m(u) = min(u ∪ N(u)); emit (v, m(u)) for v ∈ N(u), v > u
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star over (u > v) orientation: m(u) = min smaller neighbor;
+      // emit (v, m(u)) for each smaller neighbor v, plus (u, m(u))
+      val oriented = large
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val smins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val small = oriented.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .localCheckpoint()
+      val nfp = fingerprint(small)
+      converged = nfp == fp
+      fp = nfp
+      e = small
+      round += 1
+    }
+    // At the star fixpoint every non-root appears exactly once as u with its
+    // component root as v; roots/isolated vertices label themselves.
+    vertices.join(e, vertices("id") === e("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
   }
 
   /** GraphX label propagation (Pregel). NOTE: GraphX breaks frequency ties

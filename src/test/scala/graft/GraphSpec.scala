@@ -20,6 +20,24 @@ class GraphSpec extends AnyFunSuite {
     assert(cc(10L) === 10L && cc(11L) === 10L && cc(12L) === 10L)
   }
 
+  test("large-star/small-star DF CC: two triangles + chain + isolated-pair fixture") {
+    // chain 20-21-22-23 exercises multi-hop collapse; pair 30-31 a 2-star
+    val edges = (twoTriangles ++ Seq((21L, 20L), (21L, 22L), (23L, 22L), (30L, 31L)))
+      .toDF("src", "dst")
+    val cc = GraphOps.connectedComponentsDF(edges).as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("DF CC matches GraphX CC labels on the real co-rating graph (sf0.001)") {
+    val pairs = Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(spark, TestSpark.sf)))
+      .localCheckpoint()
+    val df = GraphOps.connectedComponentsDF(pairs).as[(Long, Long)].collect().toMap
+    val gx = GraphOps.connectedComponents(spark, Reco.undirected(pairs))
+      .as[(Long, Long)].collect().toMap
+    assert(df === gx)
+  }
+
   test("LP communities never span connected components (real graph, sf0.001)") {
     val edges = Reco.undirected(
       Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(spark, TestSpark.sf))))
