@@ -125,23 +125,42 @@ object Reco {
     // smallest ones. Candidate volume drops from |users|×|community
     // products| (quadratic in community size — 15M rows at sf0.1) to
     // |ratings| + cap·|users| (linear). Results are identical.
-    val rankedCP = communityProducts
-      .withColumn("prank", row_number().over(Window.partitionBy("label").orderBy("productId")))
+    //
+    // The per-label ranking is one ascending array per community (a hash
+    // aggregate), not a row_number window: the window form sort-shuffles
+    // every (label, product) row, and under bench memory pressure those two
+    // sorts were q08's whole cost. One row per community stays tiny at any
+    // scale in |users|/|ratings|; a pathological community with millions of
+    // distinct products would need the window form back — documented
+    // trade-off, not reachable at the reference's data shape.
+    val labelArr = communityProducts.groupBy("label")
+      .agg(sort_array(collect_list(col("productId"))).as("prods"))
     val userRated = r.groupBy("userId").agg(count(lit(1)).as("n_rated"))
     val users = labels
       .join(userRated, labels("id") === userRated("userId"), "left")
       .select(col("id").as("userId"), col("label"),
         coalesce(col("n_rated"), lit(0L)).as("n_rated"))
+    // labelArr has |communities| rows → broadcast; candidate generation is a
+    // map-side slice+explode, no shuffle of the user table.
     val candidates = users
-      .join(rankedCP, "label")
-      .where(col("prank") <= col("n_rated") + cap)
-      .select("userId", "productId")
+      .join(broadcast(labelArr), "label")
+      .select(col("userId"),
+        explode(slice(col("prods"), lit(1), (col("n_rated") + cap).cast("int")))
+          .as("productId"))
     val unseen = candidates.join(r, Seq("userId", "productId"), "left_anti")
-    unseen
-      .withColumn("rn", row_number().over(Window.partitionBy("userId").orderBy("productId")))
-      .where(col("rn") <= cap)
-      .groupBy("userId")
-      .agg(sort_array(collect_list(col("productId"))).as("recommendedProducts"))
+    // Per-user cap via the ExactTopK map-side aggregate (score const → keeps
+    // the cap smallest productIds, emitted ascending): each mapper ships at
+    // most `cap` entries per user into the shuffle, replacing the per-user
+    // row_number sort window.
+    val topk = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(lit(0.0)),
+        org.apache.spark.sql.graft.shim.expression(col("productId")),
+        cap).toAggregateExpression())
+    unseen.groupBy("userId")
+      .agg(topk.as("tk"))
+      .select(col("userId"),
+        transform(col("tk"), e => e.getField("payload")).as("recommendedProducts"))
   }
 
   /** Support op 4.3/4.4 (`spliter.py:22-25`): deterministic DB/stream split.
