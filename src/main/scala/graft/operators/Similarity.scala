@@ -68,7 +68,7 @@ object Similarity {
     * broadcast; assignment is a map-side broadcast join + per-row argmax —
     * no shuffle of the corpus.
     */
-  def ivfAssign(corpus: DataFrame, centroidStride: Int = 37): DataFrame = {
+  def ivfAssign(corpus: DataFrame, centroidStride: Int = 37, nprobe: Int = 1): DataFrame = {
     val centroids = corpus
       .where(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -76,7 +76,7 @@ object Similarity {
     corpus.join(broadcast(centroids))
       .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .where(col("rn") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
   }
 
@@ -148,6 +148,35 @@ object Similarity {
     val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("a_emb"), col("b_emb")))
+      .where(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
+  /** The 100-TB form of embedding near-dup: bucket the corpus by IVF cell
+    * ([[ivfAssign]] — broadcast centroids, no corpus shuffle), then pair
+    * only within cells via an equi-join on `cell`. The O(N²) nested-loop
+    * pair space of [[embeddingNearDupPairs]] becomes Σ|cell|² work behind a
+    * shuffle join — the same "bucket before pairing" contract as every
+    * [[Dedup]] modality.
+    *
+    * Recall trade-off (inherent to bucketing, documented): a pair is found
+    * iff the two vectors' top-`nprobe` cell sets intersect. Multi-probe
+    * replication (nprobe× the corpus, still equi-joined) buys back the
+    * recall single-cell assignment loses on borderline pairs; the quadratic
+    * form stays as the exact ground truth in SimilaritySpec.
+    */
+  def embeddingNearDupPairsIVF(corpus: DataFrame, threshold: Double = 0.9,
+                               centroidStride: Int = 37, nprobe: Int = 4): DataFrame = {
+    // Materialize the assignment once: both join sides read it, and the
+    // barrier keeps the (broadcast-centroid argmax) out of the pair join's
+    // re-execution; on a cluster this is the bucketed table write.
+    val assigned = ivfAssign(corpus, centroidStride, nprobe).localCheckpoint()
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id") // pairs sharing >1 probed cell
       .withColumn("sim", cosine(col("a_emb"), col("b_emb")))
       .where(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")

@@ -68,6 +68,16 @@ class PlanSpec extends AnyFunSuite {
         .where(org.apache.spark.sql.functions.col("event_type") === "click").count())
   }
 
+  test("q38 near-dup pairing is a cell equi-join, not a nested-loop all-pairs") {
+    val df = SparkEntry.queries("q38_embedding_neardup")(spark, TestSpark.sf)
+    val plan = planString(df)
+    // the broadcast-centroid argmax is materialized behind the checkpoint,
+    // so the visible pair-join plan must contain no quadratic join operator
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"quadratic pair join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"quadratic pair join:\n$plan")
+    assert(plan.contains("cell"), "pair join does not key on the IVF cell")
+  }
+
   test("similarity cosine participates in generated code (no codegen fallback)") {
     // AQE defers codegen compilation, so assert with it off; our doGenCode
     // emits Math.sqrt — present iff the expression compiled into a

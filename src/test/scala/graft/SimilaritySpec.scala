@@ -58,6 +58,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"trained-IVF recall too low: $recall")
   }
 
+  test("IVF-bucketed near-dup is a subset of exact near-dup with high recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val exact = Similarity.embeddingNearDupPairs(emb, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.embeddingNearDupPairsIVF(emb, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(exact), s"bucketed pairs not in exact set: ${ivf -- exact}")
+    assert(exact.nonEmpty)
+    val recall = ivf.size.toDouble / exact.size
+    assert(recall >= 0.5, s"cell-bucketed recall too low: $recall")
+  }
+
   test("bruteForceTopK ranks are dense 1..k per query") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.where($"vec_id" === 0)
