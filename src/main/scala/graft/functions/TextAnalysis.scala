@@ -13,9 +13,19 @@ object TextAnalysis {
   /** Whitespace tokenization of lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Count of regex word matches (word-boundary alternation). */
+  /** First 32 bits of md5 as a non-negative long in [0, 2³²) — the
+    * cross-engine hash used wherever a query result must be reproducible
+    * outside Spark (murmur3/xxhash64 have no portable twin; md5 is
+    * bit-identical in every engine). Codegen'd built-ins only.
+    */
+  def md5Prefix32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Count of regex word matches (word-boundary alternation) in the PASSED
+    * column (not a hard-coded column name).
+    */
   private def wordHits(text: Column, words: Seq[String]): Column =
-    size(expr(s"regexp_extract_all(lower(text), '\\\\b(${words.mkString("|")})\\\\b', 0)"))
+    size(regexp_extract_all(lower(text), lit(s"\\b(${words.mkString("|")})\\b"), lit(0)))
 
   private val enWords = Seq("the", "of", "and", "to", "in")
   private val deWords = Seq("der", "die", "und", "ist", "nicht")

@@ -100,13 +100,14 @@ object Dedup {
     val rowsPerBand = k / bands
 
     // Signature building is a pure map over the documents scan — shingle →
-    // 32-bit murmur → codegen'd k-permutation MinHash (see
+    // 32-bit md5-prefix hash → codegen'd k-permutation MinHash (see
     // [[org.apache.spark.sql.graft.MinHashSignature]]). No explode, no
     // k-aggregate shuffle: at 100 TB the only shuffle in this operator is
-    // the band bucket join.
+    // the band bucket join. md5Prefix32 (not murmur3) keeps every stage
+    // reproducible in any engine — that is what makes q39 DuckDB-oracle-able.
     val hs = transform(
       TextAnalysis.shingles(col("text"), n),
-      s => hash(s).cast("long") + lit(2147483648L)) // [0, 2^32)
+      s => TextAnalysis.md5Prefix32(s)) // [0, 2^32)
     // Barrier after the shingle-hash lambdas: the banded self-join reads the
     // signature table twice, and CollapseProject would otherwise inline (and
     // re-run) the whole shingle pipeline into both sides.
@@ -120,11 +121,17 @@ object Dedup {
             org.apache.spark.sql.graft.shim.expression(col("hs")), k)).as("sig"))
       .localCheckpoint()
 
+    // Band key = the band's signature content (joined as a string), not a
+    // hash of it: content keys make the bucket join exactly "agree on the
+    // whole band" with no collision caveat and stay engine-portable; at
+    // scale each key is a bounded rowsPerBand·~11-byte string.
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          b => array_join(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"),
+            "_"))))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bandHash"))
 
     val cand = banded.as("a")
@@ -143,34 +150,54 @@ object Dedup {
   }
 
   /** SimHash near-dup: 64-bit signature from token hashes (per bit: sign of
-    * the Σ±1 vote over tokens), candidate pairs from 16-bit chunk banding
-    * (any pair within Hamming distance 3×16-bit-chunk mismatch shares ≥1 of
-    * 4 chunks by pigeonhole when distance ≤ 3), verified with bit_count.
+    * the Σ±1 vote over tokens), candidate pairs from 16-bit chunk banding,
+    * verified with bit_count.
+    *
+    * Recall contract (pigeonhole over 4 chunks): every pair with Hamming
+    * distance ≤ 3 shares at least one untouched chunk and is therefore
+    * guaranteed found — hence `maxHamming = 3` by default. A larger
+    * maxHamming only filters less among the candidates the 4-chunk banding
+    * happens to surface; guaranteed recall at distance d needs (d+1)-chunk
+    * banding.
+    *
+    * The token hash is 64 bits of md5 consumed nibble-wise (bit i = bit
+    * (i mod 4) of hex digit (i div 4)) — exactly reproducible in any engine
+    * with an md5 function, which is what gives q40 its DuckDB oracle. The
+    * signature is carried as four 16-bit chunk ints end-to-end: no 64-bit
+    * value is ever assembled, so no sign/overflow asymmetry between engines.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val tok = documents.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    // 16 hex nibbles per token, then 64 partial-agg bit votes — one shuffle
+    // of |docs|×64 ints with map-side combine.
+    val nibbled = tok.select(
+      col("doc_id") +:
+        (0 until 16).map(j => conv(substring(col("h"), j + 1, 1), 16, 10).cast("int").as(s"n$j")): _*)
     val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+      sum(when(shiftright(col(s"n${i / 4}"), i % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
     }
-    val sig = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map { b =>
+        when(col(s"v${c * 16 + b}") > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"c$c")
+    }
+    val sig = nibbled.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id") +: chunkCols: _*)
       .localCheckpoint() // chunk self-join reads it twice
-    val chunked = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col("doc_id"), col("simhash"), col("pos").as("chunk"), col("col").as("chunkVal"))
+    val chunked = sig.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("pos").as("chunk"), col("col").as("chunkVal"))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunkVal") === col("b.chunkVal")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .select(Seq(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")) ++
+        (0 until 4).map(c => bit_count(col(s"a.c$c").bitwiseXOR(col(s"b.c$c"))).as(s"h$c")): _*)
       .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming", (col("h0") + col("h1") + col("h2") + col("h3")).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }

@@ -179,6 +179,21 @@ object Reco {
         when((col("userId") * 131 + col("productId") * 31 + col("rating").cast("long")) % 1000 < dbPermille, lit(0))
           .otherwise(lit(1)))
 
+  /** Exact parity with the reference's split mechanism (`spliter.py:24-25`:
+    * seeded `df.sample(frac=...)` + index-complement `drop`): a seeded
+    * Bernoulli sample plus the multiset complement via `exceptAll`. The
+    * sampled membership is engine-specific (Spark's XORShiftRandom stream),
+    * so no DuckDB oracle compares row sets — the oracle-checked invariants
+    * (q28) are |db| + |stream| = |base| and the sampled fraction landing
+    * near `fraction`; the complement identity itself is spec-tested.
+    */
+  def seededSplit(ratings: DataFrame, fraction: Double = 0.7, seed: Long = 200L,
+                  maxUser: Long = 1000): (DataFrame, DataFrame) = {
+    val base = ratings.where(col("userId") < maxUser)
+    val db = base.sample(withReplacement = false, fraction, seed)
+    (db, base.exceptAll(db))
+  }
+
   /** Per-group top-N via ranking window (generalizes 1.5/1.6 to grouped
     * top-K; the building block the streaming job's `limit(20)` needs when
     * applied per user). Deterministic: rank over (key DESC value, ASC id).

@@ -52,16 +52,19 @@ object Multimodal {
 
   /** Feature extraction over the payload: fixed-width float vector.
     *
-    * STUB kernel: crc32 of byte slices instead of a CNN/fbank feature. The
-    * *shape* is the real thing: binary in → Array[Float] out, one row per
-    * media item, pure column expressions (at 100 TB this is the difference
-    * between a scan and a serialization storm).
+    * STUB kernel: md5-prefix hash of byte slices instead of a CNN/fbank
+    * feature (md5 rather than crc32 so the fake is reproducible in any
+    * engine → DuckDB-oracle-able). The *shape* is the real thing: binary in
+    * → Array[Float] out, one row per media item, pure column expressions
+    * (at 100 TB this is the difference between a scan and a serialization
+    * storm).
     */
   def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame =
     media.select(
       col("doc_id"),
       array((0 until dims).map { i =>
-        ((crc32(substring(col("payload"), i * 16 + 1, 16)) % 1000L) / lit(1000.0)).cast("float")
+        ((graft.functions.TextAnalysis.md5Prefix32(substring(col("payload"), i * 16 + 1, 16)) % 1000L)
+          / lit(1000.0)).cast("float")
       }: _*).as("features"))
 
   /** Frame sampling: split the payload into `n` fixed-stride chunks ("frames")
@@ -76,7 +79,8 @@ object Multimodal {
     media.select(col("doc_id"), posexplode(array(frameCols: _*)))
       .select(col("doc_id"), col("col.frame_no").as("frame_no"),
         length(col("col.frame")).as("frame_bytes"),
-        crc32(col("col.frame")).as("frame_crc"))
+        // md5-prefix frame fingerprint (engine-portable, unlike crc32)
+        graft.functions.TextAnalysis.md5Prefix32(col("col.frame")).as("frame_fp"))
   }
 
   /** The mapPartitions seam where a real batch decoder binds (the JVM-side

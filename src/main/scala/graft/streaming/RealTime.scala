@@ -36,11 +36,30 @@ object RealTime {
     StructField("review", DoubleType),
     StructField("timestamp", LongType)))
 
+  /** [[reviewSchema]] plus a corrupt-record capture column, for the
+    * PERMISSIVE-with-audit parse mode.
+    */
+  val reviewSchemaWithCorrupt: StructType =
+    reviewSchema.add(StructField("_corrupt_record", StringType))
+
   /** Streaming source — stand-in for the Kafka `Reviews` topic
     * (`RealTimeRecommendations.java:40-48`).
+    *
+    * `format`/`options` are first-class so the Kafka binding really is one
+    * config change (`format = "kafka"`, bootstrap/topic options, empty
+    * `path`), not a code edit. Parse strictness surfaces through `options`
+    * (the reference's deserializer throws on bad JSON —
+    * `ReviewDeserialization.java:14-27`):
+    *   - Map("mode" -> "FAILFAST")  → reject the batch on corrupt input;
+    *   - schema = [[reviewSchemaWithCorrupt]] + Map("columnNameOfCorruptRecord"
+    *     -> "_corrupt_record") → keep going, quarantine bad lines.
     */
-  def readReviews(spark: SparkSession, inDir: String): DataFrame =
-    spark.readStream.schema(reviewSchema).json(inDir)
+  def readReviews(spark: SparkSession, path: String, format: String = "json",
+                  options: Map[String, String] = Map.empty,
+                  schema: StructType = reviewSchema): DataFrame = {
+    val reader = spark.readStream.format(format).schema(schema).options(options)
+    if (path.nonEmpty) reader.load(path) else reader.load()
+  }
 
   /** Sink #1 — state update (`RealTimeRecommendations.java:49,72-88`:
     * `SADD userRatings:{uid}` per event). Here: append the micro-batch to
@@ -93,11 +112,12 @@ object RealTime {
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
     * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.
     */
-  def writeOutput(enriched: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+  def writeOutput(enriched: DataFrame, outDir: String, checkpointDir: String,
+                  format: String = "text"): DataStreamWriter[org.apache.spark.sql.Row] =
     enriched
       .select(to_json(struct(col("userId"), col("recommendedProducts"))).as("value"))
       .writeStream
-      .format("text")
+      .format(format) // "kafka" binds here unchanged — the value column is the wire payload
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

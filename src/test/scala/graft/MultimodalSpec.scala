@@ -30,6 +30,15 @@ class MultimodalSpec extends AnyFunSuite {
     val n = media.count()
     val frames = Multimodal.sampleFrames(media, n = 4)
     assert(frames.count() === n * 4)
-    assert(frames.columns.toSet === Set("doc_id", "frame_no", "frame_bytes", "frame_crc"))
+    assert(frames.columns.toSet === Set("doc_id", "frame_no", "frame_bytes", "frame_fp"))
+  }
+
+  test("documents text is pure ASCII (oracle contract: byte slices = char slices)") {
+    // the q43/q44 DuckDB twins slice VARCHAR where Spark slices binary —
+    // only sound while octet_length == char length on every row
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, TestSpark.sf)
+      .where(length(col("text").cast("binary")) =!= length(col("text"))).count()
+    assert(nonAscii === 0L)
   }
 }

@@ -48,4 +48,21 @@ class RecoSpec extends AnyFunSuite {
     assert(byBucket.values.sum === total)
     assert(byBucket.keySet.subsetOf(Set(0, 1)))
   }
+
+  test("seededSplit is a reproducible multiset complement (spliter.py parity)") {
+    val ratings = Tables.ratings(spark, TestSpark.sf)
+    val base = ratings.where($"userId" < 1000)
+    val (db, stream) = Reco.seededSplit(ratings)
+    val total = base.count()
+    assert(db.count() + stream.count() === total)
+    // multiset identity: base \ db \ stream = ∅ and db ⊎ stream covers base
+    assert(base.exceptAll(db).exceptAll(stream).count() === 0)
+    assert(db.unionAll(stream).exceptAll(base).count() === 0)
+    // same seed → same membership (deterministic resample)
+    val (db2, _) = Reco.seededSplit(ratings)
+    assert(db.exceptAll(db2).count() === 0 && db2.exceptAll(db).count() === 0)
+    // sampled fraction lands near 0.7
+    val frac = db.count().toDouble / total
+    assert(math.abs(frac - 0.7) < 0.05, s"fraction drifted: $frac")
+  }
 }

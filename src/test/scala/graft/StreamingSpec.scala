@@ -37,6 +37,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(99L) === Seq("11", "12")) // sorted fallback, capped at 2
   }
 
+  test("corrupt-record surface: PERMISSIVE+audit quarantines, FAILFAST rejects") {
+    val in = tmp("stream-bad")
+    writeEvents(in, Seq(
+      """{"userId": 1, "productId": 3, "review": 5.0, "timestamp": 1105916400}""",
+      """{"userId": oops not json"""))
+    // PERMISSIVE with a corrupt-record column: bad line captured, good line parsed
+    val outDir = tmp("bad-out")
+    RealTime.readReviews(spark, in,
+      options = Map("columnNameOfCorruptRecord" -> "_corrupt_record"),
+      schema = RealTime.reviewSchemaWithCorrupt)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", tmp("ck-bad"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() === 2)
+    assert(rows.where(col("_corrupt_record").isNotNull).count() === 1)
+    assert(rows.where(col("userId") === 1L && col("_corrupt_record").isNull).count() === 1)
+    // FAILFAST: the same input makes the micro-batch fail (reference
+    // deserializer parity: ReviewDeserialization.java throws on bad JSON)
+    val strict = RealTime.readReviews(spark, in, options = Map("mode" -> "FAILFAST"))
+      .writeStream.format("noop").option("checkpointLocation", tmp("ck-strict"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.awaitTermination(60000)
+    }
+    // the malformed-record error surfaces wrapped in FAILED_READ_FILE
+    val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.toString.toLowerCase).mkString(" | ")
+    assert(chain.contains("malformed") || chain.contains("failed_read_file"), chain)
+  }
+
   test("end-to-end micro-batch: json source -> enrich -> json sink + ratings append") {
     val in = tmp("stream-in")
     val outDir = tmp("stream-out")
