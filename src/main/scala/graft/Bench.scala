@@ -26,6 +26,13 @@ object Bench {
       .config("spark.network.timeout", "800s")
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.rpc.askTimeout", "600s")
+      // Shuffle map outputs always hit spark.local.dir; this VM's cgroup
+      // block-IO throttle turned every shuffle-heavy query into minutes
+      // (BENCH r1/r2 pre-fix: identical queries 2-10s isolated, 50-800s
+      // mid-run). tmpfs scratch takes disk IO off the hot path — the
+      // local-mode analog of provisioning fast local SSDs on a cluster.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

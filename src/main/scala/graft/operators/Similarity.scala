@@ -174,11 +174,18 @@ object Similarity {
     val assigned = ivfAssign(corpus, centroidStride, nprobe).localCheckpoint()
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    // Score and threshold BEFORE deduping pairs that share >1 probed cell:
+    // the cosine is cheap codegen'd map-side work, while a dropDuplicates
+    // ahead of it would shuffle every candidate row with both embedding
+    // vectors attached (measured ~6× the whole operator's cost at sf0.1).
+    // After the filter only the near-dup survivors (3 narrow columns) reach
+    // the dedup exchange. `sim` is deterministic per pair, so dedup order
+    // cannot change the output.
     a.join(b, Seq("cell"))
       .where(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id") // pairs sharing >1 probed cell
       .withColumn("sim", cosine(col("a_emb"), col("b_emb")))
       .where(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
+      .dropDuplicates("a_id", "b_id")
   }
 }
