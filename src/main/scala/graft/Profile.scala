@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiling main for local plan/перф iteration:
+/** Scratch profiling main for local plan/perf iteration:
   * runMain graft.Profile <sfDir> <queryName> [explain]
   */
 object Profile {

@@ -95,12 +95,14 @@ object GraphOps {
       val oriented = large
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val smins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      // lazy checkpoint: the fingerprint aggregate right after is the one
+      // action that materializes it — one job per round, not two
       val small = oriented.join(smins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nfp = fingerprint(small)
       converged = nfp == fp
       fp = nfp
