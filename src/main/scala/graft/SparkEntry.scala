@@ -204,6 +204,8 @@ object SparkEntry {
     "q36_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "q39_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
     "q40_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    // end-to-end dedup: LSH pairs -> transitive closure -> cluster labels
+    "q45_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: text analysis ----
     "q32_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
@@ -503,6 +505,7 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "q39_dedup_minhash" -> minhashOracle,
     "q40_dedup_simhash" -> simhashOracle,
+    "q45_dedup_clusters" -> nearDupClustersOracle,
     "q36_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -618,14 +621,14 @@ object SparkEntry {
       s"CAST(strpos('0123456789abcdef', substring(md5($e), CAST(hx + 1 AS INTEGER), 1)) - 1 AS BIGINT)" +
       s" * CAST(16 ** (7 - hx) AS BIGINT))) AS BIGINT)"
 
-  /** DuckDB twin of [[graft.operators.Dedup.minhashPairs]] (n=3, k=64,
-    * 16 bands × 4 rows, est ≥ 0.5): same md5-prefix shingle hashes, same
-    * fixed permutation algebra as
+  /** CTE chain shared by the q39 and q45 twins: md5-prefix shingle hashes,
+    * the fixed permutation algebra of
     * [[org.apache.spark.sql.graft.MinHashSignature]] (a_j = 2j+1,
-    * b_j = (1000003·(j+1)) mod p, p = 2³¹−1), same content band keys.
+    * b_j = (1000003·(j+1)) mod p, p = 2³¹−1), content band keys, and the
+    * est-Jaccard-filtered pair set as final CTE `mh_pairs`.
     */
-  private def minhashOracle: String =
-    s"""WITH toks AS (
+  private def minhashCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id,
@@ -650,14 +653,41 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id, est_jaccard FROM (
-       |  SELECT a_id, b_id,
-       |    CAST(list_sum(list_transform(range(0, 64),
-       |      i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64
-       |      AS est_jaccard
-       |  FROM cand)
-       |WHERE est_jaccard >= 0.5""".stripMargin
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |mh_pairs AS (
+       |  SELECT a_id, b_id, est_jaccard FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(list_sum(list_transform(range(0, 64),
+       |        i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64
+       |        AS est_jaccard
+       |    FROM cand)
+       |  WHERE est_jaccard >= 0.5)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.minhashPairs]]. */
+  private def minhashOracle: String =
+    s"""WITH $minhashCtes
+       |SELECT a_id, b_id, est_jaccard FROM mh_pairs""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.nearDupClusters]]: the q39 pair
+    * set, closed transitively (recursive min-label CTE, same shape as the
+    * q19 oracle), left-joined back to every document — singletons cluster
+    * to themselves.
+    */
+  private def nearDupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |nd_edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM mh_pairs),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM nd_edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN nd_edges e ON e.src = r.id
+       |  WHERE r.label < e.dst),
+       |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+       |SELECT d.doc_id,
+       |       COALESCE(c.cluster, d.doc_id) AS cluster,
+       |       COALESCE(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.simhashPairs]] (maxHamming=3):
     * md5-nibble bit votes, four 16-bit chunks, chunk-equality candidates,

@@ -149,6 +149,31 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** Near-duplicate CLUSTERS — the operation a dedup pipeline actually ends
+    * with: LSH candidate pairs ([[minhashPairs]]) → transitive closure
+    * ([[graft.plans.GraphOps.connectedComponentsDF]], bounded large-star/
+    * small-star rounds) → every document labeled with its cluster (the
+    * minimum doc_id reachable through near-dup edges; docs with no near-dup
+    * are their own cluster) and a canonical flag. Downstream "keep one per
+    * cluster" is then `WHERE is_canonical`.
+    *
+    * Scale: pair generation is the LSH bucket join; the closure runs on the
+    * pair graph only (tiny relative to the corpus); the final join is one
+    * shuffle of |documents| against |paired docs|.
+    */
+  def nearDupClusters(documents: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(documents, n, k, bands, minEstJaccard)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint() // CC iterates over it; don't re-run LSH per round
+    val comp = graft.plans.GraphOps.connectedComponentsDF(pairs)
+    documents.select(col("doc_id"))
+      .join(comp, documents("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+  }
+
   /** SimHash near-dup: 64-bit signature from token hashes (per bit: sign of
     * the Σ±1 vote over tokens), candidate pairs from 16-bit chunk banding,
     * verified with bit_count.

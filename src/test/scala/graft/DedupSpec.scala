@@ -49,6 +49,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!keys.exists(k => k._1 == 2L || k._2 == 2L))
   }
 
+  test("nearDupClusters: planted dups share a cluster, canonical = min doc id") {
+    val out = Dedup.nearDupClusters(docs)
+      .select("doc_id", "cluster", "is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(out.length === docs.count())
+    // 0 and 3 are exact dups (same minhash) -> same cluster rooted at 0
+    assert(byDoc(0L)._2 === 0L && byDoc(3L)._2 === 0L)
+    assert(byDoc(0L)._3 && !byDoc(3L)._3)
+    // distinct doc 2 is its own singleton cluster and canonical
+    assert(byDoc(2L)._2 === 2L && byDoc(2L)._3)
+    // exactly one canonical per cluster
+    out.groupBy(_._2).values.foreach { members =>
+      assert(members.count(_._3) === 1)
+    }
+  }
+
   test("simhashPairs: identical docs at hamming 0, distinct doc far away") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
       .select("a_id", "b_id", "hamming")

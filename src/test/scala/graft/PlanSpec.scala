@@ -68,6 +68,14 @@ class PlanSpec extends AnyFunSuite {
         .where(org.apache.spark.sql.functions.col("event_type") === "click").count())
   }
 
+  test("q08 plans with no sort window: broadcast label arrays + top_k aggregate") {
+    val df = SparkEntry.queries("q08_recommendations")(spark, TestSpark.sf)
+    val plan = planString(df)
+    assert(!plan.contains("Window"), s"row_number window crept back into q08:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "community arrays not broadcast")
+    assert(plan.contains("top_k"), "per-user cap is not the ExactTopK aggregate")
+  }
+
   test("q38 near-dup pairing is a cell equi-join, not a nested-loop all-pairs") {
     val df = SparkEntry.queries("q38_embedding_neardup")(spark, TestSpark.sf)
     val plan = planString(df)
