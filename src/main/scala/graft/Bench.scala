@@ -36,9 +36,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: JIT + codegen + parquet footer caches, not part of the timings.
-    try SparkEntry.queries("q01_top_products")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Warmup: JIT + codegen + parquet footers + page cache for every input
+    // table, so no timed query pays a cold first read; not part of timings.
+    try {
+      Seq(Tables.lineitem _, Tables.orders _, Tables.customer _, Tables.nation _,
+        Tables.events _, Tables.documents _, Tables.embeddings _)
+        .foreach(load => load(spark, sfDir).count())
+      SparkEntry.queries("q01_top_products")(spark, sfDir).count()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

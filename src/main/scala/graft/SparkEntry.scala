@@ -132,6 +132,9 @@ object SparkEntry {
     "q17_setops" -> ((s, dir) =>
       Relational.setOpsSymmetricDiff(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q18_event_scalars" -> ((s, dir) => Relational.eventScalars(Tables.events(s, dir))),
+    // statistical aggregates from exact decimal moments (order-independent,
+    // unlike the float-summing corr/covar built-ins → oracle-able)
+    "q46_event_stats" -> ((s, dir) => Relational.eventStats(Tables.events(s, dir))),
     // Connected components over the co-rating graph — bounded alternating
     // large-star/small-star DataFrame rounds (GraphX Pregel fixpoint remains
     // as the interop cross-check in GraphOps/GraphSpec). Edge direction is
@@ -404,6 +407,26 @@ object SparkEntry {
         |  CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER) AS dist,
         |  CAST(levenshtein(c_mktsegment, c_name) AS INTEGER) AS seg_dist
         |FROM customer""".stripMargin,
+    // identical closed-form arithmetic over the same exact decimal moments
+    // → bit-identical doubles (see Relational.eventStats)
+    "q46_event_stats" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    count(*) AS n,
+        |    CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(user_id) AS DOUBLE) AS sy,
+        |    CAST(sum(user_id * user_id) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(18,0)) AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  sx / nd AS mean_value,
+        |  (nd * sxy - sx * sy) / (nd * nd) AS covar_pop,
+        |  sqrt((nd * sxx - sx * sx) / (nd * nd)) AS stddev_pop_value,
+        |  (nd * sxy - sx * sy)
+        |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr_value_user
+        |FROM m""".stripMargin,
     "q24_approx_distinct" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS exact_users,

@@ -159,4 +159,45 @@ object Relational {
       ceil(col("value")).cast("long").as("value_ceil"),
       sqrt(col("value")).as("value_sqrt"),
       abs(col("user_id") - lit(75)).as("dist_from_mid"))
+
+  /** Statistical aggregates (covariance, correlation, stddev) per event
+    * type — computed from EXACT decimal moments, not the built-in
+    * `corr`/`covar_samp`: the built-ins sum doubles in partition order, so
+    * their low bits differ run to run and engine to engine. Here every
+    * moment (Σx, Σx², Σxy over 2-decimal values and integer user ids) is an
+    * exact DECIMAL/BIGINT sum — order-independent and shuffle-safe — and
+    * only the final closed-form arithmetic happens in double precision,
+    * identically in any engine. Same cost profile as any hash aggregate:
+    * map-side partial sums, one shuffle of |groups| rows.
+    */
+  def eventStats(events: DataFrame): DataFrame = {
+    val x = col("value").cast("decimal(18,2)")
+    val y = col("user_id").cast("long")
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum((x * x).cast("decimal(28,4)")).as("sxx"),
+        sum(y).as("sy"),
+        sum(y * y).as("syy"),
+        sum((x * y.cast("decimal(18,0)")).cast("decimal(28,2)")).as("sxy"))
+      .select(statCols: _*)
+  }
+
+  private def statCols: Seq[Column] = {
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val sy = col("sy").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    Seq(
+      col("event_type"),
+      col("n"),
+      (sx / n).as("mean_value"),
+      ((n * sxy - sx * sy) / (n * n)).as("covar_pop"),
+      sqrt((n * sxx - sx * sx) / (n * n)).as("stddev_pop_value"),
+      ((n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_value_user"))
+  }
 }
