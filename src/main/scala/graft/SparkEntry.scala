@@ -135,6 +135,9 @@ object SparkEntry {
     // statistical aggregates from exact decimal moments (order-independent,
     // unlike the float-summing corr/covar built-ins → oracle-able)
     "q46_event_stats" -> ((s, dir) => Relational.eventStats(Tables.events(s, dir))),
+    // range join via binned equi-join (a naive |x-y|<=r predicate would
+    // plan as a nested loop — see PlanSpec assertion)
+    "q47_range_join" -> ((s, dir) => Relational.rangeJoinNeighbors(Tables.events(s, dir))),
     // Connected components over the co-rating graph — bounded alternating
     // large-star/small-star DataFrame rounds (GraphX Pregel fixpoint remains
     // as the interop cross-check in GraphOps/GraphSpec). Edge direction is
@@ -427,6 +430,14 @@ object SparkEntry {
         |  (nd * sxy - sx * sy)
         |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr_value_user
         |FROM m""".stripMargin,
+    "q47_range_join" ->
+      """WITH j AS (
+        |  SELECT a.event_id, count(*) AS cnt
+        |  FROM events a JOIN events b
+        |    ON a.event_id <> b.event_id AND abs(a.value - b.value) <= 0.25
+        |  GROUP BY a.event_id)
+        |SELECT e.event_id, COALESCE(j.cnt, 0) AS n_neighbors
+        |FROM events e LEFT JOIN j ON e.event_id = j.event_id""".stripMargin,
     "q24_approx_distinct" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS exact_users,

@@ -184,6 +184,34 @@ object Relational {
       .select(statCols: _*)
   }
 
+  /** Range self-join as a bucketized equi-join: per event, how many other
+    * events have `value` within ±radius.
+    *
+    * The direct predicate `|a.value − b.value| <= r` gives Catalyst no
+    * equi-key, so it plans a BroadcastNestedLoopJoin — O(N²) and the
+    * classic range-join scale-killer. Binning by `floor(value / r)` makes
+    * matches land in adjacent bins, so the probe side explodes to its three
+    * candidate bins and the join becomes a plain shuffled equi-join on the
+    * bin id + exact residual filter. Every true pair meets exactly once (in
+    * the build row's own bin), so no dedup is needed. Pure doubles on both
+    * sides of the residual predicate → engine-identical boundary behavior.
+    */
+  def rangeJoinNeighbors(events: DataFrame, radius: Double = 0.25): DataFrame = {
+    val bin = floor(col("value") / radius).cast("long")
+    val build = events.select(col("event_id").as("b_id"), col("value").as("b_val"),
+      bin.as("bin"))
+    val probe = events.select(col("event_id").as("a_id"), col("value").as("a_val"),
+      explode(array(bin - 1, bin, bin + 1)).as("bin"))
+    val counts = probe.join(build, Seq("bin"))
+      .where(col("a_id") =!= col("b_id")
+        && abs(col("a_val") - col("b_val")) <= radius)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("cnt"))
+    events.select(col("event_id"))
+      .join(counts, events("event_id") === counts("a_id"), "left")
+      .select(col("event_id"), coalesce(col("cnt"), lit(0L)).as("n_neighbors"))
+  }
+
   private def statCols: Seq[Column] = {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")

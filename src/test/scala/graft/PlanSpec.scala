@@ -76,6 +76,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("top_k"), "per-user cap is not the ExactTopK aggregate")
   }
 
+  test("q47 range join plans as a binned equi-join, not a nested loop") {
+    val df = SparkEntry.queries("q47_range_join")(spark, TestSpark.sf)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join fell back to BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q38 near-dup pairing is a cell equi-join, not a nested-loop all-pairs") {
     val df = SparkEntry.queries("q38_embedding_neardup")(spark, TestSpark.sf)
     val plan = planString(df)
