@@ -108,6 +108,20 @@ object RealTime {
           1, cap).as("recommendedProducts"))
   }
 
+  /** Streaming exact deduplication — the streaming twin of
+    * [[graft.operators.Dedup.dropExactDuplicates]]: drop re-deliveries of
+    * the same (userId, productId) review across micro-batches, with state
+    * bounded by the event-time watermark (`dropDuplicatesWithinWatermark`
+    * evicts keys once they age past it — unbounded-state-safe, unlike a
+    * plain `dropDuplicates` on a stream).
+    *
+    * @param reviews streaming frame with an event-time `ts` timestamp column
+    */
+  def dedupReviews(reviews: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    reviews
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("userId", "productId")
+
   /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
     * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.

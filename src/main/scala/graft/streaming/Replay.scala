@@ -12,16 +12,28 @@ import org.apache.spark.sql.functions._
   * into a paced stream, inside ONE continuous query.
   *
   * The join is stream–static on the row index: the static side is indexed
-  * once (a window over a constant is fine at replay scales — a replay
-  * driver is never the 100-TB path; for large replays, index with
-  * zipWithIndex at write time instead).
+  * once via a distributed range-partitioned sort + `zipWithIndex` — NOT an
+  * unpartitioned `row_number` window, which would funnel the whole table
+  * through one partition.
   */
 object Replay {
 
-  /** Index the static rows deterministically by the given sort column. */
-  def indexed(df: DataFrame, orderCol: String): DataFrame =
-    df.withColumn("__idx",
-      row_number().over(Window.orderBy(col(orderCol))).cast("long") - 1)
+  /** Index the static rows 0..N-1 in `orderCol` order. `orderBy` range-
+    * partitions (every partition's keys precede the next's), so per-
+    * partition `zipWithIndex` offsets compose into a contiguous global
+    * index without any single-partition stage. Deterministic when
+    * `orderCol` is unique (the replay contract).
+    */
+  def indexed(df: DataFrame, orderCol: String): DataFrame = {
+    val sorted = df.orderBy(col(orderCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("__idx", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 
   /** Replay `static` as a stream at `rowsPerSecond`, in `orderCol` order.
     * Each emitted row carries `replay_time` (the rate tick's timestamp).

@@ -37,6 +37,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(99L) === Seq("11", "12")) // sorted fallback, capped at 2
   }
 
+  test("streaming dedup drops re-delivered reviews, watermark-bounded state") {
+    val in = tmp("dedup-in")
+    writeEvents(in, Seq(
+      """{"userId": 1, "productId": 3, "review": 5.0, "timestamp": 1105916400}""",
+      """{"userId": 1, "productId": 3, "review": 5.0, "timestamp": 1105916401}""",
+      """{"userId": 1, "productId": 4, "review": 4.0, "timestamp": 1105916402}""",
+      """{"userId": 2, "productId": 3, "review": 3.0, "timestamp": 1105916403}"""))
+    val outDir = tmp("dedup-out")
+    val withTs = RealTime.readReviews(spark, in)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(col("timestamp")))
+    graft.streaming.RealTime.dedupReviews(withTs)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", tmp("ck-dedup"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() === 3) // the re-delivered (1,3) collapsed
+    assert(rows.select("userId", "productId").distinct().count() === 3)
+  }
+
   test("corrupt-record surface: PERMISSIVE+audit quarantines, FAILFAST rejects") {
     val in = tmp("stream-bad")
     writeEvents(in, Seq(
