@@ -138,6 +138,14 @@ object SparkEntry {
     // range join via binned equi-join (a naive |x-y|<=r predicate would
     // plan as a nested loop — see PlanSpec assertion)
     "q47_range_join" -> ((s, dir) => Relational.rangeJoinNeighbors(Tables.events(s, dir))),
+    // exact interpolated percentiles (single-pass sort-based aggregate;
+    // both engines use the p·(n−1) linear-interpolation definition)
+    "q48_char_percentiles" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"),
+        max(col("n_chars")).as("max_chars"))),
     // Connected components over the co-rating graph — bounded alternating
     // large-star/small-star DataFrame rounds (GraphX Pregel fixpoint remains
     // as the interop cross-check in GraphOps/GraphSpec). Edge direction is
@@ -430,6 +438,12 @@ object SparkEntry {
         |  (nd * sxy - sx * sy)
         |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr_value_user
         |FROM m""".stripMargin,
+    "q48_char_percentiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars,
+        |  quantile_cont(n_chars, 0.9) AS p90_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "q47_range_join" ->
       """WITH j AS (
         |  SELECT a.event_id, count(*) AS cnt
