@@ -100,14 +100,16 @@ object Dedup {
     val rowsPerBand = k / bands
 
     // Signature building is a pure map over the documents scan — shingle →
-    // 32-bit md5-prefix hash → codegen'd k-permutation MinHash (see
+    // 32-bit md5-prefix hash (codegen'd array expression, no interpreted
+    // lambda) → codegen'd k-permutation MinHash (see
     // [[org.apache.spark.sql.graft.MinHashSignature]]). No explode, no
     // k-aggregate shuffle: at 100 TB the only shuffle in this operator is
-    // the band bucket join. md5Prefix32 (not murmur3) keeps every stage
+    // the band bucket join. md5-prefix (not murmur3) keeps every stage
     // reproducible in any engine — that is what makes q39 DuckDB-oracle-able.
-    val hs = transform(
-      TextAnalysis.shingles(col("text"), n),
-      s => TextAnalysis.md5Prefix32(s)) // [0, 2^32)
+    val hs = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.Md5Prefix32Array(
+        org.apache.spark.sql.graft.shim.expression(
+          TextAnalysis.shingles(col("text"), n)))) // [0, 2^32)
     // Barrier after the shingle-hash lambdas: the banded self-join reads the
     // signature table twice, and CollapseProject would otherwise inline (and
     // re-run) the whole shingle pipeline into both sides.

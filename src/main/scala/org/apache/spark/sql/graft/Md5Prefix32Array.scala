@@ -1,0 +1,83 @@
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-thread MD5 digest shared by interpreted and generated code paths —
+  * `MessageDigest.getInstance` per row would dominate the hash itself.
+  */
+object Md5Util {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 32 bits of md5(utf8 bytes) as a non-negative long — identical to
+    * `conv(substring(md5(s), 1, 8), 16, 10)` (first 4 digest bytes,
+    * big-endian) and to the DuckDB hex-digit fold in the oracle twins.
+    */
+  def prefix32(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) | ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
+  }
+}
+
+/** Native Catalyst expression: element-wise cross-engine hash of a string
+  * array — array<string> → array<long> of [[Md5Util.prefix32]] values.
+  *
+  * Why an Expression: the equivalent `transform(arr, s →
+  * conv(substring(md5(s),1,8),16,10))` runs an interpreted lambda per
+  * element (millions of evaluations per scan in MinHash dedup); this is one
+  * compiled loop that stays inside whole-stage codegen, keeping signature
+  * construction pure map-side work.
+  *
+  * Null elements hash to no entry being skipped — inputs here are
+  * `split`/`transform` products that never contain nulls, enforced by the
+  * non-null output type.
+  */
+case class Md5Prefix32Array(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_prefix32_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Md5Util.prefix32(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val gad = classOf[GenericArrayData].getName
+      val util = Md5Util.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $util.prefix32($a.getUTF8String($i));
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
