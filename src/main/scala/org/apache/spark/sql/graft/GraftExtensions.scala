@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSim)
     e.injectFunction(GraftExtensions.minhashSig)
     e.injectFunction(GraftExtensions.topK)
+    e.injectFunction(GraftExtensions.md5Prefix32)
   }
 }
 
@@ -47,10 +48,16 @@ object GraftExtensions {
       ExactTopK(args(0), args(1), k).toAggregateExpression()
     })
 
+  private[graft] val md5Prefix32 = (
+    FunctionIdentifier("md5_prefix32_array"),
+    info("md5_prefix32_array",
+      "md5_prefix32_array(arr) - element-wise first-32-bits-of-md5 hash of a string array"),
+    (args: Seq[Expression]) => Md5Prefix32Array(args.head))
+
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineSim, minhashSig, topK).foreach { case (id, inf, builder) =>
+    Seq(cosineSim, minhashSig, topK, md5Prefix32).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

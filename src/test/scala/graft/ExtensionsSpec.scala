@@ -18,6 +18,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sim === 1.0)
   }
 
+  test("md5_prefix32_array from SQL matches the conv(substring(md5)) builtin form") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT md5_prefix32_array(array('hello', 'world')) AS fast, " +
+        "transform(array('hello', 'world'), s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)) AS ref")
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(rows(0)._1 === rows(0)._2)
+    assert(rows(0)._1.forall(v => v >= 0L && v < (1L << 32)))
+  }
+
   test("minhash_signature is callable from SQL and matches identical inputs") {
     GraftExtensions.register(spark)
     val rows = spark.sql(
