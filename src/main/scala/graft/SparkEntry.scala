@@ -138,6 +138,20 @@ object SparkEntry {
     // range join via binned equi-join (a naive |x-y|<=r predicate would
     // plan as a nested loop — see PlanSpec assertion)
     "q47_range_join" -> ((s, dir) => Relational.rangeJoinNeighbors(Tables.events(s, dir))),
+    // grouped top-K via the ExactTopK map-side aggregate with a REAL score
+    // (value DESC, event_id ASC tiebreak) — each mapper ships ≤K entries
+    // per group into the shuffle, vs a full sort window
+    "q49_topk_events_per_type" -> ((s, dir) => {
+      val topk = org.apache.spark.sql.graft.shim.column(
+        org.apache.spark.sql.graft.ExactTopK(
+          org.apache.spark.sql.graft.shim.expression(col("value")),
+          org.apache.spark.sql.graft.shim.expression(col("event_id")),
+          3).toAggregateExpression())
+      Tables.events(s, dir).groupBy(col("event_type")).agg(topk.as("tk"))
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.payload").as("event_id"), col("col.score").as("value"))
+    }),
     // exact interpolated percentiles (single-pass sort-based aggregate;
     // both engines use the p·(n−1) linear-interpolation definition)
     "q48_char_percentiles" -> ((s, dir) =>
@@ -438,6 +452,13 @@ object SparkEntry {
         |  (nd * sxy - sx * sy)
         |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr_value_user
         |FROM m""".stripMargin,
+    "q49_topk_events_per_type" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
     "q48_char_percentiles" ->
       """SELECT source, count(*) AS n_docs,
         |  quantile_cont(n_chars, 0.5) AS p50_chars,
