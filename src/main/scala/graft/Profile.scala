@@ -2,13 +2,22 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiling main for local plan/perf iteration:
-  * runMain graft.Profile <sfDir> <queryName> [explain]
+/** Isolated-timing profiler for local plan/perf iteration:
+  *   runMain graft.Profile <sfDir> <queryName>[,name2,...]|all [explain]
+  *
+  * Unlike Bench (the graded suite artifact), this runs each named query in
+  * sequence in one session and prints per-query isolated timings; with
+  * SPARK_GRAFT_PROFILE_OUT=<file> it also writes them as one JSON object —
+  * the per-round `profile_rNN.json` sidecar that lets later rounds
+  * distinguish a real regression from a host steal window without
+  * re-deriving isolated numbers.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",")
+    val names =
+      if (args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(1).split(",").toSeq
     val doExplain = args.length > 2 && args(2) == "explain"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -21,12 +30,20 @@ object Profile {
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
+    val times = names.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (doExplain) df.explain("formatted")
       val t0 = System.nanoTime()
       val cnt = df.count()
-      println(f"[profile] $name: $cnt rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name: $cnt rows in $t%.2f s")
+      name -> t
+    }
+    sys.env.get("SPARK_GRAFT_PROFILE_OUT").foreach { path =>
+      val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"""{"queries":$qs,"sf":"$sfDir","cpus":"$cpus"}""" + "\n")
     }
     spark.stop()
   }

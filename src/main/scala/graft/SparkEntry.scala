@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Reco, Relational, Similarity, TimeWindows}
+import graft.operators.{Dedup, Reco, Relational, Similarity, Skew, TimeWindows}
 import graft.plans.LabelPropagation
-import graft.sources.Multimodal
+import graft.sources.{Bucketing, Multimodal}
 import graft.streaming.RealTime
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,19 +33,30 @@ object SparkEntry {
 
   /** Session+dir-scoped memo so expensive shared subplans (label propagation,
     * the good-ratings projection) are built & materialized once per Verify/
-    * Bench run instead of once per query. Weak-keyed on the session object
-    * itself: no identity-hash collisions between sessions, and a stopped
-    * session's cached plans become collectable instead of leaking for the
-    * JVM lifetime.
+    * Bench run instead of once per query.
+    *
+    * Eviction is explicit: a cached DataFrame strongly references its
+    * SparkSession (via QueryExecution), so weak keys alone would never be
+    * collected — instead a SparkListener clears every entry of a context's
+    * sessions when that application ends. Keyed on the session object, so
+    * no identity-hash collisions between concurrent sessions.
     */
   private val dfCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    new java.util.HashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
   private def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
     val perSession = dfCache.synchronized {
       var m = dfCache.get(s)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
         dfCache.put(s, m)
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            dfCache.synchronized {
+              val it = dfCache.keySet().iterator()
+              while (it.hasNext) if (it.next().sparkContext eq s.sparkContext) it.remove()
+            }
+        })
       }
       m
     }
@@ -225,6 +236,45 @@ object SparkEntry {
     "q20_window_tumbling" -> ((s, dir) => TimeWindows.tumbling(Tables.events(s, dir))),
     "q21_window_sliding" -> ((s, dir) => TimeWindows.sliding(Tables.events(s, dir))),
     "q22_window_session" -> ((s, dir) => TimeWindows.sessions(Tables.events(s, dir))),
+    // batch twin of the watermarked streaming dedup (RealTime.dedupReviews):
+    // one surviving row per key, chosen as the earliest event (argmin via
+    // min(struct) hash aggregate — no sort, no window)
+    "q50_dedup_first_arrival" -> ((s, dir) =>
+      RealTime.dedupFirstArrival(Tables.events(s, dir),
+        Seq("user_id", "event_type"), "ts", "event_id")),
+    // Skew.saltedEquiJoin under the grade: output is provably identical to
+    // the plain equi-join (salting only changes partitioning, so the
+    // plain-join oracle applies verbatim)
+    "q51_salted_join" -> ((s, dir) => {
+      val big = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val small = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Skew.saltedEquiJoin(big, small, "custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }),
+    // Bucketed-table join under the grade: both sides pre-shuffled on the
+    // bucket key at write time, so the join AND the per-customer aggregate
+    // run exchange-free (plan asserted in BucketingSpec); the aggregate
+    // groups on the bucket key only (c_name via max) to keep the bucketed
+    // HashPartitioning satisfying the aggregate's distribution.
+    "q52_bucketed_join" -> ((s, dir) => cached(s, dir, "q52") {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ob = s"orders_bkt$tag"; val cb = s"cust_bkt$tag"
+      Bucketing.writeBucketed(
+        Tables.orders(s, dir).select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        ob, "custkey", 8)
+      Bucketing.writeBucketed(
+        Tables.customer(s, dir).select(col("c_custkey").as("custkey"), col("c_name")),
+        cb, "custkey", 8)
+      Bucketing.bucketedJoin(s, ob, cb, "custkey")
+        .groupBy(col("custkey"))
+        .agg(max(col("c_name")).as("c_name"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    }),
 
     // ---- training-data pipeline: deduplication ----
     "q30_dedup_exact" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
@@ -525,6 +575,27 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
+    "q50_dedup_first_arrival" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM e)
+        |SELECT user_id, event_type, ts AS first_ts, event_id AS first_id
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q51_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q52_bucketed_join" ->
+      """SELECT o_custkey AS custkey, max(c_name) AS c_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey""".stripMargin,
+
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS text_md5
         |FROM documents GROUP BY text""".stripMargin,
@@ -575,13 +646,21 @@ object SparkEntry {
     "q39_dedup_minhash" -> minhashOracle,
     "q40_dedup_simhash" -> simhashOracle,
     "q45_dedup_clusters" -> nearDupClustersOracle,
+    // shingles are md5-prefix-hashed to BIGINT before the self-join on BOTH
+    // sides (narrow shuffle keys in Spark, identical collision behavior in
+    // the oracle) — see Dedup.ngramJaccardPairs
     "q36_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(0, len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
-        |  FROM toks WHERE len(t) >= 3),
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+         |strsh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(0, len(t) - 2),
+         |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+         |  FROM toks WHERE len(t) >= 3),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(shingles, s -> ${md5Prefix32Sql("s")}))) AS shingle
+         |  FROM strsh),
         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |shf AS (
         |  SELECT doc_id, shingle FROM (

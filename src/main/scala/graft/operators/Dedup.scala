@@ -47,15 +47,27 @@ object Dedup {
     * approximates; the shingle inverted index bounds the join to pairs that
     * share ≥1 shingle. Skew guard at scale: drop shingles whose document
     * frequency exceeds a cap (stop-shingles) before the self-join.
+    *
+    * Shingles are hashed to 32-bit md5-prefix longs (codegen'd
+    * [[org.apache.spark.sql.graft.Md5Prefix32Array]]) BEFORE the inverted
+    * index, so the self-join shuffles 8-byte keys instead of ~3-word
+    * strings (~5-10× narrower exchange). The oracle twin applies the
+    * identical hash, so a (2⁻³²-rare) collision affects both engines
+    * identically; `array_distinct` after hashing keeps per-doc shingle-set
+    * sizes collision-consistent on both sides too.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000): DataFrame = {
+    val hashed = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.Md5Prefix32Array(
+        org.apache.spark.sql.graft.shim.expression(
+          TextAnalysis.shingles(col("text"), n))))
     // Materialize the inverted index once: it feeds four plan branches
     // (sizes, stop-shingle counts, both self-join sides), and without the
     // barrier each branch would re-run the shingle lambdas per row. On a
     // cluster this is persist()/a written bucketed table; semantics equal.
     val sh = documents
-      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(hashed)).as("shingle"))
       .localCheckpoint()
     // document frequency via aggregate + join, not a window: the groupBy
     // gets map-side partial aggregation and shuffles |distinct shingles|

@@ -37,10 +37,15 @@ object GraphOps {
     val edgeRdd = edges.select("src", "dst").rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
     edgeRdd.persist()
-    try ConnectedComponents.run(Graph.fromEdges(edgeRdd, defaultValue = 0L), maxIterations)
-      .vertices.map { case (id, comp) => (id, comp) }
-      .toDF("id", "component")
-    finally () // persisted RDD is unpersisted with the graph by GraphX's cleanup
+    try
+      // localCheckpoint materializes the labeling and cuts its lineage, so
+      // the finally-block unpersist can't trigger a recompute — GraphX's own
+      // cleanup only unpersists its internal RDDs, not caller-persisted edges
+      ConnectedComponents.run(Graph.fromEdges(edgeRdd, defaultValue = 0L), maxIterations)
+        .vertices.map { case (id, comp) => (id, comp) }
+        .toDF("id", "component")
+        .localCheckpoint()
+    finally edgeRdd.unpersist(blocking = false)
   }
 
   /** Connected components as alternating large-star / small-star rounds over
@@ -109,6 +114,12 @@ object GraphOps {
       e = small
       round += 1
     }
+    if (!converged)
+      // surface it — an unconverged labeling is NOT a correct component
+      // assignment and must not be silently mistaken for one
+      throw new IllegalStateException(
+        s"connectedComponentsDF did not converge within $maxRounds rounds; " +
+          "raise maxRounds (alternating-star converges in O(log n) rounds)")
     // At the star fixpoint every non-root appears exactly once as u with its
     // component root as v; roots/isolated vertices label themselves.
     vertices.join(e, vertices("id") === e("u"), "left")

@@ -122,6 +122,22 @@ object RealTime {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("userId", "productId")
 
+  /** Batch twin of [[dedupReviews]] (whole-table horizon): the one surviving
+    * row per key set, chosen deterministically as the EARLIEST event time
+    * (tie-broken on `tieCol`) — where the streaming form keeps the first
+    * *arrival*, arrival order isn't defined for a batch table, so min event
+    * time is the canonical batch equivalent. One hash aggregate with
+    * map-side combine (`min(struct(ts, tie))` is an argmin, no sort, no
+    * window) — the 100-TB-safe shape.
+    */
+  def dedupFirstArrival(events: DataFrame, keys: Seq[String], tsCol: String,
+                        tieCol: String): DataFrame =
+    events
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(col(tsCol), col(tieCol))).as("first"))
+      .select(keys.map(col) ++
+        Seq(col(s"first.$tsCol").as("first_ts"), col(s"first.$tieCol").as("first_id")): _*)
+
   /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
     * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful streaming: per-user running review statistics via
@@ -10,18 +11,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Spark's state store makes it fault-tolerant (checkpointed), local to the
   * shuffle partition (no per-event network RPC), and scales with the number
   * of partitions, not users.
+  *
+  * State BOUNDS: at 100-TB user cardinality a `NoTimeout` state store
+  * grows forever, so every path below offers TTL eviction
+  * (`state.remove()`). [[statsWithTTL]] is the production form — eviction
+  * driven by the event-time watermark, fully deterministic (spec-asserted)
+  * and free of the empty-batch re-triggering that processing-time timeouts
+  * cause. The simpler forms take an opt-in wall-clock TTL for
+  * bounded-cardinality / interactive use.
   */
 object Stateful {
 
   /** The reference's wire record (`streaming/models/Review.java:6-11`). */
   case class Review(userId: Long, productId: Long, review: Double, timestamp: Long)
 
+  /** [[Review]] plus the derived event-time column the watermark rides on. */
+  case class TimedReview(userId: Long, productId: Long, review: Double, timestamp: Long,
+                         eventTime: java.sql.Timestamp)
+
   /** Running per-user aggregate carried across micro-batches. */
   case class UserStats(userId: Long, nReviews: Long, sumRating: Double, meanRating: Double,
                        lastTimestamp: Long)
 
-  private def update(userId: Long, events: Iterator[Review],
-                     state: GroupState[UserStats]): UserStats = {
+  /** [[UserStats]] transition row; `evicted = true` marks the final flush
+    * emitted when the user's state times out and is removed.
+    */
+  case class UserStatsEvent(userId: Long, nReviews: Long, sumRating: Double, meanRating: Double,
+                            lastTimestamp: Long, evicted: Boolean)
+
+  private def fold(userId: Long, events: Iterator[Review],
+                   state: GroupState[UserStats]): UserStats = {
     val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, 0.0, Long.MinValue))
     var n = prev.nReviews
     var sum = prev.sumRating
@@ -34,25 +53,103 @@ object Stateful {
     next
   }
 
-  /** Streaming form: one updated UserStats row per user per micro-batch. */
-  def runningUserStats(spark: SparkSession, reviews: Dataset[Review]): Dataset[UserStats] = {
+  /** Streaming form: one updated UserStats row per user per micro-batch.
+    *
+    * With `ttl = Some(duration)`, users idle longer than `ttl` (wall clock)
+    * have their state evicted; the eviction emits the final stats row once
+    * more (a flush, harmless to an update-mode sink keyed on userId).
+    * CAVEAT: processing-time timeouts make Spark re-trigger empty
+    * micro-batches continuously to evaluate them — pair with an explicit
+    * `Trigger.ProcessingTime` interval, and note
+    * `StreamingQuery.processAllAvailable` never drains such a query (why
+    * the spec asserts eviction on [[statsWithTTL]], the event-time form).
+    * `ttl = None` keeps state forever — only for bounded key cardinality;
+    * at 100-TB user counts use a TTL form.
+    */
+  def runningUserStats(spark: SparkSession, reviews: Dataset[Review],
+                       ttl: Option[String] = None): Dataset[UserStats] = {
     import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     reviews
       .groupByKey(_.userId)
-      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout)(update)
+      .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
+        (userId, events, state) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val next = fold(userId, events, state)
+            ttl.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
   }
 
   /** Append-mode variant emitting every state transition (flatMap seam —
-    * the shape session/cart analytics needs).
+    * the shape session/cart analytics needs), same opt-in processing-time
+    * TTL eviction (and the same caveats) as [[runningUserStats]].
     */
-  def statsTransitions(spark: SparkSession, reviews: Dataset[Review]): Dataset[UserStats] = {
+  def statsTransitions(spark: SparkSession, reviews: Dataset[Review],
+                       ttl: Option[String] = None): Dataset[UserStats] = {
     import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     reviews
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[UserStats, UserStats](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UserStats, UserStats](OutputMode.Append, timeoutConf) {
         (userId: Long, events: Iterator[Review], state: GroupState[UserStats]) =>
-          Iterator.single(update(userId, events, state))
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(last)
+          } else {
+            val next = fold(userId, events, state)
+            ttl.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+      }
+  }
+
+  /** Event-time-TTL form: state for a user is evicted once the watermark
+    * passes (last event time + ttlMs); the eviction emits a final
+    * `evicted = true` row. Deterministic (driven by the watermark, not wall
+    * clock), so eviction is spec-assertable — and the exact shape a 100-TB
+    * session store needs: state size is bounded by the number of users
+    * active within one TTL horizon, not the all-time user count.
+    *
+    * @param reviews streaming frame with [[Review]]'s columns; `timestamp`
+    *                is epoch millis and becomes the watermark column.
+    */
+  def statsWithTTL(spark: SparkSession, reviews: DataFrame,
+                   watermarkDelay: String = "10 minutes",
+                   ttlMs: Long = 30L * 60 * 1000): Dataset[UserStatsEvent] = {
+    import spark.implicits._
+    reviews
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedReview]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[UserStats, UserStatsEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[TimedReview], state: GroupState[UserStats]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(UserStatsEvent(userId, last.nReviews, last.sumRating,
+              last.meanRating, last.lastTimestamp, evicted = true))
+          } else {
+            val next = fold(userId,
+              events.map(t => Review(t.userId, t.productId, t.review, t.timestamp)), state)
+            // a timeout timestamp at-or-before the current watermark is
+            // rejected by Spark — late stragglers clamp to watermark + 1ms
+            // (their state then evicts on the next batch, as it should)
+            state.setTimeoutTimestamp(
+              math.max(next.lastTimestamp + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(UserStatsEvent(userId, next.nReviews, next.sumRating,
+              next.meanRating, next.lastTimestamp, evicted = false))
+          }
       }
   }
 }

@@ -37,9 +37,10 @@ object Md5Util {
   * compiled loop that stays inside whole-stage codegen, keeping signature
   * construction pure map-side work.
   *
-  * Null elements hash to no entry being skipped — inputs here are
-  * `split`/`transform` products that never contain nulls, enforced by the
-  * non-null output type.
+  * Null elements hash as the empty string (md5("") prefix), keeping output
+  * positions aligned with input positions and the output array null-free.
+  * In-repo inputs are `split`/`transform` products that never contain
+  * nulls, so the guard is purely defensive.
   */
 case class Md5Prefix32Array(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -55,7 +56,8 @@ case class Md5Prefix32Array(child: Expression)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = Md5Util.prefix32(arr.getUTF8String(i))
+      out(i) = Md5Util.prefix32(
+        if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -72,7 +74,9 @@ case class Md5Prefix32Array(child: Expression)
          |final int $n = $a.numElements();
          |final long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $util.prefix32($a.getUTF8String($i));
+         |  $out[$i] = $util.prefix32($a.isNullAt($i)
+         |    ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+         |    : $a.getUTF8String($i));
          |}
          |${ev.value} = new $gad($out);
        """.stripMargin

@@ -42,4 +42,31 @@ class StatefulSpec extends AnyFunSuite {
     val u2 = rows.filter(_.userId == 2).maxBy(_.nReviews)
     assert(u2.nReviews === 1 && u2.meanRating === 5.0)
   }
+
+  test("event-time TTL evicts an idle user's state once the watermark passes it") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Stateful.Review](
+      spark)
+    val out = Stateful.statsWithTTL(spark, input.toDF(),
+      watermarkDelay = "0 seconds", ttlMs = 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ttl_stats")
+      .option("checkpointLocation", Files.createTempDirectory("ttl-ck").toString)
+      .start()
+
+    input.addData(Stateful.Review(1, 3, 4.0, 10000L)) // user 1 @ t=10s
+    q.processAllAvailable()                           // watermark -> 10s
+    input.addData(Stateful.Review(2, 5, 5.0, 120000L)) // user 2 @ t=120s
+    q.processAllAvailable()                            // watermark -> 120s > 10s+TTL
+    input.addData(Stateful.Review(2, 6, 4.0, 130000L)) // next batch fires the timeout
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ttl_stats").as[Stateful.UserStatsEvent].collect()
+    val evicted = rows.filter(_.evicted)
+    assert(evicted.map(_.userId).toSet === Set(1L),
+      s"user 1 idle past its TTL must be evicted exactly once; got ${rows.toSeq}")
+    assert(evicted.head.nReviews === 1 && evicted.head.meanRating === 4.0)
+    // user 2 stayed active — never evicted
+    assert(!rows.exists(r => r.userId == 2 && r.evicted))
+  }
 }
