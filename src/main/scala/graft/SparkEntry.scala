@@ -291,6 +291,24 @@ object SparkEntry {
     "q34_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "q35_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).select("doc_id", "fp_md5")),
+    // BPE-ish pretokenizer counts (letters-runs / digits / symbols + a
+    // ceil(len/4) subword estimate)
+    "q53_token_bpe" -> ((s, dir) => TextAnalysis.bpeTokenCounts(Tables.documents(s, dir))),
+    // rolling char-8-gram md5-prefix fingerprints (winnowing primitive)
+    "q54_rolling_fingerprint" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprints(Tables.documents(s, dir))),
+    // TF-IDF-shaped rarity-weighted top terms per document
+    "q55_top_terms" -> ((s, dir) => TextAnalysis.topTermsPerDoc(Tables.documents(s, dir))),
+    // approximate percentile sketch with an in-query accuracy bound, same
+    // contract style as q24: oracle checks exact columns + that the bound
+    // holds (approx p50 must land inside the exact [p40, p60] bracket)
+    "q56_approx_percentile" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("p50_exact"),
+        expr("approx_percentile(n_chars, 0.5, 10000)")
+          .between(expr("percentile(n_chars, 0.4)"), expr("percentile(n_chars, 0.6)"))
+          .as("approx_ok"))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -643,6 +661,54 @@ object SparkEntry {
         |FROM base""".stripMargin,
     "q35_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "q53_token_bpe" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+') AS words,
+        |    len(regexp_extract_all(text, '[0-9]')) AS n_digit_tokens,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_other_tokens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  CAST(n_digit_tokens AS INTEGER) AS n_digit_tokens,
+        |  CAST(n_other_tokens AS INTEGER) AS n_other_tokens,
+        |  CAST(COALESCE(list_sum(list_transform(words, w -> (length(w) + 3) // 4)), 0)
+        |       + n_digit_tokens + n_other_tokens AS BIGINT) AS n_bpe_est
+        |FROM base""".stripMargin,
+    "q54_rolling_fingerprint" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) >= 8 THEN
+         |      list_transform(range(1, length(text) - 6),
+         |        i -> ${md5Prefix32Sql("substring(text, CAST(i AS INTEGER), 8)")})
+         |    ELSE CAST([] AS BIGINT[]) END AS fps
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(fps) AS INTEGER) AS n_grams,
+         |  list_min(fps) AS min_fp,
+         |  list_max(fps) AS max_fp,
+         |  CAST(len(list_distinct(fps)) AS INTEGER) AS n_distinct_fp
+         |FROM g""".stripMargin,
+    "q55_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df, CAST(t.tf AS DOUBLE) / d.df AS score
+        |  FROM tf t JOIN df d USING (term)),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, tf, df, score
+        |FROM r WHERE rn <= 3""".stripMargin,
+    "q56_approx_percentile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS p50_exact,
+        |  true AS approx_ok
+        |FROM documents GROUP BY source""".stripMargin,
     "q39_dedup_minhash" -> minhashOracle,
     "q40_dedup_simhash" -> simhashOracle,
     "q45_dedup_clusters" -> nearDupClustersOracle,

@@ -29,6 +29,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(preds(2L) === "de")
   }
 
+  test("bpeTokenCounts splits GPT-2-style classes and estimates subword pieces") {
+    // words: "Hello"(2 pieces), "world"(2), "v"(1); digits: 4, 2 (2 tokens);
+    // other: ! . (2 tokens)  →  n_bpe_est = 5 + 2 + 2 = 9
+    val df = Seq((1L, "Hello world42, v!")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenCounts(df).collect().head
+    assert(r.getAs[Int]("n_words") === 3)
+    assert(r.getAs[Int]("n_digit_tokens") === 2)
+    assert(r.getAs[Int]("n_other_tokens") === 2)
+    assert(r.getAs[Long]("n_bpe_est") === 9L)
+  }
+
+  test("rollingFingerprints hashes every char 8-gram; short text yields none") {
+    val df = Seq((1L, "abcdefghij"), (2L, "short")).toDF("doc_id", "text")
+    val rows = TextAnalysis.rollingFingerprints(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("n_grams") === 3) // positions 1..3 of a 10-char text
+    assert(rows(1L).getAs[Int]("n_distinct_fp") === 3)
+    assert(rows(1L).getAs[Long]("min_fp") <= rows(1L).getAs[Long]("max_fp"))
+    assert(rows(2L).getAs[Int]("n_grams") === 0)
+    // identical text regions → identical fingerprints (the winnowing property)
+    val dup = Seq((3L, "abcdefgh"), (4L, "abcdefgh")).toDF("doc_id", "text")
+    val fps = TextAnalysis.rollingFingerprints(dup).select("min_fp")
+      .as[Long].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("topTermsPerDoc ranks rare terms above common ones") {
+    val df = Seq(
+      (1L, "common zebra common"),
+      (2L, "common common"),
+      (3L, "common yak")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTermsPerDoc(df, k = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // "common" appears in every doc (df=3); zebra/yak are df=1 → rarer wins
+    assert(top(1L) === "zebra")
+    assert(top(3L) === "yak")
+    assert(top(2L) === "common") // only term present
+  }
+
   test("shingles produces sliding word n-grams, distinct") {
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val sh = df.select(TextAnalysis.shingles(col("text"), 3).as("s"))
