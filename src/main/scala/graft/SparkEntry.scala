@@ -146,6 +146,8 @@ object SparkEntry {
     // statistical aggregates from exact decimal moments (order-independent,
     // unlike the float-summing corr/covar built-ins → oracle-able)
     "q46_event_stats" -> ((s, dir) => Relational.eventStats(Tables.events(s, dir))),
+    // analytic window sweep: lag/lead/ntile/percent_rank/cume_dist/first
+    "q57_window_analytics" -> ((s, dir) => Relational.windowAnalytics(Tables.events(s, dir))),
     // range join via binned equi-join (a naive |x-y|<=r predicate would
     // plan as a nested loop — see PlanSpec assertion)
     "q47_range_join" -> ((s, dir) => Relational.rangeJoinNeighbors(Tables.events(s, dir))),
@@ -520,6 +522,18 @@ object SparkEntry {
         |  (nd * sxy - sx * sy)
         |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr_value_user
         |FROM m""".stripMargin,
+    "q57_window_analytics" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id, ts,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q49_topk_events_per_type" ->
       """SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id, value FROM (
         |  SELECT event_type, event_id, value,

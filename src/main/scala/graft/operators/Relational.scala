@@ -212,6 +212,26 @@ object Relational {
       .select(col("event_id"), coalesce(col("cnt"), lit(0L)).as("n_neighbors"))
   }
 
+  /** Analytic window-function sweep per user: lag/lead neighbors, quartile
+    * ntile, percent_rank/cume_dist, first value — one sort per (small) user
+    * partition, no global sort. Determinism: the (ts, event_id) tiebreak is
+    * total, percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact
+    * rationals evaluated identically in any engine, and lag/lead move raw
+    * column bits, so the whole row hash-matches the oracle.
+    */
+  def windowAnalytics(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      first(col("event_id")).over(wRows).as("first_event"))
+  }
+
   private def statCols: Seq[Column] = {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")

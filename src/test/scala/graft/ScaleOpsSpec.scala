@@ -35,6 +35,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q52's bucketed join AND its per-customer aggregate are exchange-free") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q52_bucketed_join")(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // bucket layout satisfies both the join's and the groupBy's required
+      // distribution — the whole query must plan with zero shuffles
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"q52 still shuffles:\n$plan")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     // power-law key: one hot key with 500 rows
     val big = ((1 to 500).map(i => (1L, i)) ++ (1 to 50).map(i => (2L, i)))
