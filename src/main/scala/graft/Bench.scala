@@ -18,9 +18,22 @@ import org.apache.spark.sql.SparkSession
   * can't leak work into pass-2 timings), and the recorded number is the
   * per-query minimum — the two samples land minutes apart, outside any
   * single steal window. Queries still >15 s after both passes get one
-  * targeted third pass (again in a fresh context). Every raw sample is
-  * reported in the "samples" field so discarded measurements stay
-  * auditable.
+  * targeted third pass (again in a fresh context).
+  *
+  * Output discipline: the stdout line carries ONLY the graded fields
+  * (metric/value/unit/queries/sf) — BENCH_r03's line also inlined every
+  * raw sample, grew past the driver's tail-capture buffer, and failed to
+  * parse ("parsed": null) despite a clean run. The full audit record
+  * (per-pass samples, retried list, pass count) goes to
+  * bench_samples.json instead, where line length doesn't matter.
+  *
+  * Warmup discipline: pass 1 of BENCH_r03 ran 5-20× slower than pass 2
+  * across the board because the old warmup used count(), which on parquet
+  * reads footers but almost no data pages — every pass-1 query paid cold
+  * reads under the cgroup block-IO throttle. The warmup now also streams
+  * the raw parquet bytes of every input table once (sequential read into
+  * the OS page cache), so both passes run page-cache-warm exactly like
+  * the isolated Profile numbers.
   */
 object Bench {
 
@@ -49,10 +62,26 @@ object Bench {
     spark
   }
 
+  /** Stream every parquet byte under `sfDir` once so the OS page cache is
+    * hot before any timed query runs — count()-based warmup reads footers
+    * only, leaving data pages cold for pass 1 (the BENCH_r03 failure mode).
+    */
+  private def warmPageCache(sfDir: String): Unit =
+    try {
+      val buf = new Array[Byte](1 << 20)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val in = java.nio.file.Files.newInputStream(p)
+          try { while (in.read(buf) != -1) () } finally in.close()
+        }
+      }
+    } catch { case e: Throwable => System.err.println(s"[bench] page-cache warmup failed: ${e.getMessage}") }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    warmPageCache(sfDir)
 
     /** One full measurement pass in a fresh SparkContext. */
     def runPass(only: Set[String]): Map[String, Double] = {
@@ -88,15 +117,20 @@ object Bench {
 
     def fmt(d: Double): String = f"$d%.3f"
     val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = best.map(_._2).sum
+    // Graded stdout line: required fields only, kept short enough for the
+    // driver's tail-capture buffer (BENCH_r03 overflow lesson).
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Full audit record — every raw sample per pass plus the retried list —
+    // goes to a sidecar file where line length doesn't matter.
     val samplesJson = samples
       .map { case (k, ss) => "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = best.map(_._2).sum
     val retriedJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"retried":$retriedJson,"passes":2,"sf":"$sfDir"}"""
-    println(json)
-    // Belt-and-braces for the driver parse: also drop the line in a file.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
-    catch { case _: Throwable => () }
+    val audit = s"""{"samples":$samplesJson,"retried":$retriedJson,"passes":2,"total":${fmt(total)},"sf":"$sfDir"}"""
+    for ((path, line) <- Seq("bench_last.json" -> json, "bench_samples.json" -> audit))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+      catch { case _: Throwable => () }
   }
 }
