@@ -277,6 +277,21 @@ object SparkEntry {
           count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
     }),
+    // Bloom-filter join pruning under the grade: the probe side is filtered
+    // by a bitmap over the build side's keys before the exchange; false
+    // positives die in the exact join, so the plain-join oracle applies
+    // verbatim (same contract style as q51).
+    "q58_bloom_prune_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      BloomPrune.bloomPruneJoin(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        urgent, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
 
     // ---- training-data pipeline: deduplication ----
     "q30_dedup_exact" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
@@ -286,6 +301,20 @@ object SparkEntry {
     "q40_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // end-to-end dedup: LSH pairs -> transitive closure -> cluster labels
     "q45_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
+    // ingestion-time dedup: incoming batch (doc_id%10<3) LSH-checked against
+    // the standing corpus (the rest) — no corpus self-join
+    "q59_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDups(
+        docs.where(col("doc_id") % 10 >= 3), docs.where(col("doc_id") % 10 < 3))
+    }),
+    // benchmark decontamination: train docs sharing any word-8-gram with the
+    // held-out test split (doc_id%5==0)
+    "q60_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusContamination(
+        docs.where(col("doc_id") % 5 =!= 0), docs.where(col("doc_id") % 5 === 0))
+    }),
 
     // ---- training-data pipeline: text analysis ----
     "q32_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),

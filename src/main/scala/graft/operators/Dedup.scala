@@ -91,6 +91,52 @@ object Dedup {
       .select("a_id", "b_id", "inter", "jaccard")
   }
 
+  /** Shared LSH front end: per-document banded MinHash signatures —
+    * (doc_id, sig: array<long>, band: int, bandHash: string).
+    *
+    * Signature building is a pure map over the documents scan — shingle →
+    * 32-bit md5-prefix hash (codegen'd array expression, no interpreted
+    * lambda) → codegen'd k-permutation MinHash (see
+    * [[org.apache.spark.sql.graft.MinHashSignature]]). No explode, no
+    * k-aggregate shuffle: at 100 TB the only shuffle in any LSH consumer is
+    * its band bucket join. md5-prefix (not murmur3) keeps every stage
+    * reproducible in any engine — that is what makes q39/q59
+    * DuckDB-oracle-able.
+    *
+    * Band key = the band's signature content (joined as a string), not a
+    * hash of it: content keys make the bucket join exactly "agree on the
+    * whole band" with no collision caveat and stay engine-portable; at
+    * scale each key is a bounded rowsPerBand·~11-byte string.
+    */
+  private def bandedSignatures(documents: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val hs = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.Md5Prefix32Array(
+        org.apache.spark.sql.graft.shim.expression(
+          TextAnalysis.shingles(col("text"), n)))) // [0, 2^32)
+    // Barrier after the shingle-hash lambdas: band joins read the signature
+    // table twice (or once per side), and CollapseProject would otherwise
+    // inline (and re-run) the whole shingle pipeline into every branch.
+    val sig = documents
+      .select(col("doc_id"), hs.as("hs"))
+      .localCheckpoint()
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.shim.column(
+          org.apache.spark.sql.graft.MinHashSignature(
+            org.apache.spark.sql.graft.shim.expression(col("hs")), k)).as("sig"))
+      .localCheckpoint()
+    sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"),
+            "_"))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bandHash"))
+  }
+
   /** MinHash signature + LSH banding near-dup candidates.
     *
     * shingle → 32-bit murmur hash → k permutations h_i(x) = (a_i·x + b_i)
@@ -108,46 +154,7 @@ object Dedup {
     */
   def minhashPairs(documents: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
                    minEstJaccard: Double = 0.5): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rowsPerBand = k / bands
-
-    // Signature building is a pure map over the documents scan — shingle →
-    // 32-bit md5-prefix hash (codegen'd array expression, no interpreted
-    // lambda) → codegen'd k-permutation MinHash (see
-    // [[org.apache.spark.sql.graft.MinHashSignature]]). No explode, no
-    // k-aggregate shuffle: at 100 TB the only shuffle in this operator is
-    // the band bucket join. md5-prefix (not murmur3) keeps every stage
-    // reproducible in any engine — that is what makes q39 DuckDB-oracle-able.
-    val hs = org.apache.spark.sql.graft.shim.column(
-      org.apache.spark.sql.graft.Md5Prefix32Array(
-        org.apache.spark.sql.graft.shim.expression(
-          TextAnalysis.shingles(col("text"), n)))) // [0, 2^32)
-    // Barrier after the shingle-hash lambdas: the banded self-join reads the
-    // signature table twice, and CollapseProject would otherwise inline (and
-    // re-run) the whole shingle pipeline into both sides.
-    val sig = documents
-      .select(col("doc_id"), hs.as("hs"))
-      .localCheckpoint()
-      .where(size(col("hs")) > 0)
-      .select(col("doc_id"),
-        org.apache.spark.sql.graft.shim.column(
-          org.apache.spark.sql.graft.MinHashSignature(
-            org.apache.spark.sql.graft.shim.expression(col("hs")), k)).as("sig"))
-      .localCheckpoint()
-
-    // Band key = the band's signature content (joined as a string), not a
-    // hash of it: content keys make the bucket join exactly "agree on the
-    // whole band" with no collision caveat and stay engine-portable; at
-    // scale each key is a bounded rowsPerBand·~11-byte string.
-    val banded = sig.select(
-      col("doc_id"), col("sig"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => array_join(
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"),
-            "_"))))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bandHash"))
-
+    val banded = bandedSignatures(documents, n, k, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash")
@@ -186,6 +193,71 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster"),
         (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+  }
+
+  /** Incremental near-dup dedup — the ingestion-time form: which documents
+    * of an incoming batch are near-duplicates of an existing corpus?
+    *
+    * This is how a continuously-fed training-data pipeline actually runs
+    * dedup: the corpus' banded signatures are computed once (on a cluster,
+    * a persisted bucketed table keyed on (band, bandHash)); each new batch
+    * only computes its own signatures and equi-joins against the corpus
+    * index — incremental cost is O(|batch|) map work plus one bucket join,
+    * never a corpus-wide self-join.
+    *
+    * @return one row per flagged incoming doc: `doc_id`, `n_matches`
+    *         (corpus docs over the estimate threshold), `best_est` (highest
+    *         signature-agreement estimate), `dup_of_min` (smallest matching
+    *         corpus doc_id — deterministic representative).
+    */
+  def incrementalNearDups(corpus: DataFrame, incoming: DataFrame, n: Int = 3, k: Int = 64,
+                          bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
+    val cb = bandedSignatures(corpus, n, k, bands)
+    val ib = bandedSignatures(incoming, n, k, bands)
+    ib.as("a")
+      .join(cb.as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_id", "dup_of")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("est_jaccard")).as("best_est"),
+        min(col("dup_of")).as("dup_of_min"))
+  }
+
+  /** Cross-corpus contamination check — benchmark decontamination: which
+    * training documents share at least one word n-gram with any held-out
+    * test document? (The n-gram-overlap criterion used to scrub evaluation
+    * sets out of web-scale training corpora.)
+    *
+    * Both sides reduce to (doc_id, gram-hash) inverted indexes (distinct
+    * grams per doc, hashed to 32-bit md5-prefix longs so the join shuffles
+    * 8-byte keys); contamination is one equi-join + a count-distinct
+    * aggregate. At 100 TB the test side is tiny — Spark broadcasts it and
+    * the train side never shuffles at all.
+    *
+    * @return per contaminated train doc: `doc_id`, `n_shared_grams`
+    *         (distinct n-grams also present in the test set),
+    *         `n_test_docs` (distinct test docs sharing ≥1 gram).
+    */
+  def crossCorpusContamination(train: DataFrame, test: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val hashed = org.apache.spark.sql.graft.shim.column(
+        org.apache.spark.sql.graft.Md5Prefix32Array(
+          org.apache.spark.sql.graft.shim.expression(
+            TextAnalysis.shingles(col("text"), n))))
+      df.select(col("doc_id"), explode(array_distinct(hashed)).as("g"))
+    }
+    grams(train).as("tr")
+      .join(grams(test).as("te"), col("tr.g") === col("te.g"))
+      .groupBy(col("tr.doc_id").as("doc_id"))
+      .agg(countDistinct(col("tr.g")).as("n_shared_grams"),
+        countDistinct(col("te.doc_id")).as("n_test_docs"))
   }
 
   /** SimHash near-dup: 64-bit signature from token hashes (per bit: sign of
