@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Reco, Relational, Similarity, Skew, TimeWindows}
+import graft.operators.{BloomPrune, Dedup, Reco, Relational, Similarity, Skew, TimeWindows}
 import graft.plans.LabelPropagation
 import graft.sources.{Bucketing, Multimodal}
 import graft.streaming.RealTime
@@ -755,6 +755,16 @@ object SparkEntry {
     "q39_dedup_minhash" -> minhashOracle,
     "q40_dedup_simhash" -> simhashOracle,
     "q45_dedup_clusters" -> nearDupClustersOracle,
+    // bloom-prune is output-identical to the plain join (false positives die
+    // in the exact join) — so the oracle is the plain ANSI join+agg
+    "q58_bloom_prune_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey""".stripMargin,
+    "q59_incremental_neardup" -> incrementalNearDupOracle,
+    "q60_contamination" -> contaminationOracle,
     // shingles are md5-prefix-hashed to BIGINT before the self-join on BOTH
     // sides (narrow shuffle keys in Spark, identical collision behavior in
     // the oracle) — see Dedup.ngramJaccardPairs
@@ -924,6 +934,53 @@ object SparkEntry {
   private def minhashOracle: String =
     s"""WITH $minhashCtes
        |SELECT a_id, b_id, est_jaccard FROM mh_pairs""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.incrementalNearDups]] as wired
+    * in q59: incoming = doc_id%10<3, corpus = the rest. Reuses the
+    * [[minhashCtes]] signature/banding algebra; the only change is the
+    * candidate join (incoming × corpus across the split, no `<` order) and
+    * the per-incoming-doc aggregate.
+    */
+  private def incrementalNearDupOracle: String =
+    s"""WITH $minhashCtes,
+       |inc AS (SELECT * FROM banded WHERE doc_id % 10 < 3),
+       |corp AS (SELECT * FROM banded WHERE doc_id % 10 >= 3),
+       |ipairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM inc a JOIN corp b ON a.band = b.band AND a.bk = b.bk),
+       |iest AS (
+       |  SELECT doc_id, dup_of,
+       |    CAST(list_sum(list_transform(range(0, 64),
+       |      i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 64
+       |      AS est_jaccard
+       |  FROM ipairs)
+       |SELECT doc_id, count(*) AS n_matches, max(est_jaccard) AS best_est,
+       |  min(dup_of) AS dup_of_min
+       |FROM iest WHERE est_jaccard >= 0.5 GROUP BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.crossCorpusContamination]] as
+    * wired in q60: train = doc_id%5<>0, test = doc_id%5=0, word 8-grams
+    * md5-prefix-hashed to BIGINT on both sides (q36 pattern).
+    */
+  private def contaminationOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |strsh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, len(t) - 7),
+       |      i -> array_to_string(t[i+1:i+8], ' '))) AS shingles
+       |  FROM toks WHERE len(t) >= 8),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(shingles, s -> ${md5Prefix32Sql("s")}))) AS g
+       |  FROM strsh)
+       |SELECT tr.doc_id AS doc_id,
+       |  count(DISTINCT tr.g) AS n_shared_grams,
+       |  count(DISTINCT te.doc_id) AS n_test_docs
+       |FROM (SELECT * FROM g WHERE doc_id % 5 <> 0) tr
+       |JOIN (SELECT * FROM g WHERE doc_id % 5 = 0) te ON tr.g = te.g
+       |GROUP BY tr.doc_id""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.nearDupClusters]]: the q39 pair
     * set, closed transitively (recursive min-label CTE, same shape as the

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Dedup
 
 class DedupSpec extends AnyFunSuite {
@@ -64,6 +66,55 @@ class DedupSpec extends AnyFunSuite {
     out.groupBy(_._2).values.foreach { members =>
       assert(members.count(_._3) === 1)
     }
+  }
+
+  test("incrementalNearDups flags only incoming docs with a corpus near-dup") {
+    val corpus = Seq((10L, base), (11L, distinctDoc)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, nearDup), // planted: near-dup of corpus doc 10
+      (21L, "completely unrelated sentences about connected component fingerprints " +
+        "and alternating star rounds that converge in logarithmic supersteps"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(corpus, incoming)
+      .select("doc_id", "n_matches", "best_est", "dup_of_min")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.map(_._1).toSet === Set(20L)) // 21 untouched; corpus never self-flagged
+    val r = out.head
+    assert(r._2 === 1L && r._3 >= 0.5 && r._4 === 10L)
+  }
+
+  test("incrementalNearDups on testdata == minhash pairs that cross the batch/corpus split") {
+    // q59's exact wiring: incoming = doc_id%10<3, corpus = the rest. The
+    // flagged set must be exactly the incoming endpoints of full-corpus
+    // minhashPairs whose endpoints straddle the split (banding a subset is
+    // banding the full set, filtered) — this pins q59 to the planted
+    // testdata near-dups without re-deriving them by hand.
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val flagged = Dedup.incrementalNearDups(
+      tdocs.where($"doc_id" % 10 >= 3), tdocs.where($"doc_id" % 10 < 3))
+      .select("doc_id").as[Long].collect().toSet
+    val expected = Dedup.minhashPairs(tdocs)
+      .where(($"a_id" % 10 < 3) =!= ($"b_id" % 10 < 3))
+      .select(when($"a_id" % 10 < 3, $"a_id").otherwise($"b_id").as("doc_id"))
+      .as[Long].collect().toSet
+    assert(flagged === expected)
+    assert(flagged.nonEmpty) // the planted near-dups do cross the split
+  }
+
+  test("crossCorpusContamination finds the planted shared 8-gram and nothing else") {
+    val sharedRun = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val train = Seq(
+      (1L, "prefix words first then " + sharedRun + " with trailing content here"),
+      (2L, distinctDoc)).toDF("doc_id", "text")
+    val heldOut = Seq((100L, "other introduction " + sharedRun + " different tail entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusContamination(train, heldOut)
+      .select("doc_id", "n_shared_grams", "n_test_docs")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet === Set(1L)) // doc 2 clean
+    // the 8-token run embedded in different contexts yields exactly one
+    // shared 8-gram, from exactly one test doc
+    assert(out.head._2 === 1L && out.head._3 === 1L)
   }
 
   test("simhashPairs: identical docs at hamming 0, distinct doc far away") {

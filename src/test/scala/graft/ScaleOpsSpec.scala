@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Skew
+import graft.operators.{BloomPrune, Skew}
 import graft.sources.Bucketing
 import graft.streaming.{RealTime, StreamJoins}
 
@@ -59,6 +59,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.count() === plain.count())
     assert(salted.select("k", "payload", "name").exceptAll(
       plain.select("k", "payload", "name")).count() === 0)
+  }
+
+  test("bloomPruneJoin probes the bitmap below the probe-side exchange and equals the plain join") {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the shuffled-join path (no broadcast, no AQE replanning) so the
+      // plan tree exposes the exchange the bloom probe must sit below
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val li = Tables.lineitem(spark, TestSpark.sf).select("l_orderkey", "l_quantity")
+      val urgent = Tables.orders(spark, TestSpark.sf)
+        .where($"o_orderpriority" === "1-URGENT").select("o_orderkey")
+      val pruned = BloomPrune.bloomPruneJoin(li, urgent, "l_orderkey", "o_orderkey")
+      // pushdown actually happened: some shuffle exchange has the
+      // might_contain filter in its subtree — probe rows die BEFORE shuffling
+      import org.apache.spark.sql.execution.FilterExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prunedExchanges = pruned.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.child.collectFirst {
+          case f: FilterExec if f.condition.sql.contains("might_contain") => f
+        }.nonEmpty => e
+      }
+      assert(prunedExchanges.nonEmpty,
+        s"no exchange has the bloom probe below it:\n${pruned.queryExecution.executedPlan}")
+      // equivalence (the q58 oracle contract): identical multiset vs plain join
+      val plain = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+      assert(pruned.count() > 0)
+      assert(pruned.exceptAll(plain).count() === 0)
+      assert(plain.exceptAll(pruned).count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("stream-stream interval join matches pairs within the window, evicts beyond it") {
