@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{BloomPrune, Dedup, Reco, Relational, Similarity, Skew, TimeWindows}
+import graft.operators.{BloomPrune, Dedup, Reco, Relational, Similarity, Skew, TimeWindows, TrainingMix}
 import graft.plans.LabelPropagation
 import graft.sources.{Bucketing, Multimodal}
 import graft.streaming.RealTime
@@ -328,6 +328,20 @@ object SparkEntry {
     // rolling char-8-gram md5-prefix fingerprints (winnowing primitive)
     "q54_rolling_fingerprint" -> ((s, dir) =>
       TextAnalysis.rollingFingerprints(Tables.documents(s, dir))),
+    // Gopher-style repetition quality signals (word-2-gram concentration)
+    "q61_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
+    // winnowing: min rolling-hash per window of 4 — selected fingerprints
+    "q64_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowedFingerprints(Tables.documents(s, dir))),
+
+    // ---- training-data pipeline: mix construction / packing ----
+    // equal char budget per language (budget boundary doc kept)
+    "q62_balanced_mix" -> ((s, dir) =>
+      TrainingMix.balancedMix(Tables.documents(s, dir), 15000L)),
+    // contiguous greedy packing into 4096-char bins per source
+    "q63_pack_sequences" -> ((s, dir) =>
+      TrainingMix.packSequences(Tables.documents(s, dir), 4096L)),
     // TF-IDF-shaped rarity-weighted top terms per document
     "q55_top_terms" -> ((s, dir) => TextAnalysis.topTermsPerDoc(Tables.documents(s, dir))),
     // approximate percentile sketch with an in-query accuracy bound, same
@@ -765,6 +779,50 @@ object SparkEntry {
         |GROUP BY o_orderkey""".stripMargin,
     "q59_incremental_neardup" -> incrementalNearDupOracle,
     "q60_contamination" -> contaminationOracle,
+    // single divisions of exact integer counts → bit-identical doubles
+    "q61_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 1),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS g
+         |  FROM toks WHERE len(t) >= 2),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_gram_frac,
+         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(c) AS BIGINT) AS dup_gram_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
+    "q62_balanced_mix" ->
+      """SELECT doc_id, lang, source, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
+        |FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+        |  FROM documents)
+        |WHERE cum_chars - n_chars < 15000""".stripMargin,
+    // `//`/`%` on positive BIGINTs twin Spark's exact div/pmod
+    "q63_pack_sequences" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(prev // 4096 AS BIGINT) AS bin,
+        |  CAST(prev % 4096 AS BIGINT) AS bin_offset
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM documents)""".stripMargin,
+    "q64_winnowing" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) >= 8 THEN
+         |      list_transform(range(1, length(text) - 6),
+         |        i -> ${md5Prefix32Sql("substring(text, CAST(i AS INTEGER), 8)")})
+         |    ELSE CAST([] AS BIGINT[]) END AS fps
+         |  FROM documents)
+         |SELECT doc_id,
+         |  unnest(list_distinct(list_transform(range(0, len(fps) - 3),
+         |    i -> list_min(fps[i+1:i+4])))) AS fp
+         |FROM g WHERE len(fps) >= 4""".stripMargin,
     // shingles are md5-prefix-hashed to BIGINT before the self-join on BOTH
     // sides (narrow shuffle keys in Spark, identical collision behavior in
     // the oracle) — see Dedup.ngramJaccardPairs

@@ -171,6 +171,66 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Repetition quality signals (the Gopher-rule family): per document and
+    * word n-gram size, the fraction of gram occurrences claimed by the most
+    * frequent gram (`top_gram_frac` — catches "the same phrase over and
+    * over") and the fraction of occurrences belonging to any repeated gram
+    * (`dup_gram_frac` — catches boilerplate). Two hash aggregates, both
+    * with map-side partial aggregation; no windows, no per-doc sort — the
+    * shape that holds at any corpus size. Documents with fewer than n
+    * tokens produce no row (no grams to judge).
+    *
+    * All ratios are single divisions of exact integer counts → bit-identical
+    * across engines (oracle-able).
+    */
+  def repetitionSignals(documents: DataFrame, n: Int = 2): DataFrame = {
+    val t = tokens(col("text"))
+    // positional grams — NOT distinct (repetition is the signal here)
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    documents.select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("top_c").cast("double") / col("n_grams")).as("top_gram_frac"),
+        (col("dup_c").cast("double") / col("n_grams")).as("dup_gram_frac"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003): hash every char
+    * k-gram ([[rollingFingerprints]]' positional grams), then keep the
+    * minimum hash of every window of `w` consecutive grams. Guarantees any
+    * shared substring of length ≥ k+w−1 contributes at least one identical
+    * selected fingerprint to both documents — the bucketing key for
+    * plagiarism-style local near-dup detection, at ~1/w the fingerprint
+    * volume of the full rolling set.
+    *
+    * One codegen'd hash pass + one array lambda per doc (each lambda element
+    * references the hash array once, via slice) — pure map work, no shuffle
+    * until a consumer buckets on `fp`.
+    */
+  def winnowedFingerprints(documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = when(length(col("text")) >= k,
+      transform(sequence(lit(1), length(col("text")) - (k - 1)),
+        i => col("text").substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+    val fps = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.Md5Prefix32Array(
+        org.apache.spark.sql.graft.shim.expression(grams)))
+    documents
+      .select(col("doc_id"), fps.as("fps"))
+      .where(size(col("fps")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(col("fps")) - w),
+            i => array_min(slice(col("fps"), i + 1, lit(w)))))).as("fp"))
+  }
+
   /** Word n-gram shingles of a document, distinct: e.g. n=3 →
     * "w1 w2 w3", "w2 w3 w4", ... Used by exact-Jaccard and MinHash dedup.
     * Documents shorter than n tokens yield no shingles (guard keeps

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction over the `documents` table: the operations
+  * that turn a deduplicated corpus into model-ready training input —
+  * per-stratum budget selection (what goes into the mix) and sequence
+  * packing (how it is laid out in fixed-capacity training rows).
+  *
+  * Both are deterministic (doc_id total order) so results are
+  * engine-reproducible, and both window per-stratum, never globally: at
+  * 100 TB the windows partition by lang/source into many independent
+  * groups, so no stage funnels through a single sort.
+  */
+object TrainingMix {
+
+  /** Balanced per-language mix: walk each language's documents in doc_id
+    * order and keep them until the language's cumulative char count reaches
+    * `budget` — the "equal token budget per language/domain" selection used
+    * to rebalance a source-skewed corpus. A document that straddles the
+    * budget boundary is kept (its exclusive prefix is still under budget),
+    * so every language lands at budget ≤ total < budget + max doc size.
+    *
+    * Scale: one window aggregate partitioned by lang — each language sorts
+    * independently; no global order. (With millions of docs per language
+    * on a real cluster the same selection can be two-phase — per-partition
+    * partial sums then a per-lang prefix-offset join — but the declared
+    * window form lets Catalyst own that choice.)
+    *
+    * @return kept documents with their running `cum_chars` (inclusive).
+    */
+  def balancedMix(documents: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .where(col("cum_chars") - col("n_chars") < budget)
+      .select("doc_id", "lang", "source", "n_chars", "cum_chars")
+  }
+
+  /** Sequence packing: assign documents (doc_id order within each source)
+    * to fixed-capacity bins by cumulative size — a document starts in bin
+    * `exclusive-prefix-sum div capacity` at offset `prefix mod capacity`.
+    * This is the contiguous greedy packing a training dataloader performs
+    * when concatenating documents into fixed-length sample rows; a doc that
+    * straddles a boundary belongs to the bin it starts in (the loader
+    * splits it there).
+    *
+    * Integral `div`/`pmod` keep the arithmetic exact at any corpus size
+    * (no double rounding); the window partitions by source so packing
+    * parallelizes across strata.
+    *
+    * @return (doc_id, source, n_chars, bin, bin_offset) per document.
+    */
+  def packSequences(documents: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = coalesce(sum(col("n_chars")).over(w), lit(0L))
+    val offset = pmod(prev, lit(capacity))
+    // (prev - offset) is an exact multiple of capacity, so the double
+    // division is the exact integral quotient (both operands well under
+    // 2^53 even at 100 TB of chars)
+    val bin = ((prev - offset) / lit(capacity)).cast("long")
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        bin.as("bin"), offset.as("bin_offset"))
+  }
+}

@@ -88,4 +88,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores.nonEmpty)
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("repetitionSignals: pure repetition scores 1.0, all-unique grams score 0 dup") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // "spam spam" ×3 → total concentration
+      (2L, "alpha beta gamma delta"),       // 3 distinct 2-grams, each once
+      (3L, "word"))                         // < 2 tokens → no grams, no row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df)
+      .select("doc_id", "n_grams", "top_gram_frac", "dup_gram_frac")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._2 === 3L && out(1L)._3 === 1.0 && out(1L)._4 === 1.0)
+    assert(out(2L)._2 === 3L && out(2L)._3 === 1.0 / 3 && out(2L)._4 === 0.0)
+  }
+
+  test("winnowing: docs sharing a substring of length >= k+w-1 share a selected fingerprint") {
+    val shared = "zqxwvutsrqponmlk" // 16 chars >= 8+4-1
+    val df = Seq(
+      (1L, "first document prefix " + shared + " and its own tail"),
+      (2L, "other beginning " + shared + " completely different end"),
+      (3L, "no overlap with anybody here at all in this text"))
+      .toDF("doc_id", "text")
+    val sel = TextAnalysis.winnowedFingerprints(df)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (d, fps) => d -> fps.map(_._2).toSet }
+    assert((sel(1L) intersect sel(2L)).nonEmpty) // winnowing guarantee
+    // selection is a subset of the full rolling set and strictly smaller here
+    val full = TextAnalysis.rollingFingerprints(df)
+      .select("doc_id", "n_distinct_fp").as[(Long, Int)].collect().toMap
+    sel.foreach { case (d, fps) => assert(fps.size < full(d)) }
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingMix
+
+class TrainingMixSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    // (doc_id, lang, source, n_chars)
+    (1L, "en", "web", 600L),
+    (2L, "en", "web", 500L),  // en prefix before doc 2 = 600 < 1000 → kept (straddles)
+    (3L, "en", "web", 100L),  // en prefix = 1100 >= 1000 → dropped
+    (4L, "de", "web", 300L),
+    (5L, "de", "news", 900L), // de prefix = 300 < 1000 → kept; cum 1200
+    (6L, "de", "news", 50L))  // de prefix = 1200 → dropped
+    .toDF("doc_id", "lang", "source", "n_chars")
+    .withColumn("text", org.apache.spark.sql.functions.lit("x")) // schema parity
+
+  test("balancedMix keeps each language up to (and including) the budget-straddling doc") {
+    val kept = TrainingMix.balancedMix(docs, budget = 1000L)
+      .select("doc_id", "cum_chars").as[(Long, Long)].collect().toMap
+    assert(kept.keySet === Set(1L, 2L, 4L, 5L))
+    assert(kept(2L) === 1100L) // inclusive running sum
+    assert(kept(5L) === 1200L)
+  }
+
+  test("packSequences assigns bins by exclusive prefix sum within source") {
+    val packed = TrainingMix.packSequences(docs, capacity = 700L)
+      .select("doc_id", "bin", "bin_offset").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // source=web, doc order 1,2,3,4: prefixes 0, 600, 1100, 1200
+    assert(packed(1L) === ((0L, 0L)))
+    assert(packed(2L) === ((0L, 600L))) // starts in bin 0 at offset 600, straddles
+    assert(packed(3L) === ((1L, 400L))) // 1100 = 700 + 400
+    assert(packed(4L) === ((1L, 500L)))
+    // source=news, doc order 5,6: prefixes 0, 900
+    assert(packed(5L) === ((0L, 0L)))
+    assert(packed(6L) === ((1L, 200L)))
+  }
+
+  test("balancedMix on the real corpus: every language lands in [budget, budget + max doc)") {
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val budget = 15000L
+    val perLang = TrainingMix.balancedMix(tdocs, budget)
+      .groupBy("lang").agg(
+        org.apache.spark.sql.functions.sum("n_chars").as("total"),
+        org.apache.spark.sql.functions.max("n_chars").as("maxDoc"))
+      .as[(String, Long, Long)].collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, total, maxDoc) =>
+      // either the lang ran out of docs under budget, or it stopped within
+      // one straddling doc of the budget
+      val langTotal = tdocs.where($"lang" === lang)
+        .agg(org.apache.spark.sql.functions.sum("n_chars")).as[Long].head()
+      assert(total == langTotal || (total >= budget && total < budget + maxDoc),
+        s"$lang: total=$total budget=$budget maxDoc=$maxDoc")
+    }
+  }
+}
