@@ -184,13 +184,21 @@ object TextAnalysis {
     * across engines (oracle-able).
     */
   def repetitionSignals(documents: DataFrame, n: Int = 2): DataFrame = {
-    val t = tokens(col("text"))
+    // Barrier after tokenization: the gram lambda below references the token
+    // array per element, and CollapseProject would otherwise inline the
+    // regex split into the lambda body — re-splitting the document once per
+    // gram (interpreted higher-order lambdas re-evaluate every referenced
+    // subtree per element). Behind the barrier the reference is a plain
+    // attribute read.
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val t = col("t")
     // positional grams — NOT distinct (repetition is the signal here)
     val grams = when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),
         i => array_join(slice(t, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    documents.select(col("doc_id"), explode(grams).as("g"))
+    toks.select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_grams"),
@@ -224,6 +232,10 @@ object TextAnalysis {
         org.apache.spark.sql.graft.shim.expression(grams)))
     documents
       .select(col("doc_id"), fps.as("fps"))
+      // barrier: the window-min lambda references `fps` per element;
+      // without it CollapseProject inlines the whole hash pipeline into the
+      // lambda and every window re-hashes the document (quadratic)
+      .localCheckpoint()
       .where(size(col("fps")) >= w)
       .select(col("doc_id"),
         explode(array_distinct(
