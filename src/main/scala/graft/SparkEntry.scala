@@ -342,6 +342,13 @@ object SparkEntry {
     // contiguous greedy packing into 4096-char bins per source
     "q63_pack_sequences" -> ((s, dir) =>
       TrainingMix.packSequences(Tables.documents(s, dir), 4096L)),
+    // PII scrub: counts + redacted-text digest (full text dropped for a
+    // compact graded output; the operator itself returns it)
+    "q65_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(Tables.documents(s, dir)).drop("redacted")),
+    // temperature-style replication: low-resource langs get extra epochs
+    "q66_lang_upsample" -> ((s, dir) =>
+      TrainingMix.langUpsample(Tables.documents(s, dir))),
     // TF-IDF-shaped rarity-weighted top terms per document
     "q55_top_terms" -> ((s, dir) => TextAnalysis.topTermsPerDoc(Tables.documents(s, dir))),
     // approximate percentile sketch with an in-query accuracy bound, same
@@ -811,6 +818,33 @@ object SparkEntry {
         |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
         |  FROM documents)""".stripMargin,
+    // regex dialect kept to the Java/RE2-common subset; DuckDB standard
+    // strings treat backslash literally, so '\.' is the escaped-dot regex
+    "q65_pii_redact" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+         |      '[0-9]{7,}', '<NUM>', 'g') AS redacted
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INTEGER) AS n_long_nums,
+         |  md5(redacted) AS redacted_md5
+         |FROM r""".stripMargin,
+    // ceil yields an integral double; CAST rounds, which is exact here
+    "q66_lang_upsample" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT max(cnt) AS mx FROM c),
+        |w AS (SELECT lang,
+        |  least(4, CAST(ceil(CAST(mx AS DOUBLE) / cnt) AS BIGINT)) AS n_epochs
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang, unnest(range(1, n_epochs + 1)) AS epoch
+        |FROM documents d JOIN w USING (lang)""".stripMargin,
     "q64_winnowing" ->
       s"""WITH g AS (
          |  SELECT doc_id,

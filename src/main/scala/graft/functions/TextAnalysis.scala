@@ -243,6 +243,41 @@ object TextAnalysis {
             i => array_min(slice(col("fps"), i + 1, lit(w)))))).as("fp"))
   }
 
+  // PII patterns: the engine-portable regex subset only (classes,
+  // counted repetition, \b — no lookaround/backrefs), so Java regex (Spark)
+  // and RE2 (DuckDB oracle) match identically, both leftmost-first greedy.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Pat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val longNumPat = "[0-9]{7,}"
+
+  /** PII scrub — the redaction pass a training corpus gets before anything
+    * else: detect and mask emails, IPv4 addresses, and long digit runs
+    * (phone/account-number shaped). Pure per-row regex work (codegen'd
+    * built-ins, no UDFs, no shuffle): at 100 TB this is a map-only pass
+    * whose cost is one scan.
+    *
+    * Masking order matters and is fixed: emails first (so their digit/host
+    * parts can't double-match), then IPs, then bare digit runs.
+    *
+    * @return per doc: match counts per category, the redacted text, and
+    *         `redacted_md5` (compact equality handle for downstream audit).
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          ipv4Pat, "<IP>"),
+        longNumPat, "<NUM>")
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ipv4Pat), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(longNumPat), lit(0))).as("n_long_nums"),
+      redacted.as("redacted"),
+      md5(redacted).as("redacted_md5"))
+  }
+
   /** Word n-gram shingles of a document, distinct: e.g. n=3 →
     * "w1 w2 w3", "w2 w3 w4", ... Used by exact-Jaccard and MinHash dedup.
     * Documents shorter than n tokens yield no shingles (guard keeps

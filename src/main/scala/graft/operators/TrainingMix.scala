@@ -54,6 +54,33 @@ object TrainingMix {
     *
     * @return (doc_id, source, n_chars, bin, bin_offset) per document.
     */
+  /** Temperature-style language upsampling: replicate each document
+    * `min(maxEpochs, ceil(largest-language-count / own-language-count))`
+    * times — the replication form of sampling-temperature rebalancing
+    * multilingual pipelines use so low-resource languages aren't drowned
+    * by the head language.
+    *
+    * Scale shape: the per-language weights are one tiny aggregate
+    * (broadcast back as a dimension join — the big table never shuffles),
+    * and replication is a map-side `explode(sequence(...))`. Epoch counts
+    * derive from exact integer counts via one double division, so the
+    * output is engine-reproducible.
+    *
+    * @return one row per (document, epoch): doc_id, lang, epoch ∈ [1, n].
+    */
+  def langUpsample(documents: DataFrame, maxEpochs: Int = 4): DataFrame = {
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val mx = counts.agg(max(col("cnt")).as("mx"))
+    val weights = counts.crossJoin(broadcast(mx))
+      .select(col("lang"),
+        least(lit(maxEpochs.toLong),
+          ceil(col("mx").cast("double") / col("cnt"))).as("n_epochs"))
+    documents
+      .join(broadcast(weights), "lang")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+  }
+
   def packSequences(documents: DataFrame, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val w = Window.partitionBy("source").orderBy("doc_id")

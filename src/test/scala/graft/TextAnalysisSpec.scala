@@ -103,6 +103,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L)._2 === 3L && out(2L)._3 === 1.0 / 3 && out(2L)._4 === 0.0)
   }
 
+  test("piiRedact masks emails, IPs, and long digit runs; clean text untouched") {
+    val df = Seq(
+      (1L, "contact john.doe+x@example.com or 192.168.0.1 ref 12345678 ok"),
+      (2L, "clean text with a short 123 number"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df)
+      .select("doc_id", "n_emails", "n_ips", "n_long_nums", "redacted")
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1 && out(1L)._3 === 1 && out(1L)._4 === 1)
+    assert(out(1L)._5 === "contact <EMAIL> or <IP> ref <NUM> ok")
+    assert(out(2L)._2 === 0 && out(2L)._3 === 0 && out(2L)._4 === 0)
+    assert(out(2L)._5 === "clean text with a short 123 number")
+  }
+
   test("winnowing: docs sharing a substring of length >= k+w-1 share a selected fingerprint") {
     val shared = "zqxwvutsrqponmlk" // 16 chars >= 8+4-1
     val df = Seq(

@@ -41,6 +41,19 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(packed(6L) === ((1L, 200L)))
   }
 
+  test("langUpsample replicates by inverse language share, capped at maxEpochs") {
+    // en ×4, de ×2, zh ×1 → epochs: en ceil(4/4)=1, de ceil(4/2)=2, zh ceil(4/1)=4
+    val d = (1 to 4).map(i => (i.toLong, "en")) ++
+      Seq((5L, "de"), (6L, "de"), (7L, "zh"))
+    val df = d.toDF("doc_id", "lang")
+    val out = TrainingMix.langUpsample(df, maxEpochs = 4)
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    (1L to 4L).foreach(i => assert(perDoc(i) === Seq(1L)))
+    assert(perDoc(5L) === Seq(1L, 2L) && perDoc(6L) === Seq(1L, 2L))
+    assert(perDoc(7L) === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("balancedMix on the real corpus: every language lands in [budget, budget + max doc)") {
     val tdocs = Tables.documents(spark, TestSpark.sf)
     val budget = 15000L
