@@ -107,4 +107,23 @@ class PlanSpec extends AnyFunSuite {
       assert(codegen.contains("Math.sqrt"), "native cosine fell out of codegen")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("mix-construction windows partition per-stratum, never a global single partition") {
+    // the 100-TB contract for q62/q63: running sums shuffle BY STRATUM KEY
+    // (hashpartitioning on lang/source) — a SinglePartition exchange would
+    // mean one task sorts the whole corpus
+    for (q <- Seq("q62_balanced_mix", "q63_pack_sequences")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = planString(df)
+      assert(plan.contains("Exchange hashpartitioning"), s"$q lost its stratum shuffle:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"), s"$q funnels through one partition:\n$plan")
+    }
+  }
+
+  test("q66 upsample broadcasts the per-language weights (documents never shuffle)") {
+    val df = SparkEntry.queries("q66_lang_upsample")(spark, TestSpark.sf)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), s"q66 weight join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"q66 shuffles the fact side:\n$plan")
+  }
 }
