@@ -211,11 +211,29 @@ object Dedup {
     *         corpus doc_id — deterministic representative).
     */
   def incrementalNearDups(corpus: DataFrame, incoming: DataFrame, n: Int = 3, k: Int = 64,
-                          bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
-    val cb = bandedSignatures(corpus, n, k, bands)
+                          bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame =
+    incrementalNearDupsIndexed(bandIndex(corpus, n, k, bands), incoming, n, k, bands,
+      minEstJaccard)
+
+  /** The standing corpus' banded signature index — the reusable half of
+    * [[incrementalNearDups]]. Build once (persist/cache it, or on a cluster
+    * write it as a bucketed table keyed on (band, bandHash)) and probe with
+    * [[incrementalNearDupsIndexed]] per arriving batch, e.g. from
+    * [[graft.streaming.RealTime.flagNearDups]]'s micro-batch loop.
+    */
+  def bandIndex(corpus: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
+    bandedSignatures(corpus, n, k, bands)
+
+  /** Probe half of [[incrementalNearDups]]: LSH-check `incoming` against a
+    * prebuilt [[bandIndex]]. The n/k/bands parameters MUST match the ones
+    * the index was built with.
+    */
+  def incrementalNearDupsIndexed(corpusIndex: DataFrame, incoming: DataFrame, n: Int = 3,
+                                 k: Int = 64, bands: Int = 16,
+                                 minEstJaccard: Double = 0.5): DataFrame = {
     val ib = bandedSignatures(incoming, n, k, bands)
     ib.as("a")
-      .join(cb.as("b"),
+      .join(corpusIndex.as("b"),
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))

@@ -138,6 +138,40 @@ object RealTime {
       .select(keys.map(col) ++
         Seq(col(s"first.$tsCol").as("first_ts"), col(s"first.$tieCol").as("first_id")): _*)
 
+  /** Ingestion-time near-dup gate — the streaming form of
+    * [[graft.operators.Dedup.incrementalNearDups]]: every arriving
+    * micro-batch of documents is LSH-checked against the standing corpus,
+    * and the flags (doc_id, n_matches, best_est, dup_of_min) append to
+    * `flagsDir` for the admission decision downstream.
+    *
+    * The corpus side of the band join is the expensive, *static* part —
+    * signatures + banding over the whole corpus — so it is computed once
+    * here (eagerly, via the operator's internal checkpoint barriers) and
+    * reused by every micro-batch; per batch the work is O(|batch|)
+    * signature maps plus one bucket join, the same incremental shape as
+    * the batch operator. On a cluster the corpus index would be a
+    * persisted bucketed table; a restart recomputes it from the corpus
+    * (deterministic), so exactly-once of the flags is still carried by the
+    * streaming checkpoint.
+    *
+    * @param docs   streaming frame with `doc_id` (long) and `text`
+    * @param corpus static standing corpus with the same two columns
+    */
+  def flagNearDups(docs: DataFrame, corpus: DataFrame, flagsDir: String,
+                   checkpointDir: String): StreamingQuery = {
+    // build the corpus band index ONCE, outside the micro-batch loop; cache
+    // so every batch's bucket join reads the materialized index
+    val index = graft.operators.Dedup.bandIndex(corpus).cache()
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.incrementalNearDupsIndexed(index, batch)
+          .write.mode("append").parquet(flagsDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
     * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.

@@ -175,4 +175,30 @@ class StreamingSpec extends AnyFunSuite {
     // ts 0s and 60s share the first 15-min window; 1000s falls in the second
     assert(rows.sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("streaming near-dup gate flags arriving docs against the static corpus index") {
+    val base = "spark catalyst optimizer pushes filters below joins and prunes columns " +
+      "for parquet scans while tungsten generates compact bytecode for each stage"
+    val corpus = Seq((10L, base),
+      (11L, "standing corpus document about watermarks state stores and checkpoints " +
+        "sharing nothing textual with the incoming batch documents whatsoever"))
+      .toDF("doc_id", "text")
+    val in = tmp("neardup-in")
+    val flags = tmp("neardup-flags")
+    val ck = tmp("neardup-ck")
+    // doc 20 = 1-word edit of corpus doc 10 (planted); doc 21 = clean
+    Files.write(Paths.get(in, "batch-0.json"), Seq(
+      s"""{"doc_id": 20, "text": "${base.replace("compact", "efficient")}"}""",
+      """{"doc_id": 21, "text": "totally novel content with its own vocabulary about graph rounds and convergence fingerprints"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(docsSchema).json(in)
+    val q = RealTime.flagNearDups(stream, corpus, flags, ck)
+    q.awaitTermination()
+    val out = spark.read.parquet(flags)
+      .select("doc_id", "dup_of_min").as[(Long, Long)].collect().toMap
+    assert(out === Map(20L -> 10L)) // planted near-dup flagged, clean doc admitted
+  }
 }
