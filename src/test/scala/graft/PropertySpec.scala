@@ -60,4 +60,54 @@ class PropertySpec extends AnyFunSuite {
       assert(split.where($"bucket" =!= 0 && $"bucket" =!= 1).count() === 0)
     }
   }
+
+  private val docGen: Gen[List[(Long, String, String, Long)]] =
+    Gen.listOfN(30, for {
+      id <- Gen.choose(1L, 1000L)
+      lang <- Gen.oneOf("en", "de", "fr")
+      src <- Gen.oneOf("web", "news", "wiki")
+      n <- Gen.choose(1L, 500L)
+    } yield (id, lang, src, n)).map(_.distinctBy(_._1))
+
+  private def docSamples(n: Int): Seq[List[(Long, String, String, Long)]] =
+    (1 to n).flatMap(i => docGen.apply(Gen.Parameters.default, Seed(100L + i)))
+
+  test("packSequences: every doc gets one bin, offsets < capacity, bins monotone per source") {
+    for (rows <- docSamples(5)) {
+      val df = rows.toDF("doc_id", "lang", "source", "n_chars")
+      val cap = 256L
+      val packed = graft.operators.TrainingMix.packSequences(df, cap)
+        .select("doc_id", "source", "n_chars", "bin", "bin_offset")
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(packed.length === rows.length) // exactly one row per doc
+      assert(packed.forall(r => r._5 >= 0 && r._5 < cap))
+      packed.groupBy(_._2).values.foreach { g =>
+        val inOrder = g.sortBy(_._1)
+        // bins never decrease along doc_id order, and offset+size rolls
+        // consistently: next prev-sum = this prev-sum + n_chars
+        val prefixes = inOrder.scanLeft(0L)((acc, r) => acc + r._3)
+        inOrder.zip(prefixes).foreach { case (r, prefix) =>
+          assert(r._4 === prefix / cap && r._5 === prefix % cap)
+        }
+      }
+    }
+  }
+
+  test("balancedMix keeps a prefix-closed set per language and stops within one doc of budget") {
+    for (rows <- docSamples(5)) {
+      val df = rows.toDF("doc_id", "lang", "source", "n_chars")
+      val budget = 400L
+      val kept = graft.operators.TrainingMix.balancedMix(df, budget)
+        .select("doc_id", "lang").as[(Long, String)].collect()
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      rows.groupBy(_._2).foreach { case (lang, docs) =>
+        val inOrder = docs.sortBy(_._1)
+        val keptIds = kept.getOrElse(lang, Set.empty)
+        // kept = the shortest doc_id-prefix whose char sum reaches budget
+        val expected = inOrder.scanLeft(0L)((acc, d) => acc + d._4).zip(inOrder)
+          .collect { case (prevSum, d) if prevSum < budget => d._1 }.toSet
+        assert(keptIds === expected, s"lang=$lang")
+      }
+    }
+  }
 }
