@@ -283,17 +283,23 @@ object TextAnalysis {
     * Documents shorter than n tokens yield no shingles (guard keeps
     * element_at in bounds — Spark 4 runs ANSI mode by default).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    // one reference to the token array per lambda element (slice), not n
-    // (element_at×n): interpreted higher-order lambdas re-evaluate every
-    // referenced subtree per element, so each extra reference re-runs the
-    // regex split for every shingle of every row
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-computed token-array column.
+    *
+    * Prefer this form behind a materialization barrier (project the token
+    * array, `localCheckpoint`, then shingle): the lambda body references
+    * the token array once per element (slice — not element_at×n), and
+    * interpreted higher-order lambdas re-evaluate every referenced subtree
+    * per element, so if `t` is the raw `split(...)` expression the regex
+    * split re-runs for every shingle of every row. Against a materialized
+    * attribute the per-element reference is a plain row read.
+    */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       array_distinct(
         transform(
           sequence(lit(0), size(t) - n),
           i => array_join(slice(t, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
 }

@@ -17,6 +17,16 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  /** (doc_id, t: array<string>) with the tokenization materialized behind a
+    * checkpoint barrier, so downstream shingle lambdas read a plain
+    * attribute instead of re-running the regex split per element (see
+    * [[TextAnalysis.shinglesOfTokens]]). Shared by every shingle consumer.
+    */
+  private def tokensBarrier(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .localCheckpoint()
+
   /** Exact dedup groups: one row per distinct text with the canonical
     * (minimum) doc_id and the duplicate count. Bucketing key is the full
     * text (hash aggregate) — at scale, group on xxhash64(text) first and
@@ -61,12 +71,14 @@ object Dedup {
     val hashed = org.apache.spark.sql.graft.shim.column(
       org.apache.spark.sql.graft.Md5Prefix32Array(
         org.apache.spark.sql.graft.shim.expression(
-          TextAnalysis.shingles(col("text"), n))))
+          TextAnalysis.shinglesOfTokens(col("t"), n))))
     // Materialize the inverted index once: it feeds four plan branches
     // (sizes, stop-shingle counts, both self-join sides), and without the
     // barrier each branch would re-run the shingle lambdas per row. On a
     // cluster this is persist()/a written bucketed table; semantics equal.
-    val sh = documents
+    // The tokens barrier before it stops the shingle lambda from re-running
+    // the regex split per element (see TextAnalysis.shinglesOfTokens).
+    val sh = tokensBarrier(documents)
       .select(col("doc_id"), explode(array_distinct(hashed)).as("shingle"))
       .localCheckpoint()
     // document frequency via aggregate + join, not a window: the groupBy
@@ -114,11 +126,12 @@ object Dedup {
     val hs = org.apache.spark.sql.graft.shim.column(
       org.apache.spark.sql.graft.Md5Prefix32Array(
         org.apache.spark.sql.graft.shim.expression(
-          TextAnalysis.shingles(col("text"), n)))) // [0, 2^32)
+          TextAnalysis.shinglesOfTokens(col("t"), n)))) // [0, 2^32)
     // Barrier after the shingle-hash lambdas: band joins read the signature
     // table twice (or once per side), and CollapseProject would otherwise
     // inline (and re-run) the whole shingle pipeline into every branch.
-    val sig = documents
+    // (tokensBarrier before it keeps the regex split out of the lambda.)
+    val sig = tokensBarrier(documents)
       .select(col("doc_id"), hs.as("hs"))
       .localCheckpoint()
       .where(size(col("hs")) > 0)
@@ -268,8 +281,8 @@ object Dedup {
       val hashed = org.apache.spark.sql.graft.shim.column(
         org.apache.spark.sql.graft.Md5Prefix32Array(
           org.apache.spark.sql.graft.shim.expression(
-            TextAnalysis.shingles(col("text"), n))))
-      df.select(col("doc_id"), explode(array_distinct(hashed)).as("g"))
+            TextAnalysis.shinglesOfTokens(col("t"), n))))
+      tokensBarrier(df).select(col("doc_id"), explode(array_distinct(hashed)).as("g"))
     }
     grams(train).as("tr")
       .join(grams(test).as("te"), col("tr.g") === col("te.g"))
