@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{BloomPrune, Dedup, Reco, Relational, Similarity, Skew, TimeWindows, TrainingMix}
+import graft.operators.{BloomPrune, Corpus, Dedup, Reco, Relational, Similarity, Skew, TimeWindows, TrainingMix}
 import graft.plans.LabelPropagation
 import graft.sources.{Bucketing, Multimodal}
 import graft.streaming.RealTime
@@ -361,6 +361,20 @@ object SparkEntry {
         expr("approx_percentile(n_chars, 0.5, 10000)")
           .between(expr("percentile(n_chars, 0.4)"), expr("percentile(n_chars, 0.6)"))
           .as("approx_ok"))),
+
+    // ---- training-data pipeline: corpus composition ----
+    // three-stage quality-filter funnel, all stages in one scan
+    "q67_filter_funnel" -> ((s, dir) =>
+      TextAnalysis.filterFunnel(Tables.documents(s, dir))),
+    // per-source trigram diversity (template-spam signal)
+    "q68_ngram_diversity" -> ((s, dir) =>
+      Corpus.distinctNgramRatio(Tables.documents(s, dir))),
+    // source × source shared-8-gram matrix (gram-bucketed join)
+    "q69_source_overlap" -> ((s, dir) =>
+      Corpus.sourceOverlap(Tables.documents(s, dir))),
+    // literal-quote decontamination: broadcast probes, zero-shuffle scan
+    "q70_quote_hits" -> ((s, dir) =>
+      Corpus.quoteHits(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -845,6 +859,61 @@ object SparkEntry {
         |  FROM c, m)
         |SELECT d.doc_id, d.lang, unnest(range(1, n_epochs + 1)) AS epoch
         |FROM documents d JOIN w USING (lang)""".stripMargin,
+    // funnel predicates are the q34 oracle's twins (identical expression
+    // trees → identical doubles → identical boundary comparisons)
+    "q67_filter_funnel" ->
+      """WITH toks AS (
+        |  SELECT text, n_chars, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT n_chars >= 200 AS p1,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.4 AS p2,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|of|and|to|in|der|die|und|ist|nicht|le|la|et|les|des)\b')) AS DOUBLE)
+        |      / CAST(len(t) AS DOUBLE) >= 0.02 AS p3
+        |  FROM toks),
+        |c AS (SELECT count(*) AS n0, count(*) FILTER (p1) AS n1,
+        |  count(*) FILTER (p1 AND p2) AS n2,
+        |  count(*) FILTER (p1 AND p2 AND p3) AS n3 FROM f)
+        |SELECT '1_length' AS stage, n0 AS docs_in, n1 AS survivors, n0 - n1 AS dropped FROM c
+        |UNION ALL SELECT '2_repetition', n1, n2, n1 - n2 FROM c
+        |UNION ALL SELECT '3_language', n2, n3, n2 - n3 FROM c""".stripMargin,
+    "q68_ngram_diversity" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT source,
+         |    unnest(list_transform(range(0, len(t) - 2),
+         |      i -> ${md5Prefix32Sql("array_to_string(t[i+1:i+3], ' ')")})) AS g
+         |  FROM toks WHERE len(t) >= 3)
+         |SELECT source, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+         |  CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS distinct_ratio
+         |FROM g GROUP BY source""".stripMargin,
+    "q69_source_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |g0 AS (
+         |  SELECT source,
+         |    unnest(list_transform(range(0, len(t) - 7),
+         |      i -> ${md5Prefix32Sql("array_to_string(t[i+1:i+8], ' ')")})) AS g
+         |  FROM toks WHERE len(t) >= 8),
+         |g AS (SELECT DISTINCT source, g FROM g0)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(DISTINCT a.g) AS n_shared_grams
+         |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+    "q70_quote_hits" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id AS probe_doc_id, array_to_string(t[9:20], ' ') AS probe
+        |  FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 20),
+        |n AS (SELECT doc_id, array_to_string(t, ' ') AS norm FROM toks)
+        |SELECT n.doc_id AS doc_id, p.probe_doc_id AS probe_doc_id
+        |FROM n JOIN p ON contains(n.norm, p.probe)""".stripMargin,
     "q64_winnowing" ->
       s"""WITH g AS (
          |  SELECT doc_id,

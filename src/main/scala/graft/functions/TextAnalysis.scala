@@ -296,10 +296,57 @@ object TextAnalysis {
     * attribute the per-element reference is a plain row read.
     */
   def shinglesOfTokens(t: Column, n: Int): Column =
+    array_distinct(shinglesOfTokensAll(t, n))
+
+  /** [[shinglesOfTokens]] WITHOUT per-doc dedup — every shingle occurrence
+    * kept, for corpus-repetition measures where the raw count is the
+    * signal (see [[graft.operators.Corpus.distinctNgramRatio]]). Same
+    * barrier caveat as [[shinglesOfTokens]].
+    */
+  def shinglesOfTokensAll(t: Column, n: Int): Column =
     when(size(t) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(t) - n),
-          i => array_join(slice(t, i + 1, lit(n)), " "))))
+      transform(
+        sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** Quality-filter funnel: cumulative survival counts through a fixed
+    * three-stage filter chain — length (n_chars ≥ 200), repetition
+    * (type-token ratio ≥ 0.4), language signal (stopword ratio ≥ 0.02 over
+    * the en/de/fr stopword union). Output is one row per stage:
+    * `(stage, docs_in, survivors, dropped)`.
+    *
+    * This is the observability face of a filtering pipeline: at 100 TB you
+    * need per-stage drop counts before committing to a filter config, and
+    * this computes all stages in ONE scan — conditional aggregation over
+    * boolean stage flags, no per-stage pass, no shuffle beyond the final
+    * single-row aggregate. Stages are cumulative (a doc must survive stage
+    * k to be counted into stage k+1), matching how the filters would
+    * actually compose.
+    */
+  def filterFunnel(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio =
+      wordHits(col("text"), enWords ++ deWords ++ frWords).cast("double") / nTok
+    val flags = documents.select(
+      (col("n_chars") >= 200).as("p1"),
+      (ttr >= 0.4).as("p2"),
+      (stopRatio >= 0.02).as("p3"))
+    val counts = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L)).as("n3"))
+    counts
+      .select(explode(array(
+        struct(lit("1_length").as("stage"), col("n0").as("docs_in"), col("n1").as("survivors")),
+        struct(lit("2_repetition").as("stage"), col("n1").as("docs_in"), col("n2").as("survivors")),
+        struct(lit("3_language").as("stage"), col("n2").as("docs_in"), col("n3").as("survivors"))))
+        .as("s"))
+      .select(col("s.stage").as("stage"), col("s.docs_in").as("docs_in"),
+        col("s.survivors").as("survivors"),
+        (col("s.docs_in") - col("s.survivors")).as("dropped"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus-composition operators for a training-data pipeline: per-source
+  * diversity measures, cross-source overlap, and literal-quote detection
+  * (string-level decontamination). Complements [[Dedup]]: where Dedup asks
+  * "which documents repeat?", Corpus asks "how do the SOURCES relate?" —
+  * the questions a data-mix owner asks before weighting sources.
+  *
+  * Scale design mirrors Dedup: all pairwise work happens inside hashed-gram
+  * buckets (never an all-pairs document join), shingle lambdas read a
+  * materialized token attribute behind a checkpoint barrier, and all
+  * cross-engine hashing is md5-prefix32 so DuckDB reproduces every byte.
+  */
+object Corpus {
+
+  /** (doc_id, source, t) with tokenization materialized — same barrier
+    * rationale as Dedup's: interpreted higher-order lambdas re-evaluate
+    * referenced subtrees per element, so shingle transforms must read a
+    * plain attribute, not the regex-split expression.
+    */
+  private def tokensBarrier(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      .localCheckpoint()
+
+  private def hashedGrams(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.Md5Prefix32Array(
+        org.apache.spark.sql.graft.shim.expression(t)))
+
+  /** Per-source n-gram diversity: total gram occurrences, distinct grams,
+    * and their ratio — the standard "is this source template spam?" signal
+    * (a low distinct ratio means the source repeats itself).
+    *
+    * One explode + one two-level aggregate: grams are hashed to 32-bit
+    * md5-prefix longs map-side, so the only shuffle carries (source,
+    * 8-byte gram) pairs with map-side combine. At 100 TB swap the exact
+    * `count(DISTINCT ...)` for `approx_count_distinct` (HLL) and the
+    * shuffle drops to one sketch per source per partition; the exact form
+    * is registered because it is what the oracle can reproduce.
+    */
+  def distinctNgramRatio(documents: DataFrame, n: Int = 3): DataFrame =
+    tokensBarrier(documents)
+      .select(col("source"),
+        explode(hashedGrams(TextAnalysis.shinglesOfTokensAll(col("t"), n))).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_grams").cast("double"))
+
+  /** Pairwise source-overlap matrix: for every source pair (a < b), the
+    * number of distinct word-n-grams they share. Generalizes
+    * [[Dedup.crossCorpusContamination]] from one train/test split to the
+    * full source × source grid — the input to "these two crawls are 80%
+    * the same feed" decisions.
+    *
+    * The join is bucketed by gram: `distinct (source, gram-hash)` first
+    * (two-level aggregate), then a self-equi-join on the hash. Per-gram
+    * fan-out is bounded by the number of SOURCES (thousands at most, not
+    * documents), so the candidate space is |distinct grams| × O(sources²
+    * per gram), never documents². The distinct-set reduction is also what
+    * keeps the shuffle narrow: 8-byte gram + source id.
+    */
+  def sourceOverlap(documents: DataFrame, n: Int = 8): DataFrame = {
+    val sg = tokensBarrier(documents)
+      .select(col("source"),
+        explode(hashedGrams(TextAnalysis.shinglesOfTokens(col("t"), n))).as("g"))
+      .distinct()
+    sg.as("a")
+      .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(countDistinct(col("a.g")).as("n_shared_grams"))
+  }
+
+  /** Literal-quote detection: which documents contain any of a small set of
+    * probe strings verbatim (whitespace-normalized)? This is the
+    * string-level decontamination primitive — "does any training doc quote
+    * a benchmark prompt?" — complementing the gram-overlap form
+    * ([[Dedup.crossCorpusContamination]]) with exact-substring semantics
+    * that survive arbitrary context around the quote.
+    *
+    * The probe set is tiny by construction (benchmark suites are KBs, the
+    * corpus is TBs), so Spark broadcasts it and the scan never shuffles:
+    * the plan is scan → broadcast nested loop with a `Contains` filter —
+    * O(corpus × probes) map-side work and zero exchanges. Probes here are
+    * derived deterministically from the corpus itself (12-token windows of
+    * every 97th document) so the operator is self-contained and its output
+    * provably non-empty; swap `probes` for a read of the real benchmark
+    * table in production.
+    *
+    * @return one row per (doc, probe) hit: `doc_id`, `probe_doc_id`.
+    */
+  def quoteHits(documents: DataFrame): DataFrame = {
+    val toks = tokensBarrier(documents)
+    val probes = toks
+      .where(col("doc_id") % 97 === 0 && size(col("t")) >= 20)
+      .select(col("doc_id").as("probe_doc_id"),
+        array_join(slice(col("t"), 9, 12), " ").as("probe"))
+    toks
+      .select(col("doc_id"), array_join(col("t"), " ").as("norm"))
+      .join(broadcast(probes), contains(col("norm"), col("probe")))
+      .select(col("doc_id"), col("probe_doc_id"))
+  }
+}

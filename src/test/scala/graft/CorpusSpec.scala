@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+import graft.operators.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "source", "length(text) AS n_chars")
+
+  test("filterFunnel stages chain: docs_in of stage k+1 = survivors of stage k") {
+    val d = docs(
+      // long, all-distinct tokens, en stopwords present → survives all stages
+      (1L, "the of and to in " + (1 to 60).map(i => s"word$i").mkString(" "), "a"),
+      (2L, "word " * 100, "a"), // long but ttr = 0.01 → dropped at repetition
+      (3L, "tiny text", "a")) // dropped at length
+    val rows = TextAnalysis.filterFunnel(d).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("survivors"), r.getAs[Long]("dropped")))
+      .toMap
+    assert(rows("1_length") === ((3L, 2L, 1L)))
+    assert(rows("2_repetition")._1 === rows("1_length")._2)
+    assert(rows("3_language")._1 === rows("2_repetition")._2)
+    // every stage: dropped = docs_in - survivors, survivors monotone nonincreasing
+    rows.values.foreach { case (in, out, drop) => assert(drop === in - out && out <= in) }
+    // doc 2 falls at repetition, doc 1 survives language (en stopwords present)
+    assert(rows("2_repetition") === ((2L, 1L, 1L)))
+    assert(rows("3_language") === ((1L, 1L, 0L)))
+  }
+
+  test("distinctNgramRatio: a self-repeating source scores lower than a diverse one") {
+    val d = docs(
+      (1L, "a b c d e f g h i j", "diverse"),
+      (2L, "x y z x y z x y z x y z", "spam"))
+    val r = Corpus.distinctNgramRatio(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // diverse: 8 trigrams, all distinct
+    assert(r("diverse").getAs[Long]("n_grams") === 8L)
+    assert(r("diverse").getAs[Long]("n_distinct") === 8L)
+    assert(r("diverse").getAs[Double]("distinct_ratio") === 1.0)
+    // spam: 10 trigrams but only 3 distinct rotations of (x y z)
+    assert(r("spam").getAs[Long]("n_grams") === 10L)
+    assert(r("spam").getAs[Long]("n_distinct") === 3L)
+    assert(r("spam").getAs[Double]("distinct_ratio") < 0.5)
+  }
+
+  test("sourceOverlap counts distinct shared 8-grams once per ordered pair") {
+    val shared = "one two three four five six seven eight"
+    val d = docs(
+      (1L, shared + " tail-a", "srcA"),
+      (2L, shared + " tail-b", "srcB"),
+      (3L, "totally different words with no gram in common at all", "srcC"))
+    val rows = Corpus.sourceOverlap(d).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_shared_grams")).toMap
+    // srcA/srcB share exactly the one 8-gram of `shared` (their 9-token texts
+    // have two 8-grams each, only the first is common); ordering a < b
+    assert(rows === Map(("srcA", "srcB") -> 1L))
+  }
+
+  test("quoteHits finds planted verbatim quotes and every probe hits itself") {
+    val probeText = (1 to 25).map(i => s"w$i").mkString(" ") // doc 0: 25 tokens
+    val quote = (9 to 20).map(i => s"w$i").mkString(" ") // its 12-token probe window
+    val d = docs(
+      (0L, probeText, "a"), // doc_id % 97 == 0 → probe source
+      (1L, s"prefix words then $quote and a suffix", "b"), // contains the quote
+      (2L, "unrelated content entirely free of probes", "c"))
+    val hits = Corpus.quoteHits(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("probe_doc_id"))).toSet
+    assert(hits === Set((0L, 0L), (1L, 0L)))
+  }
+
+  test("quoteHits probe side broadcasts — no shuffle on the corpus scan") {
+    val df = SparkEntry.queries("q70_quote_hits")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe join is not a broadcast nested loop:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side shuffled for the probe join:\n$plan")
+  }
+}
