@@ -375,6 +375,14 @@ object SparkEntry {
     // literal-quote decontamination: broadcast probes, zero-shuffle scan
     "q70_quote_hits" -> ((s, dir) =>
       Corpus.quoteHits(Tables.documents(s, dir))),
+    // k-means E-step over the full corpus: broadcast centroids, map-side
+    // argmax, integer output (the M-step mean is engine-float-order
+    // dependent and stays spec-side)
+    "q71_kmeans_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.embeddings(s, dir)).select("vec_id", "cell")),
+    // repeated 32-token windows across the corpus (headers/footers/chrome)
+    "q72_boilerplate" -> ((s, dir) =>
+      Corpus.boilerplateWindows(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -904,6 +912,32 @@ object SparkEntry {
          |  count(DISTINCT a.g) AS n_shared_grams
          |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+    // same bit-identical cosine + (DESC sim, ASC id) argmax contract as q41
+    "q71_kmeans_assign" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % 37 = 0),
+         |a AS (
+         |  SELECT e.vec_id, c.c_id,
+         |    ${cosineSql("e.embedding", "c.c_emb")} AS c_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (
+         |  SELECT vec_id, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+         |  FROM a)
+         |SELECT vec_id, c_id AS cell FROM r WHERE rn = 1""".stripMargin,
+    "q72_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT)),
+         |      c -> ${md5Prefix32Sql("array_to_string(t[c*32+1 : c*32+32], ' ')")})) AS g
+         |  FROM toks)
+         |SELECT g, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+         |  min(doc_id) AS first_doc
+         |FROM w GROUP BY g HAVING count(*) > 1""".stripMargin,
     "q70_quote_hits" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -68,14 +68,46 @@ object Corpus {
     * keeps the shuffle narrow: 8-byte gram + source id.
     */
   def sourceOverlap(documents: DataFrame, n: Int = 8): DataFrame = {
+    // localCheckpoint: both join sides read the SAME materialized index —
+    // without it the explode + distinct runs twice (q36 precedent)
     val sg = tokensBarrier(documents)
       .select(col("source"),
         explode(hashedGrams(TextAnalysis.shinglesOfTokens(col("t"), n))).as("g"))
       .distinct()
+      .localCheckpoint()
     sg.as("a")
       .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(countDistinct(col("a.g")).as("n_shared_grams"))
+  }
+
+  /** Corpus-wide boilerplate mining: split every document into
+    * non-overlapping `w`-token windows (partial tail window kept), hash
+    * each window, and surface the windows that occur more than once across
+    * the corpus — repeated headers, footers, license blocks, template
+    * chrome. This is the window-granular complement to full-text dedup
+    * ([[Dedup.exactGroups]]): a doc that is 95% unique but carries a
+    * boilerplate banner shows up here and nowhere else.
+    *
+    * One explode (|tokens|/w rows per doc — 32× lighter than a shingle
+    * index) + one hash aggregate on 8-byte window hashes with map-side
+    * combine; no join at all. At 100 TB the output is naturally tiny
+    * (only repeated windows survive the HAVING).
+    *
+    * @return per repeated window: `g` (window hash), `n_docs` (distinct
+    *         docs), `n_occurrences` (total), `first_doc` (min doc_id).
+    */
+  def boilerplateWindows(documents: DataFrame, w: Int = 32): DataFrame = {
+    val nWin = ceil(size(col("t")).cast("double") / w).cast("int")
+    val windows = transform(sequence(lit(0), nWin - 1),
+      c => array_join(slice(col("t"), c * w + 1, lit(w)), " "))
+    tokensBarrier(documents)
+      .select(col("doc_id"), explode(hashedGrams(windows)).as("g"))
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_occurrences") > 1)
   }
 
   /** Literal-quote detection: which documents contain any of a small set of

@@ -139,6 +139,35 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** k-means M-step: recompute each cell's centroid as the elementwise
+    * mean of its member vectors. With [[ivfAssign]] as the E-step this is
+    * one full Lloyd iteration; [[kmeansCentroids]] is the MLlib-trained
+    * alternative when iterating to convergence.
+    *
+    * Plan shape: posexplode fans each vector into (cell, pos, v) rows
+    * (dim× the input, but 3 narrow columns), partial-avg combines
+    * map-side, and the only shuffle carries k×dim partial sums — NOT
+    * vectors. The centroid reassembles via a struct-sort on `pos`, so the
+    * output array order never depends on shuffle arrival order. Registered
+    * queries stop at the E-step (q71): a float SUM's value depends on
+    * reduction order, which no cross-engine oracle can pin down; the
+    * M-step's contract lives in SimilaritySpec against hand-computed
+    * means.
+    *
+    * @param assigned output of [[ivfAssign]]: (vec_id, embedding, cell)
+    * @return (cell, c_emb: array<double>, n_members)
+    */
+  def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_emb"),
+        max(col("n")).as("n_members"))
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
     * [[Dedup]]): all pairs with cosine ≥ threshold. Exact quadratic form
     * here; at scale, run it per-IVF-cell (join on `cell` from [[ivfAssign]])

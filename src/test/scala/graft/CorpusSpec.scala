@@ -63,6 +63,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows === Map(("srcA", "srcB") -> 1L))
   }
 
+  test("boilerplateWindows surfaces only windows repeated across or within docs") {
+    val d = docs(
+      (1L, "h1 h2 h3 h4 alpha beta gamma delta", "a"), // shares header with doc 2
+      (2L, "h1 h2 h3 h4 x y z q", "b"),
+      (3L, "r r r r r r r r", "c")) // one window repeated WITHIN the doc
+    val rows = Corpus.boilerplateWindows(d, w = 4).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("first_doc")))
+      .toSet
+    // exactly two repeated windows: the shared header (2 docs) and doc 3's
+    // self-repeat (1 doc, 2 occurrences); unique tail windows never appear
+    assert(rows === Set((2L, 2L, 1L), (1L, 2L, 3L)))
+  }
+
   test("quoteHits finds planted verbatim quotes and every probe hits itself") {
     val probeText = (1 to 25).map(i => s"w$i").mkString(" ") // doc 0: 25 tokens
     val quote = (9 to 20).map(i => s"w$i").mkString(" ") // its 12-token probe window

@@ -78,4 +78,32 @@ class SimilaritySpec extends AnyFunSuite {
       .select("rank").as[Int].collect().sorted
     assert(ranks.toSeq === Seq(1, 2, 3, 4, 5))
   }
+
+  test("kmeansUpdate computes elementwise member means in position order") {
+    val assigned = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), 10L),
+      (2L, Array(3.0f, 6.0f, 9.0f), 10L),
+      (3L, Array(5.0f, 5.0f, 5.0f), 20L))
+      .toDF("vec_id", "embedding", "cell")
+    val r = Similarity.kmeansUpdate(assigned).collect()
+      .map(row => row.getAs[Long]("cell") ->
+        (row.getSeq[Double](row.fieldIndex("c_emb")), row.getAs[Long]("n_members")))
+      .toMap
+    assert(r(10L)._1 === Seq(2.0, 4.0, 6.0))
+    assert(r(10L)._2 === 2L)
+    assert(r(20L)._1 === Seq(5.0, 5.0, 5.0))
+    assert(r(20L)._2 === 1L)
+  }
+
+  test("one full Lloyd iteration over real embeddings keeps k cells and dim") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val dim = emb.select(size($"embedding")).as[Int].head()
+    val assigned = Similarity.ivfAssign(emb)
+    val updated = Similarity.kmeansUpdate(assigned)
+    val nCells = assigned.select("cell").distinct().count()
+    assert(updated.count() === nCells)
+    assert(updated.select(size($"c_emb")).as[Int].collect().forall(_ == dim))
+    // every member is counted exactly once across cells
+    assert(updated.agg(sum($"n_members")).as[Long].head() === emb.count())
+  }
 }
