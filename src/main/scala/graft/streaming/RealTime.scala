@@ -172,6 +172,27 @@ object RealTime {
       .start()
   }
 
+  /** Streaming literal-quote gate: drop arriving documents that contain any
+    * probe string verbatim (whitespace-normalized) — the ingestion-time
+    * form of [[graft.operators.Corpus.quoteHits]]'s decontamination.
+    *
+    * Implementation is a stream-static LEFT ANTI join against the
+    * broadcast probe set: zero streaming state, no watermark, no
+    * foreachBatch — the probe set is static and the predicate is per-row,
+    * so every micro-batch pays only map-side `Contains` work. Returns a
+    * streaming frame, composable with any downstream sink.
+    *
+    * @param docs   streaming frame with `doc_id` (long) and `text`
+    * @param probes static frame with a `probe` string column (tiny — a
+    *               benchmark suite is KBs; Spark broadcasts it)
+    */
+  def dropQuotingDocs(docs: DataFrame, probes: DataFrame): DataFrame =
+    docs
+      .withColumn("norm",
+        array_join(graft.functions.TextAnalysis.tokens(col("text")), " "))
+      .join(broadcast(probes), contains(col("norm"), col("probe")), "left_anti")
+      .drop("norm")
+
   /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
     * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.

@@ -201,4 +201,31 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "dup_of_min").as[(Long, Long)].collect().toMap
     assert(out === Map(20L -> 10L)) // planted near-dup flagged, clean doc admitted
   }
+
+  test("streaming quote gate admits only docs that quote no probe") {
+    val probes = Seq("never gonna give you up never gonna let you down")
+      .toDF("probe")
+    val in = tmp("quote-in")
+    val outDir = tmp("quote-out")
+    val ck = tmp("quote-ck")
+    Files.write(Paths.get(in, "batch-0.json"), Seq(
+      // quoting doc: probe appears verbatim mid-text (case/whitespace vary)
+      """{"doc_id": 1, "text": "intro words Never Gonna  Give you up never gonna let YOU down outro"}""",
+      """{"doc_id": 2, "text": "entirely original content free of any memorized refrain"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(docsSchema).json(in)
+    val q = RealTime.dropQuotingDocs(stream, probes)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val admitted = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSeq
+    assert(admitted === Seq(2L)) // the quoting doc was dropped at ingestion
+  }
 }
