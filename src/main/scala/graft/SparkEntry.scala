@@ -383,6 +383,12 @@ object SparkEntry {
     // repeated 32-token windows across the corpus (headers/footers/chrome)
     "q72_boilerplate" -> ((s, dir) =>
       Corpus.boilerplateWindows(Tables.documents(s, dir))),
+    // soft dedup: weight 1/|cluster| instead of dropping near-dups
+    "q73_dedup_weights" -> ((s, dir) =>
+      Dedup.dedupWeights(Tables.documents(s, dir))),
+    // overlapping 64-token context windows, stride 48 (long-doc prep)
+    "q74_chunking" -> ((s, dir) =>
+      TrainingMix.chunkDocuments(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -912,6 +918,28 @@ object SparkEntry {
          |  count(DISTINCT a.g) AS n_shared_grams
          |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+    // the q45 cluster oracle wrapped with a per-cluster count window;
+    // 1.0/bigint is a single exact-operand IEEE division on both engines
+    "q73_dedup_weights" ->
+      s"""SELECT doc_id, cluster,
+         |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
+         |  CAST(1 AS DOUBLE) / (count(*) OVER (PARTITION BY cluster)) AS weight
+         |FROM ($nearDupClustersOracle) base""".stripMargin,
+    "q74_chunking" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |nc AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    CASE WHEN len(t) <= 64 THEN 1
+         |         ELSE CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) + 1 END AS nchunk
+         |  FROM toks),
+         |c AS (
+         |  SELECT doc_id, t, n, unnest(range(0, nchunk)) AS chunk_id FROM nc)
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  CAST(least(64, n - chunk_id * 48) AS INTEGER) AS n_tokens,
+         |  ${md5Prefix32Sql("array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')")} AS chunk_hash
+         |FROM c""".stripMargin,
     // same bit-identical cosine + (DESC sim, ASC id) argmax contract as q41
     "q71_kmeans_assign" ->
       s"""WITH c AS (

@@ -223,6 +223,24 @@ object Dedup {
     *         signature-agreement estimate), `dup_of_min` (smallest matching
     *         corpus doc_id — deterministic representative).
     */
+  /** Duplicate-aware sampling weights — the SOFT alternative to dropping
+    * near-dups: every document in a near-dup cluster ([[nearDupClusters]])
+    * gets weight 1/|cluster|, so a page crawled 40 times contributes one
+    * document's worth of gradient instead of 40 or 0. Singletons weigh 1.
+    *
+    * One extra shuffle over the cluster labels (count window keyed by
+    * cluster — clusters are near-dup groups, inherently small, so no skew
+    * concern); the LSH/CC cost is [[nearDupClusters]]'s, shared unchanged.
+    */
+  def dedupWeights(documents: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy("cluster")
+    nearDupClusters(documents, n, k, bands, minEstJaccard)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
   def incrementalNearDups(corpus: DataFrame, incoming: DataFrame, n: Int = 3, k: Int = 64,
                           bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame =
     incrementalNearDupsIndexed(bandIndex(corpus, n, k, bands), incoming, n, k, bands,

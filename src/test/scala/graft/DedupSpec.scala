@@ -126,4 +126,19 @@ class DedupSpec extends AnyFunSuite {
     assert(m.contains((0L, 1L)))
     assert(!m.keySet.exists(k => k._1 == 2L || k._2 == 2L))
   }
+
+  test("dedupWeights down-weights near-dup clusters; weights sum to cluster count") {
+    // docs 0, 1, 3 form one near-dup cluster (exact copy + 1-word edit);
+    // doc 2 is a singleton
+    val w = Dedup.dedupWeights(docs)
+      .select("doc_id", "cluster", "weight")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w(0L) === ((0L, 1.0 / 3)))
+    assert(w(1L) === ((0L, 1.0 / 3)))
+    assert(w(3L) === ((0L, 1.0 / 3)))
+    assert(w(2L) === ((2L, 1.0)))
+    // invariant: total weight = number of clusters (each cluster sums to 1)
+    assert(w.values.map(_._2).sum === 2.0)
+  }
 }

@@ -72,4 +72,32 @@ class TrainingMixSpec extends AnyFunSuite {
         s"$lang: total=$total budget=$budget maxDoc=$maxDoc")
     }
   }
+
+  test("chunkDocuments: short doc is one chunk, long doc overlaps by k-stride") {
+    val words = (1 to 70).map(i => s"w$i")
+    val d = Seq(
+      (1L, "just five little tokens here"),
+      (2L, words.mkString(" "))) // 70 tokens → chunks [1..64] and [49..70]
+      .toDF("doc_id", "text")
+    val r = TrainingMix.chunkDocuments(d, k = 64, stride = 48).collect()
+      .map(row => (row.getAs[Long]("doc_id"), row.getAs[Int]("chunk_id")) ->
+        row.getAs[Int]("n_tokens")).toMap
+    assert(r === Map((1L, 0) -> 5, (2L, 0) -> 64, (2L, 1) -> 22))
+  }
+
+  test("chunkDocuments covers every token: per-doc chunk sum = n + overlap") {
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val chunks = TrainingMix.chunkDocuments(tdocs, k = 64, stride = 48)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("tok_sum"),
+        org.apache.spark.sql.functions.count("*").as("n_chunks"))
+    val toks = tdocs.select($"doc_id",
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextAnalysis.tokens($"text")).as("n"))
+    // each chunk after the first re-reads exactly (k - stride) = 16 tokens
+    val bad = perDoc.join(toks, "doc_id")
+      .where($"tok_sum" =!= $"n" + ($"n_chunks" - 1) * 16)
+      .count()
+    assert(bad === 0L)
+  }
 }
