@@ -68,17 +68,36 @@ object Similarity {
     * broadcast; assignment is a map-side broadcast join + per-row argmax —
     * no shuffle of the corpus.
     */
-  def ivfAssign(corpus: DataFrame, centroidStride: Int = 37, nprobe: Int = 1): DataFrame = {
-    val centroids = corpus
-      .where(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("c_sim"), asc("c_id"))
-    corpus.join(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+  /** Nearest-`nprobe` centroids per vector via the ExactTopK map-side
+    * aggregate (score DESC, id ASC — the same argmax contract the oracles
+    * pin). The former row_number window shuffled every (vector × centroid)
+    * joined row — centroid-count× row amplification with the embedding
+    * array attached; the aggregate's partial buffers ship ONE nprobe-entry
+    * heap per vector into the shuffle, so assignment cost is O(N) rows
+    * regardless of centroid count.
+    */
+  private def nearestCells(vecs: DataFrame, centroids: DataFrame,
+                           idCol: String, embCol: String, nprobe: Int): DataFrame = {
+    val topCells = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("c_sim")),
+        org.apache.spark.sql.graft.shim.expression(col("c_id")),
+        nprobe).toAggregateExpression())
+    vecs.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col(embCol), col("c_emb")))
+      .groupBy(col(idCol))
+      // the embedding is functionally determined by the id (constant within
+      // the group), so first() is deterministic here
+      .agg(first(col(embCol)).as(embCol), topCells.as("cells"))
+      .select(col(idCol), col(embCol),
+        explode(transform(col("cells"), e => e.getField("payload"))).as("cell"))
   }
+
+  def ivfAssign(corpus: DataFrame, centroidStride: Int = 37, nprobe: Int = 1): DataFrame =
+    nearestCells(corpus,
+      corpus.where(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+      "vec_id", "embedding", nprobe)
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, scan only those
     * cells' vectors. At scale the corpus is written bucketed by `cell`, so a
@@ -118,18 +137,8 @@ object Similarity {
     */
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                            k: Int = 5, nprobe: Int = 4): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_sim"), asc("c_id"))
-    val assigned = corpus.join(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-    val wProbe = Window.partitionBy("q_id").orderBy(desc("c_sim"), asc("c_id"))
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+    val assigned = nearestCells(corpus, centroids, "vec_id", "embedding", nprobe = 1)
+    val probes = nearestCells(queries, centroids, "q_id", "q_emb", nprobe)
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
     probes.join(assigned, "cell")
       .where(col("q_id") =!= col("vec_id"))

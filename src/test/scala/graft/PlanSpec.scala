@@ -76,6 +76,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("top_k"), "per-user cap is not the ExactTopK aggregate")
   }
 
+  test("q71 centroid assignment is a top_k aggregate, not a corpus-wide sort window") {
+    val df = SparkEntry.queries("q71_kmeans_assign")(spark, TestSpark.sf)
+    val plan = planString(df)
+    assert(!plan.contains("Window"),
+      s"row_number window crept back into ivfAssign:\n$plan")
+    assert(plan.contains("top_k"), "cell argmax is not the ExactTopK aggregate")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "centroids are not broadcast")
+  }
+
   test("q47 range join plans as a binned equi-join, not a nested loop") {
     val df = SparkEntry.queries("q47_range_join")(spark, TestSpark.sf)
     val plan = planString(df)
