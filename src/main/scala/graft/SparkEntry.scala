@@ -389,6 +389,9 @@ object SparkEntry {
     // overlapping 64-token context windows, stride 48 (long-doc prep)
     "q74_chunking" -> ((s, dir) =>
       TrainingMix.chunkDocuments(Tables.documents(s, dir))),
+    // reproducible salted-hash holdout: 5 docs per source, ExactTopK
+    "q75_stratified_sample" -> ((s, dir) =>
+      TrainingMix.stratifiedSample(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -918,6 +921,17 @@ object SparkEntry {
          |  count(DISTINCT a.g) AS n_shared_grams
          |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+    "q75_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    ${md5Prefix32Sql("'sample:' || CAST(doc_id AS VARCHAR)")} AS sample_hash
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, sample_hash,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY sample_hash, doc_id) AS rn
+         |  FROM h)
+         |SELECT source, doc_id, sample_hash FROM r WHERE rn <= 5""".stripMargin,
     // the q45 cluster oracle wrapped with a per-cluster count window;
     // 1.0/bigint is a single exact-operand IEEE division on both engines
     "q73_dedup_weights" ->

@@ -111,6 +111,35 @@ object TrainingMix {
     *
     * @return (doc_id, chunk_id, n_tokens, chunk_hash)
     */
+  /** Deterministic stratified sample: the `k` documents per source with the
+    * smallest salted hash — a reproducible "random" holdout (same salt →
+    * same sample on any engine, any partitioning, any day; change the salt
+    * to draw a fresh one). The per-stratum top-k runs on the ExactTopK
+    * map-side aggregate, so each mapper ships at most k entries per source
+    * into the shuffle — O(sources·k), never O(docs), and no per-source
+    * sort window.
+    *
+    * @return (source, doc_id, sample_hash) — the selected docs only
+    */
+  def stratifiedSample(documents: DataFrame, k: Int = 5,
+                       salt: String = "sample:"): DataFrame = {
+    val hash = graft.functions.TextAnalysis.md5Prefix32(
+      concat(lit(salt), col("doc_id").cast("string")))
+    // ExactTopK keeps the HIGHEST scores (ties → smallest payload), so the
+    // negated hash selects the k smallest hashes, doc_id-ascending on ties
+    val topk = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(-hash.cast("double")),
+        org.apache.spark.sql.graft.shim.expression(col("doc_id")),
+        k).toAggregateExpression())
+    documents
+      .groupBy(col("source"))
+      .agg(topk.as("tk"))
+      .select(col("source"), explode(col("tk")).as("e"))
+      .select(col("source"), col("e.payload").as("doc_id"),
+        (-col("e.score")).cast("long").as("sample_hash"))
+  }
+
   def chunkDocuments(documents: DataFrame, k: Int = 64, stride: Int = 48): DataFrame = {
     require(k > 0 && stride > 0 && stride <= k, "need 0 < stride <= k")
     val t = graft.functions.TextAnalysis.tokens(col("text"))

@@ -73,6 +73,33 @@ class TrainingMixSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample draws exactly k per source, matches the window oracle, and re-salts") {
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val s1 = TrainingMix.stratifiedSample(tdocs, k = 3)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // k per source (every source in sf0.001 has >= 3 docs)
+    assert(s1.groupBy(_._1).forall(_._2.size == 3))
+    // the selection is the k smallest salted hashes — cross-check per source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+    val expected = tdocs.select($"source", $"doc_id",
+        graft.functions.TextAnalysis.md5Prefix32(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("sample:"),
+            $"doc_id".cast("string"))).as("h"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where($"rn" <= 3)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(s1 === expected)
+    // deterministic across runs; a different salt draws a different sample
+    val s2 = TrainingMix.stratifiedSample(tdocs, k = 3)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(s1 === s2)
+    val other = TrainingMix.stratifiedSample(tdocs, k = 3, salt = "other:")
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(other !== s1)
+  }
+
   test("chunkDocuments: short doc is one chunk, long doc overlaps by k-stride") {
     val words = (1 to 70).map(i => s"w$i")
     val d = Seq(
