@@ -392,6 +392,12 @@ object SparkEntry {
     // reproducible salted-hash holdout: 5 docs per source, ExactTopK
     "q75_stratified_sample" -> ((s, dir) =>
       TrainingMix.stratifiedSample(Tables.documents(s, dir))),
+    // vocab induction: corpus-wide top-50 word bigrams (BPE counting pass)
+    "q76_top_ngrams" -> ((s, dir) =>
+      Corpus.topNgrams(Tables.documents(s, dir))),
+    // behavioral sequences: per-session ordered event-type fingerprint
+    "q77_session_sequences" -> ((s, dir) =>
+      TimeWindows.sessionSequences(Tables.events(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -921,6 +927,35 @@ object SparkEntry {
          |  count(DISTINCT a.g) AS n_shared_grams
          |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+    "q76_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(0, len(t) - 1),
+        |    i -> array_to_string(t[i+1:i+2], ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 50""".stripMargin,
+    // q22's lag/cumsum sessionization with an ordered list aggregate on top
+    "q77_session_sequences" ->
+      s"""WITH e AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS t, user_id, event_id, event_type FROM events),
+         |x AS (SELECT t, user_id, event_id, event_type,
+         |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         |                  OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 5 MINUTE
+         |             THEN 1 ELSE 0 END AS new_sess
+         |      FROM e),
+         |s AS (SELECT t, user_id, event_id, event_type,
+         |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |      FROM x),
+         |seq AS (
+         |  SELECT user_id, sid, min(t) AS session_start, count(*) AS n_events,
+         |    array_to_string(list(event_type ORDER BY t, event_id), ' ') AS seq
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT session_start, user_id, n_events,
+         |  ${md5Prefix32Sql("seq")} AS seq_hash
+         |FROM seq""".stripMargin,
     "q75_stratified_sample" ->
       s"""WITH h AS (
          |  SELECT source, doc_id,

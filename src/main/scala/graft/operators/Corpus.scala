@@ -81,6 +81,25 @@ object Corpus {
       .agg(countDistinct(col("a.g")).as("n_shared_grams"))
   }
 
+  /** Corpus-wide top-k n-grams — the vocabulary-induction primitive (the
+    * first counting pass of BPE/WordPiece training runs exactly this shape
+    * over symbol pairs). One hash aggregate with map-side combine, then a
+    * global top-k that plans as TakeOrderedAndProject: every partition
+    * ships only its k best counts, never a global sort. Ties break on the
+    * gram string ascending, so the cut at rank k is deterministic.
+    *
+    * The gram STRING is kept (a vocabulary is the point here — k rows,
+    * driver-sized); corpus-scale gram analyses that don't need the text
+    * ([[distinctNgramRatio]], [[sourceOverlap]]) hash instead.
+    */
+  def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 50): DataFrame =
+    tokensBarrier(documents)
+      .select(explode(TextAnalysis.shinglesOfTokensAll(col("t"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("gram"))
+      .limit(k)
+
   /** Corpus-wide boilerplate mining: split every document into
     * non-overlapping `w`-token windows (partial tail window kept), hash
     * each window, and surface the windows that occur more than once across

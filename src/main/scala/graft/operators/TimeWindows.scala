@@ -48,4 +48,28 @@ object TimeWindows {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Behavioral training sequences: per (user, session), the ordered
+    * event-type sequence fingerprinted to md5-prefix32 — the "user action
+    * sequence" construction that turns an event log into sequence-model
+    * training rows. Ordering is pinned by (ts, event_id), so the sequence
+    * is deterministic even under timestamp ties; the collect_list is
+    * bounded by session length (sessions are gap-bounded by construction,
+    * never corpus-sized), and the session_window aggregate shuffles each
+    * event exactly once, keyed by user.
+    *
+    * @return (user_id, session_start, n_events, seq_hash)
+    */
+  def sessionSequences(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.TextAnalysis.md5Prefix32(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              e => e.getField("event_type")),
+            " ")).as("seq_hash"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("seq_hash"))
 }

@@ -63,6 +63,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows === Map(("srcA", "srcB") -> 1L))
   }
 
+  test("topNgrams counts bigrams corpus-wide and cuts rank k deterministically") {
+    val d = docs(
+      (1L, "a b a b c", "s"), // bigrams: "a b" ×2, "b a", "b c"
+      (2L, "a b x y", "s")) // "a b" again, "b x", "x y"
+    val r = Corpus.topNgrams(d, n = 2, k = 3).collect()
+      .map(row => row.getAs[String]("gram") -> row.getAs[Long]("n_occurrences"))
+    // top-1 is "a b" ×3; the rank-2/3 cut among the 1-count ties is
+    // alphabetical: "b a", "b c"
+    assert(r.toSeq === Seq("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
+  test("topNgrams plans as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q76_top_ngrams")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$plan")
+  }
+
   test("boilerplateWindows surfaces only windows repeated across or within docs") {
     val d = docs(
       (1L, "h1 h2 h3 h4 alpha beta gamma delta", "a"), // shares header with doc 2

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeWindows
+
+class TimeWindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+
+  test("sessionSequences orders by event time (not arrival) and splits on the gap") {
+    // user 7: two sessions (>5 min gap); rows arrive OUT of time order.
+    // user 8: one session whose event-type sequence equals user 7's first.
+    val events = Seq(
+      (2L, ts(1), 7L, "click", 1.0, ""),
+      (1L, ts(0), 7L, "view", 1.0, ""), // arrives later, happens first
+      (3L, ts(20), 7L, "buy", 1.0, ""), // 19 min later → new session
+      (4L, ts(40), 8L, "view", 1.0, ""),
+      (5L, ts(41), 8L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.sessionSequences(events).collect()
+      .map(row => (row.getAs[Long]("user_id"), row.getAs[Timestamp]("session_start")) ->
+        (row.getAs[Long]("n_events"), row.getAs[Long]("seq_hash"))).toMap
+    assert(r.size === 3)
+    val (n1, h1) = r((7L, ts(0)))
+    val (n2, h2) = r((7L, ts(20)))
+    val (n3, h3) = r((8L, ts(40)))
+    assert(n1 === 2L && n2 === 1L && n3 === 2L)
+    // same event-type sequence ("view click") → same fingerprint, across users
+    assert(h1 === h3)
+    // a different sequence gets a different fingerprint
+    assert(h2 !== h1)
+  }
+
+  test("sessionSequences breaks timestamp ties by event_id") {
+    val events = Seq(
+      (11L, ts(0), 1L, "b", 1.0, ""),
+      (10L, ts(0), 1L, "a", 1.0, ""), // same instant — id order decides: a b
+      (20L, ts(30), 2L, "a", 1.0, ""),
+      (21L, ts(30), 2L, "b", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val hashes = TimeWindows.sessionSequences(events)
+      .select("seq_hash").as[Long].collect()
+    assert(hashes.distinct.length === 1) // both users fingerprint as "a b"
+  }
+}
