@@ -93,6 +93,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val textGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(12, Gen.choose(0, 150)).map(_.zipWithIndex.map { case (n, i) =>
+      // deterministic pseudo-words; n=0 yields the empty string (1 token)
+      (i.toLong, (1 to n).map(j => s"w${(i * 31 + j * 7) % 40}").mkString(" "))
+    })
+
+  private def textSamples(n: Int): Seq[List[(Long, String)]] =
+    (1 to n).flatMap(i => textGen.apply(Gen.Parameters.default, Seed(100L + i)))
+
+  test("chunkDocuments: dense chunk ids, full non-last chunks, exact tail coverage") {
+    for (rows <- textSamples(5)) {
+      val df = rows.toDF("doc_id", "text")
+      val (k, stride) = (16, 12)
+      val chunks = graft.operators.TrainingMix.chunkDocuments(df, k, stride)
+        .select("doc_id", "chunk_id", "n_tokens")
+        .as[(Long, Int, Int)].collect()
+      val nTok = rows.map { case (id, t) => id -> t.split("\\s+").length }.toMap
+      chunks.groupBy(_._1).foreach { case (id, g) =>
+        val byId = g.sortBy(_._2)
+        assert(byId.map(_._2).toSeq === byId.indices.toSeq) // dense 0..nc-1
+        byId.init.foreach(c => assert(c._3 === k)) // non-last chunks are full
+        val last = byId.last
+        assert(last._3 >= 1 && last._3 <= k)
+        // tail coverage: last chunk ends exactly at the doc's token count
+        assert(last._2 * stride + last._3 === nTok(id))
+      }
+      assert(chunks.map(_._1).distinct.length === rows.length) // no doc dropped
+    }
+  }
+
+  test("filterFunnel: stage arithmetic matches a row-wise recomputation") {
+    for (rows <- textSamples(5)) {
+      val df = rows.toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "length(text) AS n_chars")
+      val stages = graft.functions.TextAnalysis.filterFunnel(df).collect()
+        .map(r => r.getAs[String]("stage") ->
+          (r.getAs[Long]("docs_in"), r.getAs[Long]("survivors"), r.getAs[Long]("dropped")))
+        .toMap
+      assert(stages.keySet === Set("1_length", "2_repetition", "3_language"))
+      // chain + arithmetic invariants
+      assert(stages("1_length")._1 === rows.length.toLong)
+      assert(stages("2_repetition")._1 === stages("1_length")._2)
+      assert(stages("3_language")._1 === stages("2_repetition")._2)
+      stages.values.foreach { case (in, out, drop) => assert(drop === in - out) }
+      // the funnel's final survivors equal a direct conjunctive filter
+      val direct = df.where(
+        """n_chars >= 200
+          |AND CAST(size(array_distinct(split(lower(trim(text)), '\\s+'))) AS DOUBLE)
+          |    / size(split(lower(trim(text)), '\\s+')) >= 0.4
+          |AND CAST(size(regexp_extract_all(lower(text),
+          |      '\\b(the|of|and|to|in|der|die|und|ist|nicht|le|la|et|les|des)\\b', 0)) AS DOUBLE)
+          |    / size(split(lower(trim(text)), '\\s+')) >= 0.02""".stripMargin)
+        .count()
+      assert(stages("3_language")._2 === direct)
+    }
+  }
+
   test("balancedMix keeps a prefix-closed set per language and stops within one doc of budget") {
     for (rows <- docSamples(5)) {
       val df = rows.toDF("doc_id", "lang", "source", "n_chars")
