@@ -79,6 +79,16 @@ object SparkEntry {
       LabelPropagation.run(Reco.undirected(coPairs(spark, dir)))
     }
 
+  /** Near-dup cluster labels (q45), memoized per session so q73's
+    * weighting reuses the LSH/CC run instead of repeating it. The frame is
+    * |docs| rows × 3 narrow columns — on a cluster this is the persisted
+    * cluster-assignment table every downstream dedup consumer reads.
+    */
+  private def nearDupClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "neardup_clusters") {
+      Dedup.nearDupClusters(Tables.documents(spark, dir)).cache()
+    }
+
   private def qRecommendations(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "recs") {
       Reco.recommendations(communityLabels(spark, dir), good(spark, dir)).cache()
@@ -300,7 +310,7 @@ object SparkEntry {
     "q39_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
     "q40_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // end-to-end dedup: LSH pairs -> transitive closure -> cluster labels
-    "q45_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
+    "q45_dedup_clusters" -> ((s, dir) => nearDupClusterLabels(s, dir)),
     // ingestion-time dedup: incoming batch (doc_id%10<3) LSH-checked against
     // the standing corpus (the rest) — no corpus self-join
     "q59_incremental_neardup" -> ((s, dir) => {
@@ -383,9 +393,10 @@ object SparkEntry {
     // repeated 32-token windows across the corpus (headers/footers/chrome)
     "q72_boilerplate" -> ((s, dir) =>
       Corpus.boilerplateWindows(Tables.documents(s, dir))),
-    // soft dedup: weight 1/|cluster| instead of dropping near-dups
+    // soft dedup: weight 1/|cluster| instead of dropping near-dups;
+    // shares the memoized q45 cluster frame (one LSH/CC run per session)
     "q73_dedup_weights" -> ((s, dir) =>
-      Dedup.dedupWeights(Tables.documents(s, dir))),
+      Dedup.weightsFromClusters(nearDupClusterLabels(s, dir))),
     // overlapping 64-token context windows, stride 48 (long-doc prep)
     "q74_chunking" -> ((s, dir) =>
       TrainingMix.chunkDocuments(Tables.documents(s, dir))),

@@ -233,9 +233,17 @@ object Dedup {
     * concern); the LSH/CC cost is [[nearDupClusters]]'s, shared unchanged.
     */
   def dedupWeights(documents: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
-                   minEstJaccard: Double = 0.5): DataFrame = {
+                   minEstJaccard: Double = 0.5): DataFrame =
+    weightsFromClusters(nearDupClusters(documents, n, k, bands, minEstJaccard))
+
+  /** The weighting half of [[dedupWeights]], for callers that already hold
+    * the cluster labels (e.g. a pipeline that computed [[nearDupClusters]]
+    * for reporting and reuses the frame — SparkEntry memoizes it so q45
+    * and q73 share one LSH/CC run per session).
+    */
+  def weightsFromClusters(clusters: DataFrame): DataFrame = {
     val w = Window.partitionBy("cluster")
-    nearDupClusters(documents, n, k, bands, minEstJaccard)
+    clusters
       .withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
