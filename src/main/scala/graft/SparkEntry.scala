@@ -406,6 +406,17 @@ object SparkEntry {
     // vocab induction: corpus-wide top-50 word bigrams (BPE counting pass)
     "q76_top_ngrams" -> ((s, dir) =>
       Corpus.topNgrams(Tables.documents(s, dir))),
+    // corpus release audit: v1/v2 simulated by modulo splits, with
+    // doc_id%13 docs edited in v2 so every status class appears
+    "q78_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.snapshotDiff(
+        docs.where(col("doc_id") % 7 =!= 0),
+        docs.where(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [v2]")))
+              .otherwise(col("text"))))
+    }),
     // behavioral sequences: per-session ordered event-type fingerprint
     "q77_session_sequences" -> ((s, dir) =>
       TimeWindows.sessionSequences(Tables.events(s, dir))),
@@ -938,6 +949,20 @@ object SparkEntry {
          |  count(DISTINCT a.g) AS n_shared_grams
          |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+    // md5-of-text parity with the q35 fingerprint oracle
+    "q78_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.h IS NULL THEN 'added'
+        |       WHEN v2.h IS NULL THEN 'removed'
+        |       WHEN v1.h = v2.h THEN 'unchanged'
+        |       ELSE 'modified' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
     "q76_top_ngrams" ->
       """WITH toks AS (
         |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

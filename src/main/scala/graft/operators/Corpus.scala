@@ -129,6 +129,25 @@ object Corpus {
       .where(col("n_occurrences") > 1)
   }
 
+  /** Dataset-snapshot diff — the data-versioning primitive: classify every
+    * document across two corpus versions as `added` / `removed` /
+    * `modified` / `unchanged` by doc_id + content hash. This is how a
+    * 100-TB corpus release is audited against its predecessor without
+    * moving the text: both sides reduce map-side to (doc_id, 16-byte md5)
+    * and the only shuffle is one full-outer equi-join on those narrow
+    * pairs.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text").cast("binary")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text").cast("binary")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
   /** Literal-quote detection: which documents contain any of a small set of
     * probe strings verbatim (whitespace-normalized)? This is the
     * string-level decontamination primitive — "does any training doc quote

@@ -94,6 +94,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows === Set((2L, 2L, 1L), (1L, 2L, 3L)))
   }
 
+  test("snapshotDiff classifies added/removed/modified/unchanged by content hash") {
+    val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "going away"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val r = Corpus.snapshotDiff(v1, v2).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row.getAs[String]("status")).toMap
+    assert(r === Map(1L -> "unchanged", 2L -> "modified", 3L -> "removed", 4L -> "added"))
+  }
+
   test("quoteHits finds planted verbatim quotes and every probe hits itself") {
     val probeText = (1 to 25).map(i => s"w$i").mkString(" ") // doc 0: 25 tokens
     val quote = (9 to 20).map(i => s"w$i").mkString(" ") // its 12-token probe window
