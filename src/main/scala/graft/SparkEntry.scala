@@ -403,6 +403,12 @@ object SparkEntry {
     // reproducible salted-hash holdout: 5 docs per source, ExactTopK
     "q75_stratified_sample" -> ((s, dir) =>
       TrainingMix.stratifiedSample(Tables.documents(s, dir))),
+    // reproducible export layout: salted-hash shards + release manifest
+    "q79_shard_manifest" -> ((s, dir) =>
+      TrainingMix.shardManifest(Tables.documents(s, dir))),
+    // curriculum phases: fixed cuts over the deterministic quality score
+    "q80_curriculum" -> ((s, dir) =>
+      TextAnalysis.curriculumPhases(Tables.documents(s, dir))),
     // vocab induction: corpus-wide top-50 word bigrams (BPE counting pass)
     "q76_top_ngrams" -> ((s, dir) =>
       Corpus.topNgrams(Tables.documents(s, dir))),
@@ -762,26 +768,23 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS INTEGER) AS h_de,
         |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS INTEGER) AS h_fr
         |  FROM documents)""".stripMargin,
-    "q34_quality_score" ->
-      """WITH toks AS (
-        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-        |base AS (
-        |  SELECT doc_id,
-        |    CAST(len(t) AS DOUBLE) AS n_tokens,
-        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE) AS stop,
-        |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
-        |    CAST(length(text) AS DOUBLE) AS n_chars_d
-        |  FROM toks)
-        |SELECT doc_id, n_tokens,
-        |  punct / n_chars_d AS punct_ratio,
-        |  stop / n_tokens AS stopword_ratio,
-        |  ttr AS type_token_ratio,
-        |  0.4 * least(n_tokens / 50.0, 1.0)
-        |    + 0.2 * least((stop / n_tokens) * 5.0, 1.0)
-        |    + 0.2 * ttr
-        |    + 0.2 * (1.0 - least((punct / n_chars_d) * 10.0, 1.0)) AS quality_score
-        |FROM base""".stripMargin,
+    "q34_quality_score" -> qualityScoreOracle,
+    // fixed-constant phase cuts over the q34 score (bit-identical doubles
+    // on both engines, so the boundary comparisons cannot disagree)
+    "q80_curriculum" ->
+      s"""SELECT doc_id, quality_score,
+         |  CASE WHEN quality_score >= 0.7 THEN 3
+         |       WHEN quality_score >= 0.5 THEN 2
+         |       ELSE 1 END AS phase
+         |FROM ($qualityScoreOracle) q""".stripMargin,
+    "q79_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    ${md5Prefix32Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM h GROUP BY shard""".stripMargin,
     "q35_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "q53_token_bpe" ->
@@ -1196,10 +1199,35 @@ object SparkEntry {
       s"CAST(strpos('0123456789abcdef', substring(md5($e), CAST(hx + 1 AS INTEGER), 1)) - 1 AS BIGINT)" +
       s" * CAST(16 ** (7 - hx) AS BIGINT))) AS BIGINT)"
 
+  /** DuckDB twin of [[TextAnalysis.qualityScore]] — shared by q34 and the
+    * q80 curriculum cuts layered on top of it.
+    */
+  private def qualityScoreOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS DOUBLE) AS n_tokens,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE) AS stop,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
+      |    CAST(length(text) AS DOUBLE) AS n_chars_d
+      |  FROM toks)
+      |SELECT doc_id, n_tokens,
+      |  punct / n_chars_d AS punct_ratio,
+      |  stop / n_tokens AS stopword_ratio,
+      |  ttr AS type_token_ratio,
+      |  0.4 * least(n_tokens / 50.0, 1.0)
+      |    + 0.2 * least((stop / n_tokens) * 5.0, 1.0)
+      |    + 0.2 * ttr
+      |    + 0.2 * (1.0 - least((punct / n_chars_d) * 10.0, 1.0)) AS quality_score
+      |FROM base""".stripMargin
+
   /** CTE chain shared by the q39 and q45 twins: md5-prefix shingle hashes,
     * the fixed permutation algebra of
-    * [[org.apache.spark.sql.graft.MinHashSignature]] (a_j = 2j+1,
-    * b_j = (1000003·(j+1)) mod p, p = 2³¹−1), content band keys, and the
+    * [[org.apache.spark.sql.graft.MinHashSignature]] (a_j =
+    * (2654435761·(j+1)) mod p, b_j = (1000003·(j+1)) mod p, p = 2³¹−1),
+    * content band keys, and the
     * est-Jaccard-filtered pair set as final CTE `mh_pairs`.
     */
   private def minhashCtes: String =
@@ -1217,7 +1245,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |    list_transform(range(0, 64), j ->
        |      list_min(list_transform(hs,
-       |        h -> (h * (2*j + 1) + (1000003 * (j + 1)) % 2147483647) % 2147483647))) AS sig
+       |        h -> (h * ((2654435761 * (j + 1)) % 2147483647) + (1000003 * (j + 1)) % 2147483647) % 2147483647))) AS sig
        |  FROM hs WHERE len(hs) > 0),
        |bands AS (SELECT unnest(range(0, 16)) AS band),
        |banded AS (

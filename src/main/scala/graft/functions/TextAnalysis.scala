@@ -87,6 +87,20 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** Curriculum phases from the quality score: fixed-constant cuts (< 0.5,
+    * [0.5, 0.7), ≥ 0.7) bucket every document into training phases 1–3 —
+    * the "easy/medium/hard last" ordering a curriculum schedule consumes.
+    * Pure map-side CASE over [[qualityScore]]'s deterministic expression
+    * tree; constant thresholds (not data-dependent quantiles) keep the
+    * boundary comparisons bit-identical across engines.
+    */
+  def curriculumPhases(documents: DataFrame): DataFrame =
+    qualityScore(documents)
+      .select(col("doc_id"), col("quality_score"),
+        when(col("quality_score") >= 0.7, 3)
+          .when(col("quality_score") >= 0.5, 2)
+          .otherwise(1).as("phase"))
+
   /** Content fingerprints: md5 (cross-engine canonical) plus a 64-bit
     * xxhash64 for cheap grouping. Both codegen'd.
     */

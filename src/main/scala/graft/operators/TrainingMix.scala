@@ -96,6 +96,28 @@ object TrainingMix {
         bin.as("bin"), offset.as("bin_offset"))
   }
 
+  /** Deterministic shard assignment + per-shard manifest — the export
+    * layout of a reproducible dataset release: shard = salted-md5(doc_id)
+    * mod `nShards`, so the same corpus always lands in the same shards
+    * regardless of partitioning or cluster size, and the manifest (doc
+    * count, char total, id range per shard) is the artifact a consumer
+    * validates a download against. At 100 TB the write is
+    * `partitionBy("shard")` over this assignment; the manifest aggregate
+    * shuffles one narrow row per doc with map-side combine.
+    */
+  def shardManifest(documents: DataFrame, nShards: Int = 16,
+                    salt: String = "shard:"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val shard = pmod(graft.functions.TextAnalysis.md5Prefix32(
+      concat(lit(salt), col("doc_id").cast("string"))), lit(nShards.toLong))
+    documents
+      .groupBy(shard.as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+
   /** Context-window chunking: split every document into overlapping
     * `k`-token windows advancing by `stride` tokens (`k - stride` token
     * overlap, the standard long-document training prep — [[packSequences]]

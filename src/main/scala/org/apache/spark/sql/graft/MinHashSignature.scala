@@ -10,8 +10,18 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   *
   * Input: array<long> of (32-bit-range) shingle hashes. Output: array<long>
   * of k signature values, m_j = min_i (h_i·a_j + b_j) mod p with the fixed
-  * deterministic permutation parameters a_j = 2j+1 (odd), b_j =
-  * (1000003·(j+1)) mod p, p = 2³¹−1 (Mersenne).
+  * deterministic permutation parameters a_j = (2654435761·(j+1)) mod p
+  * (Knuth's multiplicative constant — large, so products wrap mod p and
+  * magnitude order is scrambled per permutation), b_j = (1000003·(j+1))
+  * mod p, p = 2³¹−1 (Mersenne).
+  *
+  * The multiplier family matters: an earlier a_j = 2j+1 kept products
+  * small for small h, so one shared low-hash shingle won the min at most
+  * positions and inflated the estimate for near-disjoint documents (a
+  * planted case reached est 0.56 at true J = 0.008). Large multipliers
+  * restore approximate min-wise independence; DedupSpec's calibration
+  * case pins |est − exact| ≤ 0.25 over every flagged pair of the real
+  * corpus.
   *
   * Why an Expression: the lambda form (`transform` × `array_min` per
   * permutation) evaluates k×|shingles| interpreted lambdas per document —
@@ -44,7 +54,7 @@ case class MinHashSignature(child: Expression, k: Int)
         val h = arr.getLong(i)
         var j = 0
         while (j < k) {
-          val v = (h * (2L * j + 1) + (1000003L * (j + 1)) % P) % P
+          val v = (h * ((2654435761L * (j + 1)) % P) + (1000003L * (j + 1)) % P) % P
           if (v < m(j)) m(j) = v
           j += 1
         }
@@ -70,7 +80,7 @@ case class MinHashSignature(child: Expression, k: Int)
          |for (int $i = 0; $i < $n; $i++) {
          |  final long $h = $a.getLong($i);
          |  for (int $j = 0; $j < $k; $j++) {
-         |    final long $v = ($h * (2L * $j + 1) + (1000003L * ($j + 1)) % ${P}L) % ${P}L;
+         |    final long $v = ($h * ((2654435761L * ($j + 1)) % ${P}L) + (1000003L * ($j + 1)) % ${P}L) % ${P}L;
          |    if ($v < $m[$j]) $m[$j] = $v;
          |  }
          |}

@@ -127,6 +127,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!m.keySet.exists(k => k._1 == 2L || k._2 == 2L))
   }
 
+  test("minhash estimates are calibrated against exact jaccard on the real corpus") {
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val exact = Dedup.ngramJaccardPairs(tdocs, threshold = 0.0)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val est = Dedup.minhashPairs(tdocs)
+      .select("a_id", "b_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(est.nonEmpty)
+    // every LSH-flagged pair shares ≥1 shingle, and the 64-permutation
+    // estimate lands within 0.25 of exact jaccard (binomial 3-sigma ≈ 0.19)
+    est.foreach { case (a, b, e) =>
+      val x = exact.getOrElse((a, b), 0.0)
+      assert(math.abs(e - x) <= 0.25, s"pair ($a,$b): est $e vs exact $x")
+    }
+  }
+
   test("dedupWeights down-weights near-dup clusters; weights sum to cluster count") {
     // docs 0, 1, 3 form one near-dup cluster (exact copy + 1-word edit);
     // doc 2 is a singleton

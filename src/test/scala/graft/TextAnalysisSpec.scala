@@ -18,6 +18,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("avg_token_len") === 18.0 / 4) // "alphabetabetagamma"
   }
 
+  test("curriculumPhases cuts the quality score at the fixed 0.5/0.7 bounds") {
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val rows = TextAnalysis.curriculumPhases(tdocs)
+      .select("quality_score", "phase").as[(Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, p) =>
+      val expected = if (q >= 0.7) 3 else if (q >= 0.5) 2 else 1
+      assert(p === expected, s"score $q got phase $p")
+    }
+  }
+
   test("langId prefers the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat of the house and the dog"),

@@ -100,6 +100,22 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(other !== s1)
   }
 
+  test("shardManifest conserves docs and chars across 16 in-range shards") {
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val m = TrainingMix.shardManifest(tdocs).collect()
+    assert(m.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 16
+    })
+    val nDocs = m.map(_.getAs[Long]("n_docs")).sum
+    val chars = m.map(_.getAs[Long]("total_chars")).sum
+    assert(nDocs === tdocs.count())
+    assert(chars === tdocs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .as[Long].head())
+    // same salt → identical manifest on a re-run (reproducible layout)
+    val m2 = TrainingMix.shardManifest(tdocs).collect()
+    assert(m.map(_.toSeq).toSet === m2.map(_.toSeq).toSet)
+  }
+
   test("chunkDocuments: short doc is one chunk, long doc overlaps by k-stride") {
     val words = (1 to 70).map(i => s"w$i")
     val d = Seq(
