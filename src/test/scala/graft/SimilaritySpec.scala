@@ -79,6 +79,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranks.toSeq === Seq(1, 2, 3, 4, 5))
   }
 
+  test("quantizeEmbeddings: codes span 0..255, extremes hit the rails, degenerate is zero") {
+    val df = Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f)), // min→0, max→255, mid→128
+      (2L, Array(2.0f, 2.0f, 2.0f))) // degenerate: all codes 0
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeEmbeddings(df).collect()
+      .map(row => row.getAs[Long]("vec_id") ->
+        (row.getAs[Double]("q_min"), row.getAs[Double]("q_max"), row.getAs[Long]("code_sum")))
+      .toMap
+    assert(r(1L) === ((0.0, 1.0, 0L + 255L + 128L)))
+    assert(r(2L) === ((2.0, 2.0, 0L)))
+    // real corpus: every code sum is within [0, 255·dim]
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val dim = emb.select(size($"embedding")).as[Int].head()
+    val sums = Similarity.quantizeEmbeddings(emb).select("code_sum").as[Long].collect()
+    assert(sums.forall(s => s >= 0 && s <= 255L * dim))
+  }
+
   test("kmeansUpdate computes elementwise member means in position order") {
     val assigned = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), 10L),
