@@ -885,22 +885,28 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
     // regex dialect kept to the Java/RE2-common subset; DuckDB standard
     // strings treat backslash literally, so '\.' is the escaped-dot regex
+    // counts per cascade stage, matching piiRedact (each category counted
+    // on the previous pass's output)
     "q65_pii_redact" ->
       s"""WITH r AS (
          |  SELECT doc_id, text,
-         |    regexp_replace(regexp_replace(regexp_replace(text,
-         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |      '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
-         |      '[0-9]{7,}', '<NUM>', 'g') AS redacted
-         |  FROM documents)
+         |    regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+         |      AS after_email
+         |  FROM documents),
+         |r2 AS (
+         |  SELECT doc_id, text, after_email,
+         |    regexp_replace(after_email,
+         |      '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS after_ip
+         |  FROM r)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text,
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-         |  CAST(len(regexp_extract_all(text,
+         |  CAST(len(regexp_extract_all(after_email,
          |    '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INTEGER) AS n_ips,
-         |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INTEGER) AS n_long_nums,
-         |  md5(redacted) AS redacted_md5
-         |FROM r""".stripMargin,
+         |  CAST(len(regexp_extract_all(after_ip, '[0-9]{7,}')) AS INTEGER) AS n_long_nums,
+         |  md5(regexp_replace(after_ip, '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
+         |FROM r2""".stripMargin,
     // ceil yields an integral double; CAST rounds, which is exact here
     "q66_lang_upsample" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

@@ -21,6 +21,15 @@ object TextAnalysis {
   def md5Prefix32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Element-wise [[md5Prefix32]] over a string-array column via the
+    * codegen'd [[org.apache.spark.sql.graft.Md5Prefix32Array]] expression —
+    * the single shared wrapper for every gram-hashing call site.
+    */
+  def md5Prefix32Array(c: Column): Column =
+    org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.Md5Prefix32Array(
+        org.apache.spark.sql.graft.shim.expression(c)))
+
   /** Count of regex word matches (word-boundary alternation) in the PASSED
     * column (not a hard-coded column name).
     */
@@ -149,9 +158,7 @@ object TextAnalysis {
       transform(sequence(lit(1), length(col("text")) - (k - 1)),
         i => col("text").substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
-    val fps = org.apache.spark.sql.graft.shim.column(
-      org.apache.spark.sql.graft.Md5Prefix32Array(
-        org.apache.spark.sql.graft.shim.expression(grams)))
+    val fps = md5Prefix32Array(grams)
     documents
       .select(col("doc_id"), fps.as("fps"))
       .select(
@@ -241,9 +248,7 @@ object TextAnalysis {
       transform(sequence(lit(1), length(col("text")) - (k - 1)),
         i => col("text").substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
-    val fps = org.apache.spark.sql.graft.shim.column(
-      org.apache.spark.sql.graft.Md5Prefix32Array(
-        org.apache.spark.sql.graft.shim.expression(grams)))
+    val fps = md5Prefix32Array(grams)
     documents
       .select(col("doc_id"), fps.as("fps"))
       // barrier: the window-min lambda references `fps` per element;
@@ -277,17 +282,18 @@ object TextAnalysis {
     *         `redacted_md5` (compact equality handle for downstream audit).
     */
   def piiRedact(documents: DataFrame): DataFrame = {
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), emailPat, "<EMAIL>"),
-          ipv4Pat, "<IP>"),
-        longNumPat, "<NUM>")
+    // counts follow the masking CASCADE: each category is counted on the
+    // text the previous pass already redacted, so every count equals the
+    // number of placeholders that pass actually inserted (an email's
+    // digit-run is masked as part of <EMAIL>, not double-counted as <NUM>)
+    val afterEmail = regexp_replace(col("text"), emailPat, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pat, "<IP>")
+    val redacted = regexp_replace(afterIp, longNumPat, "<NUM>")
     documents.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(ipv4Pat), lit(0))).as("n_ips"),
-      size(regexp_extract_all(col("text"), lit(longNumPat), lit(0))).as("n_long_nums"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Pat), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(longNumPat), lit(0))).as("n_long_nums"),
       redacted.as("redacted"),
       md5(redacted).as("redacted_md5"))
   }

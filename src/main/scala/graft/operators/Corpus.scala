@@ -28,11 +28,6 @@ object Corpus {
       .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
       .localCheckpoint()
 
-  private def hashedGrams(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.graft.shim.column(
-      org.apache.spark.sql.graft.Md5Prefix32Array(
-        org.apache.spark.sql.graft.shim.expression(t)))
-
   /** Per-source n-gram diversity: total gram occurrences, distinct grams,
     * and their ratio — the standard "is this source template spam?" signal
     * (a low distinct ratio means the source repeats itself).
@@ -47,7 +42,7 @@ object Corpus {
   def distinctNgramRatio(documents: DataFrame, n: Int = 3): DataFrame =
     tokensBarrier(documents)
       .select(col("source"),
-        explode(hashedGrams(TextAnalysis.shinglesOfTokensAll(col("t"), n))).as("g"))
+        explode(TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokensAll(col("t"), n))).as("g"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("g")).as("n_distinct"))
@@ -72,13 +67,16 @@ object Corpus {
     // without it the explode + distinct runs twice (q36 precedent)
     val sg = tokensBarrier(documents)
       .select(col("source"),
-        explode(hashedGrams(TextAnalysis.shinglesOfTokens(col("t"), n))).as("g"))
+        explode(TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))).as("g"))
       .distinct()
       .localCheckpoint()
     sg.as("a")
       .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(countDistinct(col("a.g")).as("n_shared_grams"))
+      // both join inputs are the same DISTINCT (source, g) set, so each
+      // shared gram yields exactly one row per (a, b) group — plain count
+      // equals count(DISTINCT g) without the extra distinct-agg pass
+      .agg(count(lit(1)).as("n_shared_grams"))
   }
 
   /** Corpus-wide top-k n-grams — the vocabulary-induction primitive (the
@@ -121,7 +119,7 @@ object Corpus {
     val windows = transform(sequence(lit(0), nWin - 1),
       c => array_join(slice(col("t"), c * w + 1, lit(w)), " "))
     tokensBarrier(documents)
-      .select(col("doc_id"), explode(hashedGrams(windows)).as("g"))
+      .select(col("doc_id"), explode(TextAnalysis.md5Prefix32Array(windows)).as("g"))
       .groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),

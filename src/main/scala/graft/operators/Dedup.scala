@@ -68,10 +68,7 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000): DataFrame = {
-    val hashed = org.apache.spark.sql.graft.shim.column(
-      org.apache.spark.sql.graft.Md5Prefix32Array(
-        org.apache.spark.sql.graft.shim.expression(
-          TextAnalysis.shinglesOfTokens(col("t"), n))))
+    val hashed = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))
     // Materialize the inverted index once: it feeds four plan branches
     // (sizes, stop-shingle counts, both self-join sides), and without the
     // barrier each branch would re-run the shingle lambdas per row. On a
@@ -123,10 +120,7 @@ object Dedup {
   private def bandedSignatures(documents: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val hs = org.apache.spark.sql.graft.shim.column(
-      org.apache.spark.sql.graft.Md5Prefix32Array(
-        org.apache.spark.sql.graft.shim.expression(
-          TextAnalysis.shinglesOfTokens(col("t"), n)))) // [0, 2^32)
+    val hs = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n)) // [0, 2^32)
     // Barrier after the shingle-hash lambdas: band joins read the signature
     // table twice (or once per side), and CollapseProject would otherwise
     // inline (and re-run) the whole shingle pipeline into every branch.
@@ -304,10 +298,7 @@ object Dedup {
     */
   def crossCorpusContamination(train: DataFrame, test: DataFrame, n: Int = 8): DataFrame = {
     def grams(df: DataFrame): DataFrame = {
-      val hashed = org.apache.spark.sql.graft.shim.column(
-        org.apache.spark.sql.graft.Md5Prefix32Array(
-          org.apache.spark.sql.graft.shim.expression(
-            TextAnalysis.shinglesOfTokens(col("t"), n))))
+      val hashed = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))
       tokensBarrier(df).select(col("doc_id"), explode(array_distinct(hashed)).as("g"))
     }
     grams(train).as("tr")

@@ -159,13 +159,19 @@ object RealTime {
     */
   def flagNearDups(docs: DataFrame, corpus: DataFrame, flagsDir: String,
                    checkpointDir: String): StreamingQuery = {
-    // build the corpus band index ONCE, outside the micro-batch loop; cache
-    // so every batch's bucket join reads the materialized index
-    val index = graft.operators.Dedup.bandIndex(corpus).cache()
+    // build the corpus band index ONCE, outside the micro-batch loop —
+    // bandIndex's localCheckpoint already materializes it, so every
+    // batch's bucket join reads the same stored blocks (no extra cache()
+    // to leak past query termination)
+    val index = graft.operators.Dedup.bandIndex(corpus)
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // overwrite the batchId-keyed partition: a replayed batch after a
+        // crash rewrites its own partition instead of appending duplicate
+        // flag rows — this is what makes the sink idempotent and the
+        // output exactly-once under the streaming checkpoint
         graft.operators.Dedup.incrementalNearDupsIndexed(index, batch)
-          .write.mode("append").parquet(flagsDir)
+          .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -186,12 +192,18 @@ object RealTime {
     * @param probes static frame with a `probe` string column (tiny — a
     *               benchmark suite is KBs; Spark broadcasts it)
     */
-  def dropQuotingDocs(docs: DataFrame, probes: DataFrame): DataFrame =
+  def dropQuotingDocs(docs: DataFrame, probes: DataFrame): DataFrame = {
+    // normalize BOTH sides identically (lowercase, whitespace-collapsed) —
+    // a raw probe with capitalization or irregular spacing could otherwise
+    // never match the normalized document text
+    val normProbes = probes.select(
+      array_join(graft.functions.TextAnalysis.tokens(col("probe")), " ").as("probe"))
     docs
       .withColumn("norm",
         array_join(graft.functions.TextAnalysis.tokens(col("text")), " "))
-      .join(broadcast(probes), contains(col("norm"), col("probe")), "left_anti")
+      .join(broadcast(normProbes), contains(col("norm"), col("probe")), "left_anti")
       .drop("norm")
+  }
 
   /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).

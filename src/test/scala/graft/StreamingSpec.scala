@@ -203,7 +203,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming quote gate admits only docs that quote no probe") {
-    val probes = Seq("never gonna give you up never gonna let you down")
+    // raw probe with capitalization + irregular spacing: the gate must
+    // normalize BOTH sides before matching
+    val probes = Seq("Never Gonna Give you up  never gonna LET you down")
       .toDF("probe")
     val in = tmp("quote-in")
     val outDir = tmp("quote-out")
