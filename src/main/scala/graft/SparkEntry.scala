@@ -429,6 +429,9 @@ object SparkEntry {
     // behavioral sequences: per-session ordered event-type fingerprint
     "q77_session_sequences" -> ((s, dir) =>
       TimeWindows.sessionSequences(Tables.events(s, dir))),
+    // temporal conversion funnel view -> click -> purchase
+    "q82_conversion_funnel" -> ((s, dir) =>
+      TimeWindows.conversionFunnel(Tables.events(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -984,6 +987,23 @@ object SparkEntry {
         |  FROM toks WHERE len(t) >= 2)
         |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram LIMIT 50""".stripMargin,
+    // µs-cast timestamps on every comparison, matching Spark's precision
+    "q82_conversion_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.t) AS t_click
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.t >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.t >= c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
     // q22's lag/cumsum sessionization with an ordered list aggregate on top
     "q77_session_sequences" ->
       s"""WITH e AS (

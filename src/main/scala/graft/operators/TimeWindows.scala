@@ -49,6 +49,33 @@ object TimeWindows {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Sequential conversion funnel view → click → purchase: a user counts
+    * at stage k+1 only with an event at-or-after their stage-k entry time
+    * (first view, then first click ≥ that view, then a purchase ≥ that
+    * click) — true temporal ordering, not mere event-type presence.
+    *
+    * Each stage is a filtered min-aggregate (map-side combine, shuffle
+    * keyed by user) plus one equi-join against the previous stage's
+    * per-user entry times; the funnel narrows monotonically, so each
+    * successive join is smaller. No windows, no sessionization — at any
+    * scale the widest shuffle is |users with views| narrow rows.
+    *
+    * @return one row: (n_view, n_click, n_purchase) cumulative user counts
+    */
+  def conversionFunnel(events: DataFrame): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = events.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = events.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_p"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
   /** Behavioral training sequences: per (user, session), the ordered
     * event-type sequence fingerprinted to md5-prefix32 — the "user action
     * sequence" construction that turns an event log into sequence-model

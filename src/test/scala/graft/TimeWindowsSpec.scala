@@ -37,6 +37,25 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(h2 !== h1)
   }
 
+  test("conversionFunnel requires temporal order, not mere event presence") {
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), 1L, "view", 1.0, ""), (2L, ts(1), 1L, "click", 1.0, ""),
+      (3L, ts(2), 1L, "purchase", 1.0, ""),
+      // user 2: purchase BEFORE the click → counts at click, not purchase
+      (4L, ts(0), 2L, "view", 1.0, ""), (5L, ts(2), 2L, "click", 1.0, ""),
+      (6L, ts(1), 2L, "purchase", 1.0, ""),
+      // user 3: click before any view → stops at view
+      (7L, ts(1), 3L, "view", 1.0, ""), (8L, ts(0), 3L, "click", 1.0, ""),
+      // user 4: never viewed → not even stage 1
+      (9L, ts(0), 4L, "click", 1.0, ""), (10L, ts(1), 4L, "purchase", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.conversionFunnel(events).collect().head
+    assert(r.getAs[Long]("n_view") === 3L) // users 1, 2, 3
+    assert(r.getAs[Long]("n_click") === 2L) // users 1, 2
+    assert(r.getAs[Long]("n_purchase") === 1L) // user 1 only
+  }
+
   test("sessionSequences breaks timestamp ties by event_id") {
     val events = Seq(
       (11L, ts(0), 1L, "b", 1.0, ""),
