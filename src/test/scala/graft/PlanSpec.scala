@@ -86,6 +86,31 @@ class PlanSpec extends AnyFunSuite {
       "centroids are not broadcast")
   }
 
+  test("q74/q81 are pure map-side plans: no exchange anywhere") {
+    for (q <- Seq("q74_chunking", "q81_quantize")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q gained a shuffle:\n$plan")
+      assert(!plan.contains("Window"), s"$q gained a window:\n$plan")
+    }
+  }
+
+  test("q67 funnel is one scan: a single parquet read feeds all stages") {
+    val plan = planString(SparkEntry.queries("q67_filter_funnel")(spark, TestSpark.sf))
+    // count scan nodes in the plan text (collect() can't see through the
+    // unexecuted AdaptiveSparkPlan wrapper)
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"funnel re-scans the input:\n$plan")
+  }
+
+  test("q82 funnel joins stay equi-joins with no sort window") {
+    val df = SparkEntry.queries("q82_conversion_funnel")(spark, TestSpark.sf)
+    val plan = planString(df)
+    assert(!plan.contains("Window"), s"sort window crept into the funnel:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"funnel stage joins degenerated to cartesian:\n$plan")
+  }
+
   test("q47 range join plans as a binned equi-join, not a nested loop") {
     val df = SparkEntry.queries("q47_range_join")(spark, TestSpark.sf)
     val plan = planString(df)
