@@ -152,4 +152,49 @@ object Stateful {
           }
       }
   }
+
+  /** One raw event for streaming funnel tracking. */
+  case class FunnelEvent(userId: Long, eventType: String, timestamp: Long)
+
+  /** Emitted once per stage ADVANCE: the user reached `stage` at
+    * `timestamp`.
+    */
+  case class FunnelAdvance(userId: Long, stage: Int, stageName: String, timestamp: Long)
+
+  /** Streaming conversion funnel — the stateful real-time twin of
+    * [[graft.operators.TimeWindows.conversionFunnel]]: per user, a tiny
+    * state machine (current stage int) advances only on the NEXT stage's
+    * event type, and every advance emits one [[FunnelAdvance]] row. Events
+    * inside a micro-batch are sorted by timestamp before folding, so
+    * in-batch disorder cannot skip or reorder stages; cross-batch disorder
+    * is bounded by the source's delivery guarantees exactly like every
+    * mapGroupsWithState consumer.
+    *
+    * State is ONE int per user ever seen in the funnel — the smallest
+    * possible CEP state. At 100-TB user cardinality pair with the same
+    * event-time-TTL eviction as [[statsWithTTL]]; the NoTimeout form here
+    * keeps the spec deterministic.
+    *
+    * @param stages ordered event types, default view → click → purchase
+    */
+  def funnelAdvances(spark: SparkSession, events: Dataset[FunnelEvent],
+                     stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Int, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[Int]) =>
+          var stage = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          batch.toSeq.sortBy(e => (e.timestamp, e.eventType)).foreach { e =>
+            if (stage < stages.length && e.eventType == stages(stage)) {
+              stage += 1
+              out += FunnelAdvance(userId, stage, stages(stage - 1), e.timestamp)
+            }
+          }
+          state.update(stage)
+          out.iterator
+      }
+  }
 }

@@ -43,6 +43,35 @@ class StatefulSpec extends AnyFunSuite {
     assert(u2.nReviews === 1 && u2.meanRating === 5.0)
   }
 
+  test("streaming funnel advances only on in-order stages, across micro-batches") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      Stateful.FunnelEvent](spark)
+    val q = Stateful.funnelAdvances(spark, input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_adv")
+      .option("checkpointLocation", Files.createTempDirectory("funnel-ck").toString)
+      .start()
+    // batch 1, deliberately out of time order WITHIN the batch: user 1's
+    // view(t=1) then click(t=2) must both fire despite arrival order;
+    // user 2's purchase arrives before any view → no advance at all
+    input.addData(
+      Stateful.FunnelEvent(1L, "click", 2L), Stateful.FunnelEvent(1L, "view", 1L),
+      Stateful.FunnelEvent(2L, "purchase", 1L))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (stage 3 via carried state); user 2 views
+    // (stage 1); a repeated view for user 1 must NOT re-advance
+    input.addData(
+      Stateful.FunnelEvent(1L, "purchase", 3L), Stateful.FunnelEvent(1L, "view", 4L),
+      Stateful.FunnelEvent(2L, "view", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_adv").as[Stateful.FunnelAdvance].collect()
+      .map(a => (a.userId, a.stage, a.stageName, a.timestamp)).toSet
+    assert(rows === Set(
+      (1L, 1, "view", 1L), (1L, 2, "click", 2L), (1L, 3, "purchase", 3L),
+      (2L, 1, "view", 2L)))
+  }
+
   test("event-time TTL evicts an idle user's state once the watermark passes it") {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Stateful.Review](
       spark)
