@@ -193,7 +193,10 @@ object Stateful {
               out += FunnelAdvance(userId, stage, stages(stage - 1), e.timestamp)
             }
           }
-          state.update(stage)
+          // don't allocate state for users who never entered the funnel —
+          // at 100-TB cardinality most users never produce the first stage,
+          // and a stage-0 entry would still cost a state-store row each
+          if (stage > 0 || state.exists) state.update(stage)
           out.iterator
       }
   }
