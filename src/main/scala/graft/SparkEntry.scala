@@ -442,6 +442,12 @@ object SparkEntry {
       Similarity.embeddingNearDupPairsIVF(Tables.embeddings(s, dir), threshold = 0.4)),
     "q41_sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(simQueries(s, dir), Tables.embeddings(s, dir))),
+    // ANN quality report card: recall@k (and rank drift) of the q41 IVF
+    // result against the q37 brute-force ground truth
+    "q83_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(s,
+        Similarity.ivfTopK(simQueries(s, dir), Tables.embeddings(s, dir)),
+        Similarity.bruteForceTopK(simQueries(s, dir), Tables.embeddings(s, dir)))),
 
     // ---- training-data pipeline: multimodal columns ----
     "q42_multimodal_meta" -> ((s, dir) =>
@@ -788,7 +794,7 @@ object SparkEntry {
          |  SELECT doc_id, n_chars,
          |    ${md5Prefix32Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
          |  FROM documents)
-         |SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          |FROM h GROUP BY shard""".stripMargin,
     "q35_fingerprint" ->
@@ -987,7 +993,8 @@ object SparkEntry {
         |  FROM toks WHERE len(t) >= 2)
         |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram LIMIT 50""".stripMargin,
-    // µs-cast timestamps on every comparison, matching Spark's precision
+    // µs-cast timestamps on every comparison, matching Spark's precision;
+    // rates are exact-integer-count divisions, so doubles agree bit-for-bit
     "q82_conversion_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
@@ -1000,10 +1007,20 @@ object SparkEntry {
         |p AS (SELECT e.user_id
         |      FROM e JOIN c ON e.user_id = c.user_id
         |      WHERE e.event_type = 'purchase' AND e.t >= c.t_click
-        |      GROUP BY e.user_id)
-        |SELECT (SELECT count(*) FROM v) AS n_view,
-        |       (SELECT count(*) FROM c) AS n_click,
-        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+        |      GROUP BY e.user_id),
+        |n AS (
+        |  SELECT 1 AS stage, 'view' AS stage_name, (SELECT count(*) FROM v) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+        |SELECT CAST(stage AS INTEGER) AS stage, stage_name, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY stage) IS NULL THEN CAST(1 AS DOUBLE)
+        |       WHEN lag(n_users) OVER (ORDER BY stage) = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(n_users AS DOUBLE) / lag(n_users) OVER (ORDER BY stage)
+        |       END AS conv_from_prev,
+        |  CASE WHEN first_value(n_users) OVER (ORDER BY stage) = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(n_users AS DOUBLE) / first_value(n_users) OVER (ORDER BY stage)
+        |       END AS conv_from_start
+        |FROM n""".stripMargin,
     // q22's lag/cumsum sessionization with an ordered list aggregate on top
     "q77_session_sequences" ->
       s"""WITH e AS (
@@ -1152,17 +1169,7 @@ object SparkEntry {
         |  JOIN sz sa ON sa.doc_id = i.a_id
         |  JOIN sz sb ON sb.doc_id = i.b_id)
         |WHERE jaccard >= 0.5""".stripMargin,
-    "q37_sim_topk_brute" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
-         |scored AS (
-         |  SELECT q_id, e.vec_id, ${cosineSql("q_emb", "e.embedding")} AS sim
-         |  FROM q CROSS JOIN embeddings e WHERE q_id <> e.vec_id)
-         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT q_id, vec_id, sim,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-         |  FROM scored)
-         |WHERE rank <= 5""".stripMargin,
+    "q37_sim_topk_brute" -> bruteTopkOracle,
     "q38_embedding_neardup" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
@@ -1178,33 +1185,28 @@ object SparkEntry {
          |         ${cosineSql("a.embedding", "b.embedding")} AS sim
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.4""".stripMargin,
-    "q41_sim_topk_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
-         |assign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-         |    FROM embeddings e CROSS JOIN cents c)
-         |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
-         |probes AS (
-         |  SELECT q_id, q_emb, cell FROM (
-         |    SELECT q.q_id, q.q_emb, c.c_id AS cell,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${cosineSql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS rn
-         |    FROM q CROSS JOIN cents c)
-         |  WHERE rn <= 4),
-         |scored AS (
-         |  SELECT p.q_id, a.vec_id, ${cosineSql("p.q_emb", "a.embedding")} AS sim
-         |  FROM probes p JOIN assign a ON p.cell = a.cell
-         |  WHERE p.q_id <> a.vec_id)
-         |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT q_id, vec_id, sim,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-         |  FROM scored)
-         |WHERE rank <= 5""".stripMargin,
+    "q41_sim_topk_ivf" -> ivfTopkOracle,
+    // recall@k of the IVF result vs the brute-force ground truth: both
+    // sides are the (deterministic, independently oracled) q37/q41 result
+    // sets, so the recall computation itself oracles as a join + counts
+    "q83_ann_recall" ->
+      s"""WITH ivf AS ($ivfTopkOracle),
+         |brute AS ($bruteTopkOracle),
+         |m AS (
+         |  SELECT i.q_id, i.vec_id, i.rank AS ivf_rank, b.rank AS true_rank
+         |  FROM ivf i JOIN brute b ON i.q_id = b.q_id AND i.vec_id = b.vec_id),
+         |ks AS (SELECT unnest(range(1, 6)) AS k),
+         |nq AS (SELECT count(DISTINCT q_id) AS n_queries FROM brute),
+         |h AS (
+         |  SELECT k, count(*) AS n_hits,
+         |         avg(CAST(abs(ivf_rank - true_rank) AS DOUBLE)) AS mre
+         |  FROM ks JOIN m ON m.ivf_rank <= ks.k AND m.true_rank <= ks.k
+         |  GROUP BY k)
+         |SELECT ks.k AS k, nq.n_queries AS n_queries,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (nq.n_queries * ks.k) AS recall,
+         |  COALESCE(h.mre, CAST(0 AS DOUBLE)) AS mean_rank_err
+         |FROM ks LEFT JOIN h ON ks.k = h.k CROSS JOIN nq""".stripMargin,
     "q42_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -1234,6 +1236,53 @@ object SparkEntry {
          |  ${md5Prefix32Sql("frame")} AS frame_fp
          |FROM frames""".stripMargin,
   )
+
+  /** DuckDB twin of [[graft.operators.Similarity.bruteForceTopK]] over the
+    * q37 query subset — shared by the q37 oracle and the q83 recall oracle.
+    */
+  private def bruteTopkOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id, ${cosineSql("q_emb", "e.embedding")} AS sim
+       |  FROM q CROSS JOIN embeddings e WHERE q_id <> e.vec_id)
+       |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Similarity.ivfTopK]] (stride-37
+    * centroids, nprobe 4) — shared by the q41 oracle and the q83 recall
+    * oracle.
+    */
+  private def ivfTopkOracle: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+       |probes AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosineSql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id, ${cosineSql("p.q_emb", "a.embedding")} AS sim
+       |  FROM probes p JOIN assign a ON p.cell = a.cell
+       |  WHERE p.q_id <> a.vec_id)
+       |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
 
   /** DuckDB twin of [[graft.functions.TextAnalysis.md5Prefix32]]: parse the
     * first 8 hex digits of md5 as a BIGINT (no hex-cast builtin in DuckDB
@@ -1270,8 +1319,10 @@ object SparkEntry {
 
   /** CTE chain shared by the q39 and q45 twins: md5-prefix shingle hashes,
     * the fixed permutation algebra of
-    * [[org.apache.spark.sql.graft.MinHashSignature]] (a_j =
-    * (2654435761·(j+1)) mod p, b_j = (1000003·(j+1)) mod p, p = 2³¹−1),
+    * [[org.apache.spark.sql.graft.MinHashSignature]] (m_j = min_i
+    * ((h_i mod p)·a_j + b_j) mod p with a_j = (2654435761·(j+1)) mod p,
+    * b_j = (1000003·(j+1)) mod p, p = 2³¹−1 — h reduced mod p before the
+    * multiply on BOTH engines, keeping products < 2⁶²),
     * content band keys, and the
     * est-Jaccard-filtered pair set as final CTE `mh_pairs`.
     */
@@ -1290,7 +1341,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |    list_transform(range(0, 64), j ->
        |      list_min(list_transform(hs,
-       |        h -> (h * ((2654435761 * (j + 1)) % 2147483647) + (1000003 * (j + 1)) % 2147483647) % 2147483647))) AS sig
+       |        h -> ((h % 2147483647) * ((2654435761 * (j + 1)) % 2147483647) + (1000003 * (j + 1)) % 2147483647) % 2147483647))) AS sig
        |  FROM hs WHERE len(hs) > 0),
        |bands AS (SELECT unnest(range(0, 16)) AS band),
        |banded AS (

@@ -171,6 +171,46 @@ object Similarity {
       aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"))
   }
 
+  /** ANN quality grading — recall@k of an approximate top-k result against
+    * the exact brute-force ground truth, the first metric any ANN consumer
+    * asks for ("how much recall did the IVF probe budget buy?").
+    *
+    * recall@k = Σ_q |ivf_topk(q) ∩ true_topk(q)| / (n_queries · k), for
+    * every k ≤ maxK, plus the mean |rank displacement| over the hits (how
+    * far the approximate rank drifts from the true rank when the item IS
+    * found). Both inputs carry (q_id, vec_id, rank) — the contract
+    * [[bruteForceTopK]] and [[ivfTopK]] share.
+    *
+    * Plan shape: one equi-join on (q_id, vec_id) — at most n_queries·k
+    * rows a side — then a k-fan-out over the tiny matched set and a
+    * grouped count. The denominators ride along as 1-row aggregates
+    * (crossJoin of counts, the q82 pattern), so nothing is collected.
+    * Determinism: counts are exact; the rank-displacement mean sums small
+    * integers in double (exact < 2⁵³), so reduction order cannot change it.
+    *
+    * @return one row per k: (k, n_queries, n_hits, recall, mean_rank_err)
+    */
+  def annRecall(spark: org.apache.spark.sql.SparkSession,
+                approx: DataFrame, exact: DataFrame, maxK: Int = 5): DataFrame = {
+    val matched = approx.select(col("q_id"), col("vec_id"), col("rank").as("ivf_rank"))
+      .join(exact.select(col("q_id"), col("vec_id"), col("rank").as("true_rank")),
+        Seq("q_id", "vec_id"))
+    val ks = spark.range(1, maxK + 1).toDF("k")
+    val hits = matched.join(ks,
+        col("ivf_rank") <= col("k") && col("true_rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_hits"),
+        avg(abs(col("ivf_rank") - col("true_rank")).cast("double")).as("mre"))
+    val nq = exact.agg(count_distinct(col("q_id")).as("n_queries"))
+    ks.join(hits, Seq("k"), "left")
+      .crossJoin(nq)
+      .select(col("k"), col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / (col("n_queries") * col("k"))).as("recall"),
+        coalesce(col("mre"), lit(0.0)).as("mean_rank_err"))
+  }
+
   /** k-means M-step: recompute each cell's centroid as the elementwise
     * mean of its member vectors. With [[ivfAssign]] as the E-step this is
     * one full Lloyd iteration; [[kmeansCentroids]] is the MLlib-trained

@@ -49,31 +49,57 @@ object TimeWindows {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
-  /** Sequential conversion funnel view → click → purchase: a user counts
-    * at stage k+1 only with an event at-or-after their stage-k entry time
-    * (first view, then first click ≥ that view, then a purchase ≥ that
-    * click) — true temporal ordering, not mere event-type presence.
+  /** Sequential k-stage conversion funnel (default view → click →
+    * purchase): a user counts at stage i+1 only with an event at-or-after
+    * their stage-i entry time (first stage-1 event, then the first stage-2
+    * event ≥ that time, …) — true temporal ordering, not mere event-type
+    * presence. The stage list is a parameter; the streaming twin
+    * [[graft.streaming.Stateful.funnelAdvances]] takes the same list.
     *
     * Each stage is a filtered min-aggregate (map-side combine, shuffle
     * keyed by user) plus one equi-join against the previous stage's
     * per-user entry times; the funnel narrows monotonically, so each
     * successive join is smaller. No windows, no sessionization — at any
-    * scale the widest shuffle is |users with views| narrow rows.
+    * scale the widest shuffle is |users at stage 1| narrow rows. The final
+    * rate computation is a window over k rows (one per stage) — constant
+    * size regardless of data volume.
     *
-    * @return one row: (n_view, n_click, n_purchase) cumulative user counts
+    * @return one row per stage: (stage, stage_name, n_users,
+    *         conv_from_prev, conv_from_start); counts are monotonically
+    *         non-increasing by construction (PropertySpec invariant)
     */
-  def conversionFunnel(events: DataFrame): DataFrame = {
-    val v = events.where(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = events.where(col("event_type") === "click")
-      .join(v, "user_id").where(col("ts") >= col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val p = events.where(col("event_type") === "purchase")
-      .join(c, "user_id").where(col("ts") >= col("t_click"))
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_p"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  def conversionFunnel(events: DataFrame,
+                       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // per-user entry times, folded stage over stage (first frame has no
+    // predecessor join; each later one scopes to events ≥ the prior entry)
+    val entries = stages.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (stageName, _)) =>
+        val typed = events.where(col("event_type") === stageName)
+        val scoped = acc.headOption match {
+          case None => typed
+          case Some(prev) =>
+            typed.join(prev.select(col("user_id"), col("t_entry").as("t_prev")), "user_id")
+              .where(col("ts") >= col("t_prev"))
+        }
+        scoped.groupBy(col("user_id")).agg(min(col("ts")).as("t_entry")) :: acc
+    }.reverse
+    val counts = entries.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stages(i)).as("stage_name"), col("n_users"))
+    }.reduce(_ union _)
+    // k rows total — the unpartitioned window is a single-task sort of a
+    // constant-size frame, not a scalability concern
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+    counts
+      .withColumn("prev_n", lag(col("n_users"), 1).over(w))
+      .withColumn("first_n", first(col("n_users")).over(w))
+      .select(col("stage"), col("stage_name"), col("n_users"),
+        when(col("prev_n").isNull, lit(1.0))
+          .when(col("prev_n") === 0, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("prev_n")).as("conv_from_prev"),
+        when(col("first_n") === 0, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("first_n")).as("conv_from_start"))
   }
 
   /** Behavioral training sequences: per (user, session), the ordered

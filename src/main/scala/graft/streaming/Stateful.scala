@@ -153,8 +153,25 @@ object Stateful {
       }
   }
 
-  /** One raw event for streaming funnel tracking. */
+  /** One raw event for streaming funnel tracking. `timestamp` is epoch
+    * millis in the TTL form (it becomes the watermark column).
+    */
   case class FunnelEvent(userId: Long, eventType: String, timestamp: Long)
+
+  /** [[FunnelEvent]] plus the derived event-time column for the TTL form. */
+  case class TimedFunnelEvent(userId: Long, eventType: String, timestamp: Long,
+                              eventTime: java.sql.Timestamp)
+
+  /** TTL-form state: the stage reached plus the last event time that arms
+    * the eviction timer.
+    */
+  case class FunnelState(stage: Int, lastTs: Long)
+
+  /** TTL-form output row; `evicted = true` marks the final flush emitted
+    * when a user's state times out (stage/timestamp are the last reached).
+    */
+  case class FunnelAdvanceEvent(userId: Long, stage: Int, stageName: String,
+                                timestamp: Long, evicted: Boolean)
 
   /** Emitted once per stage ADVANCE: the user reached `stage` at
     * `timestamp`.
@@ -171,9 +188,10 @@ object Stateful {
     * mapGroupsWithState consumer.
     *
     * State is ONE int per user ever seen in the funnel — the smallest
-    * possible CEP state. At 100-TB user cardinality pair with the same
-    * event-time-TTL eviction as [[statsWithTTL]]; the NoTimeout form here
-    * keeps the spec deterministic.
+    * possible CEP state. This NoTimeout form keeps state forever and is
+    * for bounded key cardinality / interactive use; the production form at
+    * 100-TB user cardinality is [[funnelAdvancesWithTTL]], which bounds
+    * state to the users active within one TTL horizon.
     *
     * @param stages ordered event types, default view → click → purchase
     */
@@ -187,7 +205,12 @@ object Stateful {
         (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[Int]) =>
           var stage = state.getOption.getOrElse(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
-          batch.toSeq.sortBy(e => (e.timestamp, e.eventType)).foreach { e =>
+          // tie-break same-timestamp events by funnel stage index (NOT by
+          // event-type string, which for view/click/purchase sorts in
+          // reverse funnel order): a view and click sharing one timestamp
+          // must fold view-first so the user advances to stage 2, matching
+          // the batch twin's `ts >= t_prev` semantics
+          batch.toSeq.sortBy(e => (e.timestamp, stages.indexOf(e.eventType))).foreach { e =>
             if (stage < stages.length && e.eventType == stages(stage)) {
               stage += 1
               out += FunnelAdvance(userId, stage, stages(stage - 1), e.timestamp)
@@ -198,6 +221,65 @@ object Stateful {
           // and a stage-0 entry would still cost a state-store row each
           if (stage > 0 || state.exists) state.update(stage)
           out.iterator
+      }
+  }
+
+  /** Production form of [[funnelAdvances]]: the same per-user stage machine
+    * with event-time-TTL eviction, mirroring [[statsWithTTL]]. A user idle
+    * longer than `ttlMs` (by the watermark, not wall clock — deterministic
+    * and spec-assertable) has their state evicted with one final
+    * `evicted = true` flush row carrying the last stage reached; an event
+    * arriving after eviction restarts the user at stage 0. State size is
+    * bounded by the users active within one TTL horizon, not the all-time
+    * user count.
+    *
+    * @param events streaming frame with [[FunnelEvent]]'s columns;
+    *               `timestamp` is epoch millis and drives the watermark
+    * @param stages ordered event types, default view → click → purchase
+    */
+  def funnelAdvancesWithTTL(spark: SparkSession, events: DataFrame,
+                            stages: Seq[String] = Seq("view", "click", "purchase"),
+                            watermarkDelay: String = "10 minutes",
+                            ttlMs: Long = 30L * 60 * 1000): Dataset[FunnelAdvanceEvent] = {
+    import spark.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedFunnelEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvanceEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TimedFunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(FunnelAdvanceEvent(userId, last.stage,
+              if (last.stage > 0) stages(last.stage - 1) else "", last.lastTs, evicted = true))
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            var stage = prev.stage
+            var lastTs = prev.lastTs
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvanceEvent]
+            // same in-batch ordering contract as the NoTimeout form: by
+            // (timestamp, stage index) so simultaneous events fold in
+            // funnel order, matching the batch twin's >= semantics
+            batch.toSeq.sortBy(e => (e.timestamp, stages.indexOf(e.eventType))).foreach { e =>
+              if (e.timestamp > lastTs) lastTs = e.timestamp
+              if (stage < stages.length && e.eventType == stages(stage)) {
+                stage += 1
+                out += FunnelAdvanceEvent(userId, stage, stages(stage - 1), e.timestamp,
+                  evicted = false)
+              }
+            }
+            // the same no-allocation guard as the NoTimeout form; armed
+            // state clamps its timer past the watermark like statsWithTTL
+            if (stage > 0 || state.exists) {
+              state.update(FunnelState(stage, lastTs))
+              state.setTimeoutTimestamp(
+                math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
       }
   }
 }

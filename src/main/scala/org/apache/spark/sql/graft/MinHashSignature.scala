@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * hash set, in one codegen'd nested loop.
   *
   * Input: array<long> of (32-bit-range) shingle hashes. Output: array<long>
-  * of k signature values, m_j = min_i (h_i·a_j + b_j) mod p with the fixed
-  * deterministic permutation parameters a_j = (2654435761·(j+1)) mod p
+  * of k signature values, m_j = min_i ((h_i mod p)·a_j + b_j) mod p with the
+  * fixed deterministic permutation parameters a_j = (2654435761·(j+1)) mod p
   * (Knuth's multiplicative constant — large, so products wrap mod p and
   * magnitude order is scrambled per permutation), b_j = (1000003·(j+1))
   * mod p, p = 2³¹−1 (Mersenne).
@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * the whole signature into one compiled loop, keeping MinHash a pure
   * map-side operation: the only shuffle left in LSH dedup is the band
   * bucket join.
+  *
+  * Overflow headroom: h is reduced mod p BEFORE the multiply, so every
+  * product is < (p−1)·(p−1) < 2⁶² — safe in signed 64-bit regardless of the
+  * shingle-hash width. (Without the reduction, correctness silently relied
+  * on md5Prefix32 inputs being < 2³²; Spark would wrap on wider hashes
+  * while the DuckDB BIGINT twin raised an overflow error, diverging the
+  * engines.) The DuckDB oracle twin applies the same `h % p` reduction.
   *
   * Empty input → empty signature (caller filters docs with no shingles).
   */
@@ -54,7 +61,7 @@ case class MinHashSignature(child: Expression, k: Int)
         val h = arr.getLong(i)
         var j = 0
         while (j < k) {
-          val v = (h * ((2654435761L * (j + 1)) % P) + (1000003L * (j + 1)) % P) % P
+          val v = ((h % P) * ((2654435761L * (j + 1)) % P) + (1000003L * (j + 1)) % P) % P
           if (v < m(j)) m(j) = v
           j += 1
         }
@@ -80,7 +87,7 @@ case class MinHashSignature(child: Expression, k: Int)
          |for (int $i = 0; $i < $n; $i++) {
          |  final long $h = $a.getLong($i);
          |  for (int $j = 0; $j < $k; $j++) {
-         |    final long $v = ($h * ((2654435761L * ($j + 1)) % ${P}L) + (1000003L * ($j + 1)) % ${P}L) % ${P}L;
+         |    final long $v = (($h % ${P}L) * ((2654435761L * ($j + 1)) % ${P}L) + (1000003L * ($j + 1)) % ${P}L) % ${P}L;
          |    if ($v < $m[$j]) $m[$j] = $v;
          |  }
          |}

@@ -102,6 +102,54 @@ class PropertySpec extends AnyFunSuite {
   private def textSamples(n: Int): Seq[List[(Long, String)]] =
     (1 to n).flatMap(i => textGen.apply(Gen.Parameters.default, Seed(100L + i)))
 
+  private val eventGen: Gen[List[(Long, java.sql.Timestamp, Long, String)]] =
+    Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 10L)
+      typ <- Gen.oneOf("view", "click", "purchase", "other")
+      sec <- Gen.choose(0L, 3600L)
+    } yield (u, typ, sec)).map(_.zipWithIndex.map { case ((u, typ, sec), i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + sec * 1000L), u, typ)
+    })
+
+  private def eventSamples(n: Int): Seq[List[(Long, java.sql.Timestamp, Long, String)]] =
+    (1 to n).flatMap(i => eventGen.apply(Gen.Parameters.default, Seed(200L + i)))
+
+  test("conversionFunnel: stage counts monotone non-increasing, rates in [0,1], exact recompute") {
+    for (rows <- eventSamples(5)) {
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val r = graft.operators.TimeWindows.conversionFunnel(df).collect()
+        .map(row => row.getAs[Int]("stage") ->
+          (row.getAs[Long]("n_users"), row.getAs[Double]("conv_from_prev"),
+            row.getAs[Double]("conv_from_start")))
+        .toMap
+      assert(r.keySet === Set(1, 2, 3))
+      // the funnel can only narrow
+      assert(r(1)._1 >= r(2)._1 && r(2)._1 >= r(3)._1)
+      r.values.foreach { case (_, prev, start) =>
+        assert(prev >= 0.0 && prev <= 1.0 && start >= 0.0 && start <= 1.0)
+      }
+      assert(r(1)._2 === 1.0 && r(1)._3 === 1.0)
+      // direct row-wise recomputation of the temporal-order semantics
+      val byUser = rows.groupBy(_._3)
+      val tView = byUser.flatMap { case (u, es) =>
+        es.filter(_._4 == "view").map(_._2.getTime) match {
+          case Nil => None; case vs => Some(u -> vs.min)
+        }
+      }
+      val tClick = tView.flatMap { case (u, tv) =>
+        byUser(u).filter(e => e._4 == "click" && e._2.getTime >= tv).map(_._2.getTime) match {
+          case Nil => None; case cs => Some(u -> cs.min)
+        }
+      }
+      val nPurch = tClick.count { case (u, tc) =>
+        byUser(u).exists(e => e._4 == "purchase" && e._2.getTime >= tc)
+      }
+      assert(r(1)._1 === tView.size.toLong)
+      assert(r(2)._1 === tClick.size.toLong)
+      assert(r(3)._1 === nPurch.toLong)
+    }
+  }
+
   test("chunkDocuments: dense chunk ids, full non-last chunks, exact tail coverage") {
     for (rows <- textSamples(5)) {
       val df = rows.toDF("doc_id", "text")

@@ -70,6 +70,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"cell-bucketed recall too low: $recall")
   }
 
+  test("annRecall grades IVF vs brute force: k rows, bounded metrics, floor recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val report = Similarity.annRecall(spark,
+      Similarity.ivfTopK(q, emb, k = 5, nprobe = 4),
+      Similarity.bruteForceTopK(q, emb, k = 5))
+      .collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Double]("recall"), r.getAs[Double]("mean_rank_err")))
+      .toMap
+    assert(report.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    report.values.foreach { case (recall, mre) =>
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(mre >= 0.0 && mre <= 4.0) // |rank drift| inside a depth-5 list
+    }
+    // the quality floor at the default probe budget (nprobe=4 of ~13 cells)
+    assert(report(5L)._1 >= 0.3, s"recall@5 too low: ${report(5L)._1}")
+  }
+
+  test("annRecall is exactly 1.0 with zero rank error when approx == exact") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val brute = Similarity.bruteForceTopK(q, emb, k = 5)
+    val rows = Similarity.annRecall(spark, brute, brute).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall") === 1.0)
+      assert(r.getAs[Double]("mean_rank_err") === 0.0)
+      assert(r.getAs[Long]("n_hits") === r.getAs[Long]("n_queries") * r.getAs[Long]("k"))
+    }
+  }
+
   test("bruteForceTopK ranks are dense 1..k per query") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.where($"vec_id" === 0)

@@ -72,6 +72,44 @@ class StatefulSpec extends AnyFunSuite {
       (2L, 1, "view", 2L)))
   }
 
+  test("funnel TTL: stale state evicts with a flush, a later event restarts at stage 0") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      Stateful.FunnelEvent](spark)
+    val out = Stateful.funnelAdvancesWithTTL(spark, input.toDF(),
+      watermarkDelay = "0 seconds", ttlMs = 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_ttl")
+      .option("checkpointLocation", Files.createTempDirectory("funnel-ttl-ck").toString)
+      .start()
+
+    // user 1 reaches stage 2 by t=15s, then goes idle
+    input.addData(
+      Stateful.FunnelEvent(1L, "view", 10000L), Stateful.FunnelEvent(1L, "click", 15000L))
+    q.processAllAvailable() // watermark -> 15s
+    input.addData(Stateful.FunnelEvent(2L, "view", 120000L)) // watermark -> 120s > 15s+TTL
+    q.processAllAvailable()
+    input.addData(Stateful.FunnelEvent(2L, "click", 130000L)) // next batch fires the timeout
+    q.processAllAvailable()
+    // post-eviction: user 1 must restart at stage 0 — a view advances to
+    // stage 1 again, and the earlier click progress is gone
+    input.addData(Stateful.FunnelEvent(1L, "view", 140000L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_ttl").as[Stateful.FunnelAdvanceEvent].collect()
+    val evicted = rows.filter(_.evicted)
+    assert(evicted.map(e => (e.userId, e.stage, e.stageName, e.timestamp)).toSeq ===
+      Seq((1L, 2, "click", 15000L)),
+      s"user 1 idle past its TTL must flush once at its last stage; got ${rows.toSeq}")
+    // user 1's advances: stage 1+2 pre-eviction, stage 1 AGAIN after restart
+    assert(rows.filter(r => r.userId == 1L && !r.evicted)
+      .map(r => (r.stage, r.timestamp)).sortBy(_._2).toSeq ===
+      Seq((1, 10000L), (2, 15000L), (1, 140000L)))
+    // user 2 stayed active — never evicted, advanced normally
+    assert(!rows.exists(r => r.userId == 2L && r.evicted))
+    assert(rows.filter(r => r.userId == 2L).map(_.stage).sorted.toSeq === Seq(1, 2))
+  }
+
   test("event-time TTL evicts an idle user's state once the watermark passes it") {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Stateful.Review](
       spark)

@@ -50,10 +50,24 @@ class TimeWindowsSpec extends AnyFunSuite {
       // user 4: never viewed → not even stage 1
       (9L, ts(0), 4L, "click", 1.0, ""), (10L, ts(1), 4L, "purchase", 1.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val r = TimeWindows.conversionFunnel(events).collect().head
-    assert(r.getAs[Long]("n_view") === 3L) // users 1, 2, 3
-    assert(r.getAs[Long]("n_click") === 2L) // users 1, 2
-    assert(r.getAs[Long]("n_purchase") === 1L) // user 1 only
+    val r = TimeWindows.conversionFunnel(events).collect()
+      .map(row => row.getAs[Int]("stage") ->
+        (row.getAs[String]("stage_name"), row.getAs[Long]("n_users"),
+          row.getAs[Double]("conv_from_prev"), row.getAs[Double]("conv_from_start")))
+      .toMap
+    assert(r(1) === (("view", 3L, 1.0, 1.0))) // users 1, 2, 3
+    assert(r(2) === (("click", 2L, 2.0 / 3.0, 2.0 / 3.0))) // users 1, 2
+    assert(r(3) === (("purchase", 1L, 0.5, 1.0 / 3.0))) // user 1 only
+  }
+
+  test("conversionFunnel generalizes to an arbitrary stage list") {
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 1.0, ""), (2L, ts(1), 1L, "b", 1.0, ""),
+      (3L, ts(2), 2L, "a", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.conversionFunnel(events, Seq("a", "b"))
+      .collect().map(row => row.getAs[Int]("stage") -> row.getAs[Long]("n_users")).toMap
+    assert(r === Map(1 -> 2L, 2 -> 1L))
   }
 
   test("sessionSequences breaks timestamp ties by event_id") {
