@@ -462,6 +462,13 @@ object SparkEntry {
             .as("features"))),
     "q44_multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+    // REAL decode, no stub: synthesize a spec-conformant 8-bit PCM WAV per
+    // document, then parse the RIFF header and fold per-sample amplitude
+    // stats with pure byte expressions (the oracle recomputes the stats
+    // from the synthesis formula; MultimodalSpec decodes a hand-built
+    // fixture to pin the byte-level parse itself)
+    "q84_wav_decode" -> ((s, dir) =>
+      Multimodal.decodeWav(Multimodal.synthesizeWav(Tables.documents(s, dir)))),
   )
 
   /** Deterministic query subset for the similarity-search benchmarks. */
@@ -1225,6 +1232,28 @@ object SparkEntry {
          |    printf('%.3f', CAST((${md5Prefix32Sql("substring(text, CAST(i*16+1 AS INTEGER), 16)")} % 1000)
          |                        / 1000.0 AS REAL))), ',') AS features
          |FROM documents""".stripMargin,
+    // synth∘decode is the identity on the sample stream, so the oracle
+    // recomputes every parsed field from the synthesis formula: n = 32 +
+    // doc_id % 33 samples of (doc_id·31 + i·7) mod 256 at 8 kHz mono 8-bit.
+    // The byte-level header/PCM parse itself is pinned by MultimodalSpec's
+    // hand-built fixture.
+    "q84_wav_decode" ->
+      """WITH n AS (
+        |  SELECT doc_id, 32 + doc_id % 33 AS ns FROM documents),
+        |s AS (
+        |  SELECT doc_id, ns,
+        |    list_transform(range(0, ns), i -> (doc_id * 31 + i * 7) % 256) AS smp
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS valid_header,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(8 AS BIGINT) AS bits_per_sample,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(list_max(smp) AS BIGINT) AS peak,
+        |  CAST(list_sum(smp) AS BIGINT) AS amp_sum,
+        |  CAST(list_sum(smp) AS DOUBLE) / ns AS mean_amp
+        |FROM s""".stripMargin,
     "q44_multimodal_frames" ->
       s"""WITH ks AS (SELECT unnest(range(0, 4)) AS b),
          |frames AS (

@@ -122,6 +122,25 @@ object RealTime {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("userId", "productId")
 
+  /** Streaming twin of
+    * [[graft.operators.TimeWindows.sessionSequences]] (q77): the SAME
+    * groupBy/aggregate expressions behind `withWatermark` — one code path
+    * for the batch corpus build and the live event feed, the q50 pattern.
+    * A session's sequence row emits (append mode) once the watermark
+    * passes the session's close, so each fingerprint is final when it
+    * appears; state per open session is bounded by session length (the
+    * gap closes idle sessions) and the watermark evicts closed-session
+    * state. StreamingSpec asserts the emitted hashes equal the batch
+    * form's on the same event slice.
+    *
+    * @param events streaming frame with `ts` (timestamp), `user_id`,
+    *               `event_id`, `event_type`
+    */
+  def sessionSequencesStream(events: DataFrame, gap: String = "5 minutes",
+                             watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.TimeWindows.sessionSequences(
+      events.withWatermark("ts", watermarkDelay), gap)
+
   /** Batch twin of [[dedupReviews]] (whole-table horizon): the one surviving
     * row per key set, chosen deterministically as the EARLIEST event time
     * (tie-broken on `tieCol`) — where the streaming form keeps the first
@@ -153,6 +172,14 @@ object RealTime {
     * persisted bucketed table; a restart recomputes it from the corpus
     * (deterministic), so exactly-once of the flags is still carried by the
     * streaming checkpoint.
+    *
+    * SINK LAYOUT (consumer-facing): flags land in `batch=<id>`
+    * subdirectories, so `spark.read.parquet(flagsDir)` sees an extra
+    * partition column `batch` alongside the flag columns. This replaced an
+    * earlier flat-append layout (the partitioning is what makes crash
+    * replay idempotent — see below); the two layouts cannot mix, so point
+    * the query at a FRESH flagsDir when migrating from a pre-partitioned
+    * directory.
     *
     * @param docs   streaming frame with `doc_id` (long) and `text`
     * @param corpus static standing corpus with the same two columns

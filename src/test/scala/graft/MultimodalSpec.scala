@@ -33,6 +33,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.columns.toSet === Set("doc_id", "frame_no", "frame_bytes", "frame_fp"))
   }
 
+  test("decodeWav parses a hand-built WAV fixture byte-for-byte") {
+    // 44-byte RIFF header + 4 samples [0, 128, 255, 64], built by hand with
+    // java.nio — independent of synthesizeWav, so a bug shared by synth and
+    // decode can't cancel out
+    val samples = Array[Int](0, 128, 255, 64)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000).putInt(8000) // sample rate, byte rate
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+    samples.foreach(s => bb.put(s.toByte))
+
+    val r = Multimodal.decodeWav(Seq((7L, bb.array())).toDF("doc_id", "payload"))
+      .collect().head
+    assert(r.getAs[Long]("valid_header") === 1L)
+    assert(r.getAs[Long]("n_channels") === 1L)
+    assert(r.getAs[Long]("sample_rate") === 8000L)
+    assert(r.getAs[Long]("bits_per_sample") === 8L)
+    assert(r.getAs[Long]("n_samples") === 4L)
+    assert(r.getAs[Long]("peak") === 255L)
+    assert(r.getAs[Long]("amp_sum") === (0L + 128 + 255 + 64))
+    assert(r.getAs[Double]("mean_amp") === (0.0 + 128 + 255 + 64) / 4)
+    // a corrupted magic tag must flunk the header check
+    val bad = bb.array().clone(); bad(0) = 'X'.toByte
+    val rb = Multimodal.decodeWav(Seq((8L, bad)).toDF("doc_id", "payload")).collect().head
+    assert(rb.getAs[Long]("valid_header") === 0L)
+  }
+
+  test("synthesizeWav → decodeWav roundtrip matches the synthesis formula") {
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id").limit(50)
+    val decoded = Multimodal.decodeWav(Multimodal.synthesizeWav(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, r) =>
+      val n = 32 + id % 33
+      val smp = (0L until n).map(i => (id * 31 + i * 7) % 256)
+      assert(r.getAs[Long]("valid_header") === 1L)
+      assert(r.getAs[Long]("sample_rate") === 8000L)
+      assert(r.getAs[Long]("n_samples") === n)
+      assert(r.getAs[Long]("peak") === smp.max)
+      assert(r.getAs[Long]("amp_sum") === smp.sum)
+    }
+  }
+
   test("documents text is pure ASCII (oracle contract: byte slices = char slices)") {
     // the q43/q44 DuckDB twins slice VARCHAR where Spark slices binary —
     // only sound while octet_length == char length on every row

@@ -7,6 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.RealTime
 
+/** Event row for the streaming session-sequence twin spec (top-level so
+  * the product encoder resolves outside the suite instance).
+  */
+case class SessEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+
 /** J3 pipeline specs: file-stream source → enrichment → sinks, driven
   * synchronously with AvailableNow + awaitTermination (the deterministic
   * test harness SURVEY.md §5.4 calls for).
@@ -55,6 +60,47 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.read.parquet(outDir)
     assert(rows.count() === 3) // the re-delivered (1,3) collapsed
     assert(rows.select("userId", "productId").distinct().count() === 3)
+  }
+
+  test("sessionSequencesStream: streamed fingerprints equal the batch form on the same slice") {
+    def t(min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // the same shape as TimeWindowsSpec's batch case: user 7 has two
+    // sessions with in-batch disorder; user 8's single session repeats
+    // user 7's first event-type sequence
+    val closed = Seq(
+      SessEv(2L, t(1), 7L, "click"), SessEv(1L, t(0), 7L, "view"),
+      SessEv(3L, t(20), 7L, "buy"),
+      SessEv(4L, t(40), 8L, "view"), SessEv(5L, t(41), 8L, "click"))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.sessionSequencesStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_seq")
+      .option("checkpointLocation", tmp("sess-seq-ck"))
+      .start()
+    input.addData(closed.take(2): _*) // user 7 session 1, out of time order
+    q.processAllAvailable()
+    input.addData(closed.drop(2): _*) // session 2 + user 8
+    q.processAllAvailable()
+    // far-future events advance the watermark past every closed session
+    // (watermark updates at batch end, so a second batch does the flush)
+    input.addData(SessEv(8L, t(600), 9L, "view"))
+    q.processAllAvailable()
+    input.addData(SessEv(9L, t(601), 9L, "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_seq")
+      .where($"user_id" =!= 9L) // user 9's session never closed
+      .select("user_id", "session_start", "n_events", "seq_hash")
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect().toSet
+    val batch = graft.operators.TimeWindows.sessionSequences(
+      closed.toDF("event_id", "ts", "user_id", "event_type"))
+      .select("user_id", "session_start", "n_events", "seq_hash")
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3) // two sessions for user 7, one for user 8
   }
 
   test("corrupt-record surface: PERMISSIVE+audit quarantines, FAILFAST rejects") {
