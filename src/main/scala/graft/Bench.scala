@@ -66,7 +66,7 @@ object Bench {
     * hot before any timed query runs — count()-based warmup reads footers
     * only, leaving data pages cold for pass 1 (the BENCH_r03 failure mode).
     */
-  private def warmPageCache(sfDir: String): Unit =
+  private[graft] def warmPageCache(sfDir: String): Unit =
     try {
       val buf = new Array[Byte](1 << 20)
       java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir)).forEach { p =>

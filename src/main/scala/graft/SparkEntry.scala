@@ -429,6 +429,13 @@ object SparkEntry {
     // behavioral sequences: per-session ordered event-type fingerprint
     "q77_session_sequences" -> ((s, dir) =>
       TimeWindows.sessionSequences(Tables.events(s, dir))),
+    // LSH configuration grading: precision/recall of the MinHash candidate
+    // set vs the exact n-gram Jaccard truth at the same 0.5 threshold
+    "q85_lsh_quality" -> ((s, dir) =>
+      Dedup.lshQuality(Tables.documents(s, dir))),
+    // weekly cohort retention matrix over the event log
+    "q86_cohort_retention" -> ((s, dir) =>
+      TimeWindows.cohortRetention(Tables.events(s, dir))),
     // temporal conversion funnel view -> click -> purchase
     "q82_conversion_funnel" -> ((s, dir) =>
       TimeWindows.conversionFunnel(Tables.events(s, dir))),
@@ -1148,34 +1155,40 @@ object SparkEntry {
     // shingles are md5-prefix-hashed to BIGINT before the self-join on BOTH
     // sides (narrow shuffle keys in Spark, identical collision behavior in
     // the oracle) — see Dedup.ngramJaccardPairs
-    "q36_ngram_jaccard" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
-         |strsh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(0, len(t) - 2),
-         |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
-         |  FROM toks WHERE len(t) >= 3),
-         |sh AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct(list_transform(shingles, s -> ${md5Prefix32Sql("s")}))) AS shingle
-         |  FROM strsh),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |shf AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-        |  WHERE df <= 1000),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    "q36_ngram_jaccard" -> ngramJaccardOracle,
+    // LSH quality report card: precision/recall of the q39 candidate set
+    // against the q36 exact-Jaccard truth — both sides independently
+    // oracled, so the grading query composes their CTEs
+    "q85_lsh_quality" ->
+      s"""WITH est AS ($minhashOracle),
+         |truth AS ($ngramJaccardOracle),
+         |h AS (SELECT count(*) AS n_hits FROM est e
+         |      JOIN truth t ON e.a_id = t.a_id AND e.b_id = t.b_id),
+         |c AS (SELECT count(*) AS n_candidates FROM est),
+         |tr AS (SELECT count(*) AS n_truth FROM truth)
+         |SELECT c.n_candidates, tr.n_truth, h.n_hits,
+         |  CASE WHEN c.n_candidates = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(h.n_hits AS DOUBLE) / c.n_candidates END AS lsh_precision,
+         |  CASE WHEN tr.n_truth = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(h.n_hits AS DOUBLE) / tr.n_truth END AS lsh_recall
+         |FROM c CROSS JOIN tr CROSS JOIN h""".stripMargin,
+    // fixed UTC epoch-week grid on both engines; retention divides exact
+    // integer counts, so the doubles cannot disagree
+    "q86_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+        |  FROM events),
+        |co AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM co GROUP BY cohort_week),
+        |act AS (
+        |  SELECT co.cohort_week, a.week - co.cohort_week AS week_offset,
+        |         count(*) AS n_active
+        |  FROM a JOIN co ON a.user_id = co.user_id
         |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, inter, jaccard FROM (
-        |  SELECT i.a_id, i.b_id, i.inter,
-        |    CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
-        |  FROM inter i
-        |  JOIN sz sa ON sa.doc_id = i.a_id
-        |  JOIN sz sb ON sb.doc_id = i.b_id)
-        |WHERE jaccard >= 0.5""".stripMargin,
+        |SELECT act.cohort_week, act.week_offset, act.n_active, sz.cohort_size,
+        |  CAST(act.n_active AS DOUBLE) / sz.cohort_size AS retention
+        |FROM act JOIN sz ON act.cohort_week = sz.cohort_week""".stripMargin,
     "q37_sim_topk_brute" -> bruteTopkOracle,
     "q38_embedding_neardup" ->
       s"""WITH cents AS (
@@ -1395,6 +1408,39 @@ object SparkEntry {
   private def minhashOracle: String =
     s"""WITH $minhashCtes
        |SELECT a_id, b_id, est_jaccard FROM mh_pairs""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.ngramJaccardPairs]] — shared by
+    * the q36 oracle and the q85 LSH-quality oracle (where it is the exact
+    * truth side).
+    */
+  private def ngramJaccardOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |strsh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, len(t) - 2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(shingles, s -> ${md5Prefix32Sql("s")}))) AS shingle
+       |  FROM strsh),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shf AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= 1000),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, inter, jaccard FROM (
+       |  SELECT i.a_id, i.b_id, i.inter,
+       |    CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+       |  FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.a_id
+       |  JOIN sz sb ON sb.doc_id = i.b_id)
+       |WHERE jaccard >= 0.5""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.incrementalNearDups]] as wired
     * in q59: incoming = doc_id%10<3, corpus = the rest. Reuses the

@@ -212,7 +212,7 @@ object TextAnalysis {
     // subtree per element). Behind the barrier the reference is a plain
     // attribute read.
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
-      .localCheckpoint()
+      .transform(graft.barrier)
     val t = col("t")
     // positional grams — NOT distinct (repetition is the signal here)
     val grams = when(size(t) >= n,
@@ -254,7 +254,7 @@ object TextAnalysis {
       // barrier: the window-min lambda references `fps` per element;
       // without it CollapseProject inlines the whole hash pipeline into the
       // lambda and every window re-hashes the document (quadratic)
-      .localCheckpoint()
+      .transform(graft.barrier)
       .where(size(col("fps")) >= w)
       .select(col("doc_id"),
         explode(array_distinct(

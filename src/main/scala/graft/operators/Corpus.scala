@@ -26,7 +26,7 @@ object Corpus {
   private def tokensBarrier(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
-      .localCheckpoint()
+      .transform(graft.barrier)
 
   /** Per-source n-gram diversity: total gram occurrences, distinct grams,
     * and their ratio — the standard "is this source template spam?" signal
@@ -69,7 +69,7 @@ object Corpus {
       .select(col("source"),
         explode(TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))).as("g"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.barrier)
     sg.as("a")
       .join(sg.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

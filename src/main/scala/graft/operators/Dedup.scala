@@ -25,7 +25,7 @@ object Dedup {
   private def tokensBarrier(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      .localCheckpoint()
+      .transform(graft.barrier)
 
   /** Exact dedup groups: one row per distinct text with the canonical
     * (minimum) doc_id and the duplicate count. Bucketing key is the full
@@ -77,7 +77,7 @@ object Dedup {
     // the regex split per element (see TextAnalysis.shinglesOfTokens).
     val sh = tokensBarrier(documents)
       .select(col("doc_id"), explode(array_distinct(hashed)).as("shingle"))
-      .localCheckpoint()
+      .transform(graft.barrier)
     // document frequency via aggregate + join, not a window: the groupBy
     // gets map-side partial aggregation and shuffles |distinct shingles|
     // rows, where a count-over-window would sort-shuffle the full index
@@ -127,13 +127,13 @@ object Dedup {
     // (tokensBarrier before it keeps the regex split out of the lambda.)
     val sig = tokensBarrier(documents)
       .select(col("doc_id"), hs.as("hs"))
-      .localCheckpoint()
+      .transform(graft.barrier)
       .where(size(col("hs")) > 0)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.shim.column(
           org.apache.spark.sql.graft.MinHashSignature(
             org.apache.spark.sql.graft.shim.expression(col("hs")), k)).as("sig"))
-      .localCheckpoint()
+      .transform(graft.barrier)
     sig.select(
       col("doc_id"), col("sig"),
       posexplode(
@@ -177,6 +177,35 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** LSH quality report card — the dedup analog of
+    * [[Similarity.annRecall]]: precision and recall of the MinHash+LSH
+    * candidate pair set ([[minhashPairs]]) against the exact n-gram
+    * Jaccard truth ([[ngramJaccardPairs]]) at the same threshold. This is
+    * the number that justifies a band/row configuration before pointing it
+    * at 100 TB: recall says how many true near-dup pairs the S-curve
+    * passes, precision how much verify work the buckets waste.
+    *
+    * Both inputs emit canonical (a_id < b_id) pairs, so agreement is one
+    * equi-join; the three counts ride as 1-row aggregates (crossJoin of
+    * singletons — nothing collected). Count divisions are exact in double.
+    *
+    * @return one row: (n_candidates, n_truth, n_hits, lsh_precision,
+    *         lsh_recall)
+    */
+  def lshQuality(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val est = minhashPairs(documents, n, minEstJaccard = threshold).select("a_id", "b_id")
+    val truth = ngramJaccardPairs(documents, n, threshold).select("a_id", "b_id")
+    val hits = est.join(truth, Seq("a_id", "b_id"))
+    est.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        when(col("n_candidates") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_candidates")).as("lsh_precision"),
+        when(col("n_truth") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_truth")).as("lsh_recall"))
+  }
+
   /** Near-duplicate CLUSTERS — the operation a dedup pipeline actually ends
     * with: LSH candidate pairs ([[minhashPairs]]) → transitive closure
     * ([[graft.plans.GraphOps.connectedComponentsDF]], bounded large-star/
@@ -193,7 +222,7 @@ object Dedup {
                       minEstJaccard: Double = 0.5): DataFrame = {
     val pairs = minhashPairs(documents, n, k, bands, minEstJaccard)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .localCheckpoint() // CC iterates over it; don't re-run LSH per round
+      .transform(graft.barrier) // CC iterates over it; don't re-run LSH per round
     val comp = graft.plans.GraphOps.connectedComponentsDF(pairs)
     documents.select(col("doc_id"))
       .join(comp, documents("doc_id") === comp("id"), "left")
@@ -343,7 +372,7 @@ object Dedup {
     }
     val sig = nibbled.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
       .select(col("doc_id") +: chunkCols: _*)
-      .localCheckpoint() // chunk self-join reads it twice
+      .transform(graft.barrier) // chunk self-join reads it twice
     val chunked = sig.select(
       col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))))

@@ -272,7 +272,7 @@ object Similarity {
     // Materialize the assignment once: both join sides read it, and the
     // barrier keeps the (broadcast-centroid argmax) out of the pair join's
     // re-execution; on a cluster this is the bucketed table write.
-    val assigned = ivfAssign(corpus, centroidStride, nprobe).localCheckpoint()
+    val assigned = ivfAssign(corpus, centroidStride, nprobe).transform(graft.barrier)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     // Score and threshold BEFORE deduping pairs that share >1 probed cell:

@@ -61,8 +61,9 @@ object TimeWindows {
     * per-user entry times; the funnel narrows monotonically, so each
     * successive join is smaller. No windows, no sessionization — at any
     * scale the widest shuffle is |users at stage 1| narrow rows. The final
-    * rate computation is a window over k rows (one per stage) — constant
-    * size regardless of data volume.
+    * rate computation joins the k-row count frame against itself (shifted
+    * by one stage) — constant size regardless of data volume, and the plan
+    * stays window-free (PlanSpec asserts it).
     *
     * @return one row per stage: (stage, stage_name, n_users,
     *         conv_from_prev, conv_from_start); counts are monotonically
@@ -88,18 +89,44 @@ object TimeWindows {
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("stage"), lit(stages(i)).as("stage_name"), col("n_users"))
     }.reduce(_ union _)
-    // k rows total — the unpartitioned window is a single-task sort of a
-    // constant-size frame, not a scalability concern
-    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
-    counts
-      .withColumn("prev_n", lag(col("n_users"), 1).over(w))
-      .withColumn("first_n", first(col("n_users")).over(w))
+    val firstN = counts.where(col("stage") === 1).select(col("n_users").as("first_n"))
+    val prevN = counts.select((col("stage") + 1).as("stage"), col("n_users").as("prev_n"))
+    counts.join(prevN, Seq("stage"), "left")
+      .crossJoin(firstN) // 1 row by construction
       .select(col("stage"), col("stage_name"), col("n_users"),
         when(col("prev_n").isNull, lit(1.0))
           .when(col("prev_n") === 0, lit(0.0))
           .otherwise(col("n_users").cast("double") / col("prev_n")).as("conv_from_prev"),
         when(col("first_n") === 0, lit(0.0))
           .otherwise(col("n_users").cast("double") / col("first_n")).as("conv_from_start"))
+  }
+
+  /** Weekly cohort retention over the event log — the standard engagement
+    * matrix: users are grouped into cohorts by the epoch-week of their
+    * FIRST event, and each (cohort, week-offset) cell counts how many of
+    * that cohort were active `offset` weeks later. Week = ⌊epoch-seconds /
+    * 604800⌋, a fixed UTC grid both engines compute identically (no
+    * calendar/locale semantics to disagree on).
+    *
+    * Plan shape: one distinct over (user, week) — the only pass over the
+    * raw log — then user-keyed min-aggregate for cohorts, an equi-join
+    * back (both sides already narrow), and a (cohort, offset)-keyed count.
+    * Every shuffle carries 2-3 integer columns; nothing is quadratic in
+    * users or weeks. Retention is an exact integer-count division.
+    *
+    * @return (cohort_week, week_offset, n_active, cohort_size, retention)
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val week = floor(unix_timestamp(col("ts")) / 604800L).cast("long")
+    val activity = events.select(col("user_id"), week.as("week")).distinct()
+    val cohorts = activity.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, week) is distinct already
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
   }
 
   /** Behavioral training sequences: per (user, session), the ordered

@@ -167,7 +167,7 @@ object TrainingMix {
     val t = graft.functions.TextAnalysis.tokens(col("text"))
     val toks = documents
       .select(col("doc_id"), t.as("t"))
-      .localCheckpoint() // barrier: the chunk lambda must read an attribute
+      .transform(graft.barrier) // barrier: the chunk lambda must read an attribute
     val nChunks = when(size(col("t")) <= k, lit(1))
       .otherwise(ceil((size(col("t")) - k).cast("double") / stride).cast("int") + 1)
     val chunks = transform(sequence(lit(0), nChunks - 1),

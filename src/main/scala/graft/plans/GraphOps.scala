@@ -44,7 +44,7 @@ object GraphOps {
       ConnectedComponents.run(Graph.fromEdges(edgeRdd, defaultValue = 0L), maxIterations)
         .vertices.map { case (id, comp) => (id, comp) }
         .toDF("id", "component")
-        .localCheckpoint()
+        .transform(graft.barrier)
     finally edgeRdd.unpersist(blocking = false)
   }
 
@@ -69,12 +69,12 @@ object GraphOps {
     */
   def connectedComponentsDF(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val vertices = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(edges.select(col("dst").as("id"))).distinct().transform(graft.barrier)
     // canonical undirected pair set, self-loops dropped
     var e = edges
       .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(graft.barrier)
 
     // XOR-combined hash: order-independent and overflow-free under ANSI
     // (a SUM of xxhash64 values overflows Long).
@@ -100,7 +100,8 @@ object GraphOps {
       val oriented = large
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val smins = oriented.groupBy("u").agg(min(col("v")).as("m"))
-      // lazy checkpoint: the fingerprint aggregate right after is the one
+      // lazy checkpoint (direct Dataset call, not graft.barrier, which is
+      // eager by design): the fingerprint aggregate right after is the one
       // action that materializes it — one job per round, not two
       val small = oriented.join(smins, "u")
         .select(col("v").as("u"), col("m").as("v"))

@@ -38,7 +38,7 @@ object LabelPropagation {
     // Materialize the edge list once: every round references it, and without
     // this the upstream plan (e.g. the co-rating self-join) would re-execute
     // per superstep — O(iters) scans instead of one.
-    val e = if (eager) edges.select("src", "dst").localCheckpoint()
+    val e = if (eager) edges.select("src", "dst").transform(graft.barrier)
             else edges.select("src", "dst")
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -54,7 +54,7 @@ object LabelPropagation {
         .agg(max(struct(col("cnt"), col("label"))).getField("label").as("newLabel"))
       val updated = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
-      labels = if (eager) updated.localCheckpoint() else updated
+      labels = if (eager) updated.transform(graft.barrier) else updated
     }
     labels
   }

@@ -127,6 +127,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!m.keySet.exists(k => k._1 == 2L || k._2 == 2L))
   }
 
+  test("lshQuality: counts agree with the underlying pair sets, rates bounded") {
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val r = Dedup.lshQuality(tdocs).collect().head
+    val nCand = r.getAs[Long]("n_candidates")
+    val nTruth = r.getAs[Long]("n_truth")
+    val nHits = r.getAs[Long]("n_hits")
+    assert(nCand === Dedup.minhashPairs(tdocs).count())
+    assert(nTruth === Dedup.ngramJaccardPairs(tdocs).count())
+    assert(nHits <= math.min(nCand, nTruth))
+    val (p, rec) = (r.getAs[Double]("lsh_precision"), r.getAs[Double]("lsh_recall"))
+    assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    // the corpus has planted near-dups (see the calibration case): a sane
+    // 16x4 band config must recover a solid majority of true 0.5+ pairs
+    assert(nTruth > 0 && rec >= 0.5, s"LSH recall too low: $rec of $nTruth true pairs")
+  }
+
   test("minhash estimates are calibrated against exact jaccard on the real corpus") {
     val tdocs = Tables.documents(spark, TestSpark.sf)
     val exact = Dedup.ngramJaccardPairs(tdocs, threshold = 0.0)

@@ -111,6 +111,19 @@ class PlanSpec extends AnyFunSuite {
       s"funnel stage joins degenerated to cartesian:\n$plan")
   }
 
+  test("report-card and retention queries avoid quadratic joins; retention never single-partitions") {
+    for (q <- Seq("q83_ann_recall", "q85_lsh_quality", "q86_cohort_retention")) {
+      val plan = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      // 1-row denominator crossJoins must plan as broadcast nested loops
+      // over singletons, never a CartesianProduct of data-sized inputs
+      assert(!plan.contains("CartesianProduct"), s"$q quadratic join:\n$plan")
+    }
+    val ret = planString(SparkEntry.queries("q86_cohort_retention")(spark, TestSpark.sf))
+    assert(!ret.contains("Window"), s"retention gained a sort window:\n$ret")
+    assert(!ret.contains("Exchange SinglePartition"),
+      s"retention funnels through one partition:\n$ret")
+  }
+
   test("q47 range join plans as a binned equi-join, not a nested loop") {
     val df = SparkEntry.queries("q47_range_join")(spark, TestSpark.sf)
     val plan = planString(df)

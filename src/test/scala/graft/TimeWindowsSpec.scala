@@ -70,6 +70,29 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r === Map(1 -> 2L, 2 -> 1L))
   }
 
+  test("cohortRetention: hand-computed weekly matrix") {
+    // fixed UTC grid: week w maps to ts = w * 604800 s
+    def wk(w: Long, u: Long, id: Long) =
+      (id, new java.sql.Timestamp(w * 604800L * 1000L), u, "view", 1.0, "")
+    val events = Seq(
+      wk(100L, 1L, 1), wk(101L, 1L, 2), wk(102L, 1L, 3), // user 1: weeks 100,101,102
+      wk(100L, 2L, 4), wk(102L, 2L, 5), //                  user 2: weeks 100,102
+      wk(101L, 3L, 6), //                                   user 3: week 101 only
+      wk(100L, 1L, 7)) //                                   dup (user 1, week 100) — ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.TimeWindows.cohortRetention(events).collect()
+      .map(row => (row.getAs[Long]("cohort_week"), row.getAs[Long]("week_offset")) ->
+        (row.getAs[Long]("n_active"), row.getAs[Long]("cohort_size"),
+          row.getAs[Double]("retention")))
+      .toMap
+    // cohort 100 = {1, 2}; cohort 101 = {3}
+    assert(r === Map(
+      (100L, 0L) -> ((2L, 2L, 1.0)),
+      (100L, 1L) -> ((1L, 2L, 0.5)),
+      (100L, 2L) -> ((2L, 2L, 1.0)),
+      (101L, 0L) -> ((1L, 1L, 1.0))))
+  }
+
   test("sessionSequences breaks timestamp ties by event_id") {
     val events = Seq(
       (11L, ts(0), 1L, "b", 1.0, ""),
