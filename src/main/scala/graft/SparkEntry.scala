@@ -476,6 +476,10 @@ object SparkEntry {
     // fixture to pin the byte-level parse itself)
     "q84_wav_decode" -> ((s, dir) =>
       Multimodal.decodeWav(Multimodal.synthesizeWav(Tables.documents(s, dir)))),
+    // REAL image decode: binary PPM (P6) header parse (variable-length
+    // ASCII dimensions) + per-channel pixel sums, pure byte expressions
+    "q87_ppm_decode" -> ((s, dir) =>
+      Multimodal.decodePpm(Multimodal.synthesizePpm(Tables.documents(s, dir)))),
   )
 
   /** Deterministic query subset for the similarity-search benchmarks. */
@@ -1267,6 +1271,28 @@ object SparkEntry {
         |  CAST(list_sum(smp) AS BIGINT) AS amp_sum,
         |  CAST(list_sum(smp) AS DOUBLE) / ns AS mean_amp
         |FROM s""".stripMargin,
+    // same synth∘decode-identity pattern as q84: the oracle recomputes the
+    // parsed fields from the synthesis formula (w = 4 + doc_id%5,
+    // h = 3 + doc_id%4, pixel k = (doc_id·17 + k·11) mod 256); the byte-
+    // level P6 parse is pinned by MultimodalSpec's hand-built fixtures
+    "q87_ppm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h * 3), k -> (doc_id * 17 + k * 11) % 256) AS b
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS valid_magic,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(255 AS BIGINT) AS maxval,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, w * h), i -> b[i * 3 + 1])) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, w * h), i -> b[i * 3 + 2])) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(range(0, w * h), i -> b[i * 3 + 3])) AS BIGINT) AS b_sum,
+        |  CAST(list_sum(b) AS DOUBLE) / (w * h * 3) AS mean_luma
+        |FROM px""".stripMargin,
     "q44_multimodal_frames" ->
       s"""WITH ks AS (SELECT unnest(range(0, 4)) AS b),
          |frames AS (

@@ -29,6 +29,18 @@ object Formats {
   def readReviewsJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(RealTimeSchemas.review).json(path)
 
+  /** ORC source/sink for the same edge schema — the columnar alternative
+    * when a consumer's lake standardizes on ORC instead of parquet. Spark's
+    * built-in ORC reader keeps the same pushdown/pruning contract as
+    * parquet (predicate pushdown asserted in FormatsSpec), so every graft
+    * operator runs unchanged over ORC-resident tables.
+    */
+  def readEdgesOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(edgeSchema).orc(path)
+
+  def writeEdgesOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   private object RealTimeSchemas {
     val review: StructType = graft.streaming.RealTime.reviewSchema
   }

@@ -162,6 +162,67 @@ object Multimodal {
       .withColumn("mean_amp", col("amp_sum").cast("double") / col("n_samples"))
   }
 
+  /** Synthesize a REAL binary PPM (P6) image per document — ASCII
+    * `P6\n<w> <h>\n255\n` header followed by w·h RGB byte triples — again
+    * from pure column expressions. Dimensions: w = 4 + doc_id % 5,
+    * h = 3 + doc_id % 4; pixel byte k is (doc_id·17 + k·11) mod 256, so
+    * every statistic [[decodePpm]] folds is oracle-recomputable.
+    */
+  def synthesizePpm(documents: DataFrame): DataFrame = {
+    val w = lit(4L) + col("doc_id") % 5
+    val h = lit(3L) + col("doc_id") % 4
+    val nBytes = w * h * 3
+    val header = concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+      lit("\n255\n")).cast("binary")
+    val pixHex = array_join(
+      transform(sequence(lit(0L), nBytes - 1), k =>
+        format_string("%02x", ((col("doc_id") * 17 + k * 11) % 256).cast("int"))), "")
+    documents.select(col("doc_id"), concat(header, unhex(pixHex)).as("payload"))
+  }
+
+  /** REAL PPM (P6) decode — the image sibling of [[decodeWav]]: parses the
+    * ASCII header (magic, decimal width/height/maxval — variable length,
+    * so the pixel offset is computed from the parsed digit widths, not
+    * hardcoded) and folds per-channel byte sums over the interleaved RGB
+    * payload. Binary-safe: only the header prefix is ever cast to string,
+    * pixel bytes are sliced as binary.
+    *
+    * @return (doc_id, valid_magic, width, height, maxval, n_pixels,
+    *         r_sum, g_sum, b_sum, mean_luma)
+    */
+  def decodePpm(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    def byteAt(pos: Column): Column = conv(hex(p.substr(pos, lit(1))), 16, 10).cast("long")
+    // header lives in the first ~16 bytes; ASCII region parses safely as UTF-8
+    val head = p.substr(lit(1), lit(16)).cast("string")
+    val wS = regexp_extract(head, "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n", 1)
+    val hS = regexp_extract(head, "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n", 2)
+    val mS = regexp_extract(head, "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n", 3)
+    val parsed = media.select(
+      col("doc_id"), p,
+      when(wS =!= "", 1L).otherwise(0L).as("valid_magic"),
+      when(wS =!= "", wS.cast("long")).otherwise(0L).as("width"),
+      when(hS =!= "", hS.cast("long")).otherwise(0L).as("height"),
+      when(mS =!= "", mS.cast("long")).otherwise(0L).as("maxval"),
+      // "P6\n" + digits + " " + digits + "\n" + digits + "\n"
+      (lit(3L) + length(wS) + 1 + length(hS) + 1 + length(mS) + 1).as("pix_off"))
+    def chanSum(c: Int): Column =
+      aggregate(
+        transform(sequence(lit(0L), col("width") * col("height") - 1), i =>
+          byteAt(col("pix_off") + i * 3 + c + 1)),
+        lit(0L), (a, v) => a + v)
+    parsed
+      .select(col("doc_id"), col("valid_magic"), col("width"), col("height"), col("maxval"),
+        (col("width") * col("height")).as("n_pixels"),
+        when(col("valid_magic") === 1, chanSum(0)).otherwise(0L).as("r_sum"),
+        when(col("valid_magic") === 1, chanSum(1)).otherwise(0L).as("g_sum"),
+        when(col("valid_magic") === 1, chanSum(2)).otherwise(0L).as("b_sum"))
+      .withColumn("mean_luma",
+        when(col("n_pixels") > 0,
+          (col("r_sum") + col("g_sum") + col("b_sum")).cast("double")
+            / (col("n_pixels") * 3)).otherwise(lit(0.0)))
+  }
+
   /** The mapPartitions seam where a real batch decoder binds (the JVM-side
     * analog of a vectorized pandas-UDF decode): payloads are processed a
     * partition at a time so a native decoder could amortize init per

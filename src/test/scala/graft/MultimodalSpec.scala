@@ -83,6 +83,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodePpm parses hand-built P6 fixtures, including multi-digit dimensions") {
+    // 2×1 image: pixels (10,20,30) and (40,50,60)
+    val small = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Int](10, 20, 30, 40, 50, 60).map(_.toByte)
+    // 12×3 image exercises the variable-length header parse (two-digit w)
+    val px = (0 until 12 * 3 * 3).map(k => (k * 13 + 5) % 256)
+    val big = "P6\n12 3\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte).toArray
+    val bad = small.clone(); bad(0) = 'X'.toByte
+
+    val r = Multimodal.decodePpm(
+      Seq((1L, small), (2L, big), (3L, bad)).toDF("doc_id", "payload"))
+      .collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Long]("valid_magic") === 1L)
+    assert(r(1L).getAs[Long]("width") === 2L && r(1L).getAs[Long]("height") === 1L)
+    assert(r(1L).getAs[Long]("maxval") === 255L)
+    assert(r(1L).getAs[Long]("r_sum") === 50L) // 10 + 40
+    assert(r(1L).getAs[Long]("g_sum") === 70L) // 20 + 50
+    assert(r(1L).getAs[Long]("b_sum") === 90L) // 30 + 60
+    assert(r(1L).getAs[Double]("mean_luma") === 210.0 / 6)
+    assert(r(2L).getAs[Long]("width") === 12L && r(2L).getAs[Long]("height") === 3L)
+    assert(r(2L).getAs[Long]("n_pixels") === 36L)
+    assert(r(2L).getAs[Long]("r_sum") === px.grouped(3).map(_.head).sum.toLong)
+    assert(r(2L).getAs[Long]("b_sum") === px.grouped(3).map(_.last).sum.toLong)
+    assert(r(3L).getAs[Long]("valid_magic") === 0L)
+  }
+
+  test("synthesizePpm → decodePpm roundtrip matches the synthesis formula") {
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id").limit(40)
+    val decoded = Multimodal.decodePpm(Multimodal.synthesizePpm(docs))
+      .collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, row) =>
+      val (w, h) = (4 + id % 5, 3 + id % 4)
+      val bytes = (0L until w * h * 3).map(k => (id * 17 + k * 11) % 256)
+      assert(row.getAs[Long]("valid_magic") === 1L)
+      assert(row.getAs[Long]("width") === w && row.getAs[Long]("height") === h)
+      assert(row.getAs[Long]("r_sum") === bytes.grouped(3).map(_.head).sum)
+      assert(row.getAs[Long]("g_sum") === bytes.grouped(3).map(_(1)).sum)
+    }
+  }
+
   test("documents text is pure ASCII (oracle contract: byte slices = char slices)") {
     // the q43/q44 DuckDB twins slice VARCHAR where Spark slices binary —
     // only sound while octet_length == char length on every row
