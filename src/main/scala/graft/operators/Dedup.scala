@@ -193,8 +193,13 @@ object Dedup {
     *         lsh_recall)
     */
   def lshQuality(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val est = minhashPairs(documents, n, minEstJaccard = threshold).select("a_id", "b_id")
-    val truth = ngramJaccardPairs(documents, n, threshold).select("a_id", "b_id")
+    // each pair set feeds two consumers (its own count + the agreement
+    // join); the barriers run each expensive pipeline exactly once, and
+    // the materialized frames are only the near-dup pairs (tiny)
+    val est = minhashPairs(documents, n, minEstJaccard = threshold)
+      .select("a_id", "b_id").transform(graft.barrier)
+    val truth = ngramJaccardPairs(documents, n, threshold)
+      .select("a_id", "b_id").transform(graft.barrier)
     val hits = est.join(truth, Seq("a_id", "b_id"))
     est.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

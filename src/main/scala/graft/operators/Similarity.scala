@@ -192,16 +192,20 @@ object Similarity {
     */
   def annRecall(spark: org.apache.spark.sql.SparkSession,
                 approx: DataFrame, exact: DataFrame, maxK: Int = 5): DataFrame = {
+    // the exact side feeds two consumers (match join + the n_queries
+    // denominator); the barrier keeps the expensive ground-truth pipeline
+    // to one execution — the materialized frame is n_queries·k rows
+    val ex = exact.select(col("q_id"), col("vec_id"), col("rank").as("true_rank"))
+      .transform(graft.barrier)
     val matched = approx.select(col("q_id"), col("vec_id"), col("rank").as("ivf_rank"))
-      .join(exact.select(col("q_id"), col("vec_id"), col("rank").as("true_rank")),
-        Seq("q_id", "vec_id"))
+      .join(ex, Seq("q_id", "vec_id"))
     val ks = spark.range(1, maxK + 1).toDF("k")
     val hits = matched.join(ks,
         col("ivf_rank") <= col("k") && col("true_rank") <= col("k"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_hits"),
         avg(abs(col("ivf_rank") - col("true_rank")).cast("double")).as("mre"))
-    val nq = exact.agg(count_distinct(col("q_id")).as("n_queries"))
+    val nq = ex.agg(count_distinct(col("q_id")).as("n_queries"))
     ks.join(hits, Seq("k"), "left")
       .crossJoin(nq)
       .select(col("k"), col("n_queries"),

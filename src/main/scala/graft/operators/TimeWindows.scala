@@ -89,6 +89,9 @@ object TimeWindows {
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("stage"), lit(stages(i)).as("stage_name"), col("n_users"))
     }.reduce(_ union _)
+      // k rows; three consumers below (self, shifted, first) — the barrier
+      // runs the stage aggregates once instead of once per consumer
+      .transform(graft.barrier)
     val firstN = counts.where(col("stage") === 1).select(col("n_users").as("first_n"))
     val prevN = counts.select((col("stage") + 1).as("stage"), col("n_users").as("prev_n"))
     counts.join(prevN, Seq("stage"), "left")
