@@ -400,6 +400,10 @@ object SparkEntry {
     // shares the memoized q45 cluster frame (one LSH/CC run per session)
     "q73_dedup_weights" -> ((s, dir) =>
       Dedup.weightsFromClusters(nearDupClusterLabels(s, dir))),
+    // leakage-free holdout: split by salted CLUSTER hash, so near-dups of
+    // heldout docs can never appear in training (same memoized frame)
+    "q88_leakage_split" -> ((s, dir) =>
+      TrainingMix.leakageFreeSplit(nearDupClusterLabels(s, dir))),
     // overlapping 64-token context windows, stride 48 (long-doc prep)
     "q74_chunking" -> ((s, dir) =>
       TrainingMix.chunkDocuments(Tables.documents(s, dir))),
@@ -868,6 +872,13 @@ object SparkEntry {
     "q39_dedup_minhash" -> minhashOracle,
     "q40_dedup_simhash" -> simhashOracle,
     "q45_dedup_clusters" -> nearDupClustersOracle,
+    // the q45 cluster labels (recursive-CTE twin) + the salted 0.1 split
+    "q88_leakage_split" ->
+      s"""WITH cl AS ($nearDupClustersOracle)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN ${md5Prefix32Sql("'split:v1:' || CAST(cluster AS VARCHAR)")} % 1000 < 100
+         |       THEN 'heldout' ELSE 'train' END AS split
+         |FROM cl""".stripMargin,
     // bloom-prune is output-identical to the plain join (false positives die
     // in the exact join) — so the oracle is the plain ANSI join+agg
     "q58_bloom_prune_join" ->

@@ -118,6 +118,35 @@ object TrainingMix {
         max(col("doc_id")).as("max_doc_id"))
   }
 
+  /** Leakage-free holdout split: assign train/heldout at the NEAR-DUP
+    * CLUSTER level, not the document level. A plain per-doc salted split
+    * leaks — a training document that is a near-duplicate of a heldout
+    * document answers the eval for free; splitting on the salted hash of
+    * the CLUSTER id sends every member of a near-dup cluster (from
+    * [[Dedup.nearDupClusters]]: LSH pairs → connected components) to the
+    * same side, so no near-duplicate can straddle the split.
+    *
+    * Deterministic and reproducible: the side depends only on (salt,
+    * cluster id), never on partitioning, sampling order, or cluster size.
+    * Pure map-side over the cluster-assignment frame (|docs| narrow rows —
+    * on a real cluster, the persisted table every dedup consumer reads);
+    * the heldout rate is `heldoutPerMille`/1000 of CLUSTERS, which for a
+    * mostly-singleton corpus is ≈ the document rate.
+    *
+    * @param clusters output of [[Dedup.nearDupClusters]]:
+    *                 (doc_id, cluster, is_canonical)
+    * @return (doc_id, cluster, split) with split ∈ {train, heldout}
+    */
+  def leakageFreeSplit(clusters: DataFrame, heldoutPerMille: Int = 100,
+                       salt: String = "split:v1:"): DataFrame = {
+    require(heldoutPerMille >= 0 && heldoutPerMille <= 1000,
+      "heldoutPerMille must be within [0, 1000]")
+    val bucket = pmod(graft.functions.TextAnalysis.md5Prefix32(
+      concat(lit(salt), col("cluster").cast("string"))), lit(1000L))
+    clusters.select(col("doc_id"), col("cluster"),
+      when(bucket < heldoutPerMille, "heldout").otherwise("train").as("split"))
+  }
+
   /** Context-window chunking: split every document into overlapping
     * `k`-token windows advancing by `stride` tokens (`k - stride` token
     * overlap, the standard long-document training prep — [[packSequences]]

@@ -124,6 +124,14 @@ class PlanSpec extends AnyFunSuite {
       s"retention funnels through one partition:\n$ret")
   }
 
+  test("q84/q87 codec-free decoders are pure map-side plans: no exchange") {
+    for (q <- Seq("q84_wav_decode", "q87_ppm_decode")) {
+      val plan = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(!plan.contains("Exchange"), s"$q gained a shuffle:\n$plan")
+      assert(!plan.contains("Window"), s"$q gained a window:\n$plan")
+    }
+  }
+
   test("q47 range join plans as a binned equi-join, not a nested loop") {
     val df = SparkEntry.queries("q47_range_join")(spark, TestSpark.sf)
     val plan = planString(df)

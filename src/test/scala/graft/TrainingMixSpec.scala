@@ -128,6 +128,33 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(r === Map((1L, 0) -> 5, (2L, 0) -> 64, (2L, 1) -> 22))
   }
 
+  test("leakageFreeSplit: clusters never straddle the split, no near-dup pair crosses sides") {
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val clusters = graft.operators.Dedup.nearDupClusters(tdocs)
+    val split = TrainingMix.leakageFreeSplit(clusters)
+    // exactly one row per doc, split is binary
+    assert(split.count() === tdocs.count())
+    assert(split.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "heldout")))
+    // every cluster maps to exactly one side
+    val straddling = split.groupBy("cluster")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("sides"))
+      .where($"sides" > 1).count()
+    assert(straddling === 0L)
+    // THE leakage guarantee: no near-dup pair has endpoints on both sides
+    val sideOf = split.select($"doc_id", $"split")
+    val crossing = graft.operators.Dedup.minhashPairs(tdocs)
+      .join(sideOf.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("split", "a_split"), "a_id")
+      .join(sideOf.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("split", "b_split"), "b_id")
+      .where($"a_split" =!= $"b_split").count()
+    assert(crossing === 0L)
+    // both sides populated at the default 10% rate on the real corpus
+    val bySide = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySide.getOrElse("train", 0L) > 0L && bySide.getOrElse("heldout", 0L) > 0L)
+  }
+
   test("chunkDocuments covers every token: per-doc chunk sum = n + overlap") {
     val tdocs = Tables.documents(spark, TestSpark.sf)
     val chunks = TrainingMix.chunkDocuments(tdocs, k = 64, stride = 48)
