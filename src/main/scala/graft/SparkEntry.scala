@@ -246,6 +246,8 @@ object SparkEntry {
 
     // ---- event-time windows (batch forms; streaming twins in graft.streaming) ----
     "q20_window_tumbling" -> ((s, dir) => TimeWindows.tumbling(Tables.events(s, dir))),
+    // per-window activity leaderboard via the ExactTopK map-side aggregate
+    "q89_trending_users" -> ((s, dir) => TimeWindows.trendingUsers(Tables.events(s, dir))),
     "q21_window_sliding" -> ((s, dir) => TimeWindows.sliding(Tables.events(s, dir))),
     "q22_window_session" -> ((s, dir) => TimeWindows.sessions(Tables.events(s, dir))),
     // batch twin of the watermarked streaming dedup (RealTime.dedupReviews):
@@ -731,6 +733,21 @@ object SparkEntry {
         |       event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    // same tumbling-window arithmetic as q20; rank = row_number over
+    // (count DESC, user_id ASC), the ExactTopK tie-break contract
+    "q89_trending_users" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id FROM events),
+        |c AS (
+        |  SELECT make_timestamp(((epoch_ms(t) // 900000) * 900000) * 1000) AS ws,
+        |         make_timestamp(((epoch_ms(t) // 900000) * 900000 + 900000) * 1000) AS we,
+        |         user_id, count(*) AS n_events
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT ws, we, CAST(rank AS INTEGER) AS rank, user_id,
+        |       CAST(n_events AS BIGINT) AS n_events FROM (
+        |  SELECT ws, we, user_id, n_events,
+        |         row_number() OVER (PARTITION BY ws ORDER BY n_events DESC, user_id) AS rank
+        |  FROM c)
+        |WHERE rank <= 3""".stripMargin,
     "q21_window_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
         |ks AS (SELECT 0 AS k UNION ALL SELECT 1)

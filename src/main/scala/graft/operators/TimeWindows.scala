@@ -104,6 +104,41 @@ object TimeWindows {
           .otherwise(col("n_users").cast("double") / col("first_n")).as("conv_from_start"))
   }
 
+  /** Trending leaderboard: the k most-active users per tumbling window,
+    * via the [[org.apache.spark.sql.graft.ExactTopK]] map-side aggregate —
+    * per-window counts first (one shuffle keyed by (window, user)), then a
+    * top-k aggregate per window whose partial buffers ship ≤ k entries per
+    * window into the final shuffle, instead of a row_number sort window
+    * over every (window, user) count. Ties break deterministically by
+    * lower user_id (the aggregate's score DESC, payload ASC contract —
+    * matching the oracle's row_number order).
+    *
+    * The same expressions run as the streaming form behind
+    * `withWatermark` ([[graft.streaming.RealTime.trendingUsersStream]]) —
+    * windowed leaderboards are the canonical streaming analytics op.
+    *
+    * @return (ws, we, rank, user_id, n_events) — rank 1..k per window
+    */
+  def trendingUsers(events: DataFrame, k: Int = 3, width: String = "15 minutes"): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), width), col("user_id"))
+      .agg(count(lit(1)).cast("double").as("activity"))
+    val topk = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("activity")),
+        org.apache.spark.sql.graft.shim.expression(col("user_id")),
+        k).toAggregateExpression())
+    counts
+      .groupBy(col("window"))
+      .agg(topk.as("top"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        posexplode(col("top")))
+      .select(col("ws"), col("we"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("user_id"),
+        col("col.score").cast("long").as("n_events"))
+  }
+
   /** Weekly cohort retention over the event log — the standard engagement
     * matrix: users are grouped into cohorts by the epoch-week of their
     * FIRST event, and each (cohort, week-offset) cell counts how many of

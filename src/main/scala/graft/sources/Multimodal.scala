@@ -146,20 +146,29 @@ object Multimodal {
       (0 until nBytes).map(k => byteAt(lit(pos + k)) * lit(1L << (8 * k))).reduce(_ + _)
     val dataSize = leUint(41, 4)
     val samples = transform(sequence(lit(0L), dataSize - 1), i => byteAt(lit(45) + i))
+    // magic tags + a data section that actually fits the payload — a
+    // truncated or foreign file degrades to guarded zeros, never garbage
+    // stats or per-byte null propagation
+    val valid =
+      when(length(p) >= 45 &&
+        p.substr(lit(1), lit(4)).cast("string") === "RIFF" &&
+        p.substr(lit(9), lit(4)).cast("string") === "WAVE" &&
+        p.substr(lit(37), lit(4)).cast("string") === "data" &&
+        dataSize <= length(p) - 44 && dataSize > 0, 1L).otherwise(0L)
     media
       .select(
         col("doc_id"),
-        when(p.substr(lit(1), lit(4)).cast("string") === "RIFF" &&
-          p.substr(lit(9), lit(4)).cast("string") === "WAVE" &&
-          p.substr(lit(37), lit(4)).cast("string") === "data", 1L).otherwise(0L)
-          .as("valid_header"),
-        leUint(23, 2).as("n_channels"),
-        leUint(25, 4).as("sample_rate"),
-        leUint(35, 2).as("bits_per_sample"),
-        dataSize.as("n_samples"),
-        array_max(samples).as("peak"),
-        aggregate(samples, lit(0L), (a, v) => a + v).as("amp_sum"))
-      .withColumn("mean_amp", col("amp_sum").cast("double") / col("n_samples"))
+        valid.as("valid_header"),
+        when(valid === 1, leUint(23, 2)).otherwise(0L).as("n_channels"),
+        when(valid === 1, leUint(25, 4)).otherwise(0L).as("sample_rate"),
+        when(valid === 1, leUint(35, 2)).otherwise(0L).as("bits_per_sample"),
+        when(valid === 1, dataSize).otherwise(0L).as("n_samples"),
+        when(valid === 1, array_max(samples)).otherwise(0L).as("peak"),
+        when(valid === 1, aggregate(samples, lit(0L), (a, v) => a + v))
+          .otherwise(0L).as("amp_sum"))
+      .withColumn("mean_amp",
+        when(col("n_samples") > 0,
+          col("amp_sum").cast("double") / col("n_samples")).otherwise(lit(0.0)))
   }
 
   /** Synthesize a REAL binary PPM (P6) image per document — ASCII

@@ -141,6 +141,19 @@ object RealTime {
     graft.operators.TimeWindows.sessionSequences(
       events.withWatermark("ts", watermarkDelay), gap)
 
+  /** Streaming twin of [[graft.operators.TimeWindows.trendingUsers]]: the
+    * per-window leaderboard emits (append mode) once the watermark closes
+    * the window. The ExactTopK aggregate runs unchanged inside the
+    * streaming aggregation — state per open window is the per-user counts
+    * plus one ≤k-entry heap, evicted with the window. StreamingSpec
+    * asserts the streamed leaderboard equals the batch form's on the same
+    * closed slice.
+    */
+  def trendingUsersStream(events: DataFrame, k: Int = 3, width: String = "15 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.TimeWindows.trendingUsers(
+      events.withWatermark("ts", watermarkDelay), k, width)
+
   /** Batch twin of [[dedupReviews]] (whole-table horizon): the one surviving
     * row per key set, chosen deterministically as the EARLIEST event time
     * (tie-broken on `tieCol`) — where the streaming form keeps the first

@@ -63,8 +63,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_amp") === (0.0 + 128 + 255 + 64) / 4)
     // a corrupted magic tag must flunk the header check
     val bad = bb.array().clone(); bad(0) = 'X'.toByte
-    val rb = Multimodal.decodeWav(Seq((8L, bad)).toDF("doc_id", "payload")).collect().head
-    assert(rb.getAs[Long]("valid_header") === 0L)
+    // a truncated file (data size pointing past the payload) must too,
+    // degrading to guarded zeros rather than garbage stats
+    val short = bb.array().take(46)
+    val rb = Multimodal.decodeWav(
+      Seq((8L, bad), (9L, short)).toDF("doc_id", "payload")).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(rb(8L).getAs[Long]("valid_header") === 0L)
+    assert(rb(9L).getAs[Long]("valid_header") === 0L)
+    assert(rb(9L).getAs[Long]("amp_sum") === 0L && rb(9L).getAs[Double]("mean_amp") === 0.0)
   }
 
   test("synthesizeWav → decodeWav roundtrip matches the synthesis formula") {

@@ -103,6 +103,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size === 3) // two sessions for user 7, one for user 8
   }
 
+  test("trendingUsersStream: streamed leaderboard equals the batch form once windows close") {
+    def t(min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val closed = Seq(
+      SessEv(1L, t(0), 1L, "view"), SessEv(2L, t(1), 1L, "view"),
+      SessEv(3L, t(2), 2L, "view"), SessEv(4L, t(3), 3L, "view"),
+      SessEv(5L, t(16), 3L, "view"), SessEv(6L, t(17), 3L, "view"))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.trendingUsersStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trending")
+      .option("checkpointLocation", tmp("trending-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(8L, t(600), 9L, "view")) // advance the watermark
+    q.processAllAvailable()
+    input.addData(SessEv(9L, t(601), 9L, "view")) // next batch flushes
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("trending")
+      .where($"user_id" =!= 9L)
+      .select("ws", "rank", "user_id", "n_events")
+      .as[(java.sql.Timestamp, Int, Long, Long)].collect().toSet
+    val batch = graft.operators.TimeWindows.trendingUsers(
+      closed.toDF("event_id", "ts", "user_id", "event_type"))
+      .select("ws", "rank", "user_id", "n_events")
+      .as[(java.sql.Timestamp, Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1).size >= 2) // both closed windows emitted
+  }
+
   test("corrupt-record surface: PERMISSIVE+audit quarantines, FAILFAST rejects") {
     val in = tmp("stream-bad")
     writeEvents(in, Seq(

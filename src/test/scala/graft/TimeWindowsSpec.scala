@@ -70,6 +70,27 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r === Map(1 -> 2L, 2 -> 1L))
   }
 
+  test("trendingUsers: per-window leaderboard with deterministic tie-break") {
+    // window [10:00, 10:15): user 1 ×3, user 2 ×2, users 3,4 ×1 (tie → lower id)
+    // window [10:15, 10:30): user 4 ×2
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 1.0, ""), (2L, ts(1), 1L, "view", 1.0, ""),
+      (3L, ts(2), 1L, "view", 1.0, ""),
+      (4L, ts(3), 2L, "view", 1.0, ""), (5L, ts(4), 2L, "view", 1.0, ""),
+      (6L, ts(5), 3L, "view", 1.0, ""), (7L, ts(6), 4L, "view", 1.0, ""),
+      (8L, ts(16), 4L, "view", 1.0, ""), (9L, ts(17), 4L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.trendingUsers(events).collect()
+      .map(row => (row.getAs[java.sql.Timestamp]("ws"), row.getAs[Int]("rank")) ->
+        (row.getAs[Long]("user_id"), row.getAs[Long]("n_events")))
+      .toMap
+    assert(r((ts(0), 1)) === ((1L, 3L)))
+    assert(r((ts(0), 2)) === ((2L, 2L)))
+    assert(r((ts(0), 3)) === ((3L, 1L))) // tie with user 4 → lower id wins
+    assert(r((ts(15), 1)) === ((4L, 2L)))
+    assert(r.size === 4) // second window has only one user
+  }
+
   test("cohortRetention: hand-computed weekly matrix") {
     // fixed UTC grid: week w maps to ts = w * 604800 s
     def wk(w: Long, u: Long, id: Long) =
