@@ -12,12 +12,15 @@ import org.apache.spark.sql.SparkSession
   * distinguish a real regression from a host steal window without
   * re-deriving isolated numbers.
   *
-  * Runs page-cache-warm like Bench (same [[Bench.warmPageCache]] streaming
-  * read of every input parquet byte before any timed query): round-5
-  * isolated timings without it measured cold-read IO under this VM's
-  * block-IO throttle, not the plans — q58 profiled 20.2 s isolated vs
-  * 2.7 s in-bench purely because the bloom build's extra build-side pass
-  * paid cold page reads twice.
+  * "Isolated" is made real by two warmups: one untimed query first (JIT +
+  * codegen + classloading — without it the first profiled query absorbs
+  * ~2.5 s of compiler time), and a [[Bench.warmPageCache]] re-warm BEFORE
+  * EACH timed query. The re-warm matters on long `all` runs: /dev/shm
+  * shuffle blocks from earlier queries squeeze the page cache, so late
+  * queries silently pay cold parquet reads under this VM's block-IO
+  * throttle — round-5 profiled q58 at 20.2 s isolated vs 2.7 s in-bench
+  * from exactly that (3.1 s once warm), and a round-6 all-run reproduced
+  * it mid-sequence (10.1 s) until the per-query re-warm.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -38,7 +41,12 @@ object Profile {
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JIT/codegen warmup so the first profiled query isn't charged
+    // for compiler time (mirrors Bench's warmup discipline)
+    try SparkEntry.queries("q01_top_products")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[profile] warmup failed: ${e.getMessage}") }
     val times = names.map { name =>
+      Bench.warmPageCache(sfDir) // re-warm: earlier queries evict pages
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (doExplain) df.explain("formatted")
       val t0 = System.nanoTime()

@@ -117,6 +117,9 @@ object SparkEntry {
     // J2 row 2.8 — undirected closure (cached pairs: both union branches
     // read the same materialization instead of re-running the self-join)
     "q04_undirected_edges" -> ((s, dir) => Reco.undirected(coPairs(s, dir))),
+    // graph cohesion: exact triangle count over the canonical pair list
+    // (wedge join + closing equi-join; reuses the memoized q03 pairs)
+    "q90_triangle_count" -> ((s, dir) => plans.GraphOps.triangleCount(coPairs(s, dir))),
     // Support 4.3/4.4 — deterministic DB/stream split
     "q05_sample_split" -> ((s, dir) => Reco.sampleSplit(Tables.ratings(s, dir))),
     // J2 rows 2.9-2.11 — label propagation communities
@@ -516,6 +519,16 @@ object SparkEntry {
          |$pairsCte
          |SELECT src, dst FROM pairs
          |UNION ALL SELECT dst AS src, src AS dst FROM pairs""".stripMargin,
+    // wedge join + closing edge over the canonical (src < dst) pair list —
+    // each triangle a<b<c counted exactly once on both engines
+    "q90_triangle_count" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte
+         |SELECT count(*) AS n_triangles
+         |FROM pairs e1
+         |JOIN pairs e2 ON e1.dst = e2.src
+         |JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
     "q05_sample_split" ->
       s"""WITH $ratingsCte
          |SELECT userId, productId, rating,

@@ -48,6 +48,30 @@ object GraphOps {
     finally edgeRdd.unpersist(blocking = false)
   }
 
+  /** Triangle count over a canonical (src < dst) undirected edge list —
+    * the standard graph-cohesion statistic (clustering coefficient's
+    * numerator). Each triangle a < b < c is counted exactly once: the
+    * wedge join e(a,b) ⋈ e(b,c) enumerates ordered wedges, and the closing
+    * equi-join on (a,c) keeps those whose long edge exists.
+    *
+    * Plan shape: two shuffle equi-joins over 2-column integer rows, then a
+    * count with map-side combine. The wedge fan-out is Σ_b deg(b)² — the
+    * inherent triangle-enumeration bound; at extreme scale the standard
+    * mitigations (degree-ordered orientation already halves it here, since
+    * canonical edges only walk low→high; plus degree capping à la
+    * [[graft.operators.Reco.coRatingPairs]]) apply before this operator.
+    *
+    * @param edges canonical pairs (src, dst) with src < dst
+    * @return one row: (n_triangles)
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = edges.select(col("src").as("a"), col("dst").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Connected components as alternating large-star / small-star rounds over
     * a DataFrame edge list (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", 2014) — the 100-TB-safe form:

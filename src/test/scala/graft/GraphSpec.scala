@@ -50,6 +50,30 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCount: hand-computed graphs and GraphX cross-check on the real graph") {
+    // K4 has C(4,3) = 4 triangles; adding a pendant vertex changes nothing
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) :+ ((4L, 9L))
+    assert(GraphOps.triangleCount(k4.toDF("src", "dst"))
+      .as[Long].head() === 4L)
+    // a square (4-cycle) has none; one diagonal makes two
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(GraphOps.triangleCount(square.toDF("src", "dst")).as[Long].head() === 0L)
+    assert(GraphOps.triangleCount((square :+ ((1L, 3L))).toDF("src", "dst"))
+      .as[Long].head() === 2L)
+    // real co-rating graph: agree with GraphX's TriangleCount (which
+    // reports per-vertex counts — each triangle touches 3 vertices)
+    val pairs = Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(spark, TestSpark.sf)))
+      .localCheckpoint()
+    val ours = GraphOps.triangleCount(pairs).as[Long].head()
+    val gx = org.apache.spark.graphx.lib.TriangleCount.run(
+      org.apache.spark.graphx.Graph.fromEdges(
+        pairs.select("src", "dst").rdd.map(r =>
+          org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1L)),
+        defaultValue = 0L))
+      .vertices.map(_._2.toLong).sum() / 3
+    assert(ours === gx.toLong)
+  }
+
   test("GraphX LP agrees with DataFrame LP on the trivially-converged graph") {
     // a single complete triangle converges to one community in both
     val edges = Reco.undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"))
