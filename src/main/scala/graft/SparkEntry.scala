@@ -401,6 +401,10 @@ object SparkEntry {
     // repeated 32-token windows across the corpus (headers/footers/chrome)
     "q72_boilerplate" -> ((s, dir) =>
       Corpus.boilerplateWindows(Tables.documents(s, dir))),
+    // robust stats: per-source winsorized length clipping (exact
+    // percentile bounds broadcast back — the document side never shuffles)
+    "q91_winsorize" -> ((s, dir) =>
+      Corpus.winsorize(Tables.documents(s, dir))),
     // soft dedup: weight 1/|cluster| instead of dropping near-dups;
     // shares the memoized q45 cluster frame (one LSH/CC run per session)
     "q73_dedup_weights" -> ((s, dir) =>
@@ -711,6 +715,18 @@ object SparkEntry {
         |  quantile_cont(n_chars, 0.9) AS p90_chars,
         |  max(n_chars) AS max_chars
         |FROM documents GROUP BY source""".stripMargin,
+    // quantile_cont = Spark's exact interpolated percentile (the q48
+    // contract), so the clip bounds are bit-identical on both engines
+    "q91_winsorize" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, 0.05) AS p_lo,
+        |    quantile_cont(n_chars, 0.95) AS p_hi
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source AS source, n_chars,
+        |  least(greatest(CAST(n_chars AS DOUBLE), p_lo), p_hi) AS clipped_chars,
+        |  (n_chars < p_lo OR n_chars > p_hi) AS was_clipped
+        |FROM documents d JOIN b ON d.source = b.source""".stripMargin,
     "q47_range_join" ->
       """WITH j AS (
         |  SELECT a.event_id, count(*) AS cnt

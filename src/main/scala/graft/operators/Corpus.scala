@@ -175,4 +175,29 @@ object Corpus {
       .join(broadcast(probes), contains(col("norm"), col("probe")))
       .select(col("doc_id"), col("probe_doc_id"))
   }
+
+  /** Winsorized length clipping per source — the robust-statistics prep
+    * step that keeps a few megadocs (or empty docs) from dominating
+    * per-source length budgets: exact interpolated percentile bounds
+    * per source, values clipped into [p_lo, p_hi].
+    *
+    * Exact `percentile` (not approx) so the bounds are bit-identical to
+    * DuckDB's `quantile_cont` — the q48 cross-engine contract. Plan shape:
+    * one per-source aggregate (sources are few → tiny result), broadcast
+    * back over the corpus; the document side never shuffles.
+    *
+    * @return (doc_id, source, n_chars, clipped_chars, was_clipped)
+    */
+  def winsorize(documents: DataFrame, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val bounds = documents.groupBy(col("source")).agg(
+      expr(s"percentile(n_chars, $lo)").as("p_lo"),
+      expr(s"percentile(n_chars, $hi)").as("p_hi"))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(bounds), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(greatest(col("n_chars").cast("double"), col("p_lo")), col("p_hi"))
+          .as("clipped_chars"),
+        (col("n_chars") < col("p_lo") || col("n_chars") > col("p_hi")).as("was_clipped"))
+  }
 }

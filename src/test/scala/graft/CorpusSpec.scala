@@ -116,6 +116,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(hits === Set((0L, 0L), (1L, 0L)))
   }
 
+  test("winsorize: hand-computed bounds, interior values untouched, tails clipped") {
+    // source "a": n_chars 0..10 → p_lo(0.05) = 0.5, p_hi(0.95) = 9.5
+    val docs = (0L to 10L).map(i => (i, "a", i)) :+ ((99L, "b", 100L))
+    val df = docs.toDF("doc_id", "source", "n_chars")
+    val r = Corpus.winsorize(df).collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Double]("clipped_chars"), row.getAs[Boolean]("was_clipped")))
+      .toMap
+    assert(r(0L) === ((0.5, true))) // below p_lo → clipped up
+    assert(r(5L) === ((5.0, false))) // interior → untouched
+    assert(r(10L) === ((9.5, true))) // above p_hi → clipped down
+    // single-doc source: p_lo = p_hi = the value itself, never clipped
+    assert(r(99L) === ((100.0, false)))
+    // real corpus: nominal rate is lo + (1-hi) = 10%, but the discrete
+    // length distribution puts tie groups at the interpolated cut points
+    // (measured 15.8% here) — assert the order of magnitude, not the ideal
+    val tdocs = Tables.documents(spark, TestSpark.sf)
+    val w = Corpus.winsorize(tdocs)
+    val rate = w.where($"was_clipped").count().toDouble / w.count()
+    assert(rate > 0.0 && rate <= 0.25, s"clipped $rate of docs at 5/95 bounds")
+  }
+
+  test("winsorize bounds broadcast — the document side never shuffles") {
+    val df = SparkEntry.queries("q91_winsorize")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"document side shuffled:\n$plan")
+  }
+
   test("quoteHits probe side broadcasts — no shuffle on the corpus scan") {
     val df = SparkEntry.queries("q70_quote_hits")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -18,4 +18,11 @@ class EntrySpec extends AnyFunSuite {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracleSql without query: $unknown")
   }
+
+  test("every registered query has an oracle twin (no silent rows-only downgrades)") {
+    // the round-4 failure mode: a query without an oracleSql entry silently
+    // drops from hash-grading to a weaker rows-only check
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"query without oracle: $unoracled")
+  }
 }
