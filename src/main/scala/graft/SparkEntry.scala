@@ -493,6 +493,10 @@ object SparkEntry {
     // ASCII dimensions) + per-channel pixel sums, pure byte expressions
     "q87_ppm_decode" -> ((s, dir) =>
       Multimodal.decodePpm(Multimodal.synthesizePpm(Tables.documents(s, dir)))),
+    // REAL audio featurization: amplitude histogram over the decoded PCM
+    // sample bytes (one row per doc × bin, map-side only)
+    "q92_wav_features" -> ((s, dir) =>
+      Multimodal.wavAmplitudeHistogram(Multimodal.synthesizeWav(Tables.documents(s, dir)))),
   )
 
   /** Deterministic query subset for the similarity-search benchmarks. */
@@ -1350,6 +1354,22 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, w * h), i -> b[i * 3 + 3])) AS BIGINT) AS b_sum,
         |  CAST(list_sum(b) AS DOUBLE) / (w * h * 3) AS mean_luma
         |FROM px""".stripMargin,
+    // histogram of the q84 synthesis formula's sample stream: n = 32 +
+    // doc_id%33 samples of (doc_id·31 + i·7) mod 256, bucketed by 32s
+    "q92_wav_features" ->
+      """WITH n AS (
+        |  SELECT doc_id, 32 + doc_id % 33 AS ns FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, ns), i -> (doc_id * 31 + i * 7) % 256) AS smp
+        |  FROM n),
+        |bs AS (SELECT unnest(range(0, 8)) AS bin)
+        |SELECT doc_id,
+        |  CAST(bin AS INTEGER) AS bin,
+        |  CAST(bin * 32 AS INTEGER) AS bin_lo,
+        |  CAST(len(list_filter(smp, v -> v >= bin * 32 AND v < (bin + 1) * 32)) AS BIGINT)
+        |    AS n_in_bin
+        |FROM s CROSS JOIN bs""".stripMargin,
     "q44_multimodal_frames" ->
       s"""WITH ks AS (SELECT unnest(range(0, 4)) AS b),
          |frames AS (

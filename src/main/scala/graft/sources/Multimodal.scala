@@ -171,6 +171,41 @@ object Multimodal {
           col("amp_sum").cast("double") / col("n_samples")).otherwise(lit(0.0)))
   }
 
+  /** REAL feature extraction over decoded audio — an amplitude histogram
+    * of the PCM sample stream (the classic first signal feature): each
+    * 8-bit sample buckets into `bins` equal amplitude ranges, one output
+    * row per (doc, bin). Unlike [[extractFeatures]]'s documented md5
+    * stand-in, every number here is computed from actually-decoded sample
+    * bytes; with [[synthesizeWav]] upstream the whole
+    * synth → decode → featurize chain is oracle-recomputable.
+    *
+    * Pure map-side (sequence/filter/size over the payload bytes, then
+    * posexplode) — no shuffle, no window.
+    *
+    * @param media frames with `doc_id` and a [[decodeWav]]-parseable
+    *              `payload`
+    * @return (doc_id, bin, bin_lo, n_in_bin)
+    */
+  def wavAmplitudeHistogram(media: DataFrame, bins: Int = 8): DataFrame = {
+    require(bins > 0 && 256 % bins == 0, "bins must divide 256")
+    val width = 256 / bins
+    val p = col("payload")
+    def byteAt(pos: Column): Column = conv(hex(p.substr(pos, lit(1))), 16, 10).cast("long")
+    def leUint(pos: Int, nBytes: Int): Column =
+      (0 until nBytes).map(k => byteAt(lit(pos + k)) * lit(1L << (8 * k))).reduce(_ + _)
+    val dataSize = leUint(41, 4)
+    val samples = transform(sequence(lit(0L), dataSize - 1), i => byteAt(lit(45) + i))
+    val hist = array((0 until bins).map { b =>
+      struct(lit(b).as("bin"), lit(b * width).as("bin_lo"),
+        size(filter(samples, v =>
+          v >= lit(b.toLong * width) && v < lit((b + 1).toLong * width)))
+          .cast("long").as("n_in_bin"))
+    }: _*)
+    media.select(col("doc_id"), explode(hist).as("h"))
+      .select(col("doc_id"), col("h.bin").as("bin"),
+        col("h.bin_lo").as("bin_lo"), col("h.n_in_bin").as("n_in_bin"))
+  }
+
   /** Synthesize a REAL binary PPM (P6) image per document — ASCII
     * `P6\n<w> <h>\n255\n` header followed by w·h RGB byte triples — again
     * from pure column expressions. Dimensions: w = 4 + doc_id % 5,

@@ -131,6 +131,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wavAmplitudeHistogram buckets the decoded samples exactly") {
+    // reuse the hand-built WAV shape: samples [0, 128, 255, 64]
+    val samples = Array[Int](0, 128, 255, 64)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+    samples.foreach(s => bb.put(s.toByte))
+
+    val hist = Multimodal.wavAmplitudeHistogram(
+      Seq((1L, bb.array())).toDF("doc_id", "payload"))
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n_in_bin")).toMap
+    // 0 → bin 0, 64 → bin 2, 128 → bin 4, 255 → bin 7
+    assert(hist === Map(0 -> 1L, 1 -> 0L, 2 -> 1L, 3 -> 0L,
+      4 -> 1L, 5 -> 0L, 6 -> 0L, 7 -> 1L))
+    // every synthesized doc's histogram sums to its sample count
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id").limit(30)
+    val sums = Multimodal.wavAmplitudeHistogram(Multimodal.synthesizeWav(docs))
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_in_bin").as("total"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("total")).toMap
+    sums.foreach { case (id, total) => assert(total === 32 + id % 33) }
+  }
+
   test("documents text is pure ASCII (oracle contract: byte slices = char slices)") {
     // the q43/q44 DuckDB twins slice VARCHAR where Spark slices binary —
     // only sound while octet_length == char length on every row
