@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{BloomPrune, Corpus, Dedup, Reco, Relational, Similarity, Skew, TimeWindows, TrainingMix}
+import graft.operators.{BloomPrune, Corpus, Dedup, Reco, Relational, Similarity, Sketches, Skew, TimeWindows, TrainingMix}
 import graft.plans.LabelPropagation
 import graft.sources.{Bucketing, Multimodal}
 import graft.streaming.RealTime
@@ -497,6 +497,22 @@ object SparkEntry {
     // sample bytes (one row per doc × bin, map-side only)
     "q92_wav_features" -> ((s, dir) =>
       Multimodal.wavAmplitudeHistogram(Multimodal.synthesizeWav(Tables.documents(s, dir)))),
+
+    // ---- training-data pipeline: sketches ----
+    // Count-Min sketch heavy-hitter report card: exact top-20 user counts
+    // probed against the CMS (one-sided error — cms_est >= exact always);
+    // the gap grades the (d=4, w=1024) config before the sketch replaces
+    // exact counting at scale
+    "q93_cms_heavyhitters" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(Tables.events(s, dir))),
+
+    // ---- training-data pipeline: text analysis (round 6 additions) ----
+    // char-class profile + Simpson diversity (log-free entropy twin)
+    "q94_charclass_profile" -> ((s, dir) =>
+      TextAnalysis.charClassProfile(Tables.documents(s, dir))),
+    // corpus collocations by lift (log-free monotone twin of PMI)
+    "q95_collocations" -> ((s, dir) =>
+      Corpus.collocations(Tables.documents(s, dir))),
   )
 
   /** Deterministic query subset for the similarity-search benchmarks. */
@@ -1380,6 +1396,73 @@ object SparkEntry {
          |  CAST(length(frame) AS INTEGER) AS frame_bytes,
          |  ${md5Prefix32Sql("frame")} AS frame_fp
          |FROM frames""".stripMargin,
+    // CMS twin: rebuild every (row j, bucket) counter with the same
+    // permutation algebra as CountMinSketchAgg (h reduced mod p before the
+    // multiply — products < 2^62), then probe the exact top-20 heads
+    "q93_cms_heavyhitters" ->
+      s"""WITH hashed AS (
+         |  SELECT user_id, ${md5Prefix32Sql("'cms:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |perm AS (SELECT unnest(range(0, 4)) AS j),
+         |buckets AS (
+         |  SELECT j,
+         |    ((h % 2147483647) * ((2654435761 * (j + 1)) % 2147483647)
+         |      + (1000003 * (j + 1)) % 2147483647) % 2147483647 % 1024 AS b,
+         |    count(*) AS c
+         |  FROM hashed CROSS JOIN perm GROUP BY 1, 2),
+         |heads AS (
+         |  SELECT user_id, h, count(*) AS exact_cnt FROM hashed GROUP BY 1, 2
+         |  ORDER BY exact_cnt DESC, user_id LIMIT 20),
+         |probe AS (
+         |  SELECT user_id, exact_cnt, j,
+         |    ((h % 2147483647) * ((2654435761 * (j + 1)) % 2147483647)
+         |      + (1000003 * (j + 1)) % 2147483647) % 2147483647 % 1024 AS b
+         |  FROM heads CROSS JOIN perm)
+         |SELECT p.user_id, p.exact_cnt, CAST(min(bk.c) AS BIGINT) AS cms_est
+         |FROM probe p JOIN buckets bk ON bk.j = p.j AND bk.b = p.b
+         |GROUP BY 1, 2""".stripMargin,
+    // char-class profile: same regex classes, same integer-product Simpson
+    // index (single division -> bit-identical doubles)
+    "q94_charclass_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_letters,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits,
+        |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS n_spaces,
+        |    CAST(length(text) AS INTEGER) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |cls AS (
+        |  SELECT doc_id, n_letters, n_digits, n_spaces,
+        |    n - n_letters - n_digits - n_spaces AS n_other
+        |  FROM base)
+        |SELECT doc_id, n_letters, n_digits, n_spaces, n_other,
+        |  1.0 - CAST(n_letters * n_letters + n_digits * n_digits
+        |      + n_spaces * n_spaces + n_other * n_other AS DOUBLE)
+        |    / CAST((n_letters + n_digits + n_spaces + n_other)
+        |      * (n_letters + n_digits + n_spaces + n_other) AS DOUBLE) AS class_diversity
+        |FROM cls""".stripMargin,
+    // collocation lift: exact integer products, one double division each
+    "q95_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS term FROM toks),
+        |uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uc),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(0, len(t) - 1),
+        |    i -> t[i+1] || ' ' || t[i+2])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY 1 HAVING count(*) >= 5),
+        |sp AS (
+        |  SELECT bigram, c_xy,
+        |    string_split(bigram, ' ')[1] AS t1, string_split(bigram, ' ')[2] AS t2
+        |  FROM bc),
+        |j AS (
+        |  SELECT sp.bigram, sp.c_xy, u1.c AS c1, u2.c AS c2,
+        |    CAST(sp.c_xy * tot.n_total AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        |  FROM sp JOIN uc u1 ON sp.t1 = u1.term JOIN uc u2 ON sp.t2 = u2.term CROSS JOIN tot)
+        |SELECT bigram, c_xy, c1, c2, lift FROM j
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.bruteForceTopK]] over the

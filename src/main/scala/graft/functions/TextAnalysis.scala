@@ -330,6 +330,40 @@ object TextAnalysis {
         i => array_join(slice(t, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Character-class profile + Simpson diversity: per document, the counts
+    * of letters / digits / whitespace / other characters and the Simpson
+    * diversity index 1 − Σ(nᵢ/n)² over those four classes. Complements the
+    * token-level [[qualityScore]]: a near-zero class diversity flags
+    * digit-dump / symbol-soup documents that token heuristics miss, the
+    * classic cheap pre-filter before tokenization cost is paid at all.
+    *
+    * Pure map-side scan — four regexp counts per row, no shuffle. All
+    * ratios are single divisions of exact integer products (< 2⁵³), so the
+    * index is bit-identical across engines (log-based Shannon entropy is
+    * NOT: `ln` is correctly-rounded on neither engine, so the Simpson form
+    * is the oracle-able diversity measure).
+    */
+  def charClassProfile(documents: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val digits = length(regexp_replace(col("text"), "[^0-9]", ""))
+    val spaces = n - length(regexp_replace(col("text"), "\\s", ""))
+    documents.where(n > 0).select(
+      col("doc_id"),
+      letters.as("n_letters"),
+      digits.as("n_digits"),
+      spaces.as("n_spaces"),
+      (n - letters - digits - spaces).as("n_other"))
+      .withColumn("class_diversity",
+        lit(1.0) -
+          (col("n_letters") * col("n_letters") + col("n_digits") * col("n_digits")
+            + col("n_spaces") * col("n_spaces") + col("n_other") * col("n_other"))
+            .cast("double")
+            / ((col("n_letters") + col("n_digits") + col("n_spaces") + col("n_other"))
+              * (col("n_letters") + col("n_digits") + col("n_spaces") + col("n_other")))
+              .cast("double"))
+  }
+
   /** Quality-filter funnel: cumulative survival counts through a fixed
     * three-stage filter chain — length (n_chars ≥ 200), repetition
     * (type-token ratio ≥ 0.4), language signal (stopword ratio ≥ 0.02 over

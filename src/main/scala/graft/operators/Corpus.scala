@@ -200,4 +200,42 @@ object Corpus {
           .as("clipped_chars"),
         (col("n_chars") < col("p_lo") || col("n_chars") > col("p_hi")).as("was_clipped"))
   }
+
+  /** Corpus-wide collocation mining by LIFT — for every word bigram seen at
+    * least `minCount` times, lift = P(xy) / (P(x)·P(y)) computed as
+    * (c_xy · N) / (c_x · c_y); the top `k` by (lift desc, bigram asc) are
+    * the corpus's strongest collocations ("new york"-style fixed phrases).
+    * Lift is the log-free monotone twin of PMI (PMI = ln lift): same
+    * ranking, but every value is one division of exact integer products
+    * (all < 2⁵³) → bit-identical across engines, where `ln` is not.
+    *
+    * Scale shape: two explode+count aggregates (map-side combine; the
+    * shuffle carries one row per DISTINCT unigram/bigram, not per
+    * occurrence), two equi-joins of the bigram table against the unigram
+    * counts, a broadcast of the single-row corpus total, and a global
+    * top-k via TakeOrderedAndProject — no global sort, no window. At
+    * 100 TB the unigram join sides shuffle-hash on the term key; nothing
+    * is quadratic in corpus size.
+    */
+  def collocations(documents: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = tokensBarrier(documents)
+    val uni = toks.select(explode(col("t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val bi = toks
+      .select(explode(TextAnalysis.shinglesOfTokensAll(col("t"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+      .withColumn("t1", split(col("bigram"), " ").getItem(0))
+      .withColumn("t2", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.withColumnRenamed("term", "t1").withColumnRenamed("c", "c1"), "t1")
+      .join(uni.withColumnRenamed("term", "t2").withColumnRenamed("c", "c2"), "t2")
+      .join(broadcast(total))
+      .withColumn("lift",
+        (col("c_xy") * col("n_total")).cast("double")
+          / (col("c1") * col("c2")).cast("double"))
+      .select(col("bigram"), col("c_xy"), col("c1"), col("c2"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
 }

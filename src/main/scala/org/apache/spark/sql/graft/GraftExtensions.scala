@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.minhashSig)
     e.injectFunction(GraftExtensions.topK)
     e.injectFunction(GraftExtensions.md5Prefix32)
+    e.injectFunction(GraftExtensions.cmsSketch)
   }
 }
 
@@ -54,10 +55,22 @@ object GraftExtensions {
       "md5_prefix32_array(arr) - element-wise first-32-bits-of-md5 hash of a string array"),
     (args: Seq[Expression]) => Md5Prefix32Array(args.head))
 
+  private[graft] val cmsSketch = (
+    FunctionIdentifier("cms_sketch"),
+    info("cms_sketch",
+      "cms_sketch(hash, d, w) - count-min sketch (d x w counter matrix) over md5-prefix32 key hashes"),
+    (args: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"cms_sketch $what must be an int literal, got $other")
+      }
+      CountMinSketchAgg(args.head, intLit(args(1), "d"), intLit(args(2), "w")).toAggregateExpression()
+    })
+
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineSim, minhashSig, topK, md5Prefix32).foreach { case (id, inf, builder) =>
+    Seq(cosineSim, minhashSig, topK, md5Prefix32, cmsSketch).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

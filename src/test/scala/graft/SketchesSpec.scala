@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CountMinSketchAgg, GraftExtensions}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Sketches}
+import graft.functions.TextAnalysis
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cmsCol(h: org.apache.spark.sql.Column, d: Int, w: Int) =
+    org.apache.spark.sql.graft.shim.column(
+      CountMinSketchAgg(
+        org.apache.spark.sql.graft.shim.expression(h), d, w).toAggregateExpression())
+
+  test("cms estimate is one-sided (est >= exact) and tight for heavy keys") {
+    val out = Sketches.cmsHeavyHitters(Tables.events(spark, TestSpark.sf))
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall { case (_, exact, est) => est >= exact },
+      "CMS point estimates must never undercount")
+    // w=1024 over this key cardinality: collisions add at most a small
+    // constant; heads are counted within 2x
+    assert(out.forall { case (_, exact, est) => est <= exact * 2 })
+  }
+
+  test("cms merge across partitions equals the single-partition sketch") {
+    val hashed = Tables.events(spark, TestSpark.sf)
+      .select(TextAnalysis.md5Prefix32(concat(lit("cms:"), col("user_id").cast("string"))).as("h"))
+    val one = hashed.coalesce(1).agg(cmsCol(col("h"), 4, 256).as("sk")).as[Seq[Long]].head()
+    val many = hashed.repartition(13).agg(cmsCol(col("h"), 4, 256).as("sk")).as[Seq[Long]].head()
+    assert(one === many, "elementwise merge must be partitioning-invariant")
+    assert(one.sum == hashed.count() * 4, "every row increments one counter per sketch row")
+  }
+
+  test("cms_sketch is callable from SQL with literal d and w") {
+    GraftExtensions.register(spark)
+    Tables.events(spark, TestSpark.sf).createOrReplaceTempView("events_v")
+    val n = spark.sql(
+      "SELECT cms_sketch(CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS LONG), 2, 64) AS sk FROM events_v")
+      .select(size(col("sk"))).as[Int].head()
+    assert(n == 128)
+  }
+
+  test("char-class profile counts partition the text exactly") {
+    val out = TextAnalysis.charClassProfile(Tables.documents(spark, TestSpark.sf))
+      .join(Tables.documents(spark, TestSpark.sf), "doc_id")
+      .select(col("n_letters") + col("n_digits") + col("n_spaces") + col("n_other"),
+        length(col("text")), col("class_diversity"))
+      .as[(Int, Int, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (sum, len, _) => sum == len })
+    assert(out.forall { case (_, _, div) => div >= 0.0 && div < 1.0 })
+  }
+
+  test("collocations rank planted fixed phrases first by lift") {
+    val filler = (1 to 40).map(i => s"filler$i common common").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $filler", "en", "s1", 1L),
+      (2L, s"alpha beta gamma delta $filler", "en", "s1", 1L),
+      (3L, s"alpha beta gamma delta $filler", "en", "s1", 1L),
+      (4L, s"alpha beta gamma delta $filler", "en", "s1", 1L),
+      (5L, s"alpha beta gamma delta $filler", "en", "s1", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.collocations(docs, minCount = 5, k = 5)
+      .select("bigram", "lift").as[(String, Double)].collect()
+    // "alpha beta" occurs 5x with unigram counts 5/5 -> maximal lift;
+    // "common common" occurs 80x but its unigram count is 120 -> low lift
+    assert(out.head._1 == "alpha beta")
+    assert(out.map(_._1).contains("common common") === false ||
+      out.last._2 < out.head._2)
+    // lift of a perfect collocation = N / c_x exactly
+    val n = out.head._2
+    assert(n > 1.0)
+  }
+}
