@@ -120,6 +120,11 @@ object SparkEntry {
     // graph cohesion: exact triangle count over the canonical pair list
     // (wedge join + closing equi-join; reuses the memoized q03 pairs)
     "q90_triangle_count" -> ((s, dir) => plans.GraphOps.triangleCount(coPairs(s, dir))),
+    // graph centrality: 3-iteration PageRank in scaled-integer arithmetic
+    // (floor-division damping -> bit-identical ranks on any engine/partitioning)
+    "q96_pagerank" -> ((s, dir) =>
+      plans.GraphOps.pageRank(Reco.undirected(coPairs(s, dir)))
+        .select(col("v").as("user_id"), col("r").as("rank_scaled"))),
     // Support 4.3/4.4 — deterministic DB/stream split
     "q05_sample_split" -> ((s, dir) => Reco.sampleSplit(Tables.ratings(s, dir))),
     // J2 rows 2.9-2.11 — label propagation communities
@@ -553,6 +558,15 @@ object SparkEntry {
          |FROM pairs e1
          |JOIN pairs e2 ON e1.dst = e2.src
          |JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+    // scaled-integer PageRank twin: 3 unrolled rounds of the same
+    // floor-division algebra (sums CAST from HUGEINT back to BIGINT)
+    "q96_pagerank" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |$edgesCte,
+         |${pageRankCtes(3)}
+         |SELECT v AS user_id, r AS rank_scaled FROM r3""".stripMargin,
     "q05_sample_split" ->
       s"""WITH $ratingsCte
          |SELECT userId, productId, rating,
@@ -1809,6 +1823,31 @@ object SparkEntry {
          |l$i AS (
          |  SELECT p.id AS id, COALESCE(b.label, p.label) AS label
          |  FROM l${i - 1} p LEFT JOIN b$i b ON p.id = b.id
+         |)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** Unrolled scaled-integer PageRank (twin of [[graft.plans.GraphOps
+    * .pageRank]]): per round, per-edge floor-division contributions summed
+    * on the destination, damped with the same integer algebra. Ends with
+    * CTE `r<iters>` holding (v, r).
+    */
+  private def pageRankCtes(iters: Int): String = {
+    val init =
+      """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS v, 1000000000000 // n AS r FROM deg CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS v, CAST(sum(r.r // d.deg) AS BIGINT) AS cs
+         |  FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.v = e.src
+         |  GROUP BY 1
+         |),
+         |r$i AS (
+         |  SELECT p.v, (1000000000000 * 15 // 100 // nn.n)
+         |    + (85 * COALESCE(c.cs, 0) // 100) AS r
+         |  FROM r${i - 1} p LEFT JOIN c$i c ON c.v = p.v CROSS JOIN nn
          |)""".stripMargin
     }
     (init +: rounds).mkString(",\n")

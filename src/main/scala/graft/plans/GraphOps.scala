@@ -162,4 +162,49 @@ object GraphOps {
       .vertices.map { case (id, label) => (id, label) }
       .toDF("id", "label")
   }
+
+  /** PageRank in SCALED INTEGER arithmetic — rank mass held as long
+    * micro-units (`scale` total ≈ 1.0), every per-edge contribution a floor
+    * division:
+    *
+    *   r₀(v)   = scale div N
+    *   rᵢ₊₁(v) = (scale·15 div 100 div N) + (85 · Σ_{u→v} (rᵢ(u) div deg(u)) div 100)
+    *
+    * Why integers: float PageRank sums neighbor contributions in shuffle
+    * order, so two runs (or two engines) disagree in the low bits and a
+    * hash-compare oracle is impossible. Floor-division long arithmetic is
+    * associative-safe (the sum is exact) → bit-identical ranks on any
+    * engine, any partitioning, at the cost of leaking ≤1 unit per division
+    * (immaterial at scale=10¹²: ranks agree with float PageRank to ~9
+    * significant digits).
+    *
+    * Same iteration scaffold as [[LabelPropagation.run]]: the edge list and
+    * each round's ranks are materialized behind [[graft.barrier]] (one scan
+    * of the upstream plan total; lineage stays flat), and every round is
+    * two shuffles — join ranks to edges on src, aggregate contributions on
+    * dst — both plain equi-hash operations that scale with |E|/cluster.
+    * Callers pass the UNDIRECTED closure, so every vertex has deg ≥ 1 and
+    * there is no dangling-mass term.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select("src", "dst").transform(graft.barrier)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = broadcast(deg.agg(count(lit(1)).as("n")))
+    var r = deg.crossJoin(n)
+      .select(col("src").as("v"), expr(s"$scale div n").as("r"))
+      .transform(graft.barrier)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(deg, "src")
+        .join(r.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), expr("r div deg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("cs"))
+      r = r.select(col("v")).join(contrib, Seq("v"), "left").crossJoin(n)
+        .select(col("v"),
+          (expr(s"$scale * 15 div 100 div n")
+            + expr("85 * coalesce(cs, CAST(0 AS BIGINT)) div 100")).as("r"))
+        .transform(graft.barrier)
+    }
+    r
+  }
 }

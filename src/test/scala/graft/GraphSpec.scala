@@ -74,6 +74,28 @@ class GraphSpec extends AnyFunSuite {
     assert(ours === gx.toLong)
   }
 
+  test("scaled-integer PageRank: star center dominates, mass conserved, GraphX order agrees") {
+    // star: center 1 connected to 2..6, plus a detached edge 10-11
+    val star = (2L to 6L).map(i => (1L, i)) :+ (10L, 11L)
+    val edges = Reco.undirected(star.toDF("src", "dst"))
+    val pr = GraphOps.pageRank(edges).as[(Long, Long)].collect().toMap
+    assert(pr(1L) > pr(2L), "hub must outrank spokes")
+    assert((2L to 6L).map(pr).toSet.size === 1, "symmetric spokes rank equally")
+    assert(pr(10L) === pr(11L))
+    // floor division only ever DROPS sub-unit mass: total in (0.97, 1.0] of scale
+    val total = pr.values.sum
+    assert(total <= 1000000000000L && total > 970000000000L)
+    // cross-check ranking against GraphX's float PageRank on the same graph
+    val edgeRdd = spark.sparkContext.parallelize(star.flatMap { case (a, b) =>
+      Seq(org.apache.spark.graphx.Edge(a, b, 1L), org.apache.spark.graphx.Edge(b, a, 1L)) })
+    val gx = org.apache.spark.graphx.lib.PageRank
+      .run(org.apache.spark.graphx.Graph.fromEdges(edgeRdd, 0L), numIter = 3)
+      .vertices.collect().toMap
+    val byOurs = pr.toSeq.sortBy(-_._2).map(_._1)
+    val byGx = gx.toSeq.sortBy(-_._2).map(_._1)
+    assert(byOurs.head === byGx.head, "both rankings agree on the top vertex")
+  }
+
   test("GraphX LP agrees with DataFrame LP on the trivially-converged graph") {
     // a single complete triangle converges to one community in both
     val edges = Reco.undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"))
