@@ -457,6 +457,10 @@ object SparkEntry {
     // temporal conversion funnel view -> click -> purchase
     "q82_conversion_funnel" -> ((s, dir) =>
       TimeWindows.conversionFunnel(Tables.events(s, dir))),
+    // last-touch attribution: purchases as-of-joined to the most recent
+    // prior click per user (running-state window, one user-keyed shuffle)
+    "q97_attribution" -> ((s, dir) =>
+      TimeWindows.lastTouchAttribution(Tables.events(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1455,6 +1459,27 @@ object SparkEntry {
         |    / CAST((n_letters + n_digits + n_spaces + n_other)
         |      * (n_letters + n_digits + n_spaces + n_other) AS DOUBLE) AS class_diversity
         |FROM cls""".stripMargin,
+    // running last-click window with the same (ts, event_id) total order;
+    // IGNORE NULLS last_value is the as-of state carrier on both engines
+    "q97_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |tagged AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_click_ts
+        |  FROM ev)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  attr_click_id AS click_id, attr_click_ts AS click_ts,
+        |  CAST((epoch_us(ts) - epoch_us(attr_click_ts)) // 1000000 AS BIGINT) AS latency_s,
+        |  ((epoch_us(ts) - epoch_us(attr_click_ts)) // 1000000 IS NOT NULL
+        |    AND (epoch_us(ts) - epoch_us(attr_click_ts)) // 1000000 <= 1800) AS within_30m
+        |FROM tagged WHERE event_type = 'purchase'""".stripMargin,
     // collocation lift: exact integer products, one double division each
     "q95_collocations" ->
       """WITH toks AS (

@@ -190,4 +190,46 @@ object TimeWindows {
             " ")).as("seq_hash"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("seq_hash"))
+
+  /** Last-touch attribution: each purchase is attributed to the same
+    * user's most recent click at or before it (the marketing-analytics
+    * as-of self-join). Order is (ts, event_id) — a total order, so the
+    * "most recent" choice is deterministic even for same-timestamp events —
+    * and the attribution carries the click→purchase latency plus a
+    * within-30-minutes flag (purchases with no prior click keep NULL
+    * click columns: observability wants the unattributed rows counted,
+    * not dropped).
+    *
+    * Plan shape: one scan filtered to clicks+purchases, one window pass
+    * partitioned BY USER (a running `last(_, ignoreNulls)` over a rows
+    * frame — single shuffle on user_id, no per-user quadratic work, and
+    * never a global sort). This is the window-native form of the q23
+    * as-of join: when the probe side is the same table, the running-state
+    * window beats a binned range join (one pass, no bin fan-out).
+    *
+    * @return (purchase_id, user_id, purchase_ts, click_id, click_ts,
+    *         latency_s, within_30m)
+    */
+  def lastTouchAttribution(events: DataFrame, maxLagSeconds: Long = 1800): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("attr_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("attr_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("attr_click_id").as("click_id"),
+        col("attr_click_ts").as("click_ts"))
+      .withColumn("latency_s",
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"))
+      .withColumn("within_30m",
+        col("latency_s").isNotNull && col("latency_s") <= maxLagSeconds)
+  }
 }

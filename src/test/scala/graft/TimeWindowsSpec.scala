@@ -37,6 +37,26 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(h2 !== h1)
   }
 
+  test("lastTouchAttribution: most recent prior click, ties by event_id, nulls kept") {
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 1.0, ""),
+      (2L, ts(5), 7L, "click", 1.0, ""),   // the most recent prior click
+      (3L, ts(10), 7L, "purchase", 1.0, ""),
+      (4L, ts(10), 7L, "click", 1.0, ""),  // same ts as purchase, HIGHER id → not prior
+      (5L, ts(50), 7L, "purchase", 1.0, ""), // 40 min after click 4 → outside 30m
+      (6L, ts(2), 8L, "purchase", 1.0, ""), // user 8 never clicked
+      (7L, ts(3), 8L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.lastTouchAttribution(events).collect()
+      .map(row => row.getAs[Long]("purchase_id") ->
+        (Option(row.getAs[java.lang.Long]("click_id")),
+          Option(row.getAs[java.lang.Long]("latency_s")),
+          row.getAs[Boolean]("within_30m"))).toMap
+    assert(r(3L) === ((Some(2L), Some(300L), true)))
+    assert(r(5L) === ((Some(4L), Some(2400L), false)))
+    assert(r(6L) === ((None, None, false)))
+  }
+
   test("conversionFunnel requires temporal order, not mere event presence") {
     val events = Seq(
       // user 1: full ordered funnel
