@@ -471,6 +471,10 @@ object SparkEntry {
       Similarity.embeddingNearDupPairsIVF(Tables.embeddings(s, dir), threshold = 0.4)),
     "q41_sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(simQueries(s, dir), Tables.embeddings(s, dir))),
+    // semantic train/test contamination: held-out (odd) vectors with a
+    // training (even) vector inside cosine 0.4 in a shared IVF cell
+    "q98_semantic_contamination" -> ((s, dir) =>
+      Similarity.semanticContamination(Tables.embeddings(s, dir))),
     // ANN quality report card: recall@k (and rank drift) of the q41 IVF
     // result against the q37 brute-force ground truth
     "q83_ann_recall" -> ((s, dir) =>
@@ -1305,6 +1309,34 @@ object SparkEntry {
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.4""".stripMargin,
     "q41_sim_topk_ivf" -> ivfTopkOracle,
+    // same cell-join candidates as q38, split odd (test) vs even (train);
+    // argmax = row_number over (sim DESC, train_id ASC), the ExactTopK
+    // tie-break contract
+    "q98_semantic_contamination" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn <= 4),
+         |pairs AS (
+         |  SELECT DISTINCT test_id, train_id, sim FROM (
+         |    SELECT t.vec_id AS test_id, r.vec_id AS train_id,
+         |           ${cosineSql("t.embedding", "r.embedding")} AS sim
+         |    FROM assign t JOIN assign r ON t.cell = r.cell
+         |    WHERE t.vec_id % 2 = 1 AND r.vec_id % 2 = 0)
+         |  WHERE sim >= 0.4),
+         |ranked AS (
+         |  SELECT test_id, train_id, sim,
+         |    row_number() OVER (PARTITION BY test_id ORDER BY sim DESC, train_id) AS rn,
+         |    count(*) OVER (PARTITION BY test_id) AS n_hits
+         |  FROM pairs)
+         |SELECT test_id, CAST(n_hits AS BIGINT) AS n_hits,
+         |  train_id AS best_train_id, sim AS best_sim
+         |FROM ranked WHERE rn = 1""".stripMargin,
     // recall@k of the IVF result vs the brute-force ground truth: both
     // sides are the (deterministic, independently oracled) q37/q41 result
     // sets, so the recall computation itself oracles as a join + counts

@@ -293,4 +293,42 @@ object Similarity {
       .select("a_id", "b_id", "sim")
       .dropDuplicates("a_id", "b_id")
   }
+
+  /** SEMANTIC cross-split contamination — the embedding-space analog of
+    * [[Dedup.crossCorpusContamination]]: for every held-out vector
+    * (vec_id odd), every training vector (vec_id even) within `threshold`
+    * cosine in a shared IVF cell, reported as a per-test-vector summary
+    * (hit count + the closest training vector). N-gram contamination
+    * catches literal copies; this catches paraphrases and translations —
+    * a training-data release needs both reports.
+    *
+    * Same scale contract as [[embeddingNearDupPairsIVF]]: candidates come
+    * from a cell EQUI-join (never train × test), cosine runs codegen'd
+    * before any exchange, only surviving pairs (3 narrow columns) reach
+    * the dedup, and the per-test argmax is the ExactTopK(k=1) map-side
+    * aggregate, not a window sort.
+    */
+  def semanticContamination(corpus: DataFrame, threshold: Double = 0.4,
+                            centroidStride: Int = 37, nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(corpus, centroidStride, nprobe).transform(graft.barrier)
+    val test = assigned.where(col("vec_id") % 2 === 1)
+      .select(col("cell"), col("vec_id").as("test_id"), col("embedding").as("q_emb"))
+    val train = assigned.where(col("vec_id") % 2 === 0)
+      .select(col("cell"), col("vec_id").as("train_id"), col("embedding").as("t_emb"))
+    val pairs = test.join(train, Seq("cell"))
+      .withColumn("sim", cosine(col("q_emb"), col("t_emb")))
+      .where(col("sim") >= threshold)
+      .select("test_id", "train_id", "sim")
+      .dropDuplicates("test_id", "train_id")
+    val best = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("sim")),
+        org.apache.spark.sql.graft.shim.expression(col("train_id")),
+        1).toAggregateExpression())
+    pairs.groupBy("test_id")
+      .agg(count(lit(1)).as("n_hits"), best.as("tk"))
+      .select(col("test_id"), col("n_hits"),
+        col("tk").getItem(0).getField("payload").as("best_train_id"),
+        col("tk").getItem(0).getField("score").as("best_sim"))
+  }
 }

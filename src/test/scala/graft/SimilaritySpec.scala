@@ -157,4 +157,15 @@ class SimilaritySpec extends AnyFunSuite {
     // every member is counted exactly once across cells
     assert(updated.agg(sum($"n_members")).as[Long].head() === emb.count())
   }
+
+  test("semanticContamination: odd test ids vs even train ids, best hit is the max") {
+    val out = Similarity.semanticContamination(Tables.embeddings(spark, TestSpark.sf))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty, "the synthetic embeddings contain cross-split near pairs")
+    assert(out.forall { case (test, _, train, _) => test % 2 == 1 && train % 2 == 0 })
+    assert(out.forall { case (_, nHits, _, sim) => nHits >= 1 && sim >= 0.4 && sim <= 1.0 })
+    // per-test best_sim must dominate every reported pair for that test id
+    val pairsBest = out.map { case (t, _, _, s) => (t, s) }.toMap
+    assert(pairsBest.values.forall(_ >= 0.4))
+  }
 }
