@@ -218,6 +218,52 @@ object RealTime {
       .start()
   }
 
+  /** Streaming Count-Min sketch: maintain a running d×w frequency sketch
+    * over an unbounded key stream with ZERO per-key state — each
+    * micro-batch aggregates its own constant-size sketch
+    * ([[org.apache.spark.sql.graft.CountMinSketchAgg]], map-side partials)
+    * and overwrites its batchId-keyed partition; readers merge the batch
+    * sketches by elementwise sum. Because the merge is associative and
+    * commutative and a replayed batch REWRITES its own partition, the
+    * merged sketch is exactly-once under the streaming checkpoint — the
+    * same idempotency contract as [[flagNearDups]]'s flag sink.
+    *
+    * This is how per-URL / per-user frequency tracking survives an
+    * unbounded stream at 100 TB: the state is O(d·w) per batch regardless
+    * of key cardinality, where any exact per-key streaming aggregate
+    * grows without bound.
+    *
+    * @param keyed stream with a `key` string column
+    */
+  def cmsSketchStream(keyed: DataFrame, sketchDir: String, checkpointDir: String,
+                      d: Int = 4, w: Int = 1024): StreamingQuery = {
+    val sketchCol = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.CountMinSketchAgg(
+        org.apache.spark.sql.graft.shim.expression(
+          graft.functions.TextAnalysis.md5Prefix32(concat(lit("cms:"), col("key")))), d, w)
+        .toAggregateExpression())
+    keyed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.agg(sketchCol.as("sk"))
+          .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Merge every per-batch sketch under `sketchDir` into the single running
+    * sketch (elementwise sum — order-independent, so replayed/compacted
+    * batch layouts all merge to the same array). One narrow shuffle keyed
+    * by counter position; d·w rows total regardless of stream length.
+    */
+  def mergedCmsSketch(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(sketchDir)
+      .select(posexplode(col("sk")))
+      .groupBy("pos").agg(sum(col("col")).as("c"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("e"))
+      .select(transform(col("e"), x => x.getField("c")).as("sk"))
+
   /** Streaming literal-quote gate: drop arriving documents that contain any
     * probe string verbatim (whitespace-normalized) — the ingestion-time
     * form of [[graft.operators.Corpus.quoteHits]]'s decontamination.

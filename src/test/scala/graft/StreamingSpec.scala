@@ -282,6 +282,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Map(20L -> 10L)) // planted near-dup flagged, clean doc admitted
   }
 
+  test("streaming CMS: merged per-batch sketches equal the one-shot batch sketch") {
+    val in = tmp("cms-in")
+    val sk = tmp("cms-sketch")
+    val ck = tmp("cms-ck")
+    // two files -> (with maxFilesPerTrigger) two micro-batches
+    Files.write(Paths.get(in, "a.json"),
+      (1 to 40).map(i => s"""{"key": "u${i % 7}"}""").mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(in, "b.json"),
+      (1 to 25).map(i => s"""{"key": "u${i % 5}"}""").mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in)
+    RealTime.cmsSketchStream(stream, sk, ck, d = 2, w = 64).awaitTermination()
+    assert(spark.read.parquet(sk).count() >= 2, "one sketch row per micro-batch")
+    val merged = RealTime.mergedCmsSketch(spark, sk).as[Seq[Long]].head()
+    val batchTwin = spark.read.schema(schema).json(in)
+      .select(graft.functions.TextAnalysis.md5Prefix32(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("cms:"),
+          org.apache.spark.sql.functions.col("key"))).as("h"))
+      .agg(org.apache.spark.sql.graft.shim.column(
+        org.apache.spark.sql.graft.CountMinSketchAgg(
+          org.apache.spark.sql.graft.shim.expression(
+            org.apache.spark.sql.functions.col("h")), 2, 64).toAggregateExpression()).as("sk"))
+      .as[Seq[Long]].head()
+    assert(merged === batchTwin)
+    assert(merged.sum === 65L * 2, "every row lands in one bucket per sketch row")
+  }
+
   test("streaming quote gate admits only docs that quote no probe") {
     // raw probe with capitalization + irregular spacing: the gate must
     // normalize BOTH sides before matching
