@@ -526,6 +526,9 @@ object SparkEntry {
     // corpus collocations by lift (log-free monotone twin of PMI)
     "q95_collocations" -> ((s, dir) =>
       Corpus.collocations(Tables.documents(s, dir))),
+    // per-source z-score length normalization from exact integer sums
+    "q99_zscore_norm" -> ((s, dir) =>
+      Corpus.zscoreLengths(Tables.documents(s, dir))),
   )
 
   /** Deterministic query subset for the similarity-search benchmarks. */
@@ -1534,6 +1537,18 @@ object SparkEntry {
         |  FROM sp JOIN uc u1 ON sp.t1 = u1.term JOIN uc u2 ON sp.t2 = u2.term CROSS JOIN tot)
         |SELECT bigram, c_xy, c1, c2, lift FROM j
         |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
+    // z-scores from exact integer sums: Var = (n*ss - s*s) / n^2, one
+    // division + one sqrt -> bit-identical doubles on both engines
+    "q99_zscore_norm" ->
+      """WITH st AS (
+        |  SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  (CAST(d.n_chars AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+        |    / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)
+        |      / CAST(st.n * st.n AS DOUBLE)) AS z
+        |FROM documents d JOIN st USING (source)""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.bruteForceTopK]] over the

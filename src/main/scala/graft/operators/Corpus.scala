@@ -201,6 +201,32 @@ object Corpus {
         (col("n_chars") < col("p_lo") || col("n_chars") > col("p_hi")).as("was_clipped"))
   }
 
+  /** Per-source z-score normalization of document lengths — the feature
+    * scaling step before length enters a quality model or curriculum
+    * score. Mean and variance come from EXACT integer sums
+    * (Var = (n·Σx² − (Σx)²) / n²), so unlike a float `stddev` aggregate —
+    * whose partial-sum order varies with partitioning — the statistics and
+    * hence every z-score are bit-identical across engines and runs
+    * (`sqrt` and one division are both correctly-rounded IEEE ops).
+    *
+    * Plan shape: one tiny per-source aggregate broadcast back over the
+    * corpus (same as [[winsorize]]); the document side never shuffles.
+    * Integer headroom: n·Σx² stays < 2⁶³ up to ~10¹² total chars per
+    * source; beyond that promote the sums to DECIMAL(38,0) — same algebra.
+    */
+  def zscoreLengths(documents: DataFrame): DataFrame = {
+    val stats = documents.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("s"),
+      sum(col("n_chars") * col("n_chars")).as("ss"))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((col("n_chars").cast("double") - col("s").cast("double") / col("n").cast("double"))
+          / sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")
+            / (col("n") * col("n")).cast("double"))).as("z"))
+  }
+
   /** Corpus-wide collocation mining by LIFT — for every word bigram seen at
     * least `minCount` times, lift = P(xy) / (P(x)·P(y)) computed as
     * (c_xy · N) / (c_x · c_y); the top `k` by (lift desc, bigram asc) are

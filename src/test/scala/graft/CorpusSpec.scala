@@ -116,6 +116,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(hits === Set((0L, 0L), (1L, 0L)))
   }
 
+  test("zscoreLengths: planted outlier dominates, per-source z sums to ~0") {
+    val docs = ((1 to 9).map(i => (i.toLong, "t", "en", "s1", 100L + i)) :+
+      (10L, "t", "en", "s1", 5000L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val z = graft.operators.Corpus.zscoreLengths(docs)
+      .select("doc_id", "z").as[(Long, Double)].collect().toMap
+    assert(z(10L) === z.values.max)
+    assert(math.abs(z.values.sum) < 1e-9, "z-scores are centered per source")
+    assert(z(10L) > 2.0, "the 50x-length doc is a strong outlier")
+  }
+
   test("winsorize: hand-computed bounds, interior values untouched, tails clipped") {
     // source "a": n_chars 0..10 → p_lo(0.05) = 0.5, p_hi(0.95) = 9.5
     val docs = (0L to 10L).map(i => (i, "a", i)) :+ ((99L, "b", 100L))
