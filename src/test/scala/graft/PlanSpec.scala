@@ -95,6 +95,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q93 CMS builds with partial aggregation and probes via broadcast") {
+    val df = SparkEntry.queries("q93_cms_heavyhitters")(spark, TestSpark.sf)
+    val plan = planString(df)
+    // map-side partial sketches: one ObjectHashAggregate pair around the
+    // single-row exchange, never a raw-row shuffle into one reducer
+    assert(plan.contains("partial_cms_sketch"), s"no partial sketch aggregation:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"),
+      s"probe side does not broadcast the single-row sketch:\n$plan")
+  }
+
+  test("q94 char-class profile is a pure map-side plan: no exchange") {
+    val plan = planString(SparkEntry.queries("q94_charclass_profile")(spark, TestSpark.sf))
+    assert(!plan.contains("Exchange"), s"map-side profile shuffled:\n$plan")
+  }
+
+  test("q95 collocation top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = planString(SparkEntry.queries("q95_collocations")(spark, TestSpark.sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"collocations global-sort:\n$plan")
+  }
+
   test("q67 funnel is one scan: a single parquet read feeds all stages") {
     val plan = planString(SparkEntry.queries("q67_filter_funnel")(spark, TestSpark.sf))
     // count scan nodes in the plan text (collect() can't see through the
