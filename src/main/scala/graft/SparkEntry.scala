@@ -461,6 +461,9 @@ object SparkEntry {
     // prior click per user (running-state window, one user-keyed shuffle)
     "q97_attribution" -> ((s, dir) =>
       TimeWindows.lastTouchAttribution(Tables.events(s, dir))),
+    // first-order Markov transitions between consecutive events per user
+    "q100_transition_matrix" -> ((s, dir) =>
+      TimeWindows.transitionMatrix(Tables.events(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1494,6 +1497,24 @@ object SparkEntry {
         |    / CAST((n_letters + n_digits + n_spaces + n_other)
         |      * (n_letters + n_digits + n_spaces + n_other) AS DOUBLE) AS class_diversity
         |FROM cls""".stripMargin,
+    // lead() over the same (ts, event_id) total order; P(to|from) is one
+    // division of exact integer counts
+    "q100_transition_matrix" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM ev),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n_transitions,
+        |  CAST(p.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        |FROM pairs p JOIN tot t USING (from_type)""".stripMargin,
     // running last-click window with the same (ts, event_id) total order;
     // IGNORE NULLS last_value is the as-of state carrier on both engines
     "q97_attribution" ->

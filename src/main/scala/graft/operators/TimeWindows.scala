@@ -191,6 +191,39 @@ object TimeWindows {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("seq_hash"))
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every ordered (event_type → next event_type) adjacency in a
+    * user's timeline, the transition count and probability — the
+    * behavioral model behind "what do users do after an error?" and the
+    * input to sequence-level anomaly scoring.
+    *
+    * Order is the same (ts, event_id) total order as
+    * [[lastTouchAttribution]]; the probability is one division of exact
+    * integer counts (deterministic across engines). Plan shape: one
+    * `lead` window partitioned by user (single user-keyed shuffle — state
+    * per row is one successor, never a per-user collect), then a
+    * (from, to)-keyed count whose cardinality is |event types|² —
+    * constant — so the final aggregate is a broadcast-sized result at any
+    * corpus scale.
+    *
+    * @return (from_type, to_type, n_transitions, p) — P(to | from)
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum(col("n_transitions")).as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
   /** Last-touch attribution: each purchase is attributed to the same
     * user's most recent click at or before it (the marketing-analytics
     * as-of self-join). Order is (ts, event_id) — a total order, so the

@@ -57,6 +57,28 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r(6L) === ((None, None, false)))
   }
 
+  test("transitionMatrix: hand-computed counts, per-from probabilities sum to 1") {
+    // user 7: view -> click -> view -> purchase ; user 8: view -> click
+    val events = Seq(
+      (1L, ts(0), 7L, "view", 1.0, ""),
+      (2L, ts(1), 7L, "click", 1.0, ""),
+      (3L, ts(2), 7L, "view", 1.0, ""),
+      (4L, ts(3), 7L, "purchase", 1.0, ""),
+      (5L, ts(0), 8L, "view", 1.0, ""),
+      (6L, ts(1), 8L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = TimeWindows.transitionMatrix(events).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("p"))).toMap
+    assert(m(("view", "click")) === ((2L, 2.0 / 3)))
+    assert(m(("click", "view")) === ((1L, 1.0)))
+    assert(m(("view", "purchase")) === ((1L, 1.0 / 3)))
+    assert(!m.contains(("click", "purchase")), "unseen transitions yield no row")
+    // rows partition the adjacency count: per-from p sums to exactly 1
+    val byFrom = m.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    assert(byFrom.forall { case (_, s) => math.abs(s - 1.0) < 1e-12 })
+  }
+
   test("conversionFunnel requires temporal order, not mere event presence") {
     val events = Seq(
       // user 1: full ordered funnel
