@@ -178,6 +178,51 @@ object Stateful {
     */
   case class FunnelAdvance(userId: Long, stage: Int, stageName: String, timestamp: Long)
 
+  /** Input row for the streaming transition counter; `eventId` breaks
+    * same-timestamp ordering ties exactly like the batch window's
+    * (ts, event_id) sort key.
+    */
+  case class TransitionEvent(userId: Long, eventId: Long, eventType: String, timestamp: Long)
+
+  /** One observed adjacency: the user moved from `fromType` to `toType`
+    * at `timestamp`.
+    */
+  case class Transition(userId: Long, fromType: String, toType: String, timestamp: Long)
+
+  /** Streaming twin of [[graft.operators.TimeWindows.transitionMatrix]]'s
+    * adjacency extraction: per user, state is ONE string (the last event
+    * type seen) and every arriving event emits the (prev → current)
+    * transition. Counting/normalizing into the matrix is a downstream
+    * stateless aggregate — the state here stays O(1) per user regardless
+    * of history length, where a collect-the-sequence design would grow
+    * without bound.
+    *
+    * In-batch disorder is folded in (timestamp, eventId) order, matching
+    * the batch window's total order, so a closed input replayed through
+    * this stream yields EXACTLY the batch twin's adjacency multiset
+    * (spec-asserted). NoTimeout form — for 100-TB user cardinality add
+    * event-time TTL eviction exactly as [[statsWithTTL]] does; an evicted
+    * user restarts with no previous type, dropping only the single
+    * adjacency that spans the idle gap.
+    */
+  def transitions(spark: SparkSession, events: Dataset[TransitionEvent]): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[TransitionEvent], state: GroupState[String]) =>
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          batch.toSeq.sortBy(e => (e.timestamp, e.eventId)).foreach { e =>
+            prev.foreach(p => out += Transition(userId, p, e.eventType, e.timestamp))
+            prev = Some(e.eventType)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming conversion funnel — the stateful real-time twin of
     * [[graft.operators.TimeWindows.conversionFunnel]]: per user, a tiny
     * state machine (current stage int) advances only on the NEXT stage's

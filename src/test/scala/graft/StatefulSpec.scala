@@ -43,6 +43,34 @@ class StatefulSpec extends AnyFunSuite {
     assert(u2.nReviews === 1 && u2.meanRating === 5.0)
   }
 
+  test("streaming transitions equal the batch window's adjacency multiset") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      Stateful.TransitionEvent](spark)
+    val q = Stateful.transitions(spark, input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("transitions_out")
+      .option("checkpointLocation", Files.createTempDirectory("trans-ck").toString)
+      .start()
+    // batch 1 arrives OUT of time order; ties at t=3 break by eventId
+    input.addData(
+      Stateful.TransitionEvent(1L, 2L, "click", 2L),
+      Stateful.TransitionEvent(1L, 1L, "view", 1L),
+      Stateful.TransitionEvent(1L, 4L, "purchase", 3L),
+      Stateful.TransitionEvent(1L, 3L, "view", 3L))
+    q.processAllAvailable()
+    // batch 2: cross-batch adjacency purchase -> view via carried state
+    input.addData(Stateful.TransitionEvent(1L, 5L, "view", 9L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("transitions_out").as[Stateful.Transition].collect()
+      .map(t => (t.fromType, t.toType)).groupBy(identity).view.mapValues(_.length).toMap
+    // the (ts, event_id) order folds (3,"view") before (4,"purchase") at
+    // t=3 — the batch window twin's adjacency multiset exactly
+    assert(streamed === Map(
+      ("view", "click") -> 1, ("click", "view") -> 1,
+      ("view", "purchase") -> 1, ("purchase", "view") -> 1))
+  }
+
   test("streaming funnel advances only on in-order stages, across micro-batches") {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
       Stateful.FunnelEvent](spark)
