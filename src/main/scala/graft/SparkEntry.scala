@@ -464,6 +464,10 @@ object SparkEntry {
     // first-order Markov transitions between consecutive events per user
     "q100_transition_matrix" -> ((s, dir) =>
       TimeWindows.transitionMatrix(Tables.events(s, dir))),
+    // multi-touch interval join: clicks x same-user views within 30 min;
+    // batch twin of the stream-stream join RealTime.clickViewPairsStream
+    "q101_interval_join" -> ((s, dir) =>
+      TimeWindows.clickViewPairs(Tables.events(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1515,6 +1519,16 @@ object SparkEntry {
         |SELECT p.from_type, p.to_type, p.n_transitions,
         |  CAST(p.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
         |FROM pairs p JOIN tot t USING (from_type)""".stripMargin,
+    // same user-keyed equi-join + range filter; gap in exact integer
+    // microseconds (epoch_us <-> unix_micros) so no float arithmetic
+    "q101_interval_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM ev c JOIN ev v ON c.user_id = v.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE""".stripMargin,
     // running last-click window with the same (ts, event_id) total order;
     // IGNORE NULLS last_value is the as-of state carrier on both engines
     "q97_attribution" ->

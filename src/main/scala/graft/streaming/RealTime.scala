@@ -291,6 +291,42 @@ object RealTime {
       .drop("norm")
   }
 
+  /** Stream–stream interval join — the real-time twin of
+    * [[graft.operators.TimeWindows.clickViewPairs]]: each arriving click
+    * joins ALL of the same user's views from the preceding
+    * `horizonMinutes`, across micro-batches. Both sides carry a
+    * watermark and the join condition carries the time range, which is
+    * what lets Spark BOUND the join state: a buffered view is evicted as
+    * soon as the click-side watermark passes `view_ts + horizon`, so
+    * state is (event rate × (horizon + watermark delay)) per side — O(1)
+    * in stream length. Without the range predicate the inner join would
+    * buffer both streams forever; this is the canonical shape from the
+    * Structured Streaming join docs.
+    *
+    * Inputs are pre-filtered streams with schema
+    * (user_id, event_id, ts): `clicks` and `views` — in production two
+    * topics, in tests two MemoryStreams. Output matches the batch twin:
+    * (user_id, click_id, view_id, gap_us), spec-asserted equal on a
+    * closed input ([[graft.StreamingSpec]]).
+    */
+  def clickViewPairsStream(clicks: DataFrame, views: DataFrame,
+                           horizonMinutes: Int = 30,
+                           watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val v = views
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
     * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.

@@ -132,6 +132,12 @@ class PlanSpec extends AnyFunSuite {
       s"funnel stage joins degenerated to cartesian:\n$plan")
   }
 
+  test("q101 interval join is keyed on user_id, never a nested loop") {
+    val plan = planString(SparkEntry.queries("q101_interval_join")(spark, TestSpark.sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a per-pair scan:\n$plan")
+  }
+
   test("report-card and retention queries avoid quadratic joins; retention never single-partitions") {
     for (q <- Seq("q83_ann_recall", "q85_lsh_quality", "q86_cohort_retention")) {
       val plan = planString(SparkEntry.queries(q)(spark, TestSpark.sf))

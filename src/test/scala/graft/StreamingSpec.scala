@@ -103,6 +103,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size === 3) // two sessions for user 7, one for user 8
   }
 
+  test("clickViewPairsStream: stream-stream interval join equals the batch twin across batches") {
+    def t(min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // user 7: views 0/10/25, clicks 20/40 -> click 20 pairs views {0,10},
+    // click 40 pairs views {10,25}; user 8's view 5 + click 50 is outside
+    // the 30-min horizon and must produce nothing (nor match user 7)
+    val viewRows = Seq(
+      SessEv(1L, t(0), 7L, "view"), SessEv(2L, t(10), 7L, "view"),
+      SessEv(3L, t(25), 7L, "view"), SessEv(4L, t(5), 8L, "view"))
+    val clickRows = Seq(
+      SessEv(11L, t(20), 7L, "click"), SessEv(12L, t(40), 7L, "click"),
+      SessEv(13L, t(50), 8L, "click"))
+
+    val vIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val cIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val joined = RealTime.clickViewPairsStream(
+      cIn.toDF().select("user_id", "event_id", "ts"),
+      vIn.toDF().select("user_id", "event_id", "ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("cv_pairs")
+      .option("checkpointLocation", tmp("cv-ck"))
+      .start()
+    // views first, clicks in a LATER batch: pairs must form against
+    // buffered state, not just within-batch rows
+    vIn.addData(viewRows.take(2): _*)
+    q.processAllAvailable()
+    cIn.addData(clickRows.head)
+    q.processAllAvailable()
+    vIn.addData(viewRows.drop(2): _*)
+    cIn.addData(clickRows.tail: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cv_pairs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.TimeWindows.clickViewPairs(
+      (viewRows ++ clickRows).toDF("event_id", "ts", "user_id", "event_type"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.map(p => (p._2, p._3)) ===
+      Set((11L, 1L), (11L, 2L), (12L, 2L), (12L, 3L)))
+    // gap_us is exact integer microseconds
+    assert(streamed.find(p => p._2 == 11L && p._3 == 1L).get._4 === 20L * 60000000L)
+  }
+
   test("trendingUsersStream: streamed leaderboard equals the batch form once windows close") {
     def t(min: Int): java.sql.Timestamp =
       new java.sql.Timestamp(1700000000000L + min * 60000L)
