@@ -468,6 +468,10 @@ object SparkEntry {
     // batch twin of the stream-stream join RealTime.clickViewPairsStream
     "q101_interval_join" -> ((s, dir) =>
       TimeWindows.clickViewPairs(Tables.events(s, dir))),
+    // deterministic 256-register HLL distinct-8-gram estimate per source,
+    // graded against the exact distinct count (error is the deliverable)
+    "q102_hll_cardinality" -> ((s, dir) =>
+      Corpus.hllCardinality(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1519,6 +1523,33 @@ object SparkEntry {
         |SELECT p.from_type, p.to_type, p.n_transitions,
         |  CAST(p.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
         |FROM pairs p JOIN tot t USING (from_type)""".stripMargin,
+    // HLL twin: same md5-prefix32 hash, register split, and scaled-integer
+    // harmonic sum; bin()/conv(_,10,2) agree on minimal binary strings, and
+    // the single float op is the final division by the folded constant
+    "q102_hll_cardinality" ->
+      s"""WITH sh AS (
+        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
+        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS g
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT source, g, ${md5Prefix32Sql("g")} AS h FROM sh),
+        |regs AS (
+        |  SELECT source, h % 256 AS reg,
+        |    max(CASE WHEN (h // 256) = 0 THEN 25
+        |             ELSE 25 - length(bin(h // 256)) END) AS rho
+        |  FROM hashed GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT source,
+        |    CAST(sum(1::BIGINT << (40 - rho)) AS BIGINT)
+        |      + (256 - CAST(count(*) AS BIGINT)) * 1099511627776 AS s_scaled,
+        |    CAST(count(*) AS BIGINT) AS occupied
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS n_exact
+        |  FROM hashed GROUP BY 1)
+        |SELECT ex.source, ex.n_exact, sk.occupied, sk.s_scaled,
+        |  5.175699493294551e16 / CAST(sk.s_scaled AS DOUBLE) AS est
+        |FROM ex JOIN sk USING (source)""".stripMargin,
     // same user-keyed equi-join + range filter; gap in exact integer
     // microseconds (epoch_us <-> unix_micros) so no float arithmetic
     "q101_interval_join" ->

@@ -163,4 +163,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus side shuffled for the probe join:\n$plan")
   }
+
+  test("hllCardinality: estimate lands within the 256-register error envelope") {
+    val r = Corpus.hllCardinality(
+      graft.Tables.documents(spark, TestSpark.sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_exact").toDouble
+      val est = row.getAs[Double]("est")
+      val occ = row.getAs[Long]("occupied")
+      assert(occ >= 1L && occ <= 256L)
+      // raw-estimator regime (n > 2.5m): 1.04/sqrt(256) = 6.5% std error;
+      // 3 sigma = ~20% is the hard cap a correct implementation never hits
+      if (n > 640) assert(math.abs(est / n - 1.0) < 0.20,
+        s"${row.getAs[String]("source")}: est $est vs exact $n")
+    }
+    // register state is bounded by construction: s_scaled <= 256 * 2^40
+    r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
+  }
+
+  test("hllCardinality sketch side aggregates map-side (partial_max before the exchange)") {
+    val df = Corpus.hllCardinality(graft.Tables.documents(spark, TestSpark.sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      s"register max does not combine map-side:\n$plan")
+  }
 }
