@@ -472,6 +472,9 @@ object SparkEntry {
     // graded against the exact distinct count (error is the deliverable)
     "q102_hll_cardinality" -> ((s, dir) =>
       Corpus.hllCardinality(Tables.documents(s, dir))),
+    // integer z-test spike/crater flags on per-type daily event volumes
+    "q103_volume_anomalies" -> ((s, dir) =>
+      TimeWindows.dailyVolumeAnomalies(Tables.events(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1550,6 +1553,28 @@ object SparkEntry {
         |SELECT ex.source, ex.n_exact, sk.occupied, sk.s_scaled,
         |  5.175699493294551e16 / CAST(sk.s_scaled AS DOUBLE) AS est
         |FROM ex JOIN sk USING (source)""".stripMargin,
+    // same cleared-denominator integer z-test; epoch-day via integer
+    // division, squared comparison in DECIMAL(38,0) on both engines
+    "q103_volume_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(cnt) AS BIGINT) AS s,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS q
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day_num, d.cnt,
+        |  st.n_days * d.cnt - st.s AS dev,
+        |  CAST(st.n_days * d.cnt - st.s AS DECIMAL(38,0))
+        |      * CAST(st.n_days * d.cnt - st.s AS DECIMAL(38,0))
+        |    > CAST(4 AS DECIMAL(38,0))
+        |      * (CAST(st.n_days AS DECIMAL(38,0)) * CAST(st.q AS DECIMAL(38,0))
+        |         - CAST(st.s AS DECIMAL(38,0)) * CAST(st.s AS DECIMAL(38,0)))
+        |    AS is_spike
+        |FROM daily d JOIN stats st USING (event_type)""".stripMargin,
     // same user-keyed equi-join + range filter; gap in exact integer
     // microseconds (epoch_us <-> unix_micros) so no float arithmetic
     "q101_interval_join" ->

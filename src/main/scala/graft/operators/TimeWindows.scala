@@ -285,6 +285,45 @@ object TimeWindows {
     * @return (user_id, click_id, view_id, gap_us) — gap ≥ 0, one row per
     *         qualifying (click, view) pair
     */
+  /** Daily volume anomaly flags — the pipeline-health monitor that
+    * catches a collapsed ingest (volume crater) or a runaway producer
+    * (spike) per event type: a day is anomalous when its count deviates
+    * from the type's mean by more than `k` standard deviations.
+    *
+    * The z-test runs ENTIRELY in exact integer arithmetic — the flag is
+    * (n·c − S)² > k²·(n·Q − S²), the cleared-denominator form of
+    * |c − μ| > k·σ with μ = S/n, σ² = (n·Q − S²)/n² — so, unlike a float
+    * `stddev`, the verdict never depends on aggregation order (the q99
+    * contract). The squares are compared in DECIMAL(38,0): exact on both
+    * engines and overflow-safe to n·c ≈ 10¹⁸ (a BIGINT square would cap
+    * daily counts near 3·10⁹/n). Day key is the epoch-day integer —
+    * identical arithmetic on both engines, no date-formatting ambiguity.
+    *
+    * Plan shape: one (type, day) count with map-side combine, a tiny
+    * per-type stats aggregate (|types| rows) broadcast back over the
+    * daily counts — the detail side never reshuffles.
+    *
+    * @return (event_type, day_num, cnt, dev = n·cnt − S, is_spike)
+    */
+  def dailyVolumeAnomalies(events: DataFrame, k: Int = 2): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("cnt")).as("s"),
+      sum(col("cnt") * col("cnt")).as("q"))
+    val dec = "decimal(38,0)"
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("n_days") * col("cnt") - col("s"))
+      .select(col("event_type"), col("day_num"), col("cnt"), col("dev"),
+        (col("dev").cast(dec) * col("dev").cast(dec) >
+          lit(k * k).cast(dec) *
+            (col("n_days").cast(dec) * col("q").cast(dec)
+              - col("s").cast(dec) * col("s").cast(dec))).as("is_spike"))
+  }
+
   def clickViewPairs(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))

@@ -167,4 +167,24 @@ class TimeWindowsSpec extends AnyFunSuite {
       .select("seq_hash").as[Long].collect()
     assert(hashes.distinct.length === 1) // both users fingerprint as "a b"
   }
+
+  test("dailyVolumeAnomalies: a planted 10x day is flagged, steady days are not") {
+    def day(d: Int, i: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-${d}%02d 10:00:${i % 60}%02d.${i}%06d")
+    // 9 steady days of 10 events, day 10 has 100 (the runaway producer)
+    val rows = (1 to 9).flatMap(d => (0 until 10).map(i =>
+      (d * 1000L + i, day(d, i), 1L, "click", 1.0, ""))) ++
+      (0 until 100).map(i => (10000L + i, day(10, i), 1L, "click", 1.0, ""))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.dailyVolumeAnomalies(events).collect()
+      .map(row => row.getAs[Long]("day_num") ->
+        (row.getAs[Long]("cnt"), row.getAs[Boolean]("is_spike"))).toMap
+    assert(r.size === 10)
+    val spikes = r.filter(_._2._2)
+    assert(spikes.size === 1 && spikes.head._2._1 === 100L)
+    // hand-check the integer z-test on the spike day:
+    // n=10, S=190, Q=10900 -> dev=10*100-190=810; dev^2=656100
+    // > 4*(10*10900 - 190^2)=4*72900=291600
+    assert(r.values.count(!_._2) === 9)
+  }
 }
