@@ -475,6 +475,10 @@ object SparkEntry {
     // integer z-test spike/crater flags on per-type daily event volumes
     "q103_volume_anomalies" -> ((s, dir) =>
       TimeWindows.dailyVolumeAnomalies(Tables.events(s, dir))),
+    // sorted-neighborhood blocking (merge/purge): prefix-sorted window
+    // candidates verified by exact token Jaccard >= 1/2
+    "q104_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1553,6 +1557,34 @@ object SparkEntry {
         |SELECT ex.source, ex.n_exact, sk.occupied, sk.s_scaled,
         |  5.175699493294551e16 / CAST(sk.s_scaled AS DOUBLE) AS est
         |FROM ex JOIN sk USING (source)""".stripMargin,
+    // same blocked window via WINDOW ... PARTITION BY; list_intersect on
+    // distinct tokens mirrors array_intersect; len() cast to Spark's INT
+    "q104_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+        |k AS (
+        |  SELECT doc_id, substring(norm, 1, 4) AS blk,
+        |    substring(norm, 1, 16) AS sort_key,
+        |    list_distinct(string_split_regex(norm, '\s+')) AS toks
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, toks,
+        |    lead(doc_id, 1) OVER win AS nb1, lead(toks, 1) OVER win AS nt1,
+        |    lead(doc_id, 2) OVER win AS nb2, lead(toks, 2) OVER win AS nt2
+        |  FROM k WINDOW win AS (PARTITION BY blk ORDER BY sort_key, doc_id)),
+        |pairs AS (
+        |  SELECT doc_id AS a_id, nb1 AS b_id,
+        |    CAST(len(list_intersect(toks, nt1)) AS INTEGER) AS inter,
+        |    CAST(len(toks) + len(nt1) - len(list_intersect(toks, nt1)) AS INTEGER) AS un
+        |  FROM w WHERE nb1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, nb2,
+        |    CAST(len(list_intersect(toks, nt2)) AS INTEGER),
+        |    CAST(len(toks) + len(nt2) - len(list_intersect(toks, nt2)) AS INTEGER)
+        |  FROM w WHERE nb2 IS NOT NULL)
+        |SELECT a_id, b_id, inter, un,
+        |  CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS j
+        |FROM pairs WHERE 2 * inter >= un""".stripMargin,
     // same cleared-denominator integer z-test; epoch-day via integer
     // division, squared comparison in DECIMAL(38,0) on both engines
     "q103_volume_anomalies" ->

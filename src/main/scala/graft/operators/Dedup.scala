@@ -394,4 +394,52 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo's
+    * merge/purge method, SIGMOD 1995) — the third blocking family next to
+    * LSH band buckets ([[minhashPairs]]) and the shingle inverted index
+    * ([[ngramJaccardPairs]]): sort documents by a normalized prefix key
+    * and compare each doc only against its `w−1` successors in that
+    * order. Catches the template/boilerplate near-dups that cluster
+    * lexicographically (shared headers, common prefixes) at a guaranteed
+    * |docs|·(w−1) candidate bound — no shingle fan-out at all, which
+    * makes it the cheapest first pass over a new corpus.
+    *
+    * Distributed form: the classic algorithm's single global sort is
+    * replaced by a coarse block key (first `blockChars` chars) that
+    * PARTITIONS the window — one shuffle on the block key, an in-block
+    * sort, never a single-partition global window. Pairs that straddle a
+    * block boundary are the (documented) recall loss vs the sequential
+    * algorithm — at 100 TB that is the right trade, and shrinking
+    * `blockChars` recovers them at higher per-block cost. Each candidate
+    * is verified with EXACT token Jaccard (`array_intersect` on distinct
+    * tokens — integers and one division, the cross-engine contract);
+    * threshold fixed at 1/2 via the integer form 2·|A∩B| ≥ |A∪B|.
+    *
+    * @return (a_id, b_id, inter, un, j) — a precedes b in sort order
+    */
+  def sortedNeighborhoodPairs(documents: DataFrame, blockChars: Int = 4,
+      keyChars: Int = 16, w: Int = 3): DataFrame = {
+    val norm = lower(trim(col("text")))
+    val base = documents.select(col("doc_id"),
+      substring(norm, 1, blockChars).as("blk"),
+      substring(norm, 1, keyChars).as("sort_key"),
+      array_distinct(TextAnalysis.tokens(norm)).as("toks"))
+      .transform(graft.barrier) // lead() must read a materialized attribute
+    val win = Window.partitionBy("blk").orderBy(col("sort_key"), col("doc_id"))
+    val withNbs = base.select(
+      col("doc_id") +: col("toks") +: (1 until w).flatMap(i => Seq(
+        lead(col("doc_id"), i).over(win).as(s"nb$i"),
+        lead(col("toks"), i).over(win).as(s"nt$i"))): _*)
+    (1 until w).map { i =>
+      withNbs.where(col(s"nb$i").isNotNull)
+        .select(col("doc_id").as("a_id"), col(s"nb$i").as("b_id"),
+          size(array_intersect(col("toks"), col(s"nt$i"))).as("inter"),
+          (size(col("toks")) + size(col(s"nt$i"))
+            - size(array_intersect(col("toks"), col(s"nt$i")))).as("un"))
+    }.reduce(_ unionAll _)
+      .where(col("inter") * 2 >= col("un"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("un"),
+        (col("inter").cast("double") / col("un").cast("double")).as("j"))
+  }
 }

@@ -175,4 +175,23 @@ class DedupSpec extends AnyFunSuite {
     // invariant: total weight = number of clusters (each cluster sums to 1)
     assert(w.values.map(_._2).sum === 2.0)
   }
+
+  test("sortedNeighborhoodPairs: prefix-adjacent near-dups pair, cross-block docs never do") {
+    // base/nearDup/base-copy share the first 16 chars -> same block, adjacent
+    // in sort order; distinctDoc lands in another block entirely
+    val pairs = Dedup.sortedNeighborhoodPairs(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        (r.getAs[Int]("inter"), r.getAs[Int]("un"), r.getAs[Double]("j")))
+      .toMap
+    // the three "spark catalyst..." docs share a 16-char sort key, so order
+    // falls back to doc_id (0, 1, 3) and w=3 yields all 3 in-window pairs
+    assert(pairs.keySet === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    // identical docs: J = 1
+    val (i03, u03, j03) = pairs((0L, 3L))
+    assert(i03 === u03 && j03 === 1.0)
+    // one-word edit: 19 shared of 21 distinct union tokens
+    assert(pairs((0L, 1L))._3 > 0.8 && pairs((0L, 1L))._3 < 1.0)
+    // candidate bound: never more than |docs| * (w-1) pairs pre-filter
+    assert(pairs.size <= docs.count() * 2)
+  }
 }
