@@ -308,10 +308,18 @@ object RealTime {
     * topics, in tests two MemoryStreams. Output matches the batch twin:
     * (user_id, click_id, view_id, gap_us), spec-asserted equal on a
     * closed input ([[graft.StreamingSpec]]).
+    *
+    * `joinType = "left_outer"` keeps orphan clicks (the "view-less click"
+    * audit): the null-padded row for an unmatched click is emitted only
+    * once the watermark proves no in-horizon view can still arrive —
+    * eviction-driven completion, the semantics unique to stream–stream
+    * outer joins (spec: the orphan appears only after BOTH inputs'
+    * watermarks pass the horizon).
     */
   def clickViewPairsStream(clicks: DataFrame, views: DataFrame,
                            horizonMinutes: Int = 30,
-                           watermarkDelay: String = "10 minutes"): DataFrame = {
+                           watermarkDelay: String = "10 minutes",
+                           joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", watermarkDelay)
@@ -322,7 +330,8 @@ object RealTime {
     c.join(v,
         col("user_id") === col("v_user_id") &&
           col("view_ts") <= col("click_ts") &&
-          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("view_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }

@@ -148,6 +148,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.find(p => p._2 == 11L && p._3 == 1L).get._4 === 20L * 60000000L)
   }
 
+  test("clickViewPairsStream left_outer: orphan clicks flush null-padded after the watermark") {
+    def t(min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val vIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val cIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val joined = RealTime.clickViewPairsStream(
+      cIn.toDF().select("user_id", "event_id", "ts"),
+      vIn.toDF().select("user_id", "event_id", "ts"),
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("cv_outer")
+      .option("checkpointLocation", tmp("cv-outer-ck"))
+      .start()
+    // user 7's click has an in-horizon view; user 8's click has none
+    vIn.addData(SessEv(1L, t(0), 7L, "view"))
+    cIn.addData(SessEv(11L, t(20), 7L, "click"), SessEv(12L, t(20), 8L, "click"))
+    q.processAllAvailable()
+    val early = spark.table("cv_outer").as[(Long, Long, Option[Long], Option[Long])]
+      .collect()
+    // matched pair emits eagerly; the orphan must NOT appear yet — no
+    // watermark has proven its horizon empty
+    assert(early.map(_._2).toSet === Set(11L))
+    // advance event time far past the horizon on BOTH inputs (the join
+    // watermark is the min), then a second batch performs the eviction
+    vIn.addData(SessEv(90L, t(600), 9L, "view"))
+    cIn.addData(SessEv(91L, t(600), 9L, "click"))
+    q.processAllAvailable()
+    vIn.addData(SessEv(92L, t(601), 9L, "view"))
+    cIn.addData(SessEv(93L, t(601), 9L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cv_outer")
+      .where($"user_id" === 8L)
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.length === 1)
+    assert(rows.head._2 === 12L && rows.head._3.isEmpty && rows.head._4.isEmpty)
+  }
+
   test("trendingUsersStream: streamed leaderboard equals the batch form once windows close") {
     def t(min: Int): java.sql.Timestamp =
       new java.sql.Timestamp(1700000000000L + min * 60000L)
