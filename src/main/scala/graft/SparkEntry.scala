@@ -479,6 +479,11 @@ object SparkEntry {
     // candidates verified by exact token Jaccard >= 1/2
     "q104_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir))),
+    // z-order layout profile: Morton-bucket rectangles over
+    // (l_partkey, l_suppkey) — per-bucket min/max = the skipping stats
+    "q105_zorder_profile" -> ((s, dir) =>
+      graft.sources.ZOrder.zOrderProfile(
+        Tables.lineitem(s, dir), "l_partkey", "l_suppkey")),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1557,6 +1562,31 @@ object SparkEntry {
         |SELECT ex.source, ex.n_exact, sk.occupied, sk.s_scaled,
         |  5.175699493294551e16 / CAST(sk.s_scaled AS DOUBLE) AS est
         |FROM ex JOIN sk USING (source)""".stripMargin,
+    // same mask-doubling bit spread as ZOrder.spread16, one CTE per
+    // ladder rung; // mirrors Spark's div, all BIGINT bit arithmetic
+    "q105_zorder_profile" ->
+      """WITH mm AS (
+        |  SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+        |         min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_partkey AS x, l_suppkey AS y,
+        |    CASE WHEN xmax > xmin
+        |      THEN ((l_partkey - xmin) * 65535) // (xmax - xmin) ELSE 0 END AS x16,
+        |    CASE WHEN ymax > ymin
+        |      THEN ((l_suppkey - ymin) * 65535) // (ymax - ymin) ELSE 0 END AS y16
+        |  FROM lineitem, mm),
+        |a AS (SELECT x, y, ((x16 | (x16 << 8)) & 16711935) AS xa,
+        |             ((y16 | (y16 << 8)) & 16711935) AS ya FROM s),
+        |b AS (SELECT x, y, ((xa | (xa << 4)) & 252645135) AS xb,
+        |             ((ya | (ya << 4)) & 252645135) AS yb FROM a),
+        |c AS (SELECT x, y, ((xb | (xb << 2)) & 858993459) AS xc,
+        |             ((yb | (yb << 2)) & 858993459) AS yc FROM b),
+        |d AS (SELECT x, y, (((xc | (xc << 1)) & 1431655765)
+        |             | ((((yc | (yc << 1)) & 1431655765)) << 1)) AS z FROM c)
+        |SELECT z // 67108864 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |FROM d GROUP BY 1""".stripMargin,
     // same blocked window via WINDOW ... PARTITION BY; list_intersect on
     // distinct tokens mirrors array_intersect; len() cast to Spark's INT
     "q104_sorted_neighborhood" ->

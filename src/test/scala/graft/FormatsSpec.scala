@@ -47,4 +47,49 @@ class FormatsSpec extends AnyFunSuite {
       s"ORC scan did not push the predicate: $pushed")
     assert(filtered.count() === 2)
   }
+
+  test("zValue interleaves bits: hand-computed Morton codes") {
+    import graft.sources.ZOrder
+    val r = Seq((3L, 5L), (65535L, 0L), (0L, 65535L), (0L, 0L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    // x=3 -> even bits 0,2 = 5; y=5 -> odd bits 1,5 = 34; z = 39
+    assert(r(0) === 39L)
+    assert(r(1) === 0x55555555L) // all even bits
+    assert(r(2) === 0xAAAAAAAAL) // all odd bits
+    assert(r(3) === 0L)
+  }
+
+  test("z-ordered files are rectangles in BOTH dims; a linear sort is not") {
+    import graft.sources.ZOrder
+    val li = graft.Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    def spanFracs(dir: String): (Double, Double) = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("l_partkey").as("px"), max("l_partkey").as("qx"),
+          min("l_suppkey").as("py"), max("l_suppkey").as("qy"))
+        .collect()
+      val (rx, ry) = (
+        perFile.map(_.getAs[Long]("qx")).max - perFile.map(_.getAs[Long]("px")).min,
+        perFile.map(_.getAs[Long]("qy")).max - perFile.map(_.getAs[Long]("py")).min)
+      (perFile.map(r => (r.getAs[Long]("qx") - r.getAs[Long]("px")).toDouble / rx).sum / perFile.length,
+        perFile.map(r => (r.getAs[Long]("qy") - r.getAs[Long]("py")).toDouble / ry).sum / perFile.length)
+    }
+    val zDir = Files.createTempDirectory("li-zorder").toString
+    ZOrder.writeZOrdered(li, zDir, "l_partkey", "l_suppkey", files = 16)
+    val linDir = Files.createTempDirectory("li-linear").toString
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey").write.mode("overwrite").parquet(linDir)
+    val (zx, zy) = spanFracs(zDir)
+    val (lx, ly) = spanFracs(linDir)
+    // z-order bounds BOTH dimensions per file...
+    assert(zx < 0.6 && zy < 0.6, s"z-order spans not rectangular: x=$zx y=$zy")
+    // ...while the linear sort bounds only its own column and leaves the
+    // second dimension's per-file span at ~full range
+    assert(lx < 0.3, s"linear sort should bound its sort column: $lx")
+    assert(ly > 0.8, s"expected near-full suppkey span per linear file: $ly")
+    assert(zy < ly / 2, "z-order should at least halve the secondary-dim span")
+  }
 }
