@@ -484,6 +484,10 @@ object SparkEntry {
     "q105_zorder_profile" -> ((s, dir) =>
       graft.sources.ZOrder.zOrderProfile(
         Tables.lineitem(s, dir), "l_partkey", "l_suppkey")),
+    // prefix-filtered EXACT set-similarity join (PPJoin): q36's pairs
+    // from ~1/12th the candidates, rarest-first prefixes as skew guard
+    "q106_ppjoin" -> ((s, dir) =>
+      Dedup.ppjoinPairs(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1562,6 +1566,40 @@ object SparkEntry {
         |SELECT ex.source, ex.n_exact, sk.occupied, sk.s_scaled,
         |  5.175699493294551e16 / CAST(sk.s_scaled AS DOUBLE) AS est
         |FROM ex JOIN sk USING (source)""".stripMargin,
+    // q36's shingle CTEs, then rarest-first prefixes ((f, g) total order),
+    // prefix self-join, and exact verify via list_intersect
+    "q106_ppjoin" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+        |strsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(shingles, s -> ${md5Prefix32Sql("s")})) AS sh
+        |  FROM strsh),
+        |tok AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        |freq AS (SELECT g, count(*) AS f FROM tok GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, g,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY f, g) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM tok JOIN freq USING (g)),
+        |pref AS (SELECT doc_id, g FROM ranked WHERE rn <= n - (n + 1) // 2 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, inter, un,
+        |  CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS j
+        |FROM (
+        |  SELECT a_id, b_id,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
+        |    CAST(len(da.sh) + len(db.sh) AS BIGINT)
+        |      - CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS un
+        |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
+        |WHERE 2 * inter >= un""".stripMargin,
     // same mask-doubling bit spread as ZOrder.spread16, one CTE per
     // ladder rung; // mirrors Spark's div, all BIGINT bit arithmetic
     "q105_zorder_profile" ->

@@ -194,4 +194,14 @@ class DedupSpec extends AnyFunSuite {
     // candidate bound: never more than |docs| * (w-1) pairs pre-filter
     assert(pairs.size <= docs.count() * 2)
   }
+
+  test("ppjoinPairs: prefix filtering loses nothing vs the full inverted index") {
+    val corpus = graft.Tables.documents(spark, TestSpark.sf)
+    val pp = Dedup.ppjoinPairs(corpus)
+      .select("a_id", "b_id", "inter").as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.ngramJaccardPairs(corpus)
+      .select("a_id", "b_id", "inter").as[(Long, Long, Long)].collect().toSet
+    assert(pp === full, "PPJoin must reproduce the exact inverted-index pairs")
+    assert(pp.nonEmpty) // the corpus has planted near-dups
+  }
 }
