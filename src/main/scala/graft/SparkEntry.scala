@@ -488,6 +488,10 @@ object SparkEntry {
     // from ~1/12th the candidates, rarest-first prefixes as skew guard
     "q106_ppjoin" -> ((s, dir) =>
       Dedup.ppjoinPairs(Tables.documents(s, dir))),
+    // item-item CF: top-5 cosine neighbors per product over user-rating
+    // vectors (integer dots/norms, ExactTopK ranking)
+    "q107_item_cf" -> ((s, dir) =>
+      Reco.itemNeighbors(Tables.ratings(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1566,6 +1570,34 @@ object SparkEntry {
         |SELECT ex.source, ex.n_exact, sk.occupied, sk.s_scaled,
         |  5.175699493294551e16 / CAST(sk.s_scaled AS DOUBLE) AS est
         |FROM ex JOIN sk USING (source)""".stripMargin,
+    // integer dots/norms from the deduped (user, product) max-rating;
+    // cosine = one division by one sqrt of an exact integer product, and
+    // the row_number (cos DESC, neighbor) mirror of the ExactTopK contract
+    "q107_item_cf" ->
+      s"""WITH $ratingsCte,
+        |r AS (
+        |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
+        |  FROM ratings GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT productId, CAST(sum(rv * rv) AS BIGINT) AS s2 FROM r GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.productId AS pa, b.productId AS pb,
+        |    CAST(sum(a.rv * b.rv) AS BIGINT) AS dot,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM r a JOIN r b ON a.userId = b.userId AND a.productId < b.productId
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |mir AS (
+        |  SELECT pa AS item, pb AS neighbor, dot, support FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, dot, support FROM pairs),
+        |scored AS (
+        |  SELECT item, neighbor, dot, support,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 * nb.s2 AS DOUBLE)) AS cos
+        |  FROM mir JOIN norms na ON na.productId = item
+        |           JOIN norms nb ON nb.productId = neighbor)
+        |SELECT item, neighbor, dot, support, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
     // q36's shingle CTEs, then rarest-first prefixes ((f, g) total order),
     // prefix self-join, and exact verify via list_intersect
     "q106_ppjoin" ->

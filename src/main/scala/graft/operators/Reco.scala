@@ -202,4 +202,62 @@ object Reco {
     val w = Window.partitionBy(col(groupCol)).orderBy(desc(orderCol), asc(idCol))
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
   }
+
+  /** Item-item collaborative filtering: each product's top-k nearest
+    * neighbors by cosine similarity over the user-rating vectors — the
+    * classic itemKNN model (Sarwar et al., WWW 2001) that turns the
+    * reference's community-label recommendations into score-ranked
+    * "customers who liked X also liked" lists.
+    *
+    * Determinism contract: ratings collapse to one integer per
+    * (user, product) (`max`), so dot products and squared norms are EXACT
+    * integer sums — order-invariant — and cosine spends exactly one
+    * `sqrt` + one division per pair (`dot / sqrt((s2a·s2b))`), identical
+    * IEEE ops on both engines. Top-k runs on the ExactTopK map-side
+    * aggregate under the (score DESC, id ASC) contract.
+    *
+    * Scale shape: the pair generator is the user-keyed self-join — fan-out
+    * Σ n_u², bounded per user, never corpus-quadratic (the q03 co-rating
+    * shape; cap hot users upstream with [[coRatingPairs]]'s
+    * `maxRatersPerProduct` guard if the rating distribution demands it).
+    * `minSupport` prunes single-co-rater noise pairs before the mirror.
+    * Barriers: the deduped rating table feeds three branches (norms + two
+    * self-join sides), the pair table two (the mirror), the scored table
+    * two (top-k + detail join-back) — each materializes once.
+    *
+    * @return (item, neighbor, dot, support, cos), ≤ k rows per item
+    */
+  def itemNeighbors(ratings: DataFrame, k: Int = 5, minSupport: Long = 2): DataFrame = {
+    val r = ratings.groupBy(col("userId"), col("productId"))
+      .agg(max(col("rating")).cast("long").as("rv"))
+      .transform(graft.barrier)
+    val norms = r.groupBy("productId").agg(sum(col("rv") * col("rv")).as("s2"))
+    val pairs = r.as("a").join(r.as("b"),
+        col("a.userId") === col("b.userId") && col("a.productId") < col("b.productId"))
+      .groupBy(col("a.productId").as("pa"), col("b.productId").as("pb"))
+      .agg(sum(col("a.rv") * col("b.rv")).as("dot"), count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .transform(graft.barrier)
+    val mir = pairs
+      .select(col("pa").as("item"), col("pb").as("neighbor"), col("dot"), col("support"))
+      .unionAll(pairs
+        .select(col("pb").as("item"), col("pa").as("neighbor"), col("dot"), col("support")))
+    val scored = mir
+      .join(norms.select(col("productId").as("item"), col("s2").as("s2a")), "item")
+      .join(norms.select(col("productId").as("neighbor"), col("s2").as("s2b")), "neighbor")
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("s2a") * col("s2b")).cast("double")))
+      .select("item", "neighbor", "dot", "support", "cos")
+      .transform(graft.barrier)
+    val top = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("cos")),
+        org.apache.spark.sql.graft.shim.expression(col("neighbor")),
+        k).toAggregateExpression())
+    scored.groupBy(col("item")).agg(top.as("nb"))
+      .select(col("item"), explode(col("nb")).as("e"))
+      .select(col("item"), col("e.payload").as("neighbor"))
+      .join(scored, Seq("item", "neighbor"))
+      .select("item", "neighbor", "dot", "support", "cos")
+  }
 }

@@ -65,4 +65,28 @@ class RecoSpec extends AnyFunSuite {
     val frac = db.count().toDouble / total
     assert(math.abs(frac - 0.7) < 0.05, s"fraction drifted: $frac")
   }
+
+  test("itemNeighbors: hand-computed cosines, support filter, symmetric lists") {
+    import spark.implicits._
+    // u1 and u2 co-rate (A=100, B=200); u2 and u3 co-rate (B, C=300);
+    // A-C is co-rated only by nobody twice -> dropped by minSupport=2
+    val ratings = Seq(
+      (1L, 100L, 2.0), (1L, 200L, 4.0),
+      (2L, 100L, 2.0), (2L, 200L, 4.0), (2L, 300L, 1.0),
+      (3L, 200L, 4.0), (3L, 300L, 1.0))
+      .toDF("userId", "productId", "rating")
+    val r = graft.operators.Reco.itemNeighbors(ratings).collect()
+      .map(x => (x.getAs[Long]("item"), x.getAs[Long]("neighbor")) ->
+        (x.getAs[Long]("dot"), x.getAs[Long]("support"), x.getAs[Double]("cos")))
+      .toMap
+    // pairs survive in both directions; the unsupported A-C pair is absent
+    assert(r.keySet === Set((100L, 200L), (200L, 100L), (200L, 300L), (300L, 200L)))
+    // A-B: dot = 2*4 + 2*4 = 16, support 2; norms: A 8, B 48
+    val (d, s, c) = r((100L, 200L))
+    assert(d === 16L && s === 2L)
+    assert(math.abs(c - 16.0 / math.sqrt(8.0 * 48.0)) < 1e-12)
+    // B-C: dot = 4 + 4 = 8, support 2; norms: B 48, C 2
+    assert(r((200L, 300L))._1 === 8L)
+    assert(math.abs(r((200L, 300L))._3 - 8.0 / math.sqrt(48.0 * 2.0)) < 1e-12)
+  }
 }
