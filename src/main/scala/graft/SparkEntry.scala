@@ -492,6 +492,10 @@ object SparkEntry {
     // vectors (integer dots/norms, ExactTopK ranking)
     "q107_item_cf" -> ((s, dir) =>
       Reco.itemNeighbors(Tables.ratings(s, dir))),
+    // itemKNN inference: top-3 predicted-rating recs per user via
+    // micro-unit-integer weighted neighbor scores
+    "q108_cf_predict" -> ((s, dir) =>
+      Reco.cfPredictions(Tables.ratings(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1574,30 +1578,34 @@ object SparkEntry {
     // cosine = one division by one sqrt of an exact integer product, and
     // the row_number (cos DESC, neighbor) mirror of the ExactTopK contract
     "q107_item_cf" ->
-      s"""WITH $ratingsCte,
-        |r AS (
-        |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
-        |  FROM ratings GROUP BY 1, 2),
-        |norms AS (
-        |  SELECT productId, CAST(sum(rv * rv) AS BIGINT) AS s2 FROM r GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.productId AS pa, b.productId AS pb,
-        |    CAST(sum(a.rv * b.rv) AS BIGINT) AS dot,
-        |    CAST(count(*) AS BIGINT) AS support
-        |  FROM r a JOIN r b ON a.userId = b.userId AND a.productId < b.productId
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |mir AS (
-        |  SELECT pa AS item, pb AS neighbor, dot, support FROM pairs
-        |  UNION ALL
-        |  SELECT pb, pa, dot, support FROM pairs),
-        |scored AS (
-        |  SELECT item, neighbor, dot, support,
-        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 * nb.s2 AS DOUBLE)) AS cos
-        |  FROM mir JOIN norms na ON na.productId = item
-        |           JOIN norms nb ON nb.productId = neighbor)
+      s"""WITH $itemCfCtes
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // q107's CTE chain, then micro-unit integer weights (identical double
+    // floored on both engines), exact integer weighted sums, NOT EXISTS
+    // as the left-anti twin, and the (pred DESC, item) ExactTopK mirror
+    "q108_cf_predict" ->
+      s"""WITH $itemCfCtes,
+        |nb AS (
+        |  SELECT item, neighbor, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |sc AS (
+        |  SELECT r.userId, nb.item,
+        |    CAST(sum(nb.w * r.rv) AS BIGINT) AS num, CAST(sum(nb.w) AS BIGINT) AS den
+        |  FROM r JOIN nb ON r.productId = nb.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nb.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item, num, den,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand)
+        |SELECT userId, item, num, den, pred FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |  FROM predt) WHERE rn <= 3""".stripMargin,
     // q36's shingle CTEs, then rarest-first prefixes ((f, g) total order),
     // prefix self-join, and exact verify via list_intersect
     "q106_ppjoin" ->
@@ -1908,6 +1916,34 @@ object SparkEntry {
     * the q36 oracle and the q85 LSH-quality oracle (where it is the exact
     * truth side).
     */
+  /** Shared DuckDB chain for the itemKNN family (q107/q108): deduped
+    * integer ratings → norms → user-keyed co-rating pairs (support ≥ 2) →
+    * mirrored, cosine-scored neighbor candidates. Mirrors
+    * [[graft.operators.Reco.itemNeighbors]] up to its ExactTopK cut.
+    */
+  private def itemCfCtes: String =
+    s"""$ratingsCte,
+       |r AS (
+       |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
+       |  FROM ratings GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT productId, CAST(sum(rv * rv) AS BIGINT) AS s2 FROM r GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.productId AS pa, b.productId AS pb,
+       |    CAST(sum(a.rv * b.rv) AS BIGINT) AS dot,
+       |    CAST(count(*) AS BIGINT) AS support
+       |  FROM r a JOIN r b ON a.userId = b.userId AND a.productId < b.productId
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |mir AS (
+       |  SELECT pa AS item, pb AS neighbor, dot, support FROM pairs
+       |  UNION ALL
+       |  SELECT pb, pa, dot, support FROM pairs),
+       |scored AS (
+       |  SELECT item, neighbor, dot, support,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 * nb.s2 AS DOUBLE)) AS cos
+       |  FROM mir JOIN norms na ON na.productId = item
+       |           JOIN norms nb ON nb.productId = neighbor)""".stripMargin
+
   private def ngramJaccardOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),

@@ -260,4 +260,50 @@ object Reco {
       .join(scored, Seq("item", "neighbor"))
       .select("item", "neighbor", "dot", "support", "cos")
   }
+
+  /** The itemKNN inference pass on top of [[itemNeighbors]]: predict a
+    * user's rating for every unrated product reachable through a
+    * neighbor they DID rate — pred(u, i) = Σ w(i,nb)·r(u,nb) / Σ w(i,nb)
+    * over i's neighbor list — and keep each user's `top` recommendations.
+    *
+    * Weights are the neighbor cosines scaled to integer micro-units
+    * (⌊cos·10⁶⌋): both engines floor the identical double, and the
+    * weighted sums become exact order-invariant integer aggregates — a
+    * raw float Σcos·r would vary with shuffle order. One division at the
+    * end; ranking ties break by item id (the ExactTopK contract).
+    *
+    * Scale shape: the scoring join fans each rating row out to the ≤k
+    * items whose neighbor lists contain it (k× amplification, not
+    * corpus²), the (user, item) aggregate map-combines, and already-rated
+    * items drop with a left-anti join. Headroom: num ≤ k·10⁶·maxRating.
+    *
+    * @return (userId, item, num, den, pred), ≤ `top` rows per user
+    */
+  def cfPredictions(ratings: DataFrame, k: Int = 5, minSupport: Long = 2,
+      top: Int = 3): DataFrame = {
+    val r = ratings.groupBy(col("userId"), col("productId"))
+      .agg(max(col("rating")).cast("long").as("rv"))
+      .transform(graft.barrier) // feeds scoring, the anti-join, and itemNeighbors' own
+    val nbrs = itemNeighbors(ratings, k, minSupport)
+      .select(col("item"), col("neighbor"),
+        floor(col("cos") * lit(1000000.0)).cast("long").as("w"))
+    val scores = r.join(nbrs, r("productId") === nbrs("neighbor"))
+      .groupBy(col("userId"), col("item"))
+      .agg(sum(col("w") * col("rv")).as("num"), sum(col("w")).as("den"))
+      .where(col("den") > 0)
+      .join(r.select(col("userId"), col("productId").as("item")),
+        Seq("userId", "item"), "left_anti")
+      .withColumn("pred", col("num").cast("double") / col("den").cast("double"))
+      .transform(graft.barrier) // top-k + detail join-back
+    val topAgg = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("pred")),
+        org.apache.spark.sql.graft.shim.expression(col("item")),
+        top).toAggregateExpression())
+    scores.groupBy(col("userId")).agg(topAgg.as("rec"))
+      .select(col("userId"), explode(col("rec")).as("e"))
+      .select(col("userId"), col("e.payload").as("item"))
+      .join(scores, Seq("userId", "item"))
+      .select("userId", "item", "num", "den", "pred")
+  }
 }

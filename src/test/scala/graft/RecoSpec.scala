@@ -89,4 +89,20 @@ class RecoSpec extends AnyFunSuite {
     assert(r((200L, 300L))._1 === 8L)
     assert(math.abs(r((200L, 300L))._3 - 8.0 / math.sqrt(48.0 * 2.0)) < 1e-12)
   }
+
+  test("cfPredictions: unrated items score via rated neighbors; saturated users get none") {
+    import spark.implicits._
+    val ratings = Seq(
+      (1L, 100L, 2.0), (1L, 200L, 4.0),
+      (2L, 100L, 2.0), (2L, 200L, 4.0), (2L, 300L, 1.0),
+      (3L, 200L, 4.0), (3L, 300L, 1.0))
+      .toDF("userId", "productId", "rating")
+    val p = graft.operators.Reco.cfPredictions(ratings).collect()
+      .map(x => (x.getAs[Long]("userId"), x.getAs[Long]("item")) ->
+        x.getAs[Double]("pred")).toMap
+    // u1 lacks C (neighbor of B, rated 4) -> pred 4.0 from the single
+    // neighbor; u3 lacks A (neighbor of B) -> pred 4.0; u2 rated all
+    assert(p.keySet === Set((1L, 300L), (3L, 100L)))
+    assert(p((1L, 300L)) === 4.0 && p((3L, 100L)) === 4.0)
+  }
 }
