@@ -496,6 +496,10 @@ object SparkEntry {
     // micro-unit-integer weighted neighbor scores
     "q108_cf_predict" -> ((s, dir) =>
       Reco.cfPredictions(Tables.ratings(s, dir))),
+    // 256-bucket histogram p50/p90/p99 per source, graded against the
+    // exact order statistic (integer-only sketch-vs-truth report)
+    "q109_hist_quantiles" -> ((s, dir) =>
+      Corpus.histogramQuantiles(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1582,6 +1586,36 @@ object SparkEntry {
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // same integer bucket/threshold/edge algebra; the exact side is the
+    // (n_chars, doc_id)-ordered row_number probe at rank t
+    "q109_hist_quantiles" ->
+      """WITH mm AS (
+        |  SELECT source, min(n_chars) AS lo, max(n_chars) AS hi,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |hist AS (
+        |  SELECT source, ((n_chars - lo) * 256) // (hi - lo + 1) AS b, count(*) AS c
+        |  FROM documents JOIN mm USING (source) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, b, sum(c) OVER (PARTITION BY source ORDER BY b) AS cm FROM hist),
+        |th AS (
+        |  SELECT source, lo, hi, n, p, (p * n + 99) // 100 AS t
+        |  FROM mm, unnest([50, 90, 99]) AS u(p)),
+        |est AS (
+        |  SELECT th.source, th.p, th.lo, th.hi, min(cum.b) AS eb
+        |  FROM th JOIN cum ON th.source = cum.source AND cum.cm >= th.t
+        |  GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents),
+        |ex AS (
+        |  SELECT th.source, th.p, r.n_chars AS exact_v
+        |  FROM th JOIN ranked r ON th.source = r.source AND r.rn = th.t)
+        |SELECT e.source, e.p, ex.exact_v,
+        |  e.lo + ((e.eb + 1) * (e.hi - e.lo + 1)) // 256 - 1 AS est_v,
+        |  (e.lo + ((e.eb + 1) * (e.hi - e.lo + 1)) // 256 - 1) - ex.exact_v AS err
+        |FROM est e JOIN ex USING (source, p)""".stripMargin,
     // q107's CTE chain, then micro-unit integer weights (identical double
     // floored on both engines), exact integer weighted sums, NOT EXISTS
     // as the left-anti twin, and the (pred DESC, item) ExactTopK mirror

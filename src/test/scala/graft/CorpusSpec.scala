@@ -182,6 +182,23 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("histogramQuantiles: exact order statistics, estimate within one bucket width") {
+    import spark.implicits._
+    // 100 docs with lengths 1..100 in one source: p50/p90/p99 order
+    // statistics are 50/90/99 by construction
+    val d = (1L to 100L).map(i => (i, "x" * i.toInt, "s"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "source", "CAST(length(text) AS BIGINT) AS n_chars")
+    val r = Corpus.histogramQuantiles(d).collect()
+      .map(x => x.getAs[Int]("p") ->
+        (x.getAs[Long]("exact_v"), x.getAs[Long]("est_v"), x.getAs[Long]("err"))).toMap
+    assert(r.keySet === Set(50, 90, 99))
+    assert(r(50)._1 === 50L && r(90)._1 === 90L && r(99)._1 === 99L)
+    // 256 buckets over a range of 100 -> bucket width < 1, so the upper
+    // edge can miss the exact value by at most 1
+    r.values.foreach { case (_, _, err) => assert(math.abs(err) <= 1L, s"err $err") }
+  }
+
   test("hllCardinality sketch side aggregates map-side (partial_max before the exchange)") {
     val df = Corpus.hllCardinality(graft.Tables.documents(spark, TestSpark.sf))
     val plan = df.queryExecution.executedPlan.toString
