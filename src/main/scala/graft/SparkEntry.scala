@@ -500,6 +500,10 @@ object SparkEntry {
     // exact order statistic (integer-only sketch-vs-truth report)
     "q109_hist_quantiles" -> ((s, dir) =>
       Corpus.histogramQuantiles(Tables.documents(s, dir))),
+    // Levenshtein fuzzy matches over sorted-neighborhood candidates
+    // (string-metric family: edits/transpositions token sets miss)
+    "q110_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1586,6 +1590,30 @@ object SparkEntry {
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // q104's blocked window, levenshtein verify (unit-cost DP on both
+    // engines), integer threshold lev*100 <= max_len*20
+    "q110_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+        |k AS (
+        |  SELECT doc_id, norm, substring(norm, 1, 4) AS blk,
+        |         substring(norm, 1, 16) AS sort_key FROM d),
+        |w AS (
+        |  SELECT doc_id, norm,
+        |    lead(doc_id, 1) OVER win AS nb1, lead(norm, 1) OVER win AS nn1,
+        |    lead(doc_id, 2) OVER win AS nb2, lead(norm, 2) OVER win AS nn2
+        |  FROM k WINDOW win AS (PARTITION BY blk ORDER BY sort_key, doc_id)),
+        |pairs AS (
+        |  SELECT doc_id AS a_id, nb1 AS b_id,
+        |    CAST(levenshtein(norm, nn1) AS INTEGER) AS lev,
+        |    CAST(greatest(length(norm), length(nn1)) AS INTEGER) AS max_len
+        |  FROM w WHERE nb1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, nb2, CAST(levenshtein(norm, nn2) AS INTEGER),
+        |    CAST(greatest(length(norm), length(nn2)) AS INTEGER)
+        |  FROM w WHERE nb2 IS NOT NULL)
+        |SELECT a_id, b_id, lev, max_len FROM pairs
+        |WHERE lev * 100 <= max_len * 20""".stripMargin,
     // same integer bucket/threshold/edge algebra; the exact side is the
     // (n_chars, doc_id)-ordered row_number probe at rank t
     "q109_hist_quantiles" ->

@@ -471,6 +471,43 @@ object Dedup {
         (col("inter").cast("double") / col("un").cast("double")).as("j"))
   }
 
+  /** Edit-distance fuzzy matching — the string-metric completion of the
+    * similarity family (set Jaccard in [[ngramJaccardPairs]]/[[
+    * ppjoinPairs]], hash Hamming in [[simhashPairs]], cosine in
+    * [[Similarity]]): [[sortedNeighborhoodPairs]]' blocked-window
+    * candidates verified by Levenshtein distance ≤ `maxLevPct`% of the
+    * longer text — the measure that catches single-character edits,
+    * transpositions, and truncations that token-set metrics miss.
+    *
+    * Levenshtein is the classic unit-cost DP, identical on both engines
+    * (exact integer). Cost control at scale is the candidate bound:
+    * O(|docs|·(w−1)) DP evaluations of O(len²) each — NEVER run
+    * levenshtein as a join predicate over an unblocked pair space.
+    * Threshold in integers: lev·100 ≤ max_len·pct.
+    *
+    * @return (a_id, b_id, lev, max_len) for qualifying pairs
+    */
+  def editDistancePairs(documents: DataFrame, blockChars: Int = 4,
+      keyChars: Int = 16, w: Int = 3, maxLevPct: Int = 20): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .withColumn("blk", substring(col("norm"), 1, blockChars))
+      .withColumn("sort_key", substring(col("norm"), 1, keyChars))
+      .transform(graft.barrier) // lead() must read materialized attributes
+    val win = Window.partitionBy("blk").orderBy(col("sort_key"), col("doc_id"))
+    val nb = base.select(
+      col("doc_id") +: col("norm") +: (1 until w).flatMap(i => Seq(
+        lead(col("doc_id"), i).over(win).as(s"nb$i"),
+        lead(col("norm"), i).over(win).as(s"nn$i"))): _*)
+    (1 until w).map { i =>
+      nb.where(col(s"nb$i").isNotNull)
+        .select(col("doc_id").as("a_id"), col(s"nb$i").as("b_id"),
+          levenshtein(col("norm"), col(s"nn$i")).as("lev"),
+          greatest(length(col("norm")), length(col(s"nn$i"))).as("max_len"))
+    }.reduce(_ unionAll _)
+      .where(col("lev") * 100 <= col("max_len") * maxLevPct)
+  }
+
   def sortedNeighborhoodPairs(documents: DataFrame, blockChars: Int = 4,
       keyChars: Int = 16, w: Int = 3): DataFrame = {
     val norm = lower(trim(col("text")))

@@ -195,6 +195,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size <= docs.count() * 2)
   }
 
+  test("editDistancePairs: one-word edit passes 20%, distinct docs never pair") {
+    val r = Dedup.editDistancePairs(docs).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")) ->
+        (x.getAs[Int]("lev"), x.getAs[Int]("max_len"))).toMap
+    // identical copies at distance 0; the compact->efficient edit is
+    // |"efficient"| - overlap = a small fraction of ~150 chars
+    assert(r.contains((0L, 3L)) && r((0L, 3L))._1 === 0)
+    assert(r.contains((0L, 1L)) && r((0L, 1L))._1 > 0)
+    assert(r((0L, 1L))._1 * 100 <= r((0L, 1L))._2 * 20)
+    // the distinct doc shares no block/neighborhood with the others
+    assert(!r.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
   test("ppjoinPairs: prefix filtering loses nothing vs the full inverted index") {
     val corpus = graft.Tables.documents(spark, TestSpark.sf)
     val pp = Dedup.ppjoinPairs(corpus)
