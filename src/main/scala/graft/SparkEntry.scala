@@ -504,6 +504,22 @@ object SparkEntry {
     // (string-metric family: edits/transpositions token sets miss)
     "q110_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))),
+    // FK orphan audit across the star schema: child count, orphan count,
+    // match rate per declared relation
+    "q111_integrity_audit" -> ((s, dir) =>
+      Relational.integrityAudit(Seq(
+        ("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        ("lineitem->part", Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        ("lineitem->supplier", Tables.lineitem(s, dir), "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"),
+        ("orders->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        ("customer->nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"),
+        ("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
+          Tables.nation(s, dir), "n_nationkey")))),
 
     // ---- training-data pipeline: similarity search ----
     "q37_sim_topk_brute" -> ((s, dir) =>
@@ -1590,6 +1606,37 @@ object SparkEntry {
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // NOT EXISTS per relation as the anti-join twin; exact counts, one
+    // division for the rate
+    "q111_integrity_audit" ->
+      """WITH audit(relation, n_child, n_orphans) AS (
+        |  SELECT 'lineitem->orders',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'lineitem->part',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem->supplier',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'orders->customer',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'customer->nation',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL SELECT 'supplier->nation',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM supplier s
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)))
+        |SELECT relation, n_child, n_orphans,
+        |  CAST(n_child - n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE) AS match_pct
+        |FROM audit""".stripMargin,
     // q104's blocked window, levenshtein verify (unit-cost DP on both
     // engines), integer threshold lev*100 <= max_len*20
     "q110_edit_distance" ->

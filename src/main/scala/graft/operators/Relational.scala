@@ -143,6 +143,35 @@ object Relational {
     * extraction, math — all codegen'd built-ins, no UDFs (SURVEY.md §2
     * "no scalar functions in the reference"; indispensable in practice).
     */
+  /** Referential-integrity audit — the data-contract gate a warehouse
+    * runs before promoting a snapshot: for each declared FK relation,
+    * the child row count, the orphan count (child keys with no parent),
+    * and the match rate. A nonzero orphan count is the canonical symptom
+    * of a partial load or out-of-order ingestion.
+    *
+    * Each relation is one left-anti join against the DISTINCT parent
+    * keys: small parents broadcast; big ones (orders) co-partition with
+    * the child on the key — never row-by-row lookups. Counts are exact
+    * integers and the rate is one division, so the report oracles
+    * byte-for-byte. The 1-row × 1-row crossJoin per relation is the
+    * q82-style singleton combine, not a data-sized cartesian.
+    *
+    * @param rels (relation-name, child, childKey, parent, parentKey)
+    * @return (relation, n_child, n_orphans, match_pct)
+    */
+  def integrityAudit(
+      rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    rels.map { case (name, child, ck, parent, pk) =>
+      val total = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans).select(
+        lit(name).as("relation"), col("n_child"), col("n_orphans"),
+        ((col("n_child") - col("n_orphans")).cast("double")
+          / col("n_child").cast("double")).as("match_pct"))
+    }.reduce(_ unionAll _)
+
   def eventScalars(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),

@@ -59,4 +59,18 @@ class RelationalSpec extends AnyFunSuite {
     val withoutO = Relational.customersWithoutOrders(c, o).count()
     assert(withO + withoutO === c.count())
   }
+
+  test("integrityAudit counts planted orphans; the clean relation reports 1.0") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (2L, "c"))
+      .toDF("fk", "payload")
+    val parent = Seq((1L, "p1"), (2L, "p2")).toDF("pk", "name")
+    val r = Relational.integrityAudit(Seq(
+      ("child->parent", child, "fk", parent, "pk"),
+      ("parent->parent", parent, "pk", parent, "pk"))).collect()
+      .map(x => x.getAs[String]("relation") ->
+        (x.getAs[Long]("n_child"), x.getAs[Long]("n_orphans"),
+          x.getAs[Double]("match_pct"))).toMap
+    assert(r("child->parent") === ((4L, 1L, 0.75)))
+    assert(r("parent->parent") === ((2L, 0L, 1.0)))
+  }
 }
