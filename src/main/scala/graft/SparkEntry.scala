@@ -504,6 +504,10 @@ object SparkEntry {
     // (string-metric family: edits/transpositions token sets miss)
     "q110_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))),
+    // growth accounting: daily actives, first-appearance news, running
+    // cumulative reach
+    "q112_user_reach" -> ((s, dir) =>
+      TimeWindows.userReach(Tables.events(s, dir))),
     // FK orphan audit across the star schema: child count, orphan count,
     // match rate per declared relation
     "q111_integrity_audit" -> ((s, dir) =>
@@ -1606,6 +1610,24 @@ object SparkEntry {
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // epoch-day integer keys; coalesce keeps all-returning days at 0 new
+    "q112_user_reach" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num
+        |  FROM events),
+        |daily AS (
+        |  SELECT day_num, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM ev GROUP BY 1),
+        |firsts AS (
+        |  SELECT user_id, min(day_num) AS first_day FROM ev GROUP BY 1),
+        |news AS (
+        |  SELECT first_day AS day_num, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM firsts GROUP BY 1)
+        |SELECT d.day_num, d.n_active,
+        |  COALESCE(n.n_new, 0) AS n_new,
+        |  CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day_num) AS BIGINT) AS cum_reach
+        |FROM daily d LEFT JOIN news n USING (day_num)""".stripMargin,
     // NOT EXISTS per relation as the anti-join twin; exact counts, one
     // division for the rate
     "q111_integrity_audit" ->

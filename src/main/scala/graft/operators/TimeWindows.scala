@@ -324,6 +324,33 @@ object TimeWindows {
               - col("s").cast(dec) * col("s").cast(dec))).as("is_spike"))
   }
 
+  /** Growth accounting: per epoch-day, the active-user count, the
+    * NEW-user count (first-ever appearance), and the running cumulative
+    * reach — the DAU/new/reach triple every product dashboard starts
+    * from. New-vs-returning comes from one per-user min-day aggregate
+    * (map-combinable), actives from a per-day distinct count, and the
+    * running total is a window over the DAILY table — |days| rows, so the
+    * single-partition cumulative window is a constant-size final step,
+    * never a corpus-wide sort.
+    *
+    * @return (day_num, n_active, n_new, cum_reach)
+    */
+  def userReach(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val daily = events.select(day.as("day_num"), col("user_id"))
+      .groupBy("day_num")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val news = events.select(col("user_id"), day.as("day_num"))
+      .groupBy("user_id").agg(min(col("day_num")).as("first_day"))
+      .groupBy(col("first_day").as("day_num"))
+      .agg(count(lit(1)).as("n_new"))
+    daily.join(news, Seq("day_num"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_reach", sum(col("n_new")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day_num"))))
+      .select("day_num", "n_active", "n_new", "cum_reach")
+  }
+
   def clickViewPairs(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))

@@ -187,4 +187,21 @@ class TimeWindowsSpec extends AnyFunSuite {
     // > 4*(10*10900 - 190^2)=4*72900=291600
     assert(r.values.count(!_._2) === 9)
   }
+
+  test("userReach: new-vs-returning split and monotone cumulative reach") {
+    def day(d: Int, i: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-${d}%02d 10:00:${i}%02d")
+    // day1: users 1,2 (both new); day2: 1 returns + 3 is new; day3: all return
+    val events = Seq(
+      (1L, day(1, 0), 1L, "view", 1.0, ""), (2L, day(1, 1), 2L, "view", 1.0, ""),
+      (3L, day(2, 0), 1L, "view", 1.0, ""), (4L, day(2, 1), 3L, "view", 1.0, ""),
+      (5L, day(3, 0), 1L, "view", 1.0, ""), (6L, day(3, 1), 2L, "view", 1.0, ""),
+      (7L, day(3, 2), 3L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.userReach(events).collect()
+      .map(x => x.getAs[Long]("day_num") ->
+        (x.getAs[Long]("n_active"), x.getAs[Long]("n_new"), x.getAs[Long]("cum_reach")))
+      .toSeq.sortBy(_._1).map(_._2)
+    assert(r === Seq((2L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L)))
+  }
 }
