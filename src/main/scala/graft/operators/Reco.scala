@@ -227,10 +227,22 @@ object Reco {
     *
     * @return (item, neighbor, dot, support, cos), ≤ k rows per item
     */
-  def itemNeighbors(ratings: DataFrame, k: Int = 5, minSupport: Long = 2): DataFrame = {
-    val r = ratings.groupBy(col("userId"), col("productId"))
+  def itemNeighbors(ratings: DataFrame, k: Int = 5, minSupport: Long = 2): DataFrame =
+    itemNeighborsFromDeduped(dedupedRatings(ratings), k, minSupport)
+
+  /** One integer rating per (user, product) — the shared head of the
+    * itemKNN family, barriered because [[cfPredictions]] reads it for
+    * scoring and the anti-join on top of [[itemNeighbors]]' own uses.
+    */
+  private[operators] def dedupedRatings(ratings: DataFrame): DataFrame =
+    ratings.groupBy(col("userId"), col("productId"))
       .agg(max(col("rating")).cast("long").as("rv"))
       .transform(graft.barrier)
+
+  private def itemNeighborsFromDeduped(r: DataFrame, k: Int,
+      minSupport: Long): DataFrame = {
+    // per-item squared norms: |items| rows — broadcast to keep the wide
+    // mirrored pair table from shuffling twice for its two norm lookups
     val norms = r.groupBy("productId").agg(sum(col("rv") * col("rv")).as("s2"))
     val pairs = r.as("a").join(r.as("b"),
         col("a.userId") === col("b.userId") && col("a.productId") < col("b.productId"))
@@ -238,17 +250,19 @@ object Reco {
       .agg(sum(col("a.rv") * col("b.rv")).as("dot"), count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
       .transform(graft.barrier)
-    val mir = pairs
+    def scored = pairs
       .select(col("pa").as("item"), col("pb").as("neighbor"), col("dot"), col("support"))
       .unionAll(pairs
         .select(col("pb").as("item"), col("pa").as("neighbor"), col("dot"), col("support")))
-    val scored = mir
-      .join(norms.select(col("productId").as("item"), col("s2").as("s2a")), "item")
-      .join(norms.select(col("productId").as("neighbor"), col("s2").as("s2b")), "neighbor")
+      .join(broadcast(norms.select(col("productId").as("item"), col("s2").as("s2a"))), "item")
+      .join(broadcast(norms.select(col("productId").as("neighbor"), col("s2").as("s2b"))),
+        "neighbor")
       .withColumn("cos",
         col("dot").cast("double") / sqrt((col("s2a") * col("s2b")).cast("double")))
       .select("item", "neighbor", "dot", "support", "cos")
-      .transform(graft.barrier)
+    // no barrier on `scored`: with the norms broadcast it is pure map work
+    // over the barriered pair table, so the top-k pass and the detail
+    // join-back each re-derive it for less than one materialization costs
     val top = org.apache.spark.sql.graft.shim.column(
       org.apache.spark.sql.graft.ExactTopK(
         org.apache.spark.sql.graft.shim.expression(col("cos")),
@@ -281,13 +295,12 @@ object Reco {
     */
   def cfPredictions(ratings: DataFrame, k: Int = 5, minSupport: Long = 2,
       top: Int = 3): DataFrame = {
-    val r = ratings.groupBy(col("userId"), col("productId"))
-      .agg(max(col("rating")).cast("long").as("rv"))
-      .transform(graft.barrier) // feeds scoring, the anti-join, and itemNeighbors' own
-    val nbrs = itemNeighbors(ratings, k, minSupport)
+    val r = dedupedRatings(ratings) // one dedup shared with itemNeighbors
+    val nbrs = itemNeighborsFromDeduped(r, k, minSupport)
       .select(col("item"), col("neighbor"),
         floor(col("cos") * lit(1000000.0)).cast("long").as("w"))
-    val scores = r.join(nbrs, r("productId") === nbrs("neighbor"))
+    // |items|·k rows — broadcast so the rating table never shuffles to score
+    val scores = r.join(broadcast(nbrs), r("productId") === nbrs("neighbor"))
       .groupBy(col("userId"), col("item"))
       .agg(sum(col("w") * col("rv")).as("num"), sum(col("w")).as("den"))
       .where(col("den") > 0)
