@@ -268,10 +268,12 @@ object Reco {
         org.apache.spark.sql.graft.shim.expression(col("cos")),
         org.apache.spark.sql.graft.shim.expression(col("neighbor")),
         k).toAggregateExpression())
-    scored.groupBy(col("item")).agg(top.as("nb"))
+    // the winners table is ≤ |items|·k (item, neighbor) pairs — broadcast
+    // it so the detail join-back never shuffles the wide scored stream
+    val winners = scored.groupBy(col("item")).agg(top.as("nb"))
       .select(col("item"), explode(col("nb")).as("e"))
       .select(col("item"), col("e.payload").as("neighbor"))
-      .join(scored, Seq("item", "neighbor"))
+    scored.join(broadcast(winners), Seq("item", "neighbor"), "left_semi")
       .select("item", "neighbor", "dot", "support", "cos")
   }
 
@@ -313,10 +315,10 @@ object Reco {
         org.apache.spark.sql.graft.shim.expression(col("pred")),
         org.apache.spark.sql.graft.shim.expression(col("item")),
         top).toAggregateExpression())
-    scores.groupBy(col("userId")).agg(topAgg.as("rec"))
+    val winners = scores.groupBy(col("userId")).agg(topAgg.as("rec"))
       .select(col("userId"), explode(col("rec")).as("e"))
       .select(col("userId"), col("e.payload").as("item"))
-      .join(scores, Seq("userId", "item"))
+    scores.join(broadcast(winners), Seq("userId", "item"), "left_semi")
       .select("userId", "item", "num", "den", "pred")
   }
 }

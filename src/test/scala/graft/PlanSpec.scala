@@ -132,6 +132,15 @@ class PlanSpec extends AnyFunSuite {
       s"funnel stage joins degenerated to cartesian:\n$plan")
   }
 
+  test("q107/q108 itemKNN broadcasts the norm and neighbor lookups") {
+    for (q <- Seq("q107_item_cf", "q108_cf_predict")) {
+      val plan = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: small-side lookups should broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q quadratic join:\n$plan")
+    }
+  }
+
   test("q101 interval join is keyed on user_id, never a nested loop") {
     val plan = planString(SparkEntry.queries("q101_interval_join")(spark, TestSpark.sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
