@@ -508,6 +508,14 @@ object SparkEntry {
     // cumulative reach
     "q112_user_reach" -> ((s, dir) =>
       TimeWindows.userReach(Tables.events(s, dir))),
+    // CMS inner-product estimate of |clicks x purchases on user_id|,
+    // graded against the exact join size (optimizer statistics)
+    "q113_join_size_sketch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Sketches.cmsJoinSize(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"), "user_id")
+    }),
     // FK orphan audit across the star schema: child count, orphan count,
     // match rate per declared relation
     "q111_integrity_audit" -> ((s, dir) =>
@@ -1610,6 +1618,42 @@ object SparkEntry {
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // q93's bucket algebra on both sides; inner product per permutation
+    // row via a (j, bucket) equi-join (zero cells contribute nothing)
+    "q113_join_size_sketch" ->
+      s"""WITH ca AS (
+        |  SELECT user_id, ${md5Prefix32Sql("'cms:' || CAST(user_id AS VARCHAR)")} AS h
+        |  FROM events WHERE event_type = 'click'),
+        |cb AS (
+        |  SELECT user_id, ${md5Prefix32Sql("'cms:' || CAST(user_id AS VARCHAR)")} AS h
+        |  FROM events WHERE event_type = 'purchase'),
+        |perm AS (SELECT unnest(range(0, 4)) AS j),
+        |ba AS (
+        |  SELECT j,
+        |    ((h % 2147483647) * ((2654435761 * (j + 1)) % 2147483647)
+        |      + (1000003 * (j + 1)) % 2147483647) % 2147483647 % 1024 AS b,
+        |    count(*) AS c
+        |  FROM ca CROSS JOIN perm GROUP BY 1, 2),
+        |bb AS (
+        |  SELECT j,
+        |    ((h % 2147483647) * ((2654435761 * (j + 1)) % 2147483647)
+        |      + (1000003 * (j + 1)) % 2147483647) % 2147483647 % 1024 AS b,
+        |    count(*) AS c
+        |  FROM cb CROSS JOIN perm GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT ba.j, CAST(sum(ba.c * bb.c) AS BIGINT) AS s
+        |  FROM ba JOIN bb ON ba.j = bb.j AND ba.b = bb.b GROUP BY 1),
+        |est AS (SELECT min(s) AS est_join FROM ip),
+        |ex AS (
+        |  SELECT CAST(COALESCE(sum(x.c * y.c), 0) AS BIGINT) AS exact_join
+        |  FROM (SELECT user_id, count(*) AS c FROM ca GROUP BY 1) x
+        |  JOIN (SELECT user_id, count(*) AS c FROM cb GROUP BY 1) y USING (user_id)),
+        |n AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_left,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_right)
+        |SELECT n_left, n_right, exact_join, est_join,
+        |  est_join - exact_join AS overest
+        |FROM n, ex, est""".stripMargin,
     // epoch-day integer keys; coalesce keeps all-returning days at 0 new
     "q112_user_reach" ->
       """WITH ev AS (

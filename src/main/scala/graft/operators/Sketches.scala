@@ -68,4 +68,49 @@ object Sketches {
           j => element_at(col("sk"), (j * w + bucket(col("h"), j, w)).cast("int") + 1))))
       .select(col("user_id"), col("exact_cnt"), col("cms_est"))
   }
+
+  /** Sketch-based equi-join cardinality estimation — the statistic a
+    * query optimizer (or a capacity planner) needs BEFORE running the
+    * join: |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by the CMS inner
+    * product, est = min_j Σ_b cA[j][b]·cB[j][b] (Cormode & Muthukrishnan
+    * 2005, §4.2) — one-sided, always ≥ the true size (hash collisions
+    * only ADD cross terms). The report carries the exact size so the
+    * (d, w) configuration is graded, like q93's point estimates.
+    *
+    * At 100 TB each side reduces to ONE d·w matrix with map-side partials
+    * (no shuffle grows with the data), the inner product is driver-side
+    * arithmetic on two broadcast singletons, and the exact side — a full
+    * per-key count + join — exists only as the graded truth. All integer
+    * arithmetic: counts ≤ 2³², per-row products sum < 2⁶³ up to ~10⁹-row
+    * sides at w = 1024.
+    *
+    * @return one row (n_left, n_right, exact_join, est_join, overest)
+    */
+  def cmsJoinSize(left: DataFrame, right: DataFrame, keyCol: String,
+                  d: Int = 4, w: Int = 1024): DataFrame = {
+    def hashed(df: DataFrame) = df.select(
+      col(keyCol).as("k"),
+      TextAnalysis.md5Prefix32(concat(lit("cms:"), col(keyCol).cast("string"))).as("h"))
+    def sketchOf(df: DataFrame, as: String) = {
+      val agg = org.apache.spark.sql.graft.shim.column(
+        org.apache.spark.sql.graft.CountMinSketchAgg(
+          org.apache.spark.sql.graft.shim.expression(col("h")), d, w)
+          .toAggregateExpression())
+      hashed(df).agg(agg.as(as))
+    }
+    val counts = hashed(left).agg(count(lit(1)).as("n_left"))
+      .crossJoin(hashed(right).agg(count(lit(1)).as("n_right")))
+    val exact = hashed(left).groupBy("k").agg(count(lit(1)).as("ca"))
+      .join(hashed(right).groupBy("k").agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join"))
+    val est = sketchOf(left, "ska").crossJoin(sketchOf(right, "skb"))
+      .select(array_min(transform(sequence(lit(0), lit(d - 1)), j =>
+        aggregate(sequence(lit(0), lit(w - 1)), lit(0L), (acc, i) =>
+          acc + element_at(col("ska"), (j * w + i).cast("int") + 1)
+            * element_at(col("skb"), (j * w + i).cast("int") + 1))))
+        .as("est_join"))
+    counts.crossJoin(exact).crossJoin(est)
+      .select(col("n_left"), col("n_right"), col("exact_join"), col("est_join"),
+        (col("est_join") - col("exact_join")).as("overest"))
+  }
 }

@@ -36,6 +36,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(one.sum == hashed.count() * 4, "every row increments one counter per sketch row")
   }
 
+  test("cmsJoinSize: collision-free fixture is exact; real join is one-sided and tight") {
+    // left multiplicities {1:2, 2:1}, right {1:1, 2:2, 3:1} -> exact 2+2 = 4;
+    // three distinct keys in w=1024 buckets cannot collide in every row
+    val left = Seq(1L, 1L, 2L).toDF("k")
+    val right = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val row = Sketches.cmsJoinSize(left, right, "k").collect().head
+    assert(row.getAs[Long]("n_left") === 3L && row.getAs[Long]("n_right") === 4L)
+    assert(row.getAs[Long]("exact_join") === 4L)
+    assert(row.getAs[Long]("est_join") === 4L && row.getAs[Long]("overest") === 0L)
+    // real event streams: estimate never undercounts, and at w=1024 the
+    // collision mass stays well under 20% of the true size
+    val ev = Tables.events(spark, TestSpark.sf)
+    val r2 = Sketches.cmsJoinSize(
+      ev.where("event_type = 'click'"),
+      ev.where("event_type = 'view'"), "user_id").collect().head
+    val (exact, est) = (r2.getAs[Long]("exact_join"), r2.getAs[Long]("est_join"))
+    assert(est >= exact, "inner-product estimate must be one-sided")
+    assert(exact > 0 && est <= exact + (exact / 5))
+  }
+
   test("cms_sketch is callable from SQL with literal d and w") {
     GraftExtensions.register(spark)
     Tables.events(spark, TestSpark.sf).createOrReplaceTempView("events_v")
