@@ -508,6 +508,10 @@ object SparkEntry {
     // cumulative reach
     "q112_user_reach" -> ((s, dir) =>
       TimeWindows.userReach(Tables.events(s, dir))),
+    // carry-forward time-weighted average of value per user (irregular
+    // series; integer cents x micros, one final division)
+    "q114_time_weighted_avg" -> ((s, dir) =>
+      TimeWindows.timeWeightedAvg(Tables.events(s, dir))),
     // CMS inner-product estimate of |clicks x purchases on user_id|,
     // graded against the exact join size (optimizer statistics)
     "q113_join_size_sketch" -> ((s, dir) => {
@@ -1618,6 +1622,23 @@ object SparkEntry {
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // same lead() hold intervals; sum(cents*dt) is an exact BIGINT on
+    // both engines, one division returns original units
+    "q114_time_weighted_avg" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS cents
+        |  FROM events),
+        |held AS (
+        |  SELECT user_id, cents,
+        |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dt
+        |  FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(dt) AS BIGINT) AS span_us,
+        |  CAST(CAST(sum(cents * dt) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(dt) AS BIGINT) * 100 AS DOUBLE) AS twa
+        |FROM held GROUP BY 1""".stripMargin,
     // q93's bucket algebra on both sides; inner product per permutation
     // row via a (j, bucket) equi-join (zero cells contribute nothing)
     "q113_join_size_sketch" ->

@@ -324,6 +324,42 @@ object TimeWindows {
               - col("s").cast(dec) * col("s").cast(dec))).as("is_spike"))
   }
 
+  /** Time-weighted average of `value` per user — the irregular-series
+    * aggregation (monitoring, IoT, position marking) where a plain AVG is
+    * wrong because samples arrive unevenly: each reading is weighted by
+    * how long it was CURRENT (carry-forward until the next event), so a
+    * value held for an hour counts 3600× one held for a second.
+    *
+    * Exactness: readings scale to integer cents (⌊value·100⌋ — both
+    * engines floor the identical double), hold times are exact integer
+    * microseconds from the (ts, event_id)-ordered `lead`, and the
+    * weighted sum Σ cents·Δt stays a BIGINT (< 2⁶³ up to ~30-year spans
+    * at value ≤ 10⁶) — order-invariant where a float Σ value·Δt is not.
+    * One double division at the end returns original units.
+    *
+    * Plan: one user-keyed window pass (single shuffle), one hash
+    * aggregate. Users with one event have no held interval → NULL twa,
+    * kept (observability counts them).
+    *
+    * @return (user_id, n_events, span_us, twa)
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .withColumn("dt",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dt")).as("span_us"),
+        sum(col("cents") * col("dt")).as("num"))
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        (col("num").cast("double") / (col("span_us") * lit(100L)).cast("double"))
+          .as("twa"))
+  }
+
   /** Growth accounting: per epoch-day, the active-user count, the
     * NEW-user count (first-ever appearance), and the running cumulative
     * reach — the DAU/new/reach triple every product dashboard starts

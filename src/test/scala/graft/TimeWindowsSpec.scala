@@ -188,6 +188,22 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r.values.count(!_._2) === 9)
   }
 
+  test("timeWeightedAvg: hold-time weighting, single-event users keep NULL") {
+    val events = Seq(
+      // user 1: 10.0 held 3 min, then 40.0 held 1 min, then close -> 17.5
+      (1L, ts(0), 1L, "v", 10.0, ""), (2L, ts(3), 1L, "v", 40.0, ""),
+      (3L, ts(4), 1L, "v", 99.0, ""),
+      // user 2: a single reading holds nothing
+      (4L, ts(0), 2L, "v", 5.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.timeWeightedAvg(events).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_events"), Option(x.get(x.fieldIndex("twa"))))).toMap
+    assert(r(1L)._1 === 3L)
+    assert(math.abs(r(1L)._2.get.asInstanceOf[Double] - 17.5) < 1e-12)
+    assert(r(2L)._1 === 1L && r(2L)._2.isEmpty)
+  }
+
   test("userReach: new-vs-returning split and monotone cumulative reach") {
     def day(d: Int, i: Int): Timestamp =
       Timestamp.valueOf(f"2026-01-${d}%02d 10:00:${i}%02d")
