@@ -512,6 +512,14 @@ object SparkEntry {
     // series; integer cents x micros, one final division)
     "q114_time_weighted_avg" -> ((s, dir) =>
       TimeWindows.timeWeightedAvg(Tables.events(s, dir))),
+    // k-anonymity release gate over (event_type, day, value-centile)
+    // quasi-identifiers: small equivalence classes and rows they expose
+    "q115_k_anonymity" -> ((s, dir) =>
+      Relational.kAnonymity(
+        Tables.events(s, dir)
+          .withColumn("day_num", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("v_bucket", expr("CAST(floor(value / 100.0) AS BIGINT)")),
+        Seq("event_type", "day_num", "v_bucket"), k = 20L)),
     // CMS inner-product estimate of |clicks x purchases on user_id|,
     // graded against the exact join size (optimizer statistics)
     "q113_join_size_sketch" -> ((s, dir) => {
@@ -1622,6 +1630,21 @@ object SparkEntry {
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // same QI buckets (epoch-day, value-centile); constant-size summary
+    "q115_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS v_bucket
+        |  FROM events),
+        |groups AS (
+        |  SELECT event_type, day_num, v_bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(COALESCE(sum(CASE WHEN n < 20 THEN 1 END), 0) AS BIGINT) AS n_small_groups,
+        |  CAST(COALESCE(sum(CASE WHEN n < 20 THEN n END), 0) AS BIGINT) AS rows_at_risk,
+        |  CAST(20 AS BIGINT) AS k
+        |FROM groups""".stripMargin,
     // same lead() hold intervals; sum(cents*dt) is an exact BIGINT on
     // both engines, one division returns original units
     "q114_time_weighted_avg" ->

@@ -172,6 +172,26 @@ object Relational {
           / col("n_child").cast("double")).as("match_pct"))
     }.reduce(_ unionAll _)
 
+  /** k-anonymity release audit — the privacy gate next to PII redaction
+    * (q65) and the FK audit ([[integrityAudit]]): group the table by its
+    * quasi-identifier columns and report how many equivalence classes
+    * fall below `k` members and how many rows they expose. A release is
+    * k-anonymous only when `rows_at_risk` is 0 — each record hides among
+    * at least k−1 others sharing its quasi-identifiers (Sweeney 2002).
+    *
+    * One hash aggregate over the QI key (map-side combine) plus a
+    * constant-size summary — nothing scales with row count but the one
+    * group-by.
+    *
+    * @return one row (n_groups, n_small_groups, rows_at_risk, k)
+    */
+  def kAnonymity(df: DataFrame, qi: Seq[String], k: Long): DataFrame =
+    df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("n") < k, lit(1L))), lit(0L)).as("n_small_groups"),
+        coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("rows_at_risk"),
+        max(lit(k)).as("k"))
+
   def eventScalars(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),

@@ -60,6 +60,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(withO + withoutO === c.count())
   }
 
+  test("kAnonymity: small equivalence classes are counted with their exposed rows") {
+    // QI (a, b): group (1,1) has 3 rows, (1,2) has 1, (2,2) has 2
+    val df = Seq((1, 1, "x"), (1, 1, "y"), (1, 1, "z"), (1, 2, "w"),
+      (2, 2, "u"), (2, 2, "v")).toDF("a", "b", "payload")
+    val r = Relational.kAnonymity(df, Seq("a", "b"), k = 3L).collect().head
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(r.getAs[Long]("n_small_groups") === 2L) // (1,2) and (2,2)
+    assert(r.getAs[Long]("rows_at_risk") === 3L)   // 1 + 2
+    assert(r.getAs[Long]("k") === 3L)
+    // with k = 1 everything is anonymous
+    val ok = Relational.kAnonymity(df, Seq("a", "b"), k = 1L).collect().head
+    assert(ok.getAs[Long]("rows_at_risk") === 0L)
+  }
+
   test("integrityAudit counts planted orphans; the clean relation reports 1.0") {
     val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (2L, "c"))
       .toDF("fk", "payload")
