@@ -406,6 +406,10 @@ object SparkEntry {
     // repeated 32-token windows across the corpus (headers/footers/chrome)
     "q72_boilerplate" -> ((s, dir) =>
       Corpus.boilerplateWindows(Tables.documents(s, dir))),
+    // C4-style segment-dedup rewrite: drop 8-token segments seen in >= 3
+    // docs, re-assemble survivors in order, hash the rewritten text
+    "q116_segment_dedup" -> ((s, dir) =>
+      Corpus.segmentDedupRewrite(Tables.documents(s, dir))),
     // robust stats: per-source winsorized length clipping (exact
     // percentile bounds broadcast back — the document side never shuffles)
     "q91_winsorize" -> ((s, dir) =>
@@ -1319,6 +1323,31 @@ object SparkEntry {
          |SELECT g, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
          |  min(doc_id) AS first_doc
          |FROM w GROUP BY g HAVING count(*) > 1""".stripMargin,
+    // same aligned-unnest segment build; string_agg ORDER BY sid mirrors
+    // the sort_array re-assembly, coalesce('') covers all-removed docs
+    "q116_segment_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |seg AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS sid,
+         |    unnest(list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+         |      c -> array_to_string(t[c*8+1 : c*8+8], ' '))) AS seg
+         |  FROM toks),
+         |hseg AS (
+         |  SELECT doc_id, sid, seg, ${md5Prefix32Sql("seg")} AS g FROM seg),
+         |dup AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM hseg GROUP BY 1),
+         |j AS (
+         |  SELECT h.doc_id, h.sid, h.seg,
+         |    CAST(len(string_split(h.seg, ' ')) AS BIGINT) AS n_tok,
+         |    d.n_docs < 3 AS keep
+         |  FROM hseg h JOIN dup d USING (g))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+         |  CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT) AS n_removed,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN n_tok END), 0) AS BIGINT) AS kept_tokens,
+         |  ${md5Prefix32Sql("coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY sid), '')")} AS kept_hash
+         |FROM j GROUP BY doc_id""".stripMargin,
     "q70_quote_hits" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -127,6 +127,57 @@ object Corpus {
       .where(col("n_occurrences") > 1)
   }
 
+  /** Segment-level dedup REWRITE — the C4/RefinedWeb "remove duplicated
+    * lines" cleaning transform, applied to every document.
+    * [[boilerplateWindows]] (q72) *reports* repeated windows; this op
+    * *applies* the cleanup: the text is cut into consecutive `w`-token
+    * segments, any segment appearing in >= `maxDocs` distinct documents
+    * corpus-wide is dropped, and each document is re-assembled from its
+    * surviving segments in order. Output per document: segment count,
+    * removed count, surviving token count, and the md5-prefix32 hash of
+    * the rewritten text (so the rewrite itself is hash-graded, not just
+    * the counts). Reference scope: the reference dedupes whole ratings
+    * rows (`/root/reference/spliter.py:17-21`); sub-document dedup is the
+    * corpus-scale generalization a training pipeline needs.
+    *
+    * Scale shape: one explode to (doc_id, sid, segment) behind the token
+    * barrier, one hash-keyed aggregate for the duplicate counts, one
+    * equi-join on the 8-byte segment hash, and one per-document aggregate
+    * whose state is bounded by document size (segments of ONE doc, never
+    * the corpus). The barrier also makes the dup-count aggregate and the
+    * join probe read the same materialized explode instead of tokenizing
+    * twice (q36 precedent). At 100 TB the dup-count side is the only
+    * corpus-wide state and it is |distinct segments| × 16 bytes.
+    */
+  def segmentDedupRewrite(documents: DataFrame, w: Int = 8,
+                          maxDocs: Long = 3L): DataFrame = {
+    val nSeg = ceil(size(col("t")).cast("double") / w).cast("int")
+    val segments = transform(sequence(lit(0), nSeg - 1),
+      c => array_join(slice(col("t"), c * w + 1, lit(w)), " "))
+    val seg = tokensBarrier(documents)
+      .select(col("doc_id"), posexplode(segments).as(Seq("sid", "seg")))
+      .withColumn("g", TextAnalysis.md5Prefix32(col("seg")))
+      .transform(graft.barrier)
+    val dup = seg.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    seg.join(dup, Seq("g"))
+      .select(col("doc_id"), col("sid"), col("seg"),
+        size(split(col("seg"), " ")).cast("long").as("n_tok"),
+        (col("n_docs") < maxDocs).as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        coalesce(sum(when(not(col("keep")), 1L)), lit(0L)).as("n_removed"),
+        coalesce(sum(when(col("keep"), col("n_tok"))), lit(0L)).as("kept_tokens"),
+        // null for dropped segments: collect_list skips nulls, sort_array
+        // restores sid order lost in the shuffle
+        sort_array(collect_list(when(col("keep"),
+          struct(col("sid"), col("seg"))))).as("kept"))
+      .select(col("doc_id"), col("n_seg"), col("n_removed"), col("kept_tokens"),
+        TextAnalysis.md5Prefix32(
+          array_join(transform(col("kept"), p => p.getField("seg")), " "))
+          .as("kept_hash"))
+  }
+
   /** Dataset-snapshot diff — the data-versioning primitive: classify every
     * document across two corpus versions as `added` / `removed` /
     * `modified` / `unchanged` by doc_id + content hash. This is how a

@@ -33,6 +33,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows("3_language") === ((1L, 1L, 0L)))
   }
 
+  test("segmentDedupRewrite drops corpus-wide segments, keeps unique ones in order") {
+    // segment width 2, threshold 2 distinct docs: "dup seg" appears in all
+    // three docs → removed everywhere; per-doc unique segments survive
+    val d = docs(
+      (1L, "dup seg one alpha", "a"),
+      (2L, "dup seg two beta extra", "a"),
+      (3L, "dup seg", "a"))
+    val r = Corpus.segmentDedupRewrite(d, w = 2, maxDocs = 2L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_seg") === 2L)
+    assert(r(1L).getAs[Long]("n_removed") === 1L)
+    assert(r(1L).getAs[Long]("kept_tokens") === 2L)
+    // doc 2: 3 segments ("dup seg","two beta","extra"), one removed
+    assert(r(2L).getAs[Long]("n_removed") === 1L)
+    assert(r(2L).getAs[Long]("kept_tokens") === 3L)
+    // doc 3 is ALL boilerplate → empty rewrite hashes the empty string
+    assert(r(3L).getAs[Long]("kept_tokens") === 0L)
+    assert(r(3L).getAs[Long]("kept_hash") === java.lang.Long.parseLong("d41d8cd9", 16))
+    // rewritten doc 2 = surviving segments joined in sid order
+    val h2 = spark.sql("SELECT conv(substring(md5('two beta extra'), 1, 8), 16, 10)")
+      .head.getString(0).toLong
+    assert(r(2L).getAs[Long]("kept_hash") === h2)
+  }
+
   test("distinctNgramRatio: a self-repeating source scores lower than a diverse one") {
     val d = docs(
       (1L, "a b c d e f g h i j", "diverse"),
