@@ -149,6 +149,17 @@ object SparkEntry {
 
     // ---- general relational coverage (SURVEY §2 "no instance" categories) ----
     "q10_pricing_summary" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
+    // irregular price-tier lookup as a bucketed equi-join (never a
+    // nested-loop range join); weight = exact price cents
+    "q117_bucket_range_lookup" -> ((s, dir) =>
+      Relational.bucketRangeLookup(
+        Tables.lineitem(s, dir).select(
+          expr("CAST(floor(l_extendedprice) AS BIGINT)").as("v"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("weight")),
+        Seq(("b1_budget", 0L, 2000L), ("b2_mid", 2000L, 10000L),
+          ("b3_upper", 10000L, 30000L), ("b4_premium", 30000L, 70000L),
+          ("b5_luxury", 70000L, 200000L)),
+        bucketWidth = 2000L)),
     "q11_revenue_by_nation" -> ((s, dir) =>
       Relational.revenueByNation(Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "q12_top_orders_per_customer" -> ((s, dir) => Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
@@ -711,6 +722,22 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // interval semantics (lo <= v < hi) stated directly; the bucket
+    // expansion is a Spark-side physical rewrite, not a semantic change
+    "q117_bucket_range_lookup" ->
+      """WITH br(bracket, lo, hi) AS (VALUES
+        |    ('b1_budget', 0, 2000), ('b2_mid', 2000, 10000),
+        |    ('b3_upper', 10000, 30000), ('b4_premium', 30000, 70000),
+        |    ('b5_luxury', 70000, 200000)),
+        |f AS (
+        |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT bracket, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+        |  count(*) AS n_rows,
+        |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_weight
+        |FROM f JOIN br ON f.v >= br.lo AND f.v < br.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q11_revenue_by_nation" ->
       """SELECT n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -281,6 +281,44 @@ object Relational {
       first(col("event_id")).over(wRows).as("first_event"))
   }
 
+  /** Bucketed range-lookup join — the scale technique for joining a fact
+    * value against an IRREGULAR interval dimension (IP→geo ranges, tax
+    * brackets, rating tiers) without a nested-loop range join: each
+    * interval [lo, hi) is expanded to the coarse `bucketWidth`-wide
+    * buckets it overlaps, the fact side computes its bucket with one
+    * integer division, and the join becomes a broadcast HASH join on the
+    * bucket id with the exact `lo <= v < hi` predicate left as a residual
+    * filter. A plain `JOIN ON v BETWEEN lo AND hi` plans as
+    * BroadcastNestedLoopJoin — every fact row tests every interval, which
+    * at 100 TB is a scan × dimension blow-up; here each row meets only the
+    * intervals sharing its bucket (one, for non-overlapping dimensions).
+    * PlanSpec asserts the hash-join shape.
+    *
+    * `fact` must expose `v` (long value) and `weight` (long measure);
+    * intervals are (name, lo, hi) with hi exclusive. Reference scope: the
+    * reference's only lookups are key-equality (Redis GET, e.g.
+    * `/root/reference/flink/flink-psd/src/main/java/streaming/RealTimeRecommendations.java:58-68`);
+    * interval dimensions are the generalization warehouses need.
+    */
+  def bucketRangeLookup(fact: DataFrame, brackets: Seq[(String, Long, Long)],
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0 && brackets.forall(b => b._2 < b._3),
+      "need bucketWidth > 0 and lo < hi")
+    val spark = fact.sparkSession
+    import spark.implicits._
+    val dim = brackets.toDF("bracket", "lo", "hi")
+      .select(col("bracket"), col("lo"), col("hi"),
+        explode(sequence(expr(s"lo div $bucketWidth"),
+          expr(s"(hi - 1) div $bucketWidth"))).as("bucket"))
+    fact
+      .withColumn("bucket", expr(s"v div $bucketWidth"))
+      .join(broadcast(dim), Seq("bucket"))
+      .where(col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy(col("bracket"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("weight")), lit(0L)).as("total_weight"))
+  }
+
   private def statCols: Seq[Column] = {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")

@@ -86,6 +86,15 @@ class PlanSpec extends AnyFunSuite {
       "centroids are not broadcast")
   }
 
+  test("q117 interval lookup plans as a broadcast HASH join, not a nested loop") {
+    val df = SparkEntry.queries("q117_bucket_range_lookup")(spark, TestSpark.sf)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket expansion failed — range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"interval dimension is not a broadcast hash join:\n$plan")
+  }
+
   test("q74/q81 are pure map-side plans: no exchange anywhere") {
     for (q <- Seq("q74_chunking", "q81_quantize")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)

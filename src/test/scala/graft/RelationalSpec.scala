@@ -74,6 +74,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(ok.getAs[Long]("rows_at_risk") === 0L)
   }
 
+  test("bucketRangeLookup: exclusive upper bounds, cross-bucket intervals, out-of-range drop") {
+    // width 10; [0,15) spans buckets 0-1, [15,30) spans 1-2: the residual
+    // lo<=v<hi filter must separate the shared bucket 1
+    val fact = Seq(0L, 14L, 15L, 29L, 99L).map(v => (v, 1L)).toDF("v", "weight")
+    val r = Relational.bucketRangeLookup(fact,
+      Seq(("low", 0L, 15L), ("high", 15L, 30L)), bucketWidth = 10L)
+      .collect().map(x => x.getAs[String]("bracket") ->
+        (x.getAs[Long]("n_rows"), x.getAs[Long]("total_weight"))).toMap
+    assert(r("low") === ((2L, 2L)))  // 0, 14 — 15 is excluded (hi exclusive)
+    assert(r("high") === ((2L, 2L))) // 15, 29; 99 matches no interval
+    assert(r.size === 2)
+  }
+
   test("integrityAudit counts planted orphans; the clean relation reports 1.0") {
     val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (2L, "c"))
       .toDF("fk", "payload")
