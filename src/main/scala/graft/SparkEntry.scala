@@ -527,6 +527,9 @@ object SparkEntry {
     // series; integer cents x micros, one final division)
     "q114_time_weighted_avg" -> ((s, dir) =>
       TimeWindows.timeWeightedAvg(Tables.events(s, dir))),
+    // bot gate: per-user gap stats + exact-integer cv² uniformity flag
+    "q118_automation_signals" -> ((s, dir) =>
+      TimeWindows.automationSignals(Tables.events(s, dir))),
     // k-anonymity release gate over (event_type, day, value-centile)
     // quasi-identifiers: small equivalence classes and rows they expose
     "q115_k_anonymity" -> ((s, dir) =>
@@ -1701,6 +1704,34 @@ object SparkEntry {
         |  CAST(COALESCE(sum(CASE WHEN n < 20 THEN n END), 0) AS BIGINT) AS rows_at_risk,
         |  CAST(20 AS BIGINT) AS k
         |FROM groups""".stripMargin,
+    // same lead() gaps; Σdt² and (Σdt)² in DECIMAL(38,0) so the cv² flag
+    // is an exact integer compare (q103 pattern); cv² NULL on zero span
+    "q118_automation_signals" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |gaps AS (
+        |  SELECT user_id,
+        |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dt
+        |  FROM ev),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(dt) AS BIGINT) AS sx,
+        |    CAST(min(dt) AS BIGINT) AS min_gap_us,
+        |    CAST(max(dt) AS BIGINT) AS max_gap_us,
+        |    sum(CAST(dt AS DECIMAL(38,0)) * CAST(dt AS DECIMAL(38,0))) AS sxx
+        |  FROM gaps WHERE dt IS NOT NULL GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT user_id, n_gaps, sx AS span_us, min_gap_us, max_gap_us,
+        |  CAST(sx AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+        |  CASE WHEN sx <> 0 THEN
+        |    CAST(CAST(n_gaps AS DECIMAL(38,0)) * sxx AS DOUBLE)
+        |      / CAST(CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+        |      - 1.0 END AS cv2,
+        |  n_gaps >= 10 AND
+        |    CAST(25 AS DECIMAL(38,0)) * CAST(n_gaps AS DECIMAL(38,0)) * sxx <
+        |    CAST(26 AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+        |    AS is_bot
+        |FROM agg""".stripMargin,
     // same lead() hold intervals; sum(cents*dt) is an exact BIGINT on
     // both engines, one division returns original units
     "q114_time_weighted_avg" ->

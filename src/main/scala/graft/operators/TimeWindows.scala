@@ -324,6 +324,48 @@ object TimeWindows {
               - col("s").cast(dec) * col("s").cast(dec))).as("is_spike"))
   }
 
+  /** Per-user automation (bot) signals from inter-event gap statistics —
+    * the "is this traffic human?" gate a training pipeline runs before
+    * user-generated text enters the corpus. For every user with >= 5
+    * gaps: gap count, span, min/max gap, mean gap, and the squared
+    * coefficient of variation of gaps (cv² = n·Σdt²/(Σdt)² − 1, the
+    * scale-free uniformity measure — metronomic scripted traffic has
+    * cv² ≈ 0, human traffic is bursty with cv² ≥ 1). The bot flag is the
+    * exact integer predicate 25·n·Σdt² < 26·(Σdt)² (cv² < 0.04) over >=
+    * `minGaps` gaps, evaluated in DECIMAL(38,0) like the q103 z-test so
+    * no float rounding can flip a verdict near the threshold.
+    *
+    * One user-keyed window (lead) feeding one user-keyed aggregate — the
+    * same single-shuffle shape as [[timeWeightedAvg]]; state per user is
+    * five scalars regardless of event count. cv² itself is emitted as
+    * DOUBLE via one final division (NULL when the span is zero).
+    */
+  def automationSignals(events: DataFrame, minGaps: Long = 10L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val gaps = events
+      .withColumn("dt",
+        expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))")
+          - expr("unix_micros(ts)"))
+      .where(col("dt").isNotNull)
+    val agg = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("dt")).as("sx"),
+        min(col("dt")).as("min_gap_us"),
+        max(col("dt")).as("max_gap_us"),
+        sum(col("dt").cast(dec) * col("dt").cast(dec)).as("sxx"))
+      .where(col("n_gaps") >= 5)
+    val sx2 = col("sx").cast(dec) * col("sx").cast(dec)
+    agg.select(col("user_id"), col("n_gaps"), col("sx").as("span_us"),
+      col("min_gap_us"), col("max_gap_us"),
+      (col("sx").cast("double") / col("n_gaps").cast("double")).as("mean_gap_us"),
+      when(col("sx") =!= 0L,
+        (col("n_gaps").cast(dec) * col("sxx")).cast("double") / sx2.cast("double")
+          - 1.0).as("cv2"),
+      (col("n_gaps") >= minGaps &&
+        lit(25).cast(dec) * col("n_gaps").cast(dec) * col("sxx") <
+          lit(26).cast(dec) * sx2).as("is_bot"))
+  }
+
   /** Time-weighted average of `value` per user — the irregular-series
     * aggregation (monitoring, IoT, position marking) where a plain AVG is
     * wrong because samples arrive unevenly: each reading is weighted by

@@ -204,6 +204,25 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r(2L)._1 === 1L && r(2L)._2.isEmpty)
   }
 
+  test("automationSignals: metronomic traffic flags as bot, bursty human does not") {
+    def at(sec: Int): Timestamp = new Timestamp(1700000000000L + sec * 1000L)
+    val bot = (0 to 10).map(i => ((100 + i).toLong, at(i * 2), 1L, "v", 1.0, ""))
+    // human: 10 gaps with one long pause -> cv2 large
+    val human = (0 to 10).map(i =>
+      ((200 + i).toLong, at(if (i <= 5) i else 3600 + i * 7), 2L, "v", 1.0, ""))
+    // too few gaps (4): filtered out entirely
+    val sparse = (0 to 4).map(i => ((300 + i).toLong, at(i), 3L, "v", 1.0, ""))
+    val events = (bot ++ human ++ sparse)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.automationSignals(events).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_gaps"), x.getAs[Boolean]("is_bot"),
+          x.getAs[Double]("cv2"))).toMap
+    assert(r(1L) === ((10L, true, 0.0))) // perfectly uniform 2 s gaps
+    assert(r(2L)._2 === false && r(2L)._3 > 1.0)
+    assert(!r.contains(3L))
+  }
+
   test("userReach: new-vs-returning split and monotone cumulative reach") {
     def day(d: Int, i: Int): Timestamp =
       Timestamp.valueOf(f"2026-01-${d}%02d 10:00:${i}%02d")
