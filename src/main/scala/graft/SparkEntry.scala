@@ -530,6 +530,10 @@ object SparkEntry {
     // bot gate: per-user gap stats + exact-integer cv² uniformity flag
     "q118_automation_signals" -> ((s, dir) =>
       TimeWindows.automationSignals(Tables.events(s, dir))),
+    // robust outlier gate: median/MAD on a doubled integer scale, exact
+    // integer 2·|x−med| > k·2·MAD predicate
+    "q119_mad_outliers" -> ((s, dir) =>
+      Relational.madOutliers(Tables.events(s, dir))),
     // k-anonymity release gate over (event_type, day, value-centile)
     // quasi-identifiers: small equivalence classes and rows they expose
     "q115_k_anonymity" -> ((s, dir) =>
@@ -1704,6 +1708,27 @@ object SparkEntry {
         |  CAST(COALESCE(sum(CASE WHEN n < 20 THEN n END), 0) AS BIGINT) AS rows_at_risk,
         |  CAST(20 AS BIGINT) AS k
         |FROM groups""".stripMargin,
+    // doubled-scale medians land interpolation on integers, so
+    // quantile_cont == Spark percentile bit-for-bit; outlier test integer
+    "q119_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, 2 * CAST(floor(value * 100) AS BIGINT) AS x2
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, CAST(quantile_cont(x2, 0.5) AS BIGINT) AS med2
+        |  FROM b GROUP BY 1),
+        |dev AS (
+        |  SELECT b.event_type, x2, med2, abs(x2 - med2) AS ad
+        |  FROM b JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, CAST(quantile_cont(2 * ad, 0.5) AS BIGINT) AS mad2x
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(max(d.med2) AS DOUBLE) / 200.0 AS median_value,
+        |  CAST(max(m.mad2x) AS DOUBLE) / 400.0 AS mad_value,
+        |  CAST(coalesce(sum(CASE WHEN 2 * d.ad > 3 * m.mad2x THEN 1 END), 0) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type) GROUP BY 1""".stripMargin,
     // same lead() gaps; Σdt² and (Σdt)² in DECIMAL(38,0) so the cv² flag
     // is an exact integer compare (q103 pattern); cv² NULL on zero span
     "q118_automation_signals" ->

@@ -281,6 +281,44 @@ object Relational {
       first(col("event_id")).over(wRows).as("first_event"))
   }
 
+  /** Robust outlier detection per event type via the Median Absolute
+    * Deviation — the resistant complement to the z-score family (q99/q103):
+    * one wild value moves a mean/stddev arbitrarily but moves a median
+    * not at all, so MAD gating survives the heavy-tailed value
+    * distributions real telemetry has. Emits per group the exact median,
+    * the MAD, and how many rows sit beyond `k`·MAD (unscaled MAD — the
+    * 1.4826 normal-consistency factor is a presentation constant, not
+    * applied here).
+    *
+    * Exactness across engines: values become integer cents, then medians
+    * are computed on a DOUBLED integer scale, where linear interpolation
+    * at p=0.5 lands on an integer — so Spark `percentile` and DuckDB
+    * `quantile_cont` agree bit-for-bit, and the outlier predicate
+    * 2·|x−med| > k·(2·MAD) is pure integer comparison. The group medians
+    * broadcast back (two small joins); the events side shuffles once per
+    * percentile pass. Exact percentile state is per-group value-sorted —
+    * at 100 TB swap stage one for `approx_percentile` (the q56 form);
+    * the exact form is registered because the oracle can reproduce it
+    * (q109 precedent).
+    */
+  def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val base = events.select(col("event_type"),
+      expr("CAST(2 * floor(value * 100) AS BIGINT)").as("x2"))
+    val med = base.groupBy("event_type")
+      .agg(expr("percentile(x2, 0.5)").cast("long").as("med2"))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("x2") - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(2 * ad, 0.5)").cast("long").as("mad2x"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("med2")).cast("double") / 200.0).as("median_value"),
+        (max(col("mad2x")).cast("double") / 400.0).as("mad_value"),
+        coalesce(sum(when(lit(2) * col("ad") > lit(k) * col("mad2x"), 1L)), lit(0L))
+          .as("n_outliers"))
+  }
+
   /** Bucketed range-lookup join — the scale technique for joining a fact
     * value against an IRREGULAR interval dimension (IP→geo ranges, tax
     * brackets, rating tiers) without a nested-loop range join: each

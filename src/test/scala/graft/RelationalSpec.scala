@@ -87,6 +87,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.size === 2)
   }
 
+  test("madOutliers: one wild value does not move the median; it is the only outlier") {
+    import java.sql.Timestamp
+    val t = new Timestamp(0L)
+    // values 1..9 plus one wild 10000: median 5.5, MAD 2.5 -> only the
+    // wild row has |x-med| > 3*MAD; a mean/stddev gate would be dragged
+    val rows = ((1 to 9).map(_.toDouble) :+ 10000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, t, 1L, "a", v, "") }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.madOutliers(df).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("median_value") === 5.5)
+    assert(r.getAs[Double]("mad_value") === 2.5)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
   test("integrityAudit counts planted orphans; the clean relation reports 1.0") {
     val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (2L, "c"))
       .toDF("fk", "payload")
