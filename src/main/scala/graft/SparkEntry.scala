@@ -436,6 +436,9 @@ object SparkEntry {
     // overlapping 64-token context windows, stride 48 (long-doc prep)
     "q74_chunking" -> ((s, dir) =>
       TrainingMix.chunkDocuments(Tables.documents(s, dir))),
+    // length-banded batches + exact padding-waste accounting
+    "q120_batch_padding" -> ((s, dir) =>
+      TrainingMix.lengthBucketBatches(Tables.documents(s, dir))),
     // reproducible salted-hash holdout: 5 docs per source, ExactTopK
     "q75_stratified_sample" -> ((s, dir) =>
       TrainingMix.stratifiedSample(Tables.documents(s, dir))),
@@ -1708,6 +1711,28 @@ object SparkEntry {
         |  CAST(COALESCE(sum(CASE WHEN n < 20 THEN n END), 0) AS BIGINT) AS rows_at_risk,
         |  CAST(20 AS BIGINT) AS k
         |FROM groups""".stripMargin,
+    // same salted-hash in-bucket order; integer division batches rows
+    "q120_batch_padding" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_tok, (n_tok - 1) // 64 AS bucket_id,
+         |    ${md5Prefix32Sql("'batch:' || CAST(doc_id AS VARCHAR)")} AS ord
+         |  FROM toks),
+         |rn AS (
+         |  SELECT bucket_id, n_tok,
+         |    (row_number() OVER (PARTITION BY bucket_id ORDER BY ord, doc_id) - 1) // 16
+         |      AS batch_id
+         |  FROM b)
+         |SELECT bucket_id, batch_id, count(*) AS n_docs,
+         |  CAST(max(n_tok) AS BIGINT) AS max_tokens,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste,
+         |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) * max(n_tok) AS DOUBLE)
+         |    AS efficiency
+         |FROM rn GROUP BY 1, 2""".stripMargin,
     // doubled-scale medians land interpolation on integers, so
     // quantile_cont == Spark percentile bit-for-bit; outlier test integer
     "q119_mad_outliers" ->

@@ -191,6 +191,44 @@ object TrainingMix {
         (-col("e.score")).cast("long").as("sample_hash"))
   }
 
+  /** Length-bucketed batch assignment with padding-waste accounting — the
+    * training-throughput report behind "sort by length before batching":
+    * a batch pads every member to its longest sequence, so mixing a
+    * 10-token doc into a 500-token batch burns 490 pad slots. Documents
+    * are banded by token count (`band`-wide buckets), each bucket is
+    * walked in a salted-hash order (deterministic but uncorrelated with
+    * content) and cut into `batchSize`-doc batches; per batch the padded
+    * size, the useful tokens, and the waste are exact integers.
+    *
+    * The window partitions by bucket — length bands, a bounded small set —
+    * so the registered exact form funnels each band through one partition
+    * for the global row_number. That is the oracle-reproducible contract;
+    * at 100 TB swap the in-bucket row_number for per-shuffle-partition
+    * batch counters offset by partition (zipWithIndex shape) — batch
+    * MEMBERSHIP changes, the waste statistics' distribution does not.
+    */
+  def lengthBucketBatches(documents: DataFrame, band: Int = 64,
+                          batchSize: Int = 16): DataFrame = {
+    require(band > 0 && batchSize > 0, "need positive band and batchSize")
+    val toks = documents.select(col("doc_id"),
+      size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket_id", expr(s"(n_tok - 1) div $band"))
+      .withColumn("ord", graft.functions.TextAnalysis.md5Prefix32(
+        concat(lit("batch:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy("bucket_id").orderBy(col("ord"), col("doc_id"))
+    toks.withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"CAST((rn - 1) div $batchSize AS BIGINT)"))
+      .groupBy(col("bucket_id"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tokens"),
+        sum(col("n_tok")).as("sum_tokens"))
+      .select(col("bucket_id"), col("batch_id"), col("n_docs"),
+        col("max_tokens"), col("sum_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("pad_waste"),
+        (col("sum_tokens").cast("double")
+          / (col("n_docs") * col("max_tokens")).cast("double")).as("efficiency"))
+  }
+
   def chunkDocuments(documents: DataFrame, k: Int = 64, stride: Int = 48): DataFrame = {
     require(k > 0 && stride > 0 && stride <= k, "need 0 < stride <= k")
     val t = graft.functions.TextAnalysis.tokens(col("text"))

@@ -170,4 +170,28 @@ class TrainingMixSpec extends AnyFunSuite {
       .count()
     assert(bad === 0L)
   }
+
+  test("lengthBucketBatches: bands separate lengths; waste = padded minus useful") {
+    // band 4, batch 2: doc lengths 1-4 land in bucket 0, 5-8 in bucket 1
+    val d = Seq(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"),
+      (4L, "a b c d e", "s"), (5L, "a b c d e f", "s"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "source", "length(text) AS n_chars")
+    val r = TrainingMix.lengthBucketBatches(d, band = 4, batchSize = 2).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === 5L)
+    // bucket 1 holds exactly docs 4 (5 tok) and 5 (6 tok) in one batch:
+    // padded = 2*6 = 12, useful = 11, waste = 1
+    val b1 = r.filter(_.getAs[Long]("bucket_id") === 1L)
+    assert(b1.length === 1)
+    assert(b1.head.getAs[Long]("max_tokens") === 6L)
+    assert(b1.head.getAs[Long]("pad_waste") === 1L)
+    assert(math.abs(b1.head.getAs[Double]("efficiency") - 11.0 / 12.0) < 1e-12)
+    // every batch: waste is exactly padded-minus-useful and never negative
+    r.foreach { x =>
+      val w = x.getAs[Long]("pad_waste")
+      assert(w >= 0 && w === x.getAs[Long]("n_docs") * x.getAs[Long]("max_tokens")
+        - x.getAs[Long]("sum_tokens"))
+    }
+  }
 }
