@@ -537,6 +537,10 @@ object SparkEntry {
     // integer 2·|x−med| > k·2·MAD predicate
     "q119_mad_outliers" -> ((s, dir) =>
       Relational.madOutliers(Tables.events(s, dir))),
+    // RFM customer-value grid: quartiles of recency/frequency/spend with
+    // (metric, user_id) total orders, summarized per 4x4x4 segment
+    "q121_rfm_segments" -> ((s, dir) =>
+      Relational.rfmSegments(Tables.events(s, dir))),
     // k-anonymity release gate over (event_type, day, value-centile)
     // quasi-identifiers: small equivalence classes and rows they expose
     "q115_k_anonymity" -> ((s, dir) =>
@@ -1733,6 +1737,33 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) * max(n_tok) AS DOUBLE)
          |    AS efficiency
          |FROM rn GROUP BY 1, 2""".stripMargin,
+    // ntile(4) semantics identical on both engines given a total order;
+    // ntile is INTEGER in Spark -> cast DuckDB's BIGINT down
+    "q121_rfm_segments" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, max(day_num) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM ev GROUP BY 1),
+        |mx AS (SELECT max(day_num) AS corpus_max_day FROM ev),
+        |r AS (
+        |  SELECT u.*, mx.corpus_max_day - u.last_day AS recency_days
+        |  FROM u CROSS JOIN mx),
+        |q AS (
+        |  SELECT
+        |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS INTEGER) AS r_q,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_q,
+        |    CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS INTEGER) AS m_q,
+        |    monetary_cents
+        |  FROM r)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
     // doubled-scale medians land interpolation on integers, so
     // quantile_cont == Spark percentile bit-for-bit; outlier test integer
     "q119_mad_outliers" ->

@@ -281,6 +281,41 @@ object Relational {
       first(col("event_id")).over(wRows).as("first_event"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value grid: each user's last-activity age, event count, and
+    * integer-cent spend are quartiled (ntile(4) with a (metric, user_id)
+    * total order so ties break identically on every engine) and the
+    * 4×4×4 segment grid is summarized. Quartile 1 = most recent / most
+    * frequent / highest spend.
+    *
+    * Shape: one user-keyed aggregate collapses events to a row per user;
+    * the three ntiles then run as global windows over that REDUCED table
+    * (users, not events). That is the oracle-reproducible registered
+    * form; at 100 TB user cardinality replace the global ntile with
+    * quartile thresholds from `approx_percentile` broadcast back — the
+    * cuts change only at sketch error. Output is the constant-size
+    * segment grid, never per-user rows.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val byUser = events.groupBy(col("user_id")).agg(
+      max(day).as("last_day"),
+      count(lit(1)).as("frequency"),
+      sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("monetary_cents"))
+    val maxDay = events.agg(max(day).as("corpus_max_day"))
+    byUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("corpus_max_day") - col("last_day"))
+      .withColumn("r_q",
+        ntile(4).over(Window.orderBy(col("recency_days").asc, col("user_id"))))
+      .withColumn("f_q",
+        ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m_q",
+        ntile(4).over(Window.orderBy(col("monetary_cents").desc, col("user_id"))))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_cents")).as("segment_cents"))
+  }
+
   /** Robust outlier detection per event type via the Median Absolute
     * Deviation — the resistant complement to the z-score family (q99/q103):
     * one wild value moves a mean/stddev arbitrarily but moves a median

@@ -102,6 +102,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_outliers") === 1L)
   }
 
+  test("rfmSegments: 4 users with distinct metrics land in distinct quartiles") {
+    def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
+    // u1: recent + mid spend, u2: top spender, u3: most frequent with
+    // tiny spend, u4: oldest — ntile(4) over 4 users gives one user per
+    // quartile, and the (metric, user_id) tiebreak orders the u2/u4
+    // frequency tie and the u1/u4 spend tie deterministically
+    val rows = Seq(
+      (1L, ts(0), 1L, "a", 1.0, ""), (2L, ts(10), 1L, "a", 1.0, ""),
+      (3L, ts(9), 2L, "a", 50.0, ""),
+      (4L, ts(0), 3L, "a", 0.01, ""), (5L, ts(1), 3L, "a", 0.01, ""),
+      (6L, ts(2), 3L, "a", 0.01, ""), (7L, ts(3), 3L, "a", 0.01, ""),
+      (8L, ts(0), 4L, "a", 2.0, ""))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.rfmSegments(df).collect()
+      .map(x => (x.getAs[Int]("r_q"), x.getAs[Int]("f_q"), x.getAs[Int]("m_q")) ->
+        (x.getAs[Long]("n_users"), x.getAs[Long]("segment_cents"))).toMap
+    assert(r.size === 4)
+    assert(r((1, 2, 2)) === ((1L, 200L)))  // u1
+    assert(r((2, 3, 1)) === ((1L, 5000L))) // u2
+    assert(r((3, 1, 4)) === ((1L, 4L)))    // u3
+    assert(r((4, 4, 3)) === ((1L, 200L)))  // u4
+  }
+
   test("integrityAudit counts planted orphans; the clean relation reports 1.0") {
     val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (2L, "c"))
       .toDF("fk", "payload")
