@@ -557,6 +557,10 @@ object SparkEntry {
         ev.where("event_type = 'click'"),
         ev.where("event_type = 'purchase'"), "user_id")
     }),
+    // exact distinct users per (type, day) from OR-folded 63-bit bitmap
+    // words + popcount — the index-structure distinct (vs q102's HLL)
+    "q122_bitmap_distinct" -> ((s, dir) =>
+      Sketches.bitmapDistinct(Tables.events(s, dir))),
     // FK orphan audit across the star schema: child count, orphan count,
     // match rate per declared relation
     "q111_integrity_audit" -> ((s, dir) =>
@@ -1737,6 +1741,22 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) * max(n_tok) AS DOUBLE)
          |    AS efficiency
          |FROM rn GROUP BY 1, 2""".stripMargin,
+    // 63-bit words keep 1<<bit off the sign bit (DuckDB raises overflow
+    // at 1<<63); bit_count is TINYINT there, INT in Spark -> cast the sum
+    "q122_bitmap_distinct" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    user_id
+        |  FROM events),
+        |words AS (
+        |  SELECT event_type, day_num, user_id // 63 AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+        |  FROM ev GROUP BY 1, 2, 3)
+        |SELECT event_type, day_num,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(bit_count(bits)) AS BIGINT) AS distinct_users
+        |FROM words GROUP BY 1, 2""".stripMargin,
     // ntile(4) semantics identical on both engines given a total order;
     // ntile is INTEGER in Spark -> cast DuckDB's BIGINT down
     "q121_rfm_segments" ->

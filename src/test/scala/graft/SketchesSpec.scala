@@ -96,4 +96,28 @@ class SketchesSpec extends AnyFunSuite {
     val n = out.head._2
     assert(n > 1.0)
   }
+
+  test("bitmapDistinct equals count(DISTINCT) with dup users and word-boundary ids") {
+    import java.sql.Timestamp
+    val t = new Timestamp(86400000L) // all rows land on day 1
+    // users 0, 62, 63 straddle the 63-bit word boundary; user 0 repeats
+    val rows = Seq((1L, t, 0L, "a", 0.0, ""), (2L, t, 0L, "a", 0.0, ""),
+      (3L, t, 62L, "a", 0.0, ""), (4L, t, 63L, "a", 0.0, ""),
+      (5L, t, 126L, "b", 0.0, ""))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Sketches.bitmapDistinct(df).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("distinct_users"))).toMap
+    assert(r("a") === ((2L, 3L))) // words {0, 1}; users 0, 62, 63 (0 deduped)
+    assert(r("b") === ((1L, 1L)))
+    // and on the real table the bitmap count must equal countDistinct
+    val ev = Tables.events(spark, TestSpark.sf)
+    val bitmap = Sketches.bitmapDistinct(ev)
+      .agg(sum("distinct_users")).as[Long].collect().head
+    val exact = ev.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+      .groupBy("event_type", "d").agg(countDistinct("user_id").as("n"))
+      .agg(sum("n")).as[Long].collect().head
+    assert(bitmap === exact)
+  }
 }
