@@ -541,6 +541,10 @@ object SparkEntry {
     // (metric, user_id) total orders, summarized per 4x4x4 segment
     "q121_rfm_segments" -> ((s, dir) =>
       Relational.rfmSegments(Tables.events(s, dir))),
+    // A/B report: salted-hash arms, user-day conversion units, lift, and
+    // an exact-integer two-proportion z-test flag (A/A sanity on this log)
+    "q123_ab_test" -> ((s, dir) =>
+      Relational.abTestReport(Tables.events(s, dir))),
     // k-anonymity release gate over (event_type, day, value-centile)
     // quasi-identifiers: small equivalence classes and rows they expose
     "q115_k_anonymity" -> ((s, dir) =>
@@ -1741,6 +1745,35 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) * max(n_tok) AS DOUBLE)
          |    AS efficiency
          |FROM rn GROUP BY 1, 2""".stripMargin,
+    // z-test in DECIMAL(38,0) cross-multiplied form (q103/q118 pattern);
+    // lift as ONE division of exact integer products
+    "q123_ab_test" ->
+      s"""WITH assigned AS (
+         |  SELECT user_id,
+         |    ${md5Prefix32Sql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+         |    event_type
+         |  FROM events),
+         |pu AS (
+         |  SELECT arm, user_id, day_num,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |  FROM assigned GROUP BY 1, 2, 3),
+         |pa AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c
+         |  FROM pu GROUP BY 1),
+         |ab AS (
+         |  SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+         |  FROM (SELECT * FROM pa WHERE arm = 0) a, (SELECT * FROM pa WHERE arm = 1) b)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+         |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+         |  CAST(c_b * n_a AS DOUBLE) / CAST(c_a * n_b AS DOUBLE) AS lift,
+         |  CAST(10000 AS DECIMAL(38,0)) * CAST(n_a + n_b AS DECIMAL(38,0))
+         |    * (CAST(c_a*n_b - c_b*n_a AS DECIMAL(38,0)) * CAST(c_a*n_b - c_b*n_a AS DECIMAL(38,0)))
+         |  > CAST(38416 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+         |    * CAST(c_a + c_b AS DECIMAL(38,0)) * CAST(n_a + n_b - c_a - c_b AS DECIMAL(38,0))
+         |    AS significant
+         |FROM ab""".stripMargin,
     // 63-bit words keep 1<<bit off the sign bit (DuckDB raises overflow
     // at 1<<63); bit_count is TINYINT there, INT in Spark -> cast the sum
     "q122_bitmap_distinct" ->

@@ -316,6 +316,51 @@ object Relational {
         sum(col("monetary_cents")).as("segment_cents"))
   }
 
+  /** A/B experiment report over consistent-hash arm assignment — the
+    * analysis side of online experimentation: users hash into arm 0/1 by
+    * a salted md5 (sticky, data-independent, no coordination), the
+    * experiment unit is the user-day, conversion is "any `convType` event
+    * that day", and the report emits per-arm rates, relative lift, and a
+    * two-proportion z-test flag at alpha = 0.05.
+    *
+    * The z-test runs in EXACT integer arithmetic: |z| > 1.96 is
+    * equivalent to 10000·N·(c_a·n_b − c_b·n_a)² > 38416·n_a·n_b·C·(N−C)
+    * (N = n_a+n_b, C = c_a+c_b), evaluated in DECIMAL(38,0) so both
+    * engines agree bit-for-bit — no sqrt, no float accumulation. Counts
+    * here (~10⁴ units) put the left side near 10²⁴, far inside 38 digits;
+    * the identity holds to ~10¹² units per arm. On an untreated log the
+    * hash split IS the A/A test, so `significant` doubles as a sanity
+    * gate on the assignment hash.
+    *
+    * Scale shape: one (arm, user, day) hash aggregate — map-side combined,
+    * user-keyed shuffle — then a 2-row arm rollup and a 1×1 crossJoin.
+    */
+  def abTestReport(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val assigned = events.select(
+      (graft.functions.TextAnalysis.md5Prefix32(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2).as("arm"),
+      col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day_num"),
+      col("event_type"))
+    val perUnit = assigned.groupBy("arm", "user_id", "day_num")
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L)).as("converted"))
+    val perArm = perUnit.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("converted").as("c"))
+    val a = perArm.where(col("arm") === 0).select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = perArm.where(col("arm") === 1).select(col("n").as("n_b"), col("c").as("c_b"))
+    a.crossJoin(b).select(
+      col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      (col("c_a").cast("double") / col("n_a").cast("double")).as("rate_a"),
+      (col("c_b").cast("double") / col("n_b").cast("double")).as("rate_b"),
+      ((col("c_b") * col("n_a")).cast("double")
+        / (col("c_a") * col("n_b")).cast("double")).as("lift"),
+      expr("""CAST(10000 AS DECIMAL(38,0)) * CAST(n_a + n_b AS DECIMAL(38,0))
+        * (CAST(c_a*n_b - c_b*n_a AS DECIMAL(38,0)) * CAST(c_a*n_b - c_b*n_a AS DECIMAL(38,0)))
+        > CAST(38416 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+        * CAST(c_a + c_b AS DECIMAL(38,0)) * CAST(n_a + n_b - c_a - c_b AS DECIMAL(38,0))""")
+        .as("significant"))
+  }
+
   /** Robust outlier detection per event type via the Median Absolute
     * Deviation — the resistant complement to the z-score family (q99/q103):
     * one wild value moves a mean/stddev arbitrarily but moves a median

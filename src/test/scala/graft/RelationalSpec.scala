@@ -125,6 +125,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(r((4, 4, 3)) === ((1L, 200L)))  // u4
   }
 
+  test("abTestReport: planted perfect divergence is significant; rates are exact") {
+    import graft.functions.TextAnalysis
+    val t = new Timestamp(0L)
+    // recover each user's hash arm first, then make arm 0 always convert
+    // and arm 1 never — the report must call that significant
+    val arms = spark.range(0, 100).select($"id",
+      (TextAnalysis.md5Prefix32(concat(lit("ab:"), $"id".cast("string"))) % 2).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val rows = (0L until 100L).map { u =>
+      (u, t, u, if (arms(u) == 0L) "purchase" else "view", 0.0, "")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.abTestReport(df).collect().head
+    val (nA, nB) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(nA + nB === 100L)
+    assert(r.getAs[Long]("c_a") === nA)   // arm 0 all convert
+    assert(r.getAs[Long]("c_b") === 0L)   // arm 1 none convert
+    assert(r.getAs[Double]("rate_a") === 1.0)
+    assert(r.getAs[Double]("rate_b") === 0.0)
+    assert(r.getAs[Double]("lift") === 0.0)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
   test("integrityAudit counts planted orphans; the clean relation reports 1.0") {
     val child = Seq((1L, "a"), (2L, "b"), (9L, "orphan"), (2L, "c"))
       .toDF("fk", "payload")
