@@ -502,6 +502,10 @@ object SparkEntry {
     "q105_zorder_profile" -> ((s, dir) =>
       graft.sources.ZOrder.zOrderProfile(
         Tables.lineitem(s, dir), "l_partkey", "l_suppkey")),
+    // zone-map skipping report: files read under sorted vs hashed layout
+    // for fixed shipdate predicates, from (min,max,count) stats alone
+    "q124_zonemap_skipping" -> ((s, dir) =>
+      graft.sources.ZOrder.zoneMapSkipping(Tables.lineitem(s, dir))),
     // prefix-filtered EXACT set-similarity join (PPJoin): q36's pairs
     // from ~1/12th the candidates, rarest-first prefixes as skew guard
     "q106_ppjoin" -> ((s, dir) =>
@@ -1745,6 +1749,42 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) * max(n_tok) AS DOUBLE)
          |    AS efficiency
          |FROM rn GROUP BY 1, 2""".stripMargin,
+    // identical global row_number file assignment; overlap test and
+    // amplification are exact-integer until the single final division
+    "q124_zonemap_skipping" ->
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS k
+         |  FROM lineitem),
+         |tot AS (SELECT (count(*) + 4095) // 4096 AS n_files FROM base),
+         |layouts AS (
+         |  SELECT 'sorted' AS layout,
+         |    (row_number() OVER (ORDER BY k, l_orderkey, l_linenumber) - 1) // 4096 AS file_id, k
+         |  FROM base
+         |  UNION ALL
+         |  SELECT 'hashed' AS layout,
+         |    ${md5Prefix32Sql("'file:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")}
+         |      % (SELECT n_files FROM tot) AS file_id, k
+         |  FROM base),
+         |stats AS (
+         |  SELECT layout, file_id, min(k) AS min_k, max(k) AS max_k,
+         |    CAST(count(*) AS BIGINT) AS n_in_file
+         |  FROM layouts GROUP BY 1, 2),
+         |preds(pred, lo, hi) AS (VALUES
+         |  ('month_1996_06', 9648, 9678), ('year_1997', 9862, 10227),
+         |  ('tail_2001', 11474, 11688)),
+         |exact AS (
+         |  SELECT pred, CAST(count(*) AS BIGINT) AS exact_rows
+         |  FROM base JOIN preds ON k >= lo AND k < hi GROUP BY 1)
+         |SELECT s.layout, p.pred,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(COALESCE(sum(CASE WHEN s.min_k < p.hi AND s.max_k >= p.lo THEN 1 END), 0) AS BIGINT) AS files_read,
+         |  CAST(COALESCE(sum(CASE WHEN s.min_k < p.hi AND s.max_k >= p.lo THEN s.n_in_file END), 0) AS BIGINT) AS rows_scanned,
+         |  max(e.exact_rows) AS exact_rows,
+         |  CAST(COALESCE(sum(CASE WHEN s.min_k < p.hi AND s.max_k >= p.lo THEN s.n_in_file END), 0) AS DOUBLE)
+         |    / CAST(max(e.exact_rows) AS DOUBLE) AS read_amplification
+         |FROM stats s CROSS JOIN preds p JOIN exact e ON e.pred = p.pred
+         |GROUP BY 1, 2""".stripMargin,
     // z-test in DECIMAL(38,0) cross-multiplied form (q103/q118 pattern);
     // lift as ONE division of exact integer products
     "q123_ab_test" ->

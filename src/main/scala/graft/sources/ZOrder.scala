@@ -92,4 +92,63 @@ object ZOrder {
       .drop("__x16", "__y16", "__z", "xmin", "xmax", "ymin", "ymax")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Zone-map skipping report: how many 4096-row "files" a predicate on
+    * the ship-date key must read under a sort-clustered layout vs a
+    * hash-scattered one. Each layout assigns rows to files, files keep
+    * only (min, max, count) — exactly the parquet row-group stats a
+    * reader consults — and every predicate interval [lo, hi) counts the
+    * files whose envelope overlaps it. `read_amplification` =
+    * rows-in-read-files / rows-actually-matching: ~1 for the sorted
+    * layout, ~n_files for the hashed one; the gap IS the argument for
+    * sort-ordered ingestion at 100 TB, quantified from stats alone.
+    *
+    * The registered form assigns sorted file ids with one global
+    * row_number so the oracle reproduces it; a writer at scale gets the
+    * identical layout from repartitionByRange(key) with per-partition
+    * sequence ids (the [[writeZOrdered]] shape) — the stats math is
+    * unchanged. The file-stats aggregate is one narrow shuffle; the
+    * 3-row predicate table broadcasts.
+    */
+  def zoneMapSkipping(lineitem: DataFrame,
+      preds: Seq[(String, Long, Long)] = Seq(
+        ("month_1996_06", 9648L, 9678L),
+        ("year_1997", 9862L, 10227L),
+        ("tail_2001", 11474L, 11688L)),
+      rowsPerFile: Int = 4096): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val base = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("k"))
+    val tot = base.agg(
+      ((count(lit(1)) + (rowsPerFile - 1)) / rowsPerFile).cast("long").as("n_files"))
+    val sorted = base.withColumn("file_id",
+      expr(s"(row_number() OVER (ORDER BY k, l_orderkey, l_linenumber) - 1) div $rowsPerFile"))
+      .select(lit("sorted").as("layout"), col("file_id"), col("k"))
+    val hashed = base.crossJoin(broadcast(tot))
+      .select(lit("hashed").as("layout"),
+        (graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("file:"), col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) % col("n_files")).as("file_id"),
+        col("k"))
+    val stats = sorted.union(hashed)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n_in_file"))
+    val predDf = preds.toDF("pred", "lo", "hi")
+    val exact = base.crossJoin(broadcast(predDf))
+      .where(col("k") >= col("lo") && col("k") < col("hi"))
+      .groupBy("pred").agg(count(lit(1)).as("exact_rows"))
+    val hit = col("min_k") < col("hi") && col("max_k") >= col("lo")
+    stats.crossJoin(broadcast(predDf))
+      .groupBy(col("layout"), col("pred"))
+      .agg(count(lit(1)).as("n_files"),
+        coalesce(sum(when(hit, 1L)), lit(0L)).as("files_read"),
+        coalesce(sum(when(hit, col("n_in_file"))), lit(0L)).as("rows_scanned"))
+      .join(broadcast(exact), Seq("pred"))
+      .select(col("layout"), col("pred"), col("n_files"), col("files_read"),
+        col("rows_scanned"), col("exact_rows"),
+        (col("rows_scanned").cast("double") / col("exact_rows").cast("double"))
+          .as("read_amplification"))
+  }
 }

@@ -92,4 +92,30 @@ class FormatsSpec extends AnyFunSuite {
     assert(ly > 0.8, s"expected near-full suppkey span per linear file: $ly")
     assert(zy < ly / 2, "z-order should at least halve the secondary-dim span")
   }
+
+  test("zoneMapSkipping: sorted layout prunes files; hashed layout reads them all") {
+    import graft.sources.ZOrder
+    // 512-row files so the sf0.001 spec table still yields ~12 files
+    val r = ZOrder.zoneMapSkipping(graft.Tables.lineitem(spark, TestSpark.sf),
+        rowsPerFile = 512)
+      .collect()
+      .map(x => (x.getAs[String]("layout"), x.getAs[String]("pred")) -> x).toMap
+    assert(r.size === 6)
+    r.foreach { case ((layout, pred), row) =>
+      val (nf, fr) = (row.getAs[Long]("n_files"), row.getAs[Long]("files_read"))
+      assert(fr <= nf, s"$layout/$pred read more files than exist")
+      assert(row.getAs[Long]("rows_scanned") >= row.getAs[Long]("exact_rows"),
+        s"$layout/$pred scanned fewer rows than match — stats must over-approximate")
+      if (layout == "hashed")
+        // hash scatter leaves every file's envelope spanning the domain
+        assert(fr === nf, s"hashed/$pred should read every file")
+    }
+    // the narrow month predicate is where sort-clustering pays
+    val sortedMonth = r(("sorted", "month_1996_06"))
+    val hashedMonth = r(("hashed", "month_1996_06"))
+    assert(sortedMonth.getAs[Long]("files_read") * 3 <= hashedMonth.getAs[Long]("files_read"),
+      "sorted layout should prune at least 3x on the month slice")
+    assert(sortedMonth.getAs[Double]("read_amplification")
+      < hashedMonth.getAs[Double]("read_amplification") / 3)
+  }
 }
