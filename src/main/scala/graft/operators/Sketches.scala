@@ -14,10 +14,11 @@ import graft.functions.TextAnalysis
   * map-side partial aggregation ships ONE matrix per task into the final
   * merge, independent of row count or key cardinality.
   *
-  * Reference analog: the support operators' product-popularity counters
-  * (`scripts/popular.py`) keep exact per-key counts in one process; a
-  * corpus-scale engine needs the sketched form wherever an ε-approximate
-  * count (ε = e/w, δ = e^−d) suffices.
+  * Reference analog: the hand-rolled per-product sum/count loop in
+  * `flink/flink-psd/src/main/java/batch/ProductReviewAggregation.java:43-47`
+  * keeps exact per-key aggregates in one reduce group; a corpus-scale
+  * engine needs the sketched form wherever an ε-approximate count
+  * (ε = e/w, δ = e^−d) suffices.
   */
 object Sketches {
 
