@@ -541,8 +541,8 @@ object SparkEntry {
     // integer 2·|x−med| > k·2·MAD predicate
     "q119_mad_outliers" -> ((s, dir) =>
       Relational.madOutliers(Tables.events(s, dir))),
-    // RFM customer-value grid: quartiles of recency/frequency/spend with
-    // (metric, user_id) total orders, summarized per 4x4x4 segment
+    // RFM customer-value grid: recency/frequency/spend quartiled against
+    // exact broadcast percentile cuts (no global sort), per 4x4x4 segment
     "q121_rfm_segments" -> ((s, dir) =>
       Relational.rfmSegments(Tables.events(s, dir))),
     // A/B report: salted-hash arms, user-day conversion units, lift, and
@@ -1830,8 +1830,9 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(bit_count(bits)) AS BIGINT) AS distinct_users
         |FROM words GROUP BY 1, 2""".stripMargin,
-    // ntile(4) semantics identical on both engines given a total order;
-    // ntile is INTEGER in Spark -> cast DuckDB's BIGINT down
+    // threshold quartiles: ×4 scale makes quantile_cont interpolation land
+    // on integers, so the cuts match Spark percentile bit-for-bit and the
+    // quartile predicates are exact comparisons on both engines
     "q121_rfm_segments" ->
       """WITH ev AS (
         |  SELECT user_id,
@@ -1847,13 +1848,34 @@ object SparkEntry {
         |r AS (
         |  SELECT u.*, mx.corpus_max_day - u.last_day AS recency_days
         |  FROM u CROSS JOIN mx),
+        |c AS (
+        |  SELECT
+        |    quantile_cont(4 * recency_days, 0.25) AS r25,
+        |    quantile_cont(4 * recency_days, 0.50) AS r50,
+        |    quantile_cont(4 * recency_days, 0.75) AS r75,
+        |    quantile_cont(4 * frequency, 0.25) AS f25,
+        |    quantile_cont(4 * frequency, 0.50) AS f50,
+        |    quantile_cont(4 * frequency, 0.75) AS f75,
+        |    quantile_cont(4 * monetary_cents, 0.25) AS m25,
+        |    quantile_cont(4 * monetary_cents, 0.50) AS m50,
+        |    quantile_cont(4 * monetary_cents, 0.75) AS m75
+        |  FROM r),
         |q AS (
         |  SELECT
-        |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS INTEGER) AS r_q,
-        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_q,
-        |    CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS INTEGER) AS m_q,
+        |    CAST(1 + CASE WHEN 4 * recency_days > r25 THEN 1 ELSE 0 END
+        |           + CASE WHEN 4 * recency_days > r50 THEN 1 ELSE 0 END
+        |           + CASE WHEN 4 * recency_days > r75 THEN 1 ELSE 0 END
+        |      AS INTEGER) AS r_q,
+        |    CAST(1 + CASE WHEN 4 * frequency < f75 THEN 1 ELSE 0 END
+        |           + CASE WHEN 4 * frequency < f50 THEN 1 ELSE 0 END
+        |           + CASE WHEN 4 * frequency < f25 THEN 1 ELSE 0 END
+        |      AS INTEGER) AS f_q,
+        |    CAST(1 + CASE WHEN 4 * monetary_cents < m75 THEN 1 ELSE 0 END
+        |           + CASE WHEN 4 * monetary_cents < m50 THEN 1 ELSE 0 END
+        |           + CASE WHEN 4 * monetary_cents < m25 THEN 1 ELSE 0 END
+        |      AS INTEGER) AS m_q,
         |    monetary_cents
-        |  FROM r)
+        |  FROM r CROSS JOIN c)
         |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
         |FROM q GROUP BY 1, 2, 3""".stripMargin,

@@ -283,18 +283,31 @@ object Relational {
 
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * customer-value grid: each user's last-activity age, event count, and
-    * integer-cent spend are quartiled (ntile(4) with a (metric, user_id)
-    * total order so ties break identically on every engine) and the
-    * 4×4×4 segment grid is summarized. Quartile 1 = most recent / most
-    * frequent / highest spend.
+    * integer-cent spend are quartiled against EXACT corpus-wide percentile
+    * cuts and the 4×4×4 segment grid is summarized. Quartile 1 = most
+    * recent / most frequent / highest spend.
+    *
+    * Quartiling is threshold-based, not rank-based: the p25/p50/p75 cuts
+    * of each metric are computed in ONE single-row aggregate over the
+    * per-user table and broadcast back, and each user lands in
+    * `1 + Σ (metric beyond cut)`. Unlike `ntile(4)` this never funnels
+    * every user through a single-partition global sort — the per-user
+    * table only ever moves through map-side comparisons — which is the
+    * shape that survives 100× user cardinality. Semantic delta vs
+    * equal-count ntile, by design: users TIED AT a cut all land on the
+    * better (lower) quartile together, so segment populations need not be
+    * equal-size fourths when the metric is discrete. Exactness: metrics
+    * are quadrupled before `percentile`, so linear interpolation at
+    * p ∈ {.25,.5,.75} (index fraction a multiple of ¼) always lands on an
+    * integer — Spark `percentile` and DuckDB `quantile_cont` agree
+    * bit-for-bit (the q119 doubled-scale trick, one notch finer), and the
+    * quartile predicate `4·x > cut` is pure integer comparison.
     *
     * Shape: one user-keyed aggregate collapses events to a row per user;
-    * the three ntiles then run as global windows over that REDUCED table
-    * (users, not events). That is the oracle-reproducible registered
-    * form; at 100 TB user cardinality replace the global ntile with
-    * quartile thresholds from `approx_percentile` broadcast back — the
-    * cuts change only at sketch error. Output is the constant-size
-    * segment grid, never per-user rows.
+    * one 1-row percentile aggregate (per-partition sorted state over the
+    * REDUCED user table, merged once) + two broadcast crossJoins; per-row
+    * comparisons; constant-size grid out. No Window anywhere
+    * (plan-asserted in PlanSpec).
     */
   def rfmSegments(events: DataFrame): DataFrame = {
     val day = expr("unix_micros(ts) div 86400000000")
@@ -303,14 +316,34 @@ object Relational {
       count(lit(1)).as("frequency"),
       sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("monetary_cents"))
     val maxDay = events.agg(max(day).as("corpus_max_day"))
-    byUser.crossJoin(broadcast(maxDay))
+    val users = byUser.crossJoin(broadcast(maxDay))
       .withColumn("recency_days", col("corpus_max_day") - col("last_day"))
-      .withColumn("r_q",
-        ntile(4).over(Window.orderBy(col("recency_days").asc, col("user_id"))))
-      .withColumn("f_q",
-        ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id"))))
-      .withColumn("m_q",
-        ntile(4).over(Window.orderBy(col("monetary_cents").desc, col("user_id"))))
+    // all nine cuts in one single-row aggregate; ×4 scale keeps the
+    // interpolated values integral (exactly representable doubles)
+    val cuts = users.agg(
+      expr("percentile(4 * recency_days, 0.25)").as("r25"),
+      expr("percentile(4 * recency_days, 0.50)").as("r50"),
+      expr("percentile(4 * recency_days, 0.75)").as("r75"),
+      expr("percentile(4 * frequency, 0.25)").as("f25"),
+      expr("percentile(4 * frequency, 0.50)").as("f50"),
+      expr("percentile(4 * frequency, 0.75)").as("f75"),
+      expr("percentile(4 * monetary_cents, 0.25)").as("m25"),
+      expr("percentile(4 * monetary_cents, 0.50)").as("m50"),
+      expr("percentile(4 * monetary_cents, 0.75)").as("m75"))
+    def quartileUp(metric: Column, c25: Column, c50: Column, c75: Column): Column =
+      (lit(1) + when(metric * 4 > c25, 1).otherwise(0)
+        + when(metric * 4 > c50, 1).otherwise(0)
+        + when(metric * 4 > c75, 1).otherwise(0)).cast("int")
+    def quartileDown(metric: Column, c25: Column, c50: Column, c75: Column): Column =
+      (lit(1) + when(metric * 4 < c75, 1).otherwise(0)
+        + when(metric * 4 < c50, 1).otherwise(0)
+        + when(metric * 4 < c25, 1).otherwise(0)).cast("int")
+    users.crossJoin(broadcast(cuts))
+      .select(
+        quartileUp(col("recency_days"), col("r25"), col("r50"), col("r75")).as("r_q"),
+        quartileDown(col("frequency"), col("f25"), col("f50"), col("f75")).as("f_q"),
+        quartileDown(col("monetary_cents"), col("m25"), col("m50"), col("m75")).as("m_q"),
+        col("monetary_cents"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary_cents")).as("segment_cents"))

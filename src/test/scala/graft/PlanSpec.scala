@@ -150,6 +150,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 RFM quartiles never global-sort: no Window, no Sort in the plan") {
+    val plan = planString(SparkEntry.queries("q121_rfm_segments")(spark, TestSpark.sf))
+    // the old ntile form funnelled every user row through one task for a
+    // total sort, three times; the threshold form must keep the per-user
+    // table in map-side comparisons only. The sole permitted
+    // SinglePartition exchange is the 9-value percentile-state merge.
+    assert(!plan.contains("Window"), s"q121 regained a global ntile window:\n$plan")
+    assert(!plan.contains("Sort"), s"q121 regained a sort:\n$plan")
+    assert(plan.contains("partial_percentile"),
+      s"q121 cuts are not a map-combined percentile aggregate:\n$plan")
+  }
+
   test("q101 interval join is keyed on user_id, never a nested loop") {
     val plan = planString(SparkEntry.queries("q101_interval_join")(spark, TestSpark.sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

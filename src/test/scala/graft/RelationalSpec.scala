@@ -102,12 +102,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_outliers") === 1L)
   }
 
-  test("rfmSegments: 4 users with distinct metrics land in distinct quartiles") {
+  test("rfmSegments: threshold quartiles place 4 users, ties share a quartile") {
     def ts(day: Int) = new Timestamp(day.toLong * 86400000L)
     // u1: recent + mid spend, u2: top spender, u3: most frequent with
-    // tiny spend, u4: oldest — ntile(4) over 4 users gives one user per
-    // quartile, and the (metric, user_id) tiebreak orders the u2/u4
-    // frequency tie and the u1/u4 spend tie deterministically
+    // tiny spend, u4: oldest. Distinct metrics spread 1..4; the u2/u4
+    // frequency tie and the u1/u4 spend tie land TOGETHER (threshold
+    // semantics — tied values share the better quartile), unlike ntile.
+    // Hand-computed cuts over ×4 metrics: recency [0,4,28,40] →
+    // (3,16,31); frequency [4,4,8,16] → (4,6,10); cents
+    // [16,800,800,20000] → (604,800,5600).
     val rows = Seq(
       (1L, ts(0), 1L, "a", 1.0, ""), (2L, ts(10), 1L, "a", 1.0, ""),
       (3L, ts(9), 2L, "a", 50.0, ""),
@@ -122,7 +125,7 @@ class RelationalSpec extends AnyFunSuite {
     assert(r((1, 2, 2)) === ((1L, 200L)))  // u1
     assert(r((2, 3, 1)) === ((1L, 5000L))) // u2
     assert(r((3, 1, 4)) === ((1L, 4L)))    // u3
-    assert(r((4, 4, 3)) === ((1L, 200L)))  // u4
+    assert(r((4, 3, 2)) === ((1L, 200L)))  // u4: ties with u2 (f) and u1 (m)
   }
 
   test("abTestReport: planted perfect divergence is significant; rates are exact") {
