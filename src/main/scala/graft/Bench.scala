@@ -80,7 +80,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local-iteration filter (comma-separated names); the graded run never
+    // sets it, so the driver always measures the full suite
+    val onlyEnv = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlyEnv.forall(_.contains(n)))
     warmPageCache(sfDir)
 
     /** One full measurement pass in a fresh SparkContext. */
@@ -116,10 +120,16 @@ object Bench {
     val best = samples.map { case (n, ss) => n -> ss.min }
 
     def fmt(d: Double): String = f"$d%.3f"
-    val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Graded stdout line: required fields only, and per-query keys are the
+    // unique qNN prefix (the contract's own example shape, {"q1":sec,...}).
+    // Full names at 123+ queries pushed the line past the driver's
+    // tail-capture buffer — BENCH_r04..r06 all recorded parsed:null with
+    // the tail truncated mid-line. ~14 bytes/entry keeps the line whole in
+    // a 4 KiB tail through several hundred queries; the full-name map
+    // lives in bench_samples.json.
+    val qs = best.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val total = best.map(_._2).sum
-    // Graded stdout line: required fields only, kept short enough for the
-    // driver's tail-capture buffer (BENCH_r03 overflow lesson).
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Full audit record — every raw sample per pass plus the retried list —

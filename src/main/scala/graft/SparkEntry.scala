@@ -79,6 +79,27 @@ object SparkEntry {
       LabelPropagation.run(Reco.undirected(coPairs(spark, dir)))
     }
 
+  /** itemKNN shared stages, memoized per session: q107 and q108 both
+    * consume the deduped rating table and the cosine neighbor table, and
+    * the neighbor pair self-join is the family's dominant cost — without
+    * this seam q108 re-executes the entire q107 pipeline. The neighbor
+    * frame is ≤ |items|·k rows; the deduped frame is |ratings| rows × 3
+    * narrow columns — both are the tables a cluster deployment would
+    * persist between the train and inference passes anyway.
+    */
+  private def cfDeduped(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_deduped") {
+      // barrier (eager localCheckpoint) already stops recomputation; the
+      // cache() layers a columnar in-memory copy on top because q108 scans
+      // this table twice more (scoring join + rated anti-join)
+      Reco.dedupedRatings(Tables.ratings(spark, dir)).cache()
+    }
+
+  private def cfNeighbors(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_neighbors") {
+      Reco.itemNeighborsFrom(cfDeduped(spark, dir)).cache()
+    }
+
   /** Near-dup cluster labels (q45), memoized per session so q73's
     * weighting reuses the LSH/CC run instead of repeating it. The frame is
     * |docs| rows × 3 narrow columns — on a cluster this is the persisted
@@ -511,13 +532,13 @@ object SparkEntry {
     "q106_ppjoin" -> ((s, dir) =>
       Dedup.ppjoinPairs(Tables.documents(s, dir))),
     // item-item CF: top-5 cosine neighbors per product over user-rating
-    // vectors (integer dots/norms, ExactTopK ranking)
-    "q107_item_cf" -> ((s, dir) =>
-      Reco.itemNeighbors(Tables.ratings(s, dir))),
+    // vectors (integer dots/norms, ExactTopK ranking); neighbor table
+    // memoized per session — q108 scores over it without recomputing
+    "q107_item_cf" -> ((s, dir) => cfNeighbors(s, dir)),
     // itemKNN inference: top-3 predicted-rating recs per user via
     // micro-unit-integer weighted neighbor scores
     "q108_cf_predict" -> ((s, dir) =>
-      Reco.cfPredictions(Tables.ratings(s, dir))),
+      Reco.cfPredictionsFrom(cfDeduped(s, dir), cfNeighbors(s, dir))),
     // 256-bucket histogram p50/p90/p99 per source, graded against the
     // exact order statistic (integer-only sketch-vs-truth report)
     "q109_hist_quantiles" -> ((s, dir) =>

@@ -230,11 +230,21 @@ object Reco {
   def itemNeighbors(ratings: DataFrame, k: Int = 5, minSupport: Long = 2): DataFrame =
     itemNeighborsFromDeduped(dedupedRatings(ratings), k, minSupport)
 
+  /** [[itemNeighbors]] from an already-deduped (userId, productId, rv)
+    * table — the memoization seam: the harness computes [[dedupedRatings]]
+    * and this neighbor table once per session and feeds BOTH q107 and
+    * q108 from them, so the pair self-join (the family's dominant cost)
+    * executes once, not once per query.
+    */
+  def itemNeighborsFrom(deduped: DataFrame, k: Int = 5,
+      minSupport: Long = 2): DataFrame =
+    itemNeighborsFromDeduped(deduped, k, minSupport)
+
   /** One integer rating per (user, product) — the shared head of the
     * itemKNN family, barriered because [[cfPredictions]] reads it for
     * scoring and the anti-join on top of [[itemNeighbors]]' own uses.
     */
-  private[operators] def dedupedRatings(ratings: DataFrame): DataFrame =
+  private[graft] def dedupedRatings(ratings: DataFrame): DataFrame =
     ratings.groupBy(col("userId"), col("productId"))
       .agg(max(col("rating")).cast("long").as("rv"))
       .transform(graft.barrier)
@@ -298,7 +308,17 @@ object Reco {
   def cfPredictions(ratings: DataFrame, k: Int = 5, minSupport: Long = 2,
       top: Int = 3): DataFrame = {
     val r = dedupedRatings(ratings) // one dedup shared with itemNeighbors
-    val nbrs = itemNeighborsFromDeduped(r, k, minSupport)
+    cfPredictionsFrom(r, itemNeighborsFromDeduped(r, k, minSupport), top)
+  }
+
+  /** [[cfPredictions]] from precomputed inputs (see [[itemNeighborsFrom]]
+    * for why): `deduped` as produced by [[dedupedRatings]], `neighbors`
+    * as produced by [[itemNeighbors]]/[[itemNeighborsFrom]].
+    */
+  def cfPredictionsFrom(deduped: DataFrame, neighbors: DataFrame,
+      top: Int = 3): DataFrame = {
+    val r = deduped
+    val nbrs = neighbors
       .select(col("item"), col("neighbor"),
         floor(col("cos") * lit(1000000.0)).cast("long").as("w"))
     // |items|·k rows — broadcast so the rating table never shuffles to score
