@@ -24,6 +24,89 @@ class RecoSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("skew guard: maxRatersPerProduct bounds a viral product at C(cap,2) pairs") {
+    // one viral product, 1000 raters — the reference's unguarded per-group
+    // pair loop (Recommendations.java:164-168) would buffer C(1000,2) =
+    // 499500 pairs in one group. The cap keeps the k smallest userIds, so
+    // the worst bucket is bounded at C(cap,2) regardless of k.
+    val viral = spark.range(0, 1000)
+      .select(col("id").as("userId"), lit(7L).as("productId"), lit(5.0).as("rating"))
+    val capped = Reco.coRatingPairs(viral, maxRatersPerProduct = Some(50))
+      .as[(Long, Long)].collect()
+    assert(capped.length === 50 * 49 / 2)
+    assert(capped.forall { case (s, d) => s < 50 && d < 50 && s < d })
+    // and uncapped really is quadratic — the thing the guard prevents
+    assert(Reco.coRatingPairs(viral).count() === 1000L * 999 / 2)
+  }
+
+  test("skew guard: cap is a no-op below the cap — identical pairs on unskewed data") {
+    // every product has <= 5 raters, cap = 5: the capped run must be
+    // byte-identical to the uncapped semantic, so enabling the guard on a
+    // healthy corpus costs nothing in results
+    val r = (0 until 200).map { i =>
+      (i.toLong % 40, i.toLong / 5, 5.0) // 40 products x exactly 5 raters
+    }.toDF("userId", "productId", "rating")
+    val capped = Reco.coRatingPairs(r, Some(5)).as[(Long, Long)].collect().toSet
+    val open = Reco.coRatingPairs(r).as[(Long, Long)].collect().toSet
+    assert(capped === open)
+    assert(open.nonEmpty)
+  }
+
+  test("skew guard: AQE splits the hot co-rating product across tasks") {
+    // moderate skew BELOW any cap: one product with 3000 raters among 100
+    // products of 10. With AQE skew-join thresholds scaled to this fixture
+    // the hot productId partition must be split (skew=true in the final
+    // plan) instead of one straggler task computing all C(3000,2) pairs.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture-scaled thresholds: the hot partition's shuffle bytes
+      // (~3000 rows) must exceed both factor×median and the floor
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      val hot = spark.range(0, 3000)
+        .select(col("id").as("userId"), lit(0L).as("productId"), lit(5.0).as("rating"))
+      // 100 cold products x 10 raters, user ranges disjoint per product and
+      // from the hot product (the final pair distinct() dedups ACROSS
+      // products, so shared users would collapse cold pairs into hot ones)
+      val cold = spark.range(0, 1000)
+        .select(expr("10000 + (id % 100) * 10 + (id div 100)").as("userId"),
+          (col("id") % 100 + 1).as("productId"), lit(5.0).as("rating"))
+      // collect() a 1-row aggregate OVER the pair join and inspect that
+      // same execution: its AdaptiveSparkPlan finalizes (df.count()/rdd
+      // actions build a separate query execution whose plan never mutates)
+      val counted = Reco.coRatingPairs(hot.unionAll(cold)).agg(count(lit(1)).as("n"))
+      val n = counted.collect().head.getLong(0)
+      assert(n === 3000L * 2999 / 2 + 100L * 45) // C(3000,2) + 100·C(10,2)
+      val plan = counted.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot product partition:\n$plan")
+      // task-size spread note: without the split, one task computes all
+      // C(3000,2) = 4 498 500 hot pairs while the median task emits ~45;
+      // the AQEShuffleRead lines record how many sub-tasks AQE carved the
+      // hot productId partition into
+      plan.linesIterator
+        .filter(l => l.contains("skew=true") || l.contains("AQEShuffleRead"))
+        .foreach(l => info(l.trim))
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("undirected closure is symmetric") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val u = Reco.undirected(e).as[(Long, Long)].collect().toSet
