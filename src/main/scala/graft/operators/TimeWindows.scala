@@ -305,11 +305,25 @@ object TimeWindows {
     *
     * @return (event_type, day_num, cnt, dev = n·cnt − S, is_spike)
     */
-  def dailyVolumeAnomalies(events: DataFrame, k: Int = 2): DataFrame = {
-    val daily = events
-      .groupBy(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day_num"))
-      .agg(count(lit(1)).as("cnt"))
+  def dailyVolumeAnomalies(events: DataFrame, k: Int = 2): DataFrame =
+    volumeAnomaliesFromDaily(dailyCounts(events), k)
+
+  /** The incremental stage of [[dailyVolumeAnomalies]]: one (type, day)
+    * count with map-side combine. Split out so the streaming twin
+    * ([[graft.streaming.RealTime.dailyCountsStream]]) can maintain the
+    * SAME daily table live while the z-flag pass below runs over whatever
+    * horizon of closed days the caller grades.
+    */
+  def dailyCounts(events: DataFrame): DataFrame = events
+    .groupBy(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day_num"))
+    .agg(count(lit(1)).as("cnt"))
+
+  /** The grading stage of [[dailyVolumeAnomalies]] over an
+    * already-materialized daily-count table (from [[dailyCounts]] or its
+    * streaming twin): per-type stats broadcast back over the daily rows.
+    */
+  def volumeAnomaliesFromDaily(daily: DataFrame, k: Int = 2): DataFrame = {
     val stats = daily.groupBy("event_type").agg(
       count(lit(1)).as("n_days"),
       sum(col("cnt")).as("s"),

@@ -63,15 +63,29 @@ object RealTime {
 
   /** Sink #1 — state update (`RealTimeRecommendations.java:49,72-88`:
     * `SADD userRatings:{uid}` per event). Here: append the micro-batch to
-    * the ratings parquet table the batch jobs read. Idempotence comes from
-    * the streaming checkpoint (a batch is appended exactly once).
+    * the ratings parquet table the batch jobs read.
+    *
+    * Exactly-once: the checkpoint alone only guarantees at-least-once for
+    * a foreachBatch sink — a crash BETWEEN the sink write and the
+    * checkpoint commit replays that batch on restart, and a blind
+    * `append` would duplicate it. Each batch therefore lands in its own
+    * `batch_id=N` partition under dynamic partition-overwrite: a replay
+    * rewrites partition N in place instead of appending a second copy,
+    * making the write idempotent per batch (the Kafka-era
+    * transactional-sink pattern, expressed as a partitioned table).
+    * StreamingSpec proves it by deleting the last checkpoint commit —
+    * the crash window above — restarting, and comparing multisets.
     */
   def updateRatings(reviews: DataFrame, ratingsDir: String, checkpointDir: String): StreamingQuery =
     reviews.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.select(
           col("userId"), col("productId"), col("review").as("rating"), col("timestamp"))
-          .write.mode("append").parquet(ratingsDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(ratingsDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -153,6 +167,28 @@ object RealTime {
                           watermarkDelay: String = "10 minutes"): DataFrame =
     graft.operators.TimeWindows.trendingUsers(
       events.withWatermark("ts", watermarkDelay), k, width)
+
+  /** Streaming twin of the incremental stage of
+    * [[graft.operators.TimeWindows.dailyVolumeAnomalies]] (q103): live
+    * per-(type, day) counts as 1-day tumbling event-time windows. A day's
+    * count emits (append mode) once the watermark passes its close, so
+    * every emitted row is final; state is one counter per open (type,
+    * day), evicted with the window. The UTC epoch-day key matches the
+    * batch `unix_micros div 86400000000` exactly (1-day windows align to
+    * the epoch). The z-flag pass
+    * ([[graft.operators.TimeWindows.volumeAnomaliesFromDaily]]) then runs
+    * as a tiny batch query over whatever horizon of closed days the
+    * caller grades — mean/σ over a type's full history is not an
+    * incremental per-window quantity, so the twin keeps the count table
+    * live and the verdict on demand, one shared code path for both.
+    */
+  def dailyCountsStream(events: DataFrame,
+                        watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 86400000000").as("day_num"), col("cnt"))
 
   /** Batch twin of [[dedupReviews]] (whole-table horizon): the one surviving
     * row per key set, chosen deterministically as the EARLIEST event time

@@ -103,6 +103,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size === 3) // two sessions for user 7, one for user 8
   }
 
+  test("dailyCountsStream: streamed daily counts + batch z-pass equal dailyVolumeAnomalies") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // view: 6 closed days, 1 event/day except day 5 with 10 (a >2σ spike
+    // needs n ≥ 6 days — max z over n days is (n−1)/√n); click: 2 flat
+    // days (zero variance, never a spike). Hand-check for view day 5:
+    // n=6, S=15, Q=105 → dev=45, 45² = 2025 > 4·(6·105−225) = 1620.
+    val viewSingles = (0 to 4).map(d => SessEv(d + 1L, t(d, 0), 1L, "view"))
+    val viewSpike = (0 until 10).map(i => SessEv(10 + i.toLong, t(5, i * 10), 2L, "view"))
+    val clicks = Seq(
+      SessEv(30L, t(0, 5), 1L, "click"), SessEv(31L, t(0, 6), 2L, "click"),
+      SessEv(32L, t(1, 5), 1L, "click"), SessEv(33L, t(1, 6), 2L, "click"))
+    val closed = viewSingles ++ viewSpike ++ clicks
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dailycounts")
+      .option("checkpointLocation", tmp("dailycounts-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(11L, t(40, 0), 9L, "view")) // advance the watermark
+    q.processAllAvailable()
+    input.addData(SessEv(12L, t(40, 1), 9L, "view")) // next batch flushes
+    q.processAllAvailable()
+    q.stop()
+
+    // localCheckpoint: the z-pass self-joins this frame with its own
+    // aggregate, which the memory-sink View cannot deduplicate
+    val streamedDaily = spark.table("dailycounts").where($"day_num" < 40).localCheckpoint()
+    val batchDaily = graft.operators.TimeWindows.dailyCounts(
+      closed.toDF("event_id", "ts", "user_id", "event_type"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "day_num", "cnt").as[(String, Long, Long)].collect().toSet
+    assert(rows(streamedDaily) === rows(batchDaily))
+
+    // the z-flag pass over the streamed table equals the one-shot batch op
+    def graded(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "day_num", "cnt", "dev", "is_spike")
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    val streamedGraded = graded(
+      graft.operators.TimeWindows.volumeAnomaliesFromDaily(streamedDaily))
+    val batchGraded = graded(graft.operators.TimeWindows.dailyVolumeAnomalies(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamedGraded === batchGraded)
+    assert(streamedGraded.exists { case (ty, d, _, _, spike) =>
+      ty == "view" && d == 5 && spike }) // the planted day-5 view spike
+    assert(streamedGraded.count(_._5) === 1) // and nothing else flags
+  }
+
   test("clickViewPairsStream: stream-stream interval join equals the batch twin across batches") {
     def t(min: Int): java.sql.Timestamp =
       new java.sql.Timestamp(1700000000000L + min * 60000L)
@@ -272,13 +323,76 @@ class StreamingSpec extends AnyFunSuite {
 
     val appended = spark.read.parquet(ratingsDir)
     assert(appended.count() === 2)
-    assert(appended.columns.toSet === Set("userId", "productId", "rating", "timestamp"))
+    // batch_id is the idempotence partition key (see updateRatings)
+    assert(appended.columns.toSet ===
+      Set("userId", "productId", "rating", "timestamp", "batch_id"))
 
     val out = spark.read.json(outDir)
       .select($"userId", $"recommendedProducts")
       .as[(Long, Seq[String])].collect().toMap
     assert(out(1L) === Seq("101", "102"))
     assert(out(42L) === Seq("11", "12", "13")) // cold start -> global top products
+  }
+
+  test("exactly-once across kill-and-restart: a replayed batch never duplicates the sink") {
+    val in = tmp("eo-in")
+    val ratingsDir = tmp("eo-ratings") + "/table"
+    val ck = tmp("eo-ck")
+    def multiset(dir: String): Seq[(Long, Long, Double, Long)] =
+      spark.read.parquet(dir)
+        .select($"userId", $"productId", $"rating", $"timestamp")
+        .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+
+    // half 1 arrives and commits
+    writeEvents(in, Seq(
+      """{"userId": 1, "productId": 3, "review": 5.0, "timestamp": 1105916400}""",
+      """{"userId": 2, "productId": 4, "review": 3.0, "timestamp": 1105916401}"""))
+    // the manager unregisters a terminated run asynchronously; a restart
+    // on the SAME checkpoint needs the old run fully gone first
+    def awaitStopped(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.awaitTermination(60000)
+      q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id)
+          && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(!spark.streams.active.exists(_.id == q.id))
+    }
+
+    val q1 = RealTime.updateRatings(RealTime.readReviews(spark, in), ratingsDir, ck)
+    awaitStopped(q1)
+    assert(multiset(ratingsDir).size === 2)
+
+    // simulate the worst-case crash: the sink wrote batch N but the engine
+    // died BEFORE recording the checkpoint commit — delete the newest
+    // commit marker, so the restart must replay that batch against a sink
+    // that already contains its rows
+    val commits = new java.io.File(ck, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val latest = commits.maxBy(_.getName.toLong)
+    // the local checksum FS keeps a .N.crc sidecar; a stale one would
+    // block the replay's rewrite of the marker
+    new java.io.File(latest.getParentFile, "." + latest.getName + ".crc").delete()
+    assert(latest.delete())
+
+    // half 2 arrives while the pipeline is down
+    Files.write(Paths.get(in, "part-1.json"),
+      """{"userId": 3, "productId": 5, "review": 4.0, "timestamp": 1105916402}"""
+        .getBytes("UTF-8"))
+
+    // restart from the checkpoint: replays the uncommitted batch, then
+    // processes the new file
+    val q2 = RealTime.updateRatings(RealTime.readReviews(spark, in), ratingsDir, ck)
+    awaitStopped(q2)
+
+    // one-shot reference run over the same total input, fresh everything
+    val oneShotDir = tmp("eo-oneshot") + "/table"
+    val q3 = RealTime.updateRatings(
+      RealTime.readReviews(spark, in), oneShotDir, tmp("eo-ck-oneshot"))
+    awaitStopped(q3)
+
+    assert(multiset(ratingsDir) === multiset(oneShotDir)) // no dupes, no loss
+    assert(multiset(ratingsDir).size === 3)
   }
 
   test("rate-limited replay emits the static rows in order") {
