@@ -590,6 +590,15 @@ object SparkEntry {
     // words + popcount — the index-structure distinct (vs q102's HLL)
     "q122_bitmap_distinct" -> ((s, dir) =>
       Sketches.bitmapDistinct(Tables.events(s, dir))),
+    // exact trailing-7-day active users per observed day: sliding
+    // distinct via per-(day, word) bitmaps — the W-day fan-out replicates
+    // the collapsed word table, never the event scan
+    "q125_rolling_wau" -> ((s, dir) =>
+      Sketches.rollingActiveUsers(Tables.events(s, dir))),
+    // per-source quality nucleus: best-first cumulative keep within an
+    // exact integer byte budget (half of each source's total)
+    "q126_nucleus_select" -> ((s, dir) =>
+      TrainingMix.nucleusSelect(Tables.documents(s, dir))),
     // FK orphan audit across the star schema: child count, orphan count,
     // match rate per declared relation
     "q111_integrity_audit" -> ((s, dir) =>
@@ -1851,6 +1860,36 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(bit_count(bits)) AS BIGINT) AS distinct_users
         |FROM words GROUP BY 1, 2""".stripMargin,
+    // the range join re-derives the same trailing-window membership the
+    // bitmap OR computes; COUNT(DISTINCT) over it is the graded truth
+    "q125_rolling_wau" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day_num FROM ev)
+        |SELECT d.day_num,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM days d JOIN ev e ON e.day_num BETWEEN d.day_num - 6 AND d.day_num
+        |GROUP BY 1""".stripMargin,
+    // same quality expression as q34 (bit-identical doubles), doc_id tie
+    // break, and the pure-integer budget predicate 2·cum <= total
+    "q126_nucleus_select" ->
+      s"""WITH q AS ($qualityScoreOracle),
+         |d AS (
+         |  SELECT doc.doc_id, doc.source, doc.n_chars, q.quality_score
+         |  FROM documents doc JOIN q ON doc.doc_id = q.doc_id),
+         |c AS (
+         |  SELECT *,
+         |    sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars,
+         |    sum(n_chars) OVER (PARTITION BY source) AS total_chars
+         |  FROM d)
+         |SELECT doc_id, source, n_chars, quality_score,
+         |  CAST(cum_chars AS BIGINT) AS cum_chars
+         |FROM c WHERE cum_chars * 2 <= total_chars""".stripMargin,
     // threshold quartiles: ×4 scale makes quantile_cont interpolation land
     // on integers, so the cuts match Spark percentile bit-for-bit and the
     // quartile predicates are exact comparisons on both engines

@@ -82,7 +82,6 @@ object TextAnalysis {
       - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
     val stop = wordHits(col("text"), enWords).cast("double")
     val ttr = size(array_distinct(t)).cast("double") / nTok
-    val lenCredit = least(nTok / lit(50.0), lit(1.0))
     val punctRatio = punct / length(col("text")).cast("double")
     val stopRatio = stop / nTok
     documents.select(
@@ -91,9 +90,26 @@ object TextAnalysis {
       punctRatio.as("punct_ratio"),
       stopRatio.as("stopword_ratio"),
       ttr.as("type_token_ratio"),
-      (lit(0.4) * lenCredit + lit(0.2) * least(stopRatio * 5.0, lit(1.0))
-        + lit(0.2) * ttr + lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))))
-        .as("quality_score"))
+      qualityScoreExpr.as("quality_score"))
+  }
+
+  /** The [[qualityScore]] scalar as a reusable expression over a `text`
+    * column — lets consumers (e.g. nucleus budget selection) score
+    * in-line on their own scan instead of self-joining the score table
+    * back on doc_id.
+    */
+  def qualityScoreExpr: org.apache.spark.sql.Column = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val punct = (length(col("text"))
+      - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val stop = wordHits(col("text"), enWords).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val lenCredit = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punct / length(col("text")).cast("double")
+    val stopRatio = stop / nTok
+    lit(0.4) * lenCredit + lit(0.2) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.2) * ttr + lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0)))
   }
 
   /** Curriculum phases from the quality score: fixed-constant cuts (< 0.5,

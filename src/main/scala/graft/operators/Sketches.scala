@@ -131,6 +131,46 @@ object Sketches {
     * from disjoint batches merge by OR, making this the
     * view-maintenance-friendly form of distinct.
     */
+  /** Rolling W-day active users (the WAU curve): for every observed day,
+    * the EXACT count of distinct users active in the trailing `windowDays`
+    * window — the sliding-distinct problem, which has no per-window
+    * mergeable counter (distinct is not sum-decomposable across sliding
+    * windows).
+    *
+    * Scale shape — the [[bitmapDistinct]] machinery makes it mergeable:
+    * events first collapse to per-(day, word) 63-bit membership masks
+    * (map-side-combined `bit_or`, the only event-wide shuffle), and the
+    * W-day replication then fans out the tiny WORD table — ≤ |days| ×
+    * max_id/63 rows — not the raw events, W× . Per-(window-end, word) OR
+    * plus summed popcounts give the exact count. At 100 TB the event scan
+    * dominates and runs once; everything after is proportional to user
+    * cardinality / 63.
+    *
+    * @return (day_num, active_users) for each day with events, counting
+    *         the trailing `windowDays`-day window ending that day
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val words = events.select(
+        expr("unix_micros(ts) div 86400000000").as("day_num"),
+        expr("user_id div 63").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("bit"))
+      .groupBy(col("day_num"), col("word_idx"))
+      .agg(expr("bit_or(bit)").as("bits"))
+    // day d participates in the windows ending at d .. d+W-1; windows
+    // whose end is not an observed day are dropped (the dashboard rows
+    // are the observed days), via a broadcast semi-join on the day list
+    val fanned = words.select(col("day_num"), col("word_idx"), col("bits"),
+        explode(expr(s"sequence(0, ${windowDays - 1})")).as("off"))
+      .select((col("day_num") + col("off")).as("day_num"),
+        col("word_idx"), col("bits"))
+    val days = words.select(col("day_num")).distinct()
+    fanned.join(broadcast(days), Seq("day_num"), "left_semi")
+      .groupBy(col("day_num"), col("word_idx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .groupBy(col("day_num"))
+      .agg(sum(expr("bit_count(bits)")).as("active_users"))
+  }
+
   def bitmapDistinct(events: DataFrame): DataFrame = {
     events.select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day_num"),

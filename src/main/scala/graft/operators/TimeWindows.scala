@@ -436,12 +436,23 @@ object TimeWindows {
       .groupBy("user_id").agg(min(col("day_num")).as("first_day"))
       .groupBy(col("first_day").as("day_num"))
       .agg(count(lit(1)).as("n_new"))
+    reachFromDaily(daily, news)
+  }
+
+  /** The closing stage of [[userReach]] over already-materialized daily
+    * tables — shared with the streaming twins
+    * ([[graft.streaming.RealTime.dailyActivesStream]] /
+    * [[graft.streaming.RealTime.newUsersStream]] maintain `daily` and
+    * `news` live; this joins them and adds the running reach). The
+    * cumulative window runs over the |days|-row daily table — a
+    * constant-size final step, never a corpus-wide sort.
+    */
+  def reachFromDaily(daily: DataFrame, news: DataFrame): DataFrame =
     daily.join(news, Seq("day_num"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
       .withColumn("cum_reach", sum(col("n_new")).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("day_num"))))
       .select("day_num", "n_active", "n_new", "cum_reach")
-  }
 
   def clickViewPairs(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
     val clicks = events.where(col("event_type") === "click")

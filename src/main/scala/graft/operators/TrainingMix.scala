@@ -229,6 +229,44 @@ object TrainingMix {
           / (col("n_docs") * col("max_tokens")).cast("double")).as("efficiency"))
   }
 
+  /** Nucleus (top-p) budget selection per source: walk each source's
+    * documents best-quality-first and keep them while the cumulative
+    * character count stays within `pNum/pDen` of the source's total —
+    * the "keep the best half of every source" culling step between
+    * quality scoring and mix construction. A source's output is its
+    * quality nucleus: the smallest high-quality prefix carrying the
+    * budgeted share of its bytes.
+    *
+    * Determinism: the quality score is the single expression tree shared
+    * with q34/q80 (bit-identical doubles on both engines), ties break on
+    * doc_id, and the budget predicate `pDen·cum ≤ pNum·total` is exact
+    * integer arithmetic — no floating budget boundary to disagree on.
+    *
+    * Scale shape: one per-stratum window (partitioned by source, never
+    * global) for the running sum, and the per-source totals come from
+    * one tiny aggregate broadcast back — the document table shuffles
+    * once, on source, which at 100 TB is the partitioning the mix
+    * pipeline already keeps.
+    *
+    * @return (doc_id, source, n_chars, quality_score, cum_chars) for
+    *         kept documents
+    */
+  def nucleusSelect(documents: DataFrame, pNum: Int = 1, pDen: Int = 2): DataFrame = {
+    require(pNum > 0 && pDen >= pNum, "need 0 < pNum/pDen <= 1")
+    val scored = documents.select(col("doc_id"), col("source"), col("n_chars"),
+      graft.functions.TextAnalysis.qualityScoreExpr.as("quality_score"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = documents.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("total_chars"))
+    scored
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .join(broadcast(totals), "source")
+      .where(col("cum_chars") * pDen <= col("total_chars") * pNum)
+      .select("doc_id", "source", "n_chars", "quality_score", "cum_chars")
+  }
+
   def chunkDocuments(documents: DataFrame, k: Int = 64, stride: Int = 48): DataFrame = {
     require(k > 0 && stride > 0 && stride <= k, "need 0 < stride <= k")
     val t = graft.functions.TextAnalysis.tokens(col("text"))

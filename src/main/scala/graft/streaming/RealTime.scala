@@ -190,6 +190,43 @@ object RealTime {
       .select(col("event_type"),
         expr("unix_micros(w.start) div 86400000000").as("day_num"), col("cnt"))
 
+  /** Streaming twin of the daily-actives stage of
+    * [[graft.operators.TimeWindows.userReach]] (q112): per-day distinct
+    * active users as a watermarked dedup on (user, epoch-day) chained
+    * into a 1-day tumbling count — the dedup evicts a key once the
+    * watermark passes its day, so state is one entry per (user, day)
+    * only for OPEN days. Emits final (day_num, n_active) rows in append
+    * mode; [[graft.operators.TimeWindows.reachFromDaily]] closes the
+    * report over the emitted horizon.
+    */
+  def dailyActivesStream(events: DataFrame,
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .withColumn("day_num", expr("unix_micros(ts) div 86400000000"))
+      .dropDuplicatesWithinWatermark("user_id", "day_num")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(expr("unix_micros(w.start) div 86400000000").as("day_num"),
+        col("n_active"))
+
+  /** Streaming twin of the new-users stage of
+    * [[graft.operators.TimeWindows.userReach]]: first-EVER appearance
+    * per user (plain dropDuplicates — deliberately unbounded state, one
+    * key per user ever seen, the growth-accounting ledger any reach
+    * pipeline carries) counted into the 1-day window of the user's first
+    * ARRIVAL. Matches the batch min-day attribution whenever each user's
+    * events arrive in event-time order (the q50 first-arrival-vs-min
+    * delta, documented there); StreamingSpec feeds day-ordered batches.
+    */
+  def newUsersStream(events: DataFrame,
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(expr("unix_micros(w.start) div 86400000000").as("day_num"),
+        col("n_new"))
+
   /** Batch twin of [[dedupReviews]] (whole-table horizon): the one surviving
     * row per key set, chosen deterministically as the EARLIEST event time
     * (tie-broken on `tieCol`) — where the streaming form keeps the first

@@ -97,6 +97,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(n > 1.0)
   }
 
+  test("rollingActiveUsers: windows union users across days, dedup within the window") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(day.toLong * 86400000L)
+    // u1 active days 0 and 8 (outside one 7-day window of each other),
+    // u2 active days 0 and 3, u3 only day 3; day 20 isolates u9.
+    // Windows (trailing 7 days, ends = observed days):
+    //   day 0: {u1,u2} = 2; day 3: {u1,u2,u3} = 3 (u2 deduped);
+    //   day 8: {u1,u2,u3} = 3 (days 2..8 cover 3 and 8); day 20: {u9}
+    val rows = Seq((1L, t(0), 1L, "a", 0.0, ""), (2L, t(0), 2L, "a", 0.0, ""),
+      (3L, t(3), 2L, "a", 0.0, ""), (4L, t(3), 3L, "a", 0.0, ""),
+      (5L, t(8), 1L, "a", 0.0, ""), (6L, t(20), 9L, "a", 0.0, ""))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Sketches.rollingActiveUsers(df).collect()
+      .map(x => x.getAs[Long]("day_num") -> x.getAs[Long]("active_users")).toMap
+    assert(r === Map(0L -> 2L, 3L -> 3L, 8L -> 3L, 20L -> 1L))
+    // and on the real table every window equals the naive sliding distinct
+    val ev = Tables.events(spark, TestSpark.sf)
+    val fast = Sketches.rollingActiveUsers(ev)
+    val pairs = ev.select(expr("unix_micros(ts) div 86400000000").as("d"),
+      col("user_id")).distinct()
+    val slow = pairs.select(col("d").as("day_num")).distinct()
+      .join(pairs, expr("d BETWEEN day_num - 6 AND day_num"))
+      .groupBy("day_num").agg(countDistinct("user_id").as("active_users"))
+    assert(fast.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ===
+      slow.collect().map(x => (x.getLong(0), x.getLong(1))).toSet)
+  }
+
   test("bitmapDistinct equals count(DISTINCT) with dup users and word-boundary ids") {
     import java.sql.Timestamp
     val t = new Timestamp(86400000L) // all rows land on day 1

@@ -154,6 +154,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedGraded.count(_._5) === 1) // and nothing else flags
   }
 
+  test("reach twins: streamed daily actives + new users close to the batch userReach report") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // day 0: u1, u2 (u1 twice); day 1: u1 returns, u3 new; day 2: u3 only
+    val byDay = Seq(
+      Seq(SessEv(1L, t(0, 0), 1L, "view"), SessEv(2L, t(0, 5), 1L, "view"),
+        SessEv(3L, t(0, 9), 2L, "view")),
+      Seq(SessEv(4L, t(1, 0), 1L, "view"), SessEv(5L, t(1, 1), 3L, "view")),
+      Seq(SessEv(6L, t(2, 0), 3L, "view")))
+    val flushTail = Seq(SessEv(7L, t(40, 0), 9L, "view"), SessEv(8L, t(40, 1), 9L, "view"))
+
+    def runStream(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                  name: String): org.apache.spark.sql.DataFrame = {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+      val q = f(input.toDF()).writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", tmp(name + "-ck")).start()
+      // day-ordered batches: first-arrival == min-day for the new-user twin
+      for (day <- byDay) { input.addData(day: _*); q.processAllAvailable() }
+      for (ev <- flushTail) { input.addData(ev); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).where($"day_num" < 40).localCheckpoint()
+    }
+    val actives = runStream(RealTime.dailyActivesStream(_), "reach_actives")
+    val news = runStream(RealTime.newUsersStream(_), "reach_news")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("day_num", "n_active", "n_new", "cum_reach")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = rows(graft.operators.TimeWindows.reachFromDaily(actives, news))
+    val batch = rows(graft.operators.TimeWindows.userReach(
+      byDay.flatten.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    assert(streamed === Set((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 1L, 0L, 3L)))
+  }
+
   test("clickViewPairsStream: stream-stream interval join equals the batch twin across batches") {
     def t(min: Int): java.sql.Timestamp =
       new java.sql.Timestamp(1700000000000L + min * 60000L)

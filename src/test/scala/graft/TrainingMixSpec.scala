@@ -194,4 +194,23 @@ class TrainingMixSpec extends AnyFunSuite {
         - x.getAs[Long]("sum_tokens"))
     }
   }
+
+  test("nucleusSelect keeps the best-first prefix within the integer byte budget") {
+    val good = ("the of and to in " * 10).trim // all stopwords, no punct: high score
+    val mid = "hello world hello"              // no stopwords: mid score
+    val junk = "!!!!"                          // all punct: low score
+    val nd = Seq(
+      // web total = 1000, budget 2·cum <= 1000
+      (1L, junk, "en", "web", 100L),
+      (2L, good, "en", "web", 400L), // best, cum 400 -> 800 <= 1000: kept
+      (3L, good, "en", "web", 300L), // same score, doc_id tie after 2: cum 700 -> drop
+      (4L, mid, "en", "web", 200L),
+      // news total = 199: doc 5 (cum 99 -> 198 <= 199) kept, junk dropped
+      (5L, good, "en", "news", 99L),
+      (6L, junk, "en", "news", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TrainingMix.nucleusSelect(nd)
+      .select("doc_id", "cum_chars").as[(Long, Long)].collect().toMap
+    assert(kept === Map(2L -> 400L, 5L -> 99L))
+  }
 }
