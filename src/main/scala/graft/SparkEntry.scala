@@ -141,6 +141,10 @@ object SparkEntry {
     // graph cohesion: exact triangle count over the canonical pair list
     // (wedge join + closing equi-join; reuses the memoized q03 pairs)
     "q90_triangle_count" -> ((s, dir) => plans.GraphOps.triangleCount(coPairs(s, dir))),
+    // per-vertex cohesion: triangles credited to all three corners of the
+    // canonical wedge join, over C(deg,2) — exact-integer division
+    "q129_clustering_coeff" -> ((s, dir) =>
+      plans.GraphOps.clusteringCoefficients(coPairs(s, dir))),
     // graph centrality: 3-iteration PageRank in scaled-integer arithmetic
     // (floor-division damping -> bit-identical ranks on any engine/partitioning)
     "q96_pagerank" -> ((s, dir) =>
@@ -428,10 +432,14 @@ object SparkEntry {
     "q70_quote_hits" -> ((s, dir) =>
       Corpus.quoteHits(Tables.documents(s, dir))),
     // k-means E-step over the full corpus: broadcast centroids, map-side
-    // argmax, integer output (the M-step mean is engine-float-order
-    // dependent and stays spec-side)
+    // argmax, integer output
     "q71_kmeans_assign" -> ((s, dir) =>
       Similarity.ivfAssign(Tables.embeddings(s, dir)).select("vec_id", "cell")),
+    // k-means M-step (one Lloyd iteration with q71): per-cell count +
+    // mean vector on the micro-unit integer grid — order-invariant, so
+    // the float mean becomes gradeable
+    "q127_kmeans_update" -> ((s, dir) =>
+      Similarity.kmeansUpdateExact(Tables.embeddings(s, dir))),
     // int8 scalar quantization: per-vector range + exact code checksum
     "q81_quantize" -> ((s, dir) =>
       Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))),
@@ -723,6 +731,31 @@ object SparkEntry {
          |FROM pairs e1
          |JOIN pairs e2 ON e1.dst = e2.src
          |JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+    // same canonical wedge join as q90, each triangle credited to its 3
+    // corners; 2T/deg(deg-1) is one division of exact integers
+    "q129_clustering_coeff" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |und AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e1.dst = e2.src
+         |  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |pv AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |    SELECT a AS v FROM tri UNION ALL
+         |    SELECT b FROM tri UNION ALL
+         |    SELECT c FROM tri) GROUP BY 1)
+         |SELECT d.v AS user_id, d.degree,
+         |  coalesce(p.triangles, 0) AS triangles,
+         |  CASE WHEN d.degree >= 2
+         |       THEN CAST(2 * coalesce(p.triangles, 0) AS DOUBLE)
+         |            / (d.degree * (d.degree - 1))
+         |       ELSE 0.0 END AS clustering_coeff
+         |FROM deg d LEFT JOIN pv p ON p.v = d.v""".stripMargin,
     // scaled-integer PageRank twin: 3 unrolled rounds of the same
     // floor-division algebra (sums CAST from HUGEINT back to BIGINT)
     "q96_pagerank" ->
@@ -1380,6 +1413,33 @@ object SparkEntry {
         |    least(255, CAST(floor((CAST(x AS DOUBLE) - q_min) / scale * 256.0) AS BIGINT))))
         |    AS BIGINT) AS code_sum
         |FROM s""".stripMargin,
+    // q71's assignment + aligned-unnest explode onto the micro-unit grid;
+    // integer (cell, dim) sums, one final division, list ordered by dim
+    "q127_kmeans_update" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % 37 = 0),
+         |a AS (
+         |  SELECT e.vec_id, c.c_id,
+         |    ${cosineSql("e.embedding", "c.c_emb")} AS c_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (
+         |  SELECT vec_id, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+         |  FROM a),
+         |asg AS (SELECT vec_id, c_id AS cell FROM r WHERE rn = 1),
+         |x AS (
+         |  SELECT asg.cell,
+         |    unnest(range(0, len(e.embedding))) AS dim,
+         |    unnest(list_transform(e.embedding,
+         |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS micro
+         |  FROM asg JOIN embeddings e USING (vec_id)),
+         |g AS (
+         |  SELECT cell, dim, CAST(sum(micro) AS BIGINT) AS s, count(*) AS n
+         |  FROM x GROUP BY 1, 2)
+         |SELECT cell, CAST(max(n) AS BIGINT) AS n_members,
+         |  list(CAST(s AS DOUBLE) / n ORDER BY dim) AS centroid_micro
+         |FROM g GROUP BY cell""".stripMargin,
     // same bit-identical cosine + (DESC sim, ASC id) argmax contract as q41
     "q71_kmeans_assign" ->
       s"""WITH c AS (

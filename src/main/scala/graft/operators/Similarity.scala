@@ -148,6 +148,42 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** GRADEABLE k-means M-step on top of [[ivfAssign]]'s E-step (q71):
+    * per-cell member count and mean vector — one full Lloyd iteration
+    * when chained after the assignment. (The float-mean form below,
+    * [[kmeansUpdate]], keeps the true-float contract spec-side; this
+    * variant trades 10⁻⁶ quantization for cross-engine exactness.)
+    *
+    * Order-invariance (what lets this be GRADED, where a raw float mean
+    * could not be): each float component is floored onto the 10⁻⁶
+    * micro-unit integer grid FIRST, the per-(cell, dim) sums are then
+    * exact integer arithmetic in any aggregation order, and the mean is
+    * one final IEEE division of two exact integers — bit-identical on
+    * every engine and partitioning. The emitted centroid is in micro
+    * units (10⁶ × the float mean); callers rescale on read.
+    *
+    * Scale shape: the explode ships |vectors|·dims rows of three narrow
+    * integers into a map-combined (cell, dim) aggregate — the standard
+    * dimension-sharded centroid update — and the array re-assembly
+    * (sort_array over ≤dims structs per cell) touches |cells|·dims rows.
+    *
+    * @return (cell, n_members, centroid_micro: array<double>)
+    */
+  def kmeansUpdateExact(corpus: DataFrame, centroidStride: Int = 37): DataFrame = {
+    val quant = ivfAssign(corpus, centroidStride, nprobe = 1)
+      .select(col("cell"), posexplode(col("embedding")))
+      .select(col("cell"), col("pos").as("dim"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
+    quant.groupBy(col("cell"), col("dim"))
+      .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n_members"),
+        collect_list(struct(col("dim"),
+          (col("s").cast("double") / col("n").cast("double")).as("m"))).as("dims"))
+      .select(col("cell"), col("n_members"),
+        transform(array_sort(col("dims")), x => x.getField("m")).as("centroid_micro"))
+  }
+
   /** Scalar (int8) quantization of embeddings — the vector-compression
     * primitive that makes billion-vector ANN affordable: per-vector
     * min/max range, 256 uniform buckets, code = min(255, ⌊(x−min)/range ·
@@ -224,11 +260,11 @@ object Similarity {
     * (dim× the input, but 3 narrow columns), partial-avg combines
     * map-side, and the only shuffle carries k×dim partial sums — NOT
     * vectors. The centroid reassembles via a struct-sort on `pos`, so the
-    * output array order never depends on shuffle arrival order. Registered
-    * queries stop at the E-step (q71): a float SUM's value depends on
-    * reduction order, which no cross-engine oracle can pin down; the
-    * M-step's contract lives in SimilaritySpec against hand-computed
-    * means.
+    * output array order never depends on shuffle arrival order. A raw
+    * float SUM's value depends on reduction order, which no cross-engine
+    * oracle can pin down, so THIS form's contract lives in SimilaritySpec
+    * against hand-computed means; [[kmeansUpdateExact]] (q127) is the
+    * oracle-graded variant on the micro-unit integer grid.
     *
     * @param assigned output of [[ivfAssign]]: (vec_id, embedding, cell)
     * @return (cell, c_emb: array<double>, n_members)

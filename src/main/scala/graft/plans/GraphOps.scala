@@ -72,6 +72,46 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-vertex local clustering coefficient: triangles(v) / C(deg(v), 2)
+    * — "how many of my neighbors know each other", the standard local
+    * cohesion measure on the co-rating graph. Each triangle (a<b<c) is
+    * found ONCE by the same canonical wedge join as [[triangleCount]] and
+    * credited to its three corners with a narrow union — no per-vertex
+    * neighborhood materialization. Degrees come from one aggregate over
+    * the undirected closure. The coefficient is a single division of
+    * exact integers (2·T / deg·(deg−1)) — engine-reproducible; vertices
+    * of degree < 2 report 0 by convention.
+    *
+    * Scale: two equi-joins over the canonical edge list (the
+    * [[triangleCount]] cost envelope — Σ C(deg,2) wedge candidates, with
+    * the same degree-capping mitigations upstream) plus two tiny
+    * vertex-keyed aggregates.
+    *
+    * @param edges canonical pairs (src, dst) with src < dst
+    * @return (user_id, degree, triangles, clustering_coeff)
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("degree"))
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = edges.select(col("src").as("a"), col("dst").as("c"))
+    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .transform(graft.barrier) // three corner reads below
+    val perVertex = tris.select(col("a").as("v"))
+      .unionAll(tris.select(col("b").as("v")))
+      .unionAll(tris.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    deg.join(perVertex, Seq("v"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .select(col("v").as("user_id"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
   /** Connected components as alternating large-star / small-star rounds over
     * a DataFrame edge list (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", 2014) — the 100-TB-safe form:

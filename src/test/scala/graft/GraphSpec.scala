@@ -74,6 +74,28 @@ class GraphSpec extends AnyFunSuite {
     assert(ours === gx.toLong)
   }
 
+  test("clusteringCoefficients: triangle+pendant hand graph, corners credited once") {
+    // 1-2-3 triangle with pendant 4 on 3: coeff(1)=coeff(2)=1,
+    // coeff(3) = 2·1/(3·2) = 1/3, coeff(4) = 0 (degree 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.clusteringCoefficients(edges).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("degree"), x.getAs[Long]("triangles"),
+          x.getAs[Double]("clustering_coeff"))).toMap
+    assert(r(1L) === ((2L, 1L, 1.0)))
+    assert(r(2L) === ((2L, 1L, 1.0)))
+    assert(r(3L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(r(4L) === ((1L, 0L, 0.0)))
+    // consistency on the real graph: per-vertex triangle credits sum to 3T
+    val pairs = Reco.coRatingPairs(
+      Reco.goodRatings(Tables.ratings(spark, TestSpark.sf)))
+    val cc = GraphOps.clusteringCoefficients(pairs)
+    val creditSum = cc.agg(org.apache.spark.sql.functions.sum("triangles"))
+      .as[Long].head()
+    val total = GraphOps.triangleCount(pairs).as[Long].head()
+    assert(creditSum === 3L * total)
+  }
+
   test("scaled-integer PageRank: star center dominates, mass conserved, GraphX order agrees") {
     // star: center 1 connected to 2..6, plus a detached edge 10-11
     val star = (2L to 6L).map(i => (1L, i)) :+ (10L, 11L)

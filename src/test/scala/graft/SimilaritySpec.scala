@@ -146,6 +146,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(20L)._2 === 1L)
   }
 
+  test("kmeansUpdateExact: micro-grid means match hand numbers") {
+    // stride 2 -> centroids {0, 2}; 1/3 assign by cosine to 0/2
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f), 0), // cos with c0 = 1 -> cell 0
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(0.0f, 3.0f), 0)) // cos with c2 = 1 -> cell 2
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.kmeansUpdateExact(emb, centroidStride = 2).collect()
+      .map(x => x.getAs[Long]("cell") ->
+        (x.getAs[Long]("n_members"), x.getSeq[Double](x.fieldIndex("centroid_micro"))))
+      .toMap
+    assert(r(0L) === ((2L, Seq(1500000.0, 0.0)))) // (1e6 + 2e6)/2, 0
+    assert(r(2L) === ((2L, Seq(0.0, 2000000.0)))) // 0, (1e6 + 3e6)/2
+  }
+
   test("one full Lloyd iteration over real embeddings keeps k cells and dim") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val dim = emb.select(size($"embedding")).as[Int].head()
