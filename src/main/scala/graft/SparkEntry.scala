@@ -570,6 +570,19 @@ object SparkEntry {
     // integer 2·|x−med| > k·2·MAD predicate
     "q119_mad_outliers" -> ((s, dir) =>
       Relational.madOutliers(Tables.events(s, dir))),
+    // shuffle-planning skew diagnostic: per join key, exact HHI collision
+    // mass + hottest-key share (order-invariant integer stats)
+    "q130_key_skew" -> ((s, dir) =>
+      Relational.keySkewReport(Seq(
+        ("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
+        ("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"),
+        ("orders.o_custkey", Tables.orders(s, dir), "o_custkey"),
+        ("events.user_id", Tables.events(s, dir), "user_id"),
+        ("documents.source", Tables.documents(s, dir), "source")))),
+    // incremental-view rollup: monthly report merged FROM daily partials
+    // (algebraic merge graded against the direct aggregate)
+    "q131_rollup_merge" -> ((s, dir) =>
+      TimeWindows.monthlyRollup(Tables.events(s, dir))),
     // RFM customer-value grid: recency/frequency/spend quartiled against
     // exact broadcast percentile cuts (no global sort), per 4x4x4 segment
     "q121_rfm_segments" -> ((s, dir) =>
@@ -1950,6 +1963,41 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars, quality_score,
          |  CAST(cum_chars AS BIGINT) AS cum_chars
          |FROM c WHERE cum_chars * 2 <= total_chars""".stripMargin,
+    // HUGEINT keeps c² and n² exact (the q103 overflow posture); the two
+    // shares are single divisions of exact integers
+    "q130_key_skew" -> {
+      def one(rel: String, table: String, key: String): String =
+        s"""SELECT '$rel' AS relation,
+           |  CAST(sum(c) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(max(c) AS BIGINT) AS max_key_rows,
+           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share,
+           |  CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+           |    / CAST(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS BIGINT) AS DOUBLE) AS hhi
+           |FROM (SELECT $key AS k, count(*) AS c FROM $table
+           |      WHERE $key IS NOT NULL GROUP BY 1)""".stripMargin
+      Seq(
+        one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        one("lineitem.l_partkey", "lineitem", "l_partkey"),
+        one("orders.o_custkey", "orders", "o_custkey"),
+        one("events.user_id", "events", "user_id"),
+        one("documents.source", "documents", "source")).mkString("\nUNION ALL\n")
+    },
+    // the oracle recomputes the report through its own daily CTE — the
+    // hash grade IS the partial-merge == direct-aggregate proof
+    "q131_rollup_merge" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_num // 30 AS month_num,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(max(cnt) AS BIGINT) AS peak_daily,
+        |  CAST(count(*) AS BIGINT) AS days_active
+        |FROM daily GROUP BY 1, 2""".stripMargin,
     // threshold quartiles: ×4 scale makes quantile_cont interpolation land
     // on integers, so the cuts match Spark percentile bit-for-bit and the
     // quartile predicates are exact comparisons on both engines

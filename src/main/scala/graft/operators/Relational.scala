@@ -172,6 +172,42 @@ object Relational {
           / col("n_child").cast("double")).as("match_pct"))
     }.reduce(_ unionAll _)
 
+  /** Join-key skew report — the shuffle-planning diagnostic an engine
+    * runs BEFORE committing to a partitioning at 100 TB: per declared
+    * (table, key), the row count, distinct-key count, the hottest key's
+    * row count and share, and the Herfindahl concentration index
+    * Σ(cᵢ/n)² — the probability two random rows share a key, which is
+    * exactly the collision mass a hash-shuffle of that key must absorb.
+    * HHI ≈ 1/n_keys is uniform; a large top-share or HHI says "salt this
+    * key or cap it" (the [[graft.operators.Reco.coRatingPairs]] guard,
+    * the q51 salting).
+    *
+    * All statistics are order-invariant exact integers (Σc² in
+    * DECIMAL(38,0), the q103 overflow posture) with single final
+    * divisions — per table: one map-combined key count plus a
+    * constant-size summary.
+    *
+    * @return (relation, n_rows, n_keys, max_key_rows, top_share, hhi)
+    */
+  def keySkewReport(rels: Seq[(String, DataFrame, String)]): DataFrame = {
+    val dec = "decimal(38,0)"
+    rels.map { case (name, table, key) =>
+      table.select(col(key).as("k")).where(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_key_rows"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("c2"))
+        .select(lit(name).as("relation"),
+          col("n_rows"), col("n_keys"), col("max_key_rows"),
+          (col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+            .as("top_share"),
+          (col("c2").cast("double")
+            / (col("n_rows").cast(dec) * col("n_rows").cast(dec)).cast("double"))
+            .as("hhi"))
+    }.reduce(_ unionAll _)
+  }
+
   /** k-anonymity release audit — the privacy gate next to PII redaction
     * (q65) and the FK audit ([[integrityAudit]]): group the table by its
     * quasi-identifier columns and report how many equivalence classes

@@ -128,6 +128,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(r((4, 3, 2)) === ((1L, 200L)))  // u4: ties with u2 (f) and u1 (m)
   }
 
+  test("keySkewReport: hand-computed HHI and top share on a skewed key") {
+    val t = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "w"))
+      .toDF("k", "payload")
+    val r = Relational.keySkewReport(Seq(("t.k", t, "k"))).collect().head
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("n_keys") === 2L)
+    assert(r.getAs[Long]("max_key_rows") === 3L)
+    assert(r.getAs[Double]("top_share") === 0.75)
+    assert(r.getAs[Double]("hhi") === (9.0 + 1.0) / 16.0)
+  }
+
   test("abTestReport: planted perfect divergence is significant; rates are exact") {
     import graft.functions.TextAnalysis
     val t = new Timestamp(0L)

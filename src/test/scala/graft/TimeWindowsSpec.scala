@@ -239,4 +239,25 @@ class TimeWindowsSpec extends AnyFunSuite {
       .toSeq.sortBy(_._1).map(_._2)
     assert(r === Seq((2L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L)))
   }
+
+  test("monthlyRollup: daily partials merge to the direct monthly numbers") {
+    def t(day: Int, i: Int): Timestamp =
+      new Timestamp((day.toLong * 1440 + i) * 60000L)
+    // month 0 = days 0..29, month 1 = days 30..59; type a: days 0 (2 ev),
+    // 29 (1 ev), 30 (3 ev); type b: day 0 (1 ev)
+    val events = Seq(
+      (1L, t(0, 0), 1L, "a", 1.00, ""), (2L, t(0, 1), 1L, "a", 2.00, ""),
+      (3L, t(29, 0), 1L, "a", 0.50, ""),
+      (4L, t(30, 0), 1L, "a", 1.00, ""), (5L, t(30, 1), 1L, "a", 1.00, ""),
+      (6L, t(30, 2), 1L, "a", 1.00, ""),
+      (7L, t(0, 0), 2L, "b", 9.99, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.monthlyRollup(events).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("month_num")) ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("total_cents"),
+          x.getAs[Long]("peak_daily"), x.getAs[Long]("days_active"))).toMap
+    assert(r(("a", 0L)) === ((3L, 350L, 2L, 2L))) // days 0 (2 ev, 300c) + 29
+    assert(r(("a", 1L)) === ((3L, 300L, 3L, 1L)))
+    assert(r(("b", 0L)) === ((1L, 999L, 1L, 1L)))
+  }
 }
