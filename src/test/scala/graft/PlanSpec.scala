@@ -162,6 +162,32 @@ class PlanSpec extends AnyFunSuite {
       s"q121 cuts are not a map-combined percentile aggregate:\n$plan")
   }
 
+  test("q125 rolling WAU: word-table fan-out, no window, no quadratic join") {
+    val plan = planString(SparkEntry.queries("q125_rolling_wau")(spark, TestSpark.sf))
+    assert(!plan.contains("Window"), s"q125 gained a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q125 day filter degenerated to a per-pair scan:\n$plan")
+    // the W-day replication must sit ABOVE the first word aggregate: one
+    // Generate (explode) and it consumes the aggregated word table
+    assert(plan.contains("Generate explode"), s"q125 lost the fan-out:\n$plan")
+  }
+
+  test("q126 nucleus windows partition per-source; totals broadcast back") {
+    val plan = planString(SparkEntry.queries("q126_nucleus_select")(spark, TestSpark.sf))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q126 funnels through one partition:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q126 per-source totals should broadcast:\n$plan")
+  }
+
+  test("q130/q131 are pure aggregate plans: no join, no window") {
+    for (q <- Seq("q130_key_skew", "q131_rollup_merge")) {
+      val plan = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(!plan.contains("Window"), s"$q gained a window:\n$plan")
+      assert(!plan.contains("Join"), s"$q gained a join:\n$plan")
+    }
+  }
+
   test("q101 interval join is keyed on user_id, never a nested loop") {
     val plan = planString(SparkEntry.queries("q101_interval_join")(spark, TestSpark.sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
