@@ -583,6 +583,10 @@ object SparkEntry {
     // (algebraic merge graded against the direct aggregate)
     "q131_rollup_merge" -> ((s, dir) =>
       TimeWindows.monthlyRollup(Tables.events(s, dir))),
+    // half-life EWMA volume baseline: pinned-order fold, exact halving —
+    // a gradeable float recurrence (see ewmaDailyVolume)
+    "q132_ewma_volume" -> ((s, dir) =>
+      TimeWindows.ewmaDailyVolume(Tables.events(s, dir))),
     // RFM customer-value grid: recency/frequency/spend quartiled against
     // exact broadcast percentile cuts (no global sort), per 4x4x4 segment
     "q121_rfm_segments" -> ((s, dir) =>
@@ -1983,6 +1987,20 @@ object SparkEntry {
         one("events.user_id", "events", "user_id"),
         one("documents.source", "documents", "source")).mkString("\nUNION ALL\n")
     },
+    // same pinned fold: list_reduce seeds with the first element exactly
+    // like the Spark aggregate() seeded with days[0]
+    "q132_ewma_volume" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  max(day_num) AS last_day,
+        |  list_reduce(list(CAST(cnt AS DOUBLE) ORDER BY day_num),
+        |    (acc, x) -> x + acc / 2.0) AS ewma
+        |FROM daily GROUP BY 1""".stripMargin,
     // the oracle recomputes the report through its own daily CTE — the
     // hash grade IS the partial-merge == direct-aggregate proof
     "q131_rollup_merge" ->

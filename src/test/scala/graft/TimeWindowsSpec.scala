@@ -240,6 +240,26 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r === Seq((2L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L)))
   }
 
+  test("ewmaDailyVolume: day-ordered half-life fold matches hand numbers") {
+    def t(day: Int, i: Int): Timestamp =
+      new Timestamp((day.toLong * 1440 + i) * 60000L)
+    // type a daily counts by day: d0=2, d1=1, d3=4 (gap at d2 — the fold
+    // is over OBSERVED days); s = 2 -> 1 + 2/2 = 2 -> 4 + 2/2 = 5
+    val events = Seq(
+      (1L, t(0, 0), 1L, "a", 0.0, ""), (2L, t(0, 1), 1L, "a", 0.0, ""),
+      (3L, t(1, 0), 1L, "a", 0.0, ""),
+      (4L, t(3, 0), 1L, "a", 0.0, ""), (5L, t(3, 1), 1L, "a", 0.0, ""),
+      (6L, t(3, 2), 1L, "a", 0.0, ""), (7L, t(3, 3), 1L, "a", 0.0, ""),
+      (8L, t(0, 0), 2L, "b", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.ewmaDailyVolume(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_days"), x.getAs[Long]("last_day"), x.getAs[Double]("ewma")))
+      .toMap
+    assert(r("a") === ((3L, 3L, 5.0)))
+    assert(r("b") === ((1L, 0L, 1.0))) // single day: seed only
+  }
+
   test("monthlyRollup: daily partials merge to the direct monthly numbers") {
     def t(day: Int, i: Int): Timestamp =
       new Timestamp((day.toLong * 1440 + i) * 60000L)
