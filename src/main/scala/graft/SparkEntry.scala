@@ -587,6 +587,10 @@ object SparkEntry {
     // a gradeable float recurrence (see ewmaDailyVolume)
     "q132_ewma_volume" -> ((s, dir) =>
       TimeWindows.ewmaDailyVolume(Tables.events(s, dir))),
+    // asymmetric containment pairs: the quote/subset detector a symmetric
+    // Jaccard threshold misses (same inverted-index skeleton as q36)
+    "q133_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir))),
     // RFM customer-value grid: recency/frequency/spend quartiled against
     // exact broadcast percentile cuts (no global sort), per 4x4x4 segment
     "q121_rfm_segments" -> ((s, dir) =>
@@ -1987,6 +1991,38 @@ object SparkEntry {
         one("events.user_id", "events", "user_id"),
         one("documents.source", "documents", "source")).mkString("\nUNION ALL\n")
     },
+    // q36's gram index CTEs with asymmetric denominators; both ratios are
+    // single divisions of exact integer counts
+    "q133_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+         |strsh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(0, len(t) - 2),
+         |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+         |  FROM toks WHERE len(t) >= 3),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(shingles, s -> ${md5Prefix32Sql("s")}))) AS shingle
+         |  FROM strsh),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shf AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= 1000),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, n_a, n_b, c_a_in_b, c_b_in_a FROM (
+         |  SELECT i.a_id, i.b_id, i.inter,
+         |    sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |    CAST(i.inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS c_a_in_b,
+         |    CAST(i.inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS c_b_in_a
+         |  FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.a_id
+         |  JOIN sz sb ON sb.doc_id = i.b_id)
+         |WHERE greatest(c_a_in_b, c_b_in_a) >= 0.7""".stripMargin,
     // same pinned fold: list_reduce seeds with the first element exactly
     // like the Spark aggregate() seeded with days[0]
     "q132_ewma_volume" ->

@@ -100,6 +100,44 @@ object Dedup {
       .select("a_id", "b_id", "inter", "jaccard")
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the quote/subset detector
+    * Jaccard structurally misses: a short document pasted inside a long
+    * one has containment |A∩B|/|A| ≈ 1 while its Jaccard ≈ |A|/|B| ≈ 0,
+    * so no symmetric threshold can find it without drowning in noise.
+    * Reports every unordered pair whose LARGER directional containment
+    * clears `threshold`, with both directions emitted for triage.
+    *
+    * Same scale skeleton as [[ngramJaccardPairs]] (hashed distinct-gram
+    * inverted index, stop-shingle DF cap as the skew guard, equi-join on
+    * gram only) — one extra broadcast-sized sizes join, identical pair
+    * bound. Ratios are single divisions of exact integer counts.
+    *
+    * @return (a_id, b_id, inter, n_a, n_b, c_a_in_b, c_b_in_a)
+    */
+  def containmentPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.7,
+                       maxShingleDf: Long = 1000): DataFrame = {
+    val hashed = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))
+    val sh = tokensBarrier(documents)
+      .select(col("doc_id"), explode(array_distinct(hashed)).as("shingle"))
+      .transform(graft.barrier)
+    val stopShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf)
+      .select("shingle")
+    val filtered = sh.join(stopShingles, Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("c_a_in_b", col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("c_b_in_a", col("inter").cast("double") / col("n_b").cast("double"))
+      .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("a_id", "b_id", "inter", "n_a", "n_b", "c_a_in_b", "c_b_in_a")
+  }
+
   /** Shared LSH front end: per-document banded MinHash signatures —
     * (doc_id, sig: array<long>, band: int, bandHash: string).
     *

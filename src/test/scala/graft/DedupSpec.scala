@@ -40,6 +40,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 < p._2)) // canonical ordering, no self-pairs
   }
 
+  test("containmentPairs finds the quote Jaccard misses; direction is correct") {
+    // doc 4 = a 6-token excerpt of base (4 shingles, all inside base's 21):
+    // containment(4 -> 0) = 1.0 while jaccard = 4/21 < 0.2
+    val quote = (4L, "catalyst optimizer pushes filters below joins")
+    val withQuote = (docs.as[(Long, String)].collect().toSeq :+ quote)
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(withQuote, threshold = 0.9)
+      .select("a_id", "b_id", "c_a_in_b", "c_b_in_a")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs((0L, 4L))._2 === 1.0) // the SMALLER doc is fully contained
+    assert(pairs((0L, 4L))._1 < 0.3)   // ...while the reverse direction is small
+    // and the same pair is invisible to the symmetric Jaccard threshold
+    val jk = Dedup.ngramJaccardPairs(withQuote, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!jk.contains((0L, 4L)))
+  }
+
   test("minhashPairs surfaces the same near-dup candidates") {
     val pairs = Dedup.minhashPairs(docs)
       .select("a_id", "b_id", "est_jaccard")
