@@ -591,6 +591,10 @@ object SparkEntry {
     // Jaccard threshold misses (same inverted-index skeleton as q36)
     "q133_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir))),
+    // per-transition step-latency SLOs: exact p50/p90/p99 on the x100
+    // integer grid (q100's edges, q121's percentile exactness)
+    "q134_transition_latency" -> ((s, dir) =>
+      TimeWindows.transitionLatency(Tables.events(s, dir))),
     // RFM customer-value grid: recency/frequency/spend quartiled against
     // exact broadcast percentile cuts (no global sort), per 4x4x4 segment
     "q121_rfm_segments" -> ((s, dir) =>
@@ -1991,6 +1995,23 @@ object SparkEntry {
         one("events.user_id", "events", "user_id"),
         one("documents.source", "documents", "source")).mkString("\nUNION ALL\n")
     },
+    // x100 scale lands quantile_cont interpolation on integers at
+    // p ∈ {.5,.9,.99}; the /100 rescale divides exact integers
+    "q134_transition_latency" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    100 * (epoch_us(CAST(lead(ts) OVER w AS TIMESTAMP))
+        |           - epoch_us(CAST(ts AS TIMESTAMP))) AS gap100
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type AS from_type, to_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(gap100, 0.50) / 100.0 AS p50_us,
+        |  quantile_cont(gap100, 0.90) / 100.0 AS p90_us,
+        |  quantile_cont(gap100, 0.99) / 100.0 AS p99_us
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // q36's gram index CTEs with asymmetric denominators; both ratios are
     // single divisions of exact integer counts
     "q133_containment" ->

@@ -224,6 +224,44 @@ object TimeWindows {
         (col("n_transitions").cast("double") / col("n_from").cast("double")).as("p"))
   }
 
+  /** Transition-latency percentiles — the SLO companion to
+    * [[transitionMatrix]] (q100): for every adjacent (from → to) step in
+    * each user's (ts, event_id)-ordered stream, the exact p50/p90/p99 of
+    * the step latency per transition edge.
+    *
+    * Exactness: gaps are integer microseconds ×100 before `percentile`,
+    * so linear interpolation at p ∈ {.50, .90, .99} (index fraction a
+    * multiple of 1/100) always lands on an integer — Spark `percentile`
+    * and DuckDB `quantile_cont` agree bit-for-bit (the q121 trick at
+    * two-decimal granularity); the /100 rescale is a single exact-input
+    * division.
+    *
+    * Shape: one user-keyed lead window (the [[automationSignals]]
+    * single-shuffle shape) into a per-edge ObjectHashAggregate whose
+    * state is the gap multiset per (from, to) — |edges| ≤ |types|²
+    * groups, each percentile list merged once.
+    *
+    * @return (from_type, to_type, n, p50_us, p90_us, p99_us)
+    */
+  def transitionLatency(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap100",
+        (expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))")
+          - expr("unix_micros(ts)")) * 100)
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(gap100, array(0.50D, 0.90D, 0.99D))").as("ps"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (element_at(col("ps"), 1) / 100.0).as("p50_us"),
+        (element_at(col("ps"), 2) / 100.0).as("p90_us"),
+        (element_at(col("ps"), 3) / 100.0).as("p99_us"))
+  }
+
   /** Last-touch attribution: each purchase is attributed to the same
     * user's most recent click at or before it (the marketing-analytics
     * as-of self-join). Order is (ts, event_id) — a total order, so the

@@ -240,6 +240,23 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r === Seq((2L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L)))
   }
 
+  test("transitionLatency: exact interpolated percentiles per edge") {
+    def s(sec: Int): Timestamp = new Timestamp(sec * 1000L)
+    // user 1: a@0 b@10 a@30 b@100 -> a->b gaps {10s, 70s}, b->a gap {20s}
+    val events = Seq(
+      (1L, s(0), 1L, "a", 0.0, ""), (2L, s(10), 1L, "a", 0.0, ""),
+      (3L, s(30), 1L, "a", 0.0, ""), (4L, s(100), 1L, "a", 0.0, ""))
+      .zip(Seq("a", "b", "a", "b"))
+      .map { case ((id, ts, u, _, v, p), ty) => (id, ts, u, ty, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.transitionLatency(events).collect()
+      .map(x => (x.getAs[String]("from_type"), x.getAs[String]("to_type")) ->
+        (x.getAs[Long]("n"), x.getAs[Double]("p50_us"),
+          x.getAs[Double]("p90_us"), x.getAs[Double]("p99_us"))).toMap
+    assert(r(("a", "b")) === ((2L, 4.0e7, 6.4e7, 6.94e7))) // 10s..70s interpolated
+    assert(r(("b", "a")) === ((1L, 2.0e7, 2.0e7, 2.0e7)))  // single sample
+  }
+
   test("ewmaDailyVolume: day-ordered half-life fold matches hand numbers") {
     def t(day: Int, i: Int): Timestamp =
       new Timestamp((day.toLong * 1440 + i) * 60000L)
