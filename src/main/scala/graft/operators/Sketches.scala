@@ -149,13 +149,26 @@ object Sketches {
     * @return (day_num, active_users) for each day with events, counting
     *         the trailing `windowDays`-day window ending that day
     */
-  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
-    val words = events.select(
-        expr("unix_micros(ts) div 86400000000").as("day_num"),
-        expr("user_id div 63").as("word_idx"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("bit"))
-      .groupBy(col("day_num"), col("word_idx"))
-      .agg(expr("bit_or(bit)").as("bits"))
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame =
+    rollingFromWords(dailyWords(events), windowDays)
+
+  /** The incremental stage of [[rollingActiveUsers]]: per-(day, word)
+    * membership masks — the bitmap state a view-maintenance pipeline
+    * keeps live (words from disjoint batches merge by OR). The streaming
+    * twin is [[graft.streaming.RealTime.dailyWordsStream]].
+    */
+  def dailyWords(events: DataFrame): DataFrame = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day_num"),
+      expr("user_id div 63").as("word_idx"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("bit"))
+    .groupBy(col("day_num"), col("word_idx"))
+    .agg(expr("bit_or(bit)").as("bits"))
+
+  /** The window stage of [[rollingActiveUsers]] over an
+    * already-materialized word table (from [[dailyWords]] or its
+    * streaming twin).
+    */
+  def rollingFromWords(words: DataFrame, windowDays: Int = 7): DataFrame = {
     // day d participates in the windows ending at d .. d+W-1; windows
     // whose end is not an observed day are dropped (the dashboard rows
     // are the observed days), via a broadcast semi-join on the day list

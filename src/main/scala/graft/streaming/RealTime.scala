@@ -227,6 +227,27 @@ object RealTime {
       .select(expr("unix_micros(w.start) div 86400000000").as("day_num"),
         col("n_new"))
 
+  /** Streaming twin of the word stage of
+    * [[graft.operators.Sketches.rollingActiveUsers]] (q125): per-(day,
+    * 63-bit word) membership masks as a watermarked 1-day-window
+    * `bit_or` aggregate — OR is algebraic, so partial masks merge across
+    * micro-batches and a day's words emit final (append mode) once the
+    * watermark closes the day. State per open day is ≤ max_user/63
+    * longs. The rolling-window OR + popcount
+    * ([[graft.operators.Sketches.rollingFromWords]]) then closes the WAU
+    * curve over the emitted horizon — same split as
+    * [[dailyCountsStream]]/`volumeAnomaliesFromDaily`.
+    */
+  def dailyWordsStream(events: DataFrame,
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        expr("user_id div 63").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))")
+        .as("bits"))
+      .select(expr("unix_micros(w.start) div 86400000000").as("day_num"),
+        col("word_idx"), col("bits"))
+
   /** Batch twin of [[dedupReviews]] (whole-table horizon): the one surviving
     * row per key set, chosen deterministically as the EARLIEST event time
     * (tie-broken on `tieCol`) — where the streaming form keeps the first

@@ -190,6 +190,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Set((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 1L, 0L, 3L)))
   }
 
+  test("dailyWordsStream: streamed bitmap words close to the batch rolling-WAU curve") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // users straddle the 63-bit word boundary on purpose (62, 63, 126)
+    val closed = Seq(
+      SessEv(1L, t(0, 0), 1L, "view"), SessEv(2L, t(0, 1), 62L, "view"),
+      SessEv(3L, t(0, 2), 63L, "view"),
+      SessEv(4L, t(3, 0), 1L, "view"), SessEv(5L, t(3, 1), 126L, "view"),
+      SessEv(6L, t(9, 0), 126L, "view"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyWordsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dailywords")
+      .option("checkpointLocation", tmp("dailywords-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(7L, t(40, 0), 9L, "view")) // advance the watermark
+    q.processAllAvailable()
+    input.addData(SessEv(8L, t(40, 1), 9L, "view")) // next batch flushes
+    q.processAllAvailable()
+    q.stop()
+
+    val words = spark.table("dailywords").where($"day_num" < 40).localCheckpoint()
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      df.select("day_num", "active_users").as[(Long, Long)].collect().toMap
+    val streamed = curve(graft.operators.Sketches.rollingFromWords(words))
+    val batch = curve(graft.operators.Sketches.rollingActiveUsers(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    // hand check: day 0 = {1,62,63}; day 3 window covers days 0+3 -> 4
+    // distinct; day 9 window covers 3..9 -> {1,126} = 2
+    assert(streamed === Map(0L -> 3L, 3L -> 4L, 9L -> 2L))
+  }
+
   test("clickViewPairsStream: stream-stream interval join equals the batch twin across batches") {
     def t(min: Int): java.sql.Timestamp =
       new java.sql.Timestamp(1700000000000L + min * 60000L)
