@@ -697,6 +697,24 @@ object SparkEntry {
     // sample bytes (one row per doc × bin, map-side only)
     "q92_wav_features" -> ((s, dir) =>
       Multimodal.wavAmplitudeHistogram(Multimodal.synthesizeWav(Tables.documents(s, dir)))),
+    // REAL plain-PGM (P2) decode: the pixel region is variable-width ASCII
+    // decimal tokens, so this exercises the tokenize-and-cast parse path
+    // (vs the fixed-byte-offset slicing of q84/q87)
+    "q135_pgm_decode" -> ((s, dir) =>
+      Multimodal.decodePgm(Multimodal.synthesizePgm(Tables.documents(s, dir)))),
+    // MapType coverage: construct map<string,string> props per media row,
+    // then aggregate through element_at lookups and map_keys
+    "q136_media_props" -> ((s, dir) =>
+      Multimodal.mediaProps(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .select(
+          element_at(col("props"), "kind").as("kind"),
+          element_at(col("props"), "parity").as("parity"),
+          element_at(col("props"), "bytes").cast("long").as("bytes"),
+          size(map_keys(col("props"))).cast("long").as("n_keys"))
+        .groupBy("kind", "parity")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("total_bytes"),
+          max("n_keys").as("n_keys"))
+        .orderBy("kind", "parity")),
 
     // ---- training-data pipeline: sketches ----
     // Count-Min sketch heavy-hitter report card: exact top-20 user counts
@@ -1719,6 +1737,41 @@ object SparkEntry {
         |  CAST(len(list_filter(smp, v -> v >= bin * 32 AND v < (bin + 1) * 32)) AS BIGINT)
         |    AS n_in_bin
         |FROM s CROSS JOIN bs""".stripMargin,
+    // recomputes the q135 synthesis formula: w = 3 + doc_id%4,
+    // h = 2 + doc_id%3, pixel k = (doc_id*13 + k*7) mod 256
+    "q135_pgm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h), k -> (doc_id * 13 + k * 7) % 256) AS b
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS valid_magic,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(255 AS BIGINT) AS maxval,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(list_min(b) AS BIGINT) AS px_min,
+        |  CAST(list_max(b) AS BIGINT) AS px_max,
+        |  CAST(list_sum(b) AS BIGINT) AS px_sum,
+        |  CAST(list_sum(b) AS DOUBLE) / (w * h) AS mean_gray
+        |FROM px""".stripMargin,
+    // the props map is (kind, bytes, parity) derived from media_kind and
+    // the payload byte length; the oracle recomputes the lookups directly
+    "q136_media_props" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS bytes
+        |  FROM documents)
+        |SELECT kind,
+        |  CASE WHEN bytes % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  CAST(3 AS BIGINT) AS n_keys
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q44_multimodal_frames" ->
       s"""WITH ks AS (SELECT unnest(range(0, 4)) AS b),
          |frames AS (

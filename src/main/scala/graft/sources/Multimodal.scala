@@ -267,6 +267,80 @@ object Multimodal {
             / (col("n_pixels") * 3)).otherwise(lit(0.0)))
   }
 
+  /** Synthesize a REAL plain-text PGM (P2) grayscale image per document —
+    * the whole file is ASCII: `P2\n<w> <h>\n255\n` followed by w·h decimal
+    * pixel values, one row of the raster per line, space-separated.
+    * Dimensions: w = 3 + doc_id % 4, h = 2 + doc_id % 3; pixel k is
+    * (doc_id·13 + k·7) mod 256 — every statistic [[decodePgm]] computes is
+    * oracle-recomputable from the formula.
+    */
+  def synthesizePgm(documents: DataFrame): DataFrame = {
+    val w = lit(3L) + col("doc_id") % 4
+    val h = lit(2L) + col("doc_id") % 3
+    val header = concat(lit("P2\n"), w.cast("string"), lit(" "), h.cast("string"),
+      lit("\n255\n"))
+    val raster = array_join(
+      transform(sequence(lit(0L), h - 1), r =>
+        array_join(
+          transform(sequence(lit(0L), w - 1), c =>
+            ((col("doc_id") * 13 + (r * w + c) * 7) % 256).cast("string")), " ")),
+      "\n")
+    documents.select(col("doc_id"),
+      concat(header, raster, lit("\n")).cast("binary").as("payload"))
+  }
+
+  /** REAL plain-PGM (P2) decode — the third graduated decoder, and a
+    * different parse problem from [[decodeWav]]/[[decodePpm]]: the pixel
+    * region is ASCII decimal tokens of *variable* width, so the decoder
+    * tokenizes on whitespace rather than slicing fixed byte offsets. The
+    * whole payload is ASCII by format definition, so casting to string is
+    * safe (unlike P6, where only the header prefix may be).
+    *
+    * Whole-file split + transform stays inside codegen'd column
+    * expressions; per-row cost is O(bytes), map-side only, no shuffle.
+    *
+    * @return (doc_id, valid_magic, width, height, maxval, n_pixels,
+    *         px_min, px_max, px_sum, mean_gray)
+    */
+  def decodePgm(media: DataFrame): DataFrame = {
+    val s = col("payload").cast("string")
+    val hdr = "^P2\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s"
+    val wS = regexp_extract(s, hdr, 1)
+    val ok = wS =!= ""
+    // drop the three header tokens; what remains is exactly the raster
+    val toks = filter(
+      split(regexp_replace(s, hdr, ""), "\\s+"), t => t =!= "")
+    val px = transform(toks, t => t.cast("long"))
+    media.select(
+      col("doc_id"),
+      when(ok, 1L).otherwise(0L).as("valid_magic"),
+      when(ok, wS.cast("long")).otherwise(0L).as("width"),
+      when(ok, regexp_extract(s, hdr, 2).cast("long")).otherwise(0L).as("height"),
+      when(ok, regexp_extract(s, hdr, 3).cast("long")).otherwise(0L).as("maxval"),
+      when(ok, size(px).cast("long")).otherwise(0L).as("n_pixels"),
+      when(ok, array_min(px)).otherwise(0L).as("px_min"),
+      when(ok, array_max(px)).otherwise(0L).as("px_max"),
+      when(ok, aggregate(px, lit(0L), (a, v) => a + v)).otherwise(0L).as("px_sum"))
+      .withColumn("mean_gray",
+        when(col("n_pixels") > 0,
+          col("px_sum").cast("double") / col("n_pixels")).otherwise(lit(0.0)))
+  }
+
+  /** Typed map<string,string> media properties — the one container type
+    * (MapType) with no other graded coverage. Properties are derived
+    * deterministically from the payload so the map *construction*,
+    * key-listing, and value-lookup paths are all exercised and
+    * oracle-recomputable. map_from_arrays/element_at/map_keys are all
+    * codegen'd built-ins; no UDFs.
+    */
+  def mediaProps(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), col("media_kind"),
+      map_from_arrays(
+        array(lit("kind"), lit("bytes"), lit("parity")),
+        array(col("media_kind"), length(col("payload")).cast("string"),
+          when(length(col("payload")) % 2 === 0, "even").otherwise("odd"))
+      ).as("props"))
+
   /** The mapPartitions seam where a real batch decoder binds (the JVM-side
     * analog of a vectorized pandas-UDF decode): payloads are processed a
     * partition at a time so a native decoder could amortize init per

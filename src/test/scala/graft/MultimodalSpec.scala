@@ -158,6 +158,60 @@ class MultimodalSpec extends AnyFunSuite {
     sums.foreach { case (id, total) => assert(total === 32 + id % 33) }
   }
 
+  test("decodePgm parses hand-built plain-P2 fixtures with variable-width tokens") {
+    // 3×2 image with 1-, 2-, and 3-digit pixel tokens on ragged lines —
+    // the tokenizer must not care about line structure or token width
+    val small = "P2\n3 2\n255\n7 42 255\n0 19 200\n".getBytes("US-ASCII")
+    // header tolerant of extra whitespace between tokens
+    val spaced = "P2\n10 2\n99\n".getBytes("US-ASCII") ++
+      (0 until 20).map(_ % 100).mkString("  ", " ", "\n").getBytes("US-ASCII")
+    val bad = small.clone(); bad(1) = '6'.toByte // P6 ≠ plain PGM
+
+    val r = Multimodal.decodePgm(
+      Seq((1L, small), (2L, spaced), (3L, bad)).toDF("doc_id", "payload"))
+      .collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Long]("valid_magic") === 1L)
+    assert(r(1L).getAs[Long]("width") === 3L && r(1L).getAs[Long]("height") === 2L)
+    assert(r(1L).getAs[Long]("maxval") === 255L)
+    assert(r(1L).getAs[Long]("n_pixels") === 6L)
+    assert(r(1L).getAs[Long]("px_min") === 0L && r(1L).getAs[Long]("px_max") === 255L)
+    assert(r(1L).getAs[Long]("px_sum") === (7 + 42 + 255 + 0 + 19 + 200).toLong)
+    assert(r(1L).getAs[Double]("mean_gray") === 523.0 / 6)
+    assert(r(2L).getAs[Long]("width") === 10L && r(2L).getAs[Long]("maxval") === 99L)
+    assert(r(2L).getAs[Long]("px_sum") === (0 until 20).map(_ % 100).sum.toLong)
+    assert(r(3L).getAs[Long]("valid_magic") === 0L)
+  }
+
+  test("synthesizePgm → decodePgm roundtrip matches the synthesis formula") {
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id").limit(40)
+    val decoded = Multimodal.decodePgm(Multimodal.synthesizePgm(docs))
+      .collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, row) =>
+      val (w, h) = (3 + id % 4, 2 + id % 3)
+      val px = (0L until w * h).map(k => (id * 13 + k * 7) % 256)
+      assert(row.getAs[Long]("valid_magic") === 1L)
+      assert(row.getAs[Long]("width") === w && row.getAs[Long]("height") === h)
+      assert(row.getAs[Long]("n_pixels") === w * h)
+      assert(row.getAs[Long]("px_min") === px.min && row.getAs[Long]("px_max") === px.max)
+      assert(row.getAs[Long]("px_sum") === px.sum)
+    }
+  }
+
+  test("mediaProps builds a 3-key map whose lookups match the source columns") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.mediaFromDocuments(
+      Tables.documents(spark, TestSpark.sf).limit(30))
+    val props = Multimodal.mediaProps(media).select("doc_id", "props")
+    val joined = props.join(media, "doc_id")
+    assert(joined.where(size(map_keys(col("props"))) =!= 3).count() === 0L)
+    assert(joined.where(
+      element_at(col("props"), "kind") =!= col("media_kind")).count() === 0L)
+    assert(joined.where(
+      element_at(col("props"), "bytes").cast("long") =!= length(col("payload"))
+    ).count() === 0L)
+  }
+
   test("documents text is pure ASCII (oracle contract: byte slices = char slices)") {
     // the q43/q44 DuckDB twins slice VARCHAR where Spark slices binary —
     // only sound while octet_length == char length on every row
