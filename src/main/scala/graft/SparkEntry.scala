@@ -583,6 +583,14 @@ object SparkEntry {
     // (algebraic merge graded against the direct aggregate)
     "q131_rollup_merge" -> ((s, dir) =>
       TimeWindows.monthlyRollup(Tables.events(s, dir))),
+    // data-quality profiler: one-scan per-column nulls / exact distinct /
+    // typed min-max, unpivoted to long form via stack
+    "q137_column_profile" -> ((s, dir) =>
+      Relational.columnProfile(
+        Tables.orders(s, dir)
+          .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))),
     // half-life EWMA volume baseline: pinned-order fold, exact halving —
     // a gradeable float recurrence (see ewmaDailyVolume)
     "q132_ewma_volume" -> ((s, dir) =>
@@ -2126,6 +2134,39 @@ object SparkEntry {
         |  CAST(max(cnt) AS BIGINT) AS peak_daily,
         |  CAST(count(*) AS BIGINT) AS days_active
         |FROM daily GROUP BY 1, 2""".stripMargin,
+    // per-column profile over the same typed views Spark aggregates;
+    // min/max are typed first, stringified after, so numerics don't sort
+    // lexicographically
+    "q137_column_profile" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM t
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM t""".stripMargin,
     // threshold quartiles: ×4 scale makes quantile_cont interpolation land
     // on integers, so the cuts match Spark percentile bit-for-bit and the
     // quartile predicates are exact comparisons on both engines

@@ -175,4 +175,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("child->parent") === ((4L, 1L, 0.75)))
     assert(r("parent->parent") === ((2L, 0L, 1.0)))
   }
+
+  test("columnProfile counts nulls/distincts and keeps typed min/max ordering") {
+    // k=10 vs k=9 is the lexicographic trap: string min would pick "10"
+    val df = Seq(
+      (Some(9L), Some("b")), (Some(10L), None),
+      (Some(2L), Some("a")), (None, Some("a")))
+      .toDF("k", "s")
+    val r = Relational.columnProfile(df, Seq("k", "s")).collect()
+      .map(x => x.getAs[String]("col_name") -> x).toMap
+    assert(r.size === 2)
+    assert(r("k").getAs[Long]("n_rows") === 4L)
+    assert(r("k").getAs[Long]("n_nulls") === 1L)
+    assert(r("k").getAs[Long]("n_distinct") === 3L)
+    assert(r("k").getAs[String]("min_val") === "2")
+    assert(r("k").getAs[String]("max_val") === "10")
+    assert(r("s").getAs[Long]("n_nulls") === 1L)
+    assert(r("s").getAs[Long]("n_distinct") === 2L)
+    assert(r("s").getAs[String]("min_val") === "a")
+    assert(r("s").getAs[String]("max_val") === "b")
+  }
 }
