@@ -583,6 +583,10 @@ object SparkEntry {
     // (algebraic merge graded against the direct aggregate)
     "q131_rollup_merge" -> ((s, dir) =>
       TimeWindows.monthlyRollup(Tables.events(s, dir))),
+    // snapshot drift monitor: chi-square event-type mix shift between the
+    // two halves of the day range (exact integer counts, tiny pivot)
+    "q138_distribution_drift" -> ((s, dir) =>
+      Relational.distributionDrift(Tables.events(s, dir))),
     // data-quality profiler: one-scan per-column nulls / exact distinct /
     // typed min-max, unpivoted to long form via stack
     "q137_column_profile" -> ((s, dir) =>
@@ -2134,6 +2138,42 @@ object SparkEntry {
         |  CAST(max(cnt) AS BIGINT) AS peak_daily,
         |  CAST(count(*) AS BIGINT) AS days_active
         |FROM daily GROUP BY 1, 2""".stripMargin,
+    // mirrors the Spark expression order exactly (tot*row/grand, then
+    // squared-residual ratios) so the doubles match bit-for-bit
+    "q138_distribution_drift" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num
+        |  FROM events),
+        |mid AS (
+        |  SELECT (min(day_num) + max(day_num) + 1) // 2 AS mid_day FROM d),
+        |pt AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN day_num < mid_day THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+        |    CAST(sum(CASE WHEN day_num >= mid_day THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM d CROSS JOIN mid GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_early) AS BIGINT) AS tot_early,
+        |    CAST(sum(n_late) AS BIGINT) AS tot_late FROM pt)
+        |SELECT event_type, n_early, n_late,
+        |  CAST(tot_early AS DOUBLE) * CAST(n_early + n_late AS DOUBLE)
+        |    / CAST(tot_early + tot_late AS DOUBLE) AS exp_early,
+        |  CAST(tot_late AS DOUBLE) * CAST(n_early + n_late AS DOUBLE)
+        |    / CAST(tot_early + tot_late AS DOUBLE) AS exp_late,
+        |  (CAST(n_early AS DOUBLE) - CAST(tot_early AS DOUBLE) * CAST(n_early + n_late AS DOUBLE)
+        |      / CAST(tot_early + tot_late AS DOUBLE))
+        |    * (CAST(n_early AS DOUBLE) - CAST(tot_early AS DOUBLE) * CAST(n_early + n_late AS DOUBLE)
+        |      / CAST(tot_early + tot_late AS DOUBLE))
+        |    / (CAST(tot_early AS DOUBLE) * CAST(n_early + n_late AS DOUBLE)
+        |      / CAST(tot_early + tot_late AS DOUBLE))
+        |  + (CAST(n_late AS DOUBLE) - CAST(tot_late AS DOUBLE) * CAST(n_early + n_late AS DOUBLE)
+        |      / CAST(tot_early + tot_late AS DOUBLE))
+        |    * (CAST(n_late AS DOUBLE) - CAST(tot_late AS DOUBLE) * CAST(n_early + n_late AS DOUBLE)
+        |      / CAST(tot_early + tot_late AS DOUBLE))
+        |    / (CAST(tot_late AS DOUBLE) * CAST(n_early + n_late AS DOUBLE)
+        |      / CAST(tot_early + tot_late AS DOUBLE))
+        |  AS chi2_contrib
+        |FROM pt CROSS JOIN tot""".stripMargin,
     // per-column profile over the same typed views Spark aggregates;
     // min/max are typed first, stringified after, so numerics don't sort
     // lexicographically

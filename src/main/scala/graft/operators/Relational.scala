@@ -506,6 +506,51 @@ object Relational {
         coalesce(sum(col("weight")), lit(0L)).as("total_weight"))
   }
 
+  /** Chi-square distribution drift between the first and second half of
+    * the event timeline: did the event-type mix shift between snapshots?
+    * The epoch split is the integer midpoint of the observed day range
+    * (deterministic; no config), and every count is an exact integer —
+    * the only floating-point steps are the final expected-count divisions
+    * and the squared-residual ratio, identical IEEE ops on any engine.
+    *
+    * Plan shape: one scan → per-(type, epoch) hash aggregate →
+    * conditional-sum pivot to one row per type → broadcast 1-row totals
+    * joined back. Nothing is ever larger than |event types| rows after
+    * the first aggregate, so the statistic costs one shuffle regardless
+    * of input size; the same shape serves daily jobs at 100 TB.
+    *
+    * The reference has no drift monitoring; this guards the same nightly
+    * ratings rebuild its batch jobs assume is stable
+    * (`/root/reference/flink/flink-psd/src/main/java/batch/Recommendations.java`).
+    *
+    * @return one row per event_type: counts in each epoch, expected
+    *         counts under homogeneity, and the chi-square contribution
+    */
+  def distributionDrift(events: DataFrame): DataFrame = {
+    val byDay = events.select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day_num"))
+    val mid = byDay.agg(
+      expr("(min(day_num) + max(day_num) + 1) div 2").as("mid_day"))
+    val perType = byDay.crossJoin(broadcast(mid))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("day_num") < col("mid_day"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(col("day_num") >= col("mid_day"), 1L).otherwise(0L)).as("n_late"))
+    val totals = perType.agg(
+      sum("n_early").as("tot_early"), sum("n_late").as("tot_late"))
+    val joined = perType.crossJoin(broadcast(totals))
+    val rowTot = (col("n_early") + col("n_late")).cast("double")
+    val grand = (col("tot_early") + col("tot_late")).cast("double")
+    val eEarly = col("tot_early").cast("double") * rowTot / grand
+    val eLate = col("tot_late").cast("double") * rowTot / grand
+    joined.select(
+      col("event_type"), col("n_early"), col("n_late"),
+      eEarly.as("exp_early"), eLate.as("exp_late"),
+      ((col("n_early").cast("double") - eEarly) * (col("n_early").cast("double") - eEarly) / eEarly
+        + (col("n_late").cast("double") - eLate) * (col("n_late").cast("double") - eLate) / eLate)
+        .as("chi2_contrib"))
+  }
+
   /** One-pass column-quality profile: per column, null count, exact
     * distinct count, and typed min/max (cast to string only AFTER the
     * typed aggregation, so numeric columns do not sort lexicographically).

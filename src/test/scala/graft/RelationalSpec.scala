@@ -176,6 +176,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("parent->parent") === ((2L, 0L, 1.0)))
   }
 
+  test("distributionDrift splits the day range at its midpoint and scores the mix shift") {
+    // days 0..3 → mid_day = 2; type a is balanced, type b vanishes late
+    def ts(day: Int, i: Int) = new java.sql.Timestamp((day * 86400L + i) * 1000L)
+    val ev = Seq(
+      ("a", ts(0, 1)), ("a", ts(1, 2)), ("a", ts(2, 3)), ("a", ts(3, 4)),
+      ("b", ts(0, 5)), ("b", ts(1, 6)))
+      .toDF("event_type", "ts")
+    val r = Relational.distributionDrift(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("a").getAs[Long]("n_early") === 2L)
+    assert(r("a").getAs[Long]("n_late") === 2L)
+    assert(r("b").getAs[Long]("n_early") === 2L)
+    assert(r("b").getAs[Long]("n_late") === 0L)
+    // tot_early=4 tot_late=2: e(a)=(8/3, 4/3) → χ²=0.5; e(b)=(4/3, 2/3) → χ²=1.0
+    assert(math.abs(r("a").getAs[Double]("chi2_contrib") - 0.5) < 1e-12)
+    assert(math.abs(r("b").getAs[Double]("chi2_contrib") - 1.0) < 1e-12)
+    assert(math.abs(r("b").getAs[Double]("exp_early") - 4.0 / 3) < 1e-12)
+  }
+
   test("columnProfile counts nulls/distincts and keeps typed min/max ordering") {
     // k=10 vs k=9 is the lexicographic trap: string min would pick "10"
     val df = Seq(
