@@ -207,12 +207,28 @@ class PlanSpec extends AnyFunSuite {
       s"retention funnels through one partition:\n$ret")
   }
 
-  test("q84/q87 codec-free decoders are pure map-side plans: no exchange") {
-    for (q <- Seq("q84_wav_decode", "q87_ppm_decode")) {
+  test("q84/q87/q135 codec-free decoders are pure map-side plans: no exchange") {
+    for (q <- Seq("q84_wav_decode", "q87_ppm_decode", "q135_pgm_decode")) {
       val plan = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
       assert(!plan.contains("Exchange"), s"$q gained a shuffle:\n$plan")
       assert(!plan.contains("Window"), s"$q gained a window:\n$plan")
     }
+  }
+
+  test("q137 column profile is one scan: a single Expand, no join, no window") {
+    val plan = planString(SparkEntry.queries("q137_column_profile")(spark, TestSpark.sf))
+    assert(plan.contains("Expand"), s"q137 lost the multi-distinct Expand:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1, s"q137 rescans the table:\n$plan")
+    assert(!plan.contains("Join"), s"q137 gained a join:\n$plan")
+    assert(!plan.contains("Window"), s"q137 gained a window:\n$plan")
+  }
+
+  test("q138 drift statistic joins only broadcast singletons after the type aggregate") {
+    val plan = planString(SparkEntry.queries("q138_distribution_drift")(spark, TestSpark.sf))
+    assert(!plan.contains("SortMergeJoin"), s"q138 shuffles a join:\n$plan")
+    assert(!plan.contains("Window"), s"q138 gained a window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"q138 totals not broadcast:\n$plan")
   }
 
   test("q47 range join plans as a binned equi-join, not a nested loop") {
