@@ -327,4 +327,92 @@ object Stateful {
           }
       }
   }
+
+  /** Input row for the streaming EWMA baseline: one typed event with an
+    * epoch-millis timestamp plus the derived event-time column (the
+    * watermark column, as in [[statsWithTTL]]).
+    */
+  case class VolumeEvent(eventType: String, timestamp: Long)
+  case class TimedVolumeEvent(eventType: String, timestamp: Long,
+                              eventTime: java.sql.Timestamp)
+
+  /** Per-type EWMA state: counts for days the watermark has not passed
+    * yet, plus the already-folded recurrence. `openDays` is bounded by
+    * the watermark delay (≈ delay/1 day entries); the folded scalars are
+    * O(1) — the total state is |event types| × a handful of numbers.
+    */
+  case class EwmaState(openDays: Map[Long, Long], nDays: Long,
+                       lastDay: Long, ewma: Double)
+
+  /** Snapshot emitted after every fold: the live report row. The LAST
+    * snapshot per type over a closed input equals the batch
+    * [[graft.operators.TimeWindows.ewmaDailyVolume]] row (spec-asserted).
+    */
+  case class EwmaSnapshot(eventType: String, nDays: Long, lastDay: Long,
+                          ewma: Double, openDayCount: Int)
+
+  private val DayMs = 86400000L
+
+  /** Streaming twin of [[graft.operators.TimeWindows.ewmaDailyVolume]]
+    * (q132) — the stateful FLOAT recurrence the batch op folds over its
+    * ordered daily array, maintained incrementally: per event type, open
+    * days accumulate counts until the watermark passes their end, then
+    * fold in day order through `ewma = cnt + ewma / 2` (identical IEEE
+    * op order to the batch `aggregate` lambda, so the doubles agree
+    * bit-for-bit on a closed input).
+    *
+    * A chained design (daily windowed agg → stateful fold) is
+    * unsupported — Spark rejects mapGroupsWithState downstream of a
+    * streaming aggregation — so the day counting lives INSIDE the state:
+    * one map entry per OPEN day per type, evicted the moment the
+    * recurrence consumes it. Event-time timeouts re-fire the close even
+    * when a type goes quiet, so a stalled type still folds its last days.
+    */
+  def ewmaVolumeStream(spark: SparkSession, events: DataFrame,
+                       watermarkDelay: String = "10 minutes"): Dataset[EwmaSnapshot] = {
+    import spark.implicits._
+
+    def close(st: EwmaState, wmMs: Long): EwmaState = {
+      val (ripe, open) = st.openDays.partition { case (d, _) => (d + 1) * DayMs <= wmMs }
+      var (n, last, ewma) = (st.nDays, st.lastDay, st.ewma)
+      ripe.toSeq.sortBy(_._1).foreach { case (d, cnt) =>
+        ewma = if (n == 0) cnt.toDouble else cnt.toDouble + ewma / 2.0
+        n += 1; last = d
+      }
+      EwmaState(open, n, last, ewma)
+    }
+    def nextTimeout(st: EwmaState, wmMs: Long): Option[Long] =
+      st.openDays.keys.reduceOption(_ min _).map(d => math.max((d + 1) * DayMs, wmMs + 1))
+
+    events
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[TimedVolumeEvent]
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[EwmaState, EwmaSnapshot](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (eventType: String, batch: Iterator[TimedVolumeEvent], state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(Map.empty, 0L, -1L, 0.0))
+          val wm = state.getCurrentWatermarkMs()
+          val merged =
+            if (state.hasTimedOut) prev
+            else {
+              val arrivals = batch.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+                val d = e.timestamp / DayMs
+                m.updated(d, m.getOrElse(d, 0L) + 1L)
+              }
+              // a day at-or-under the folded frontier would re-fold out of
+              // order — watermark semantics already exclude it; drop it
+              val fresh = arrivals.filter { case (d, _) => prev.nDays == 0 || d > prev.lastDay }
+              prev.copy(openDays = fresh.foldLeft(prev.openDays) {
+                case (m, (d, c)) => m.updated(d, m.getOrElse(d, 0L) + c)
+              })
+            }
+          val next = close(merged, wm)
+          state.update(next)
+          nextTimeout(next, wm).foreach(state.setTimeoutTimestamp)
+          Iterator.single(EwmaSnapshot(eventType, next.nDays, next.lastDay,
+            next.ewma, next.openDays.size))
+      }
+  }
 }

@@ -164,4 +164,57 @@ class StatefulSpec extends AnyFunSuite {
     // user 2 stayed active — never evicted
     assert(!rows.exists(r => r.userId == 2 && r.evicted))
   }
+
+  test("streaming EWMA folds closed days in order and matches the batch recurrence") {
+    def ms(day: Int, min: Int): Long = (day.toLong * 1440 + min) * 60000L
+    // view: counts 3,1,2 over days 0-2; click: 2,5 over days 0,3 (a gap —
+    // the recurrence folds observed days only, like the batch array form).
+    // Minutes start at 1: an epoch-0 event ties the initial watermark and
+    // is dropped as late, which is correct behavior but not this fixture.
+    val closed =
+      (1 to 3).map(i => Stateful.VolumeEvent("view", ms(0, i))) ++
+      Seq(Stateful.VolumeEvent("view", ms(1, 1))) ++
+      (1 to 2).map(i => Stateful.VolumeEvent("view", ms(2, i))) ++
+      (1 to 2).map(i => Stateful.VolumeEvent("click", ms(0, 10 + i))) ++
+      (1 to 5).map(i => Stateful.VolumeEvent("click", ms(3, i)))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      Stateful.VolumeEvent](spark)
+    val q = Stateful.ewmaVolumeStream(spark, input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_stream")
+      .option("checkpointLocation", Files.createTempDirectory("ewma-ck").toString)
+      .start()
+    // all closed days in one batch (later batches would be late behind
+    // the advanced watermark), then a far-future sentinel advances the
+    // watermark past every day; one more batch fires the pending timeouts
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(Stateful.VolumeEvent("zz", ms(40, 0)))
+    q.processAllAvailable()
+    input.addData(Stateful.VolumeEvent("zz", ms(40, 1)))
+    q.processAllAvailable()
+    q.stop()
+
+    // last snapshot per type = the closed report; all days must be folded
+    val last = spark.table("ewma_stream").as[Stateful.EwmaSnapshot].collect()
+      .groupBy(_.eventType).map { case (t, snaps) =>
+        t -> snaps.maxBy(s => (s.nDays, s.lastDay))
+      }
+    assert(last("view").openDayCount === 0 && last("click").openDayCount === 0)
+
+    // batch twin over the same closed input (ts at micros precision)
+    val batchEvents = closed.map(e =>
+      (e.eventType, new java.sql.Timestamp(e.timestamp))).toDF("event_type", "ts")
+    val batch = graft.operators.TimeWindows.ewmaDailyVolume(batchEvents)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("last_day"), r.getAs[Double]("ewma"))).toMap
+    for (t <- Seq("view", "click")) {
+      assert(last(t).nDays === batch(t)._1, s"$t n_days")
+      assert(last(t).lastDay === batch(t)._2, s"$t last_day")
+      assert(last(t).ewma === batch(t)._3, s"$t ewma must match bit-for-bit")
+    }
+    // hand-check view: 3 → 1 + 3/2 = 2.5 → 2 + 2.5/2 = 3.25
+    assert(last("view").ewma === 3.25)
+  }
 }
