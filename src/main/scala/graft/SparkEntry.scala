@@ -587,6 +587,14 @@ object SparkEntry {
     // two halves of the day range (exact integer counts, tiny pivot)
     "q138_distribution_drift" -> ((s, dir) =>
       Relational.distributionDrift(Tables.events(s, dir))),
+    // migration validation: order-invariant md5-sum checksum per table
+    // (shuffle/file-layout independent; both engines compute it equally)
+    "q139_table_checksum" -> ((s, dir) =>
+      Relational.tableChecksum(Seq(
+        ("region", Tables.region(s, dir), Seq("r_regionkey", "r_name")),
+        ("nation", Tables.nation(s, dir), Seq("n_nationkey", "n_name", "n_regionkey")),
+        ("customer", Tables.customer(s, dir),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))))),
     // data-quality profiler: one-scan per-column nulls / exact distinct /
     // typed min-max, unpivoted to long form via stack
     "q137_column_profile" -> ((s, dir) =>
@@ -2138,6 +2146,29 @@ object SparkEntry {
         |  CAST(max(cnt) AS BIGINT) AS peak_daily,
         |  CAST(count(*) AS BIGINT) AS days_active
         |FROM daily GROUP BY 1, 2""".stripMargin,
+    // chr(1)-joined null-sentineled row strings → md5-prefix row hash →
+    // order-invariant sum, identical on both engines by construction
+    "q139_table_checksum" ->
+      s"""WITH rg AS (SELECT concat_ws(chr(1),
+         |    COALESCE(CAST(r_regionkey AS VARCHAR), chr(0) || 'null'),
+         |    COALESCE(r_name, chr(0) || 'null')) AS j FROM region),
+         |nt AS (SELECT concat_ws(chr(1),
+         |    COALESCE(CAST(n_nationkey AS VARCHAR), chr(0) || 'null'),
+         |    COALESCE(n_name, chr(0) || 'null'),
+         |    COALESCE(CAST(n_regionkey AS VARCHAR), chr(0) || 'null')) AS j FROM nation),
+         |cu AS (SELECT concat_ws(chr(1),
+         |    COALESCE(CAST(c_custkey AS VARCHAR), chr(0) || 'null'),
+         |    COALESCE(c_name, chr(0) || 'null'),
+         |    COALESCE(CAST(c_nationkey AS VARCHAR), chr(0) || 'null'),
+         |    COALESCE(c_mktsegment, chr(0) || 'null')) AS j FROM customer)
+         |SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(${md5Prefix32Sql("j")}) AS BIGINT) AS checksum FROM rg
+         |UNION ALL
+         |SELECT 'nation', CAST(count(*) AS BIGINT),
+         |  CAST(sum(${md5Prefix32Sql("j")}) AS BIGINT) FROM nt
+         |UNION ALL
+         |SELECT 'customer', CAST(count(*) AS BIGINT),
+         |  CAST(sum(${md5Prefix32Sql("j")}) AS BIGINT) FROM cu""".stripMargin,
     // mirrors the Spark expression order exactly (tot*row/grand, then
     // squared-residual ratios) so the doubles match bit-for-bit
     "q138_distribution_drift" ->

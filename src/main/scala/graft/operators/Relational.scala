@@ -506,6 +506,34 @@ object Relational {
         coalesce(sum(col("weight")), lit(0L)).as("total_weight"))
   }
 
+  /** Order-invariant table checksum — the migration/replication
+    * validation primitive: row hash = first 32 md5 bits of the
+    * chr(1)-joined null-sentineled column strings, table checksum = the
+    * SUM of row hashes (commutative, so partition order, shuffle order,
+    * and file layout cannot change it — exactly what comparing two
+    * copies of a 100 TB table needs). Sum of n < 2³¹ values below 2³²
+    * cannot overflow BIGINT. md5 (not murmur3/xxhash64) because it is
+    * the one hash with identical output in every engine — the checksum
+    * is only useful if BOTH sides of a migration can compute it.
+    *
+    * Nulls map to the sentinel `\\u0000null` BEFORE the join (concat_ws
+    * silently skips nulls in both engines, which would make
+    * ("a", null, "b") collide with ("a", "b", null)).
+    *
+    * Plan: per table, one scan → map-side hash → single-row partial-sum
+    * aggregate; the union of per-table rows is driver-free.
+    */
+  def tableChecksum(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    tables.map { case (name, df, cols) =>
+      val joined = concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
+      df.select(graft.functions.TextAnalysis.md5Prefix32(joined).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Chi-square distribution drift between the first and second half of
     * the event timeline: did the event-type mix shift between snapshots?
     * The epoch split is the integer midpoint of the observed day range

@@ -176,6 +176,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("parent->parent") === ((2L, 0L, 1.0)))
   }
 
+  test("tableChecksum is row-order invariant, change-sensitive, and null-safe") {
+    val a = Seq((1L, Some("x"), "p"), (2L, Some("y"), "q"), (3L, None, "r"))
+      .toDF("k", "s", "t")
+    val shuffled = Seq((3L, None, "r"), (1L, Some("x"), "p"), (2L, Some("y"), "q"))
+      .toDF("k", "s", "t").repartition(7)
+    val changed = Seq((1L, Some("x"), "p"), (2L, Some("z"), "q"), (3L, None, "r"))
+      .toDF("k", "s", "t")
+    // null in s vs the string shifted into t — concat_ws would collide
+    val nullLeft = Seq((1L, Option.empty[String], "x")).toDF("k", "s", "t")
+    val nullRight = Seq((1L, Some("x"), null.asInstanceOf[String])).toDF("k", "s", "t")
+
+    def sum(df: org.apache.spark.sql.DataFrame): Long =
+      Relational.tableChecksum(Seq(("t", df, Seq("k", "s", "t")))).collect()
+        .head.getAs[Long]("checksum")
+    assert(sum(a) === sum(shuffled), "permuting rows/partitions must not move the checksum")
+    assert(sum(a) !== sum(changed), "a single changed cell must move the checksum")
+    assert(sum(nullLeft) !== sum(nullRight), "null position must be distinguishable")
+  }
+
   test("distributionDrift splits the day range at its midpoint and scores the mix shift") {
     // days 0..3 → mid_day = 2; type a is balanced, type b vanishes late
     def ts(day: Int, i: Int) = new java.sql.Timestamp((day * 86400L + i) * 1000L)
