@@ -182,6 +182,36 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bandHash"))
   }
 
+  /** Stream-safe [[bandedSignatures]]: the same shingle → minhash →
+    * band-content keys, minus the checkpoint barriers (illegal on a
+    * streaming frame — and unnecessary there: a streaming plan has one
+    * consumer per trigger, so the multi-consumer re-run the barriers
+    * prevent cannot arise). Extra columns (event time for watermarking)
+    * pass through untouched.
+    */
+  def bandedSignaturesStream(docs: DataFrame, n: Int = 3, k: Int = 64,
+                             bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val hs = TextAnalysis.md5Prefix32Array(
+      TextAnalysis.shinglesOfTokens(TextAnalysis.tokens(col("text")), n))
+    val passThrough = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
+      .select(passThrough :+ hs.as("hs"): _*)
+      .where(size(col("hs")) > 0)
+      .select(passThrough :+
+        org.apache.spark.sql.graft.shim.column(
+          org.apache.spark.sql.graft.MinHashSignature(
+            org.apache.spark.sql.graft.shim.expression(col("hs")), k)).as("sig"): _*)
+      .select(passThrough ++ Seq(col("sig"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => array_join(
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"),
+              "_")))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+  }
+
   /** MinHash signature + LSH banding near-dup candidates.
     *
     * shingle → 32-bit murmur hash → k permutations h_i(x) = (a_i·x + b_i)

@@ -430,6 +430,51 @@ object RealTime {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** Streaming near-dup candidates — the MinHash+LSH band join (q39's
+    * [[graft.operators.Dedup.minhashPairs]]) run as a watermarked
+    * stream-stream SELF-join: each arriving document's band-content keys
+    * meet every in-horizon document sharing a band, and the signature
+    * agreement fraction estimates Jaccard exactly as in batch. This is
+    * the ingest-time "have we already crawled this page" gate; the
+    * horizon bounds both join buffers (state = doc rate × bands ×
+    * (horizon + delay)), so it runs forever.
+    *
+    * Emits one row per AGREEING band (a closed-input replay equals the
+    * batch pair set after `dropDuplicates(a_id, b_id)` — spec-asserted);
+    * downstream consumers dedup or count bands as they need.
+    *
+    * Input schema: (doc_id, ts, text).
+    */
+  def nearDupPairsStream(docs: DataFrame, horizonMinutes: Int = 60,
+                         watermarkDelay: String = "10 minutes",
+                         n: Int = 3, k: Int = 64, bands: Int = 16,
+                         minEstJaccard: Double = 0.5): DataFrame = {
+    val banded = graft.operators.Dedup.bandedSignaturesStream(docs, n, k, bands)
+    val a = banded.select(col("doc_id").as("a_id"), col("ts").as("a_ts"),
+        col("band").as("a_band"), col("bandHash").as("a_key"), col("sig").as("sig_a"))
+      .withWatermark("a_ts", watermarkDelay)
+    val b = banded.select(col("doc_id").as("b_id"), col("ts").as("b_ts"),
+        col("band").as("b_band"), col("bandHash").as("b_key"), col("sig").as("sig_b"))
+      .withWatermark("b_ts", watermarkDelay)
+    // `a_id < b_id` cannot live in the join condition: Spark's
+    // StreamingJoinHelper probes every `<` predicate for a state
+    // watermark and throws on non-time attributes. Join on ≠ instead
+    // (skipped by the helper) and canonicalize the order in the output —
+    // each pair then arrives once per direction; distinct() collapses.
+    a.join(b,
+        col("a_band") === col("b_band") && col("a_key") === col("b_key") &&
+          col("a_id") =!= col("b_id") &&
+          col("b_ts") >= col("a_ts") - expr(s"INTERVAL $horizonMinutes MINUTES") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+          .cast("double") / k)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("a_band").as("band"), col("est_jaccard"))
+  }
+
   /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
     * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.

@@ -11,6 +11,7 @@ import graft.streaming.RealTime
   * the product encoder resolves outside the suite instance).
   */
 case class SessEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+case class DocEv(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
 /** J3 pipeline specs: file-stream source → enrichment → sinks, driven
   * synchronously with AvailableNow + awaitTermination (the deterministic
@@ -606,5 +607,43 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
     val admitted = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSeq
     assert(admitted === Seq(2L)) // the quoting doc was dropped at ingestion
+  }
+
+  test("streaming near-dup band join equals batch minhashPairs on a closed input") {
+    val base = "spark catalyst optimizer pushes filters below joins and prunes columns " +
+      "for parquet scans while tungsten generates compact bytecode for each stage"
+    val nearDup = base.replace("compact", "efficient")
+    val distinctDoc = "entirely different words about streaming watermarks and state " +
+      "stores that share nothing with the other documents in this corpus at all whatsoever"
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // docs arrive minutes apart, inside the join horizon
+    val docs = Seq(DocEv(0L, t(1), base), DocEv(1L, t(5), nearDup),
+      DocEv(2L, t(9), distinctDoc), DocEv(3L, t(13), base))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocEv](spark)
+    val q = RealTime.nearDupPairsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_pairs")
+      .option("checkpointLocation", tmp("neardup-pairs-ck"))
+      .start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    // watermark flush so every in-horizon pair is emitted
+    input.addData(DocEv(9L, t(2000), distinctDoc))
+    q.processAllAvailable()
+    input.addData(DocEv(10L, t(2001), distinctDoc))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("neardup_pairs")
+      .select("a_id", "b_id", "est_jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.minhashPairs(
+      docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .select("a_id", "b_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // the flush sentinels (9, 10) pair with each other — exclude them
+    assert(streamed.filterNot(p => p._1 >= 9L) === batch)
+    assert(batch.exists(p => (p._1, p._2) == (0L, 3L) && p._3 == 1.0)) // exact dup
   }
 }
