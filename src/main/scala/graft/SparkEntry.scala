@@ -587,6 +587,15 @@ object SparkEntry {
     // two halves of the day range (exact integer counts, tiny pivot)
     "q138_distribution_drift" -> ((s, dir) =>
       Relational.distributionDrift(Tables.events(s, dir))),
+    // governance: right-to-be-forgotten purge audit — broadcast the
+    // deletion list, flag-join each fact table, one conditional aggregate
+    "q140_tombstone_purge" -> ((s, dir) => {
+      val del = Tables.events(s, dir).where(col("user_id") % 97 === 0)
+        .select("user_id").distinct()
+      Relational.tombstonePurge(Seq(
+        ("events", Tables.events(s, dir), "user_id"),
+        ("ratings", Tables.ratings(s, dir), "userId")), del)
+    }),
     // migration validation: order-invariant md5-sum checksum per table
     // (shuffle/file-layout independent; both engines compute it equally)
     "q139_table_checksum" -> ((s, dir) =>
@@ -2146,6 +2155,26 @@ object SparkEntry {
         |  CAST(max(cnt) AS BIGINT) AS peak_daily,
         |  CAST(count(*) AS BIGINT) AS days_active
         |FROM daily GROUP BY 1, 2""".stripMargin,
+    // same deletion list (events users ≡ 0 mod 97), same flag-join counts
+    "q140_tombstone_purge" ->
+      s"""WITH $ratingsCte,
+         |del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+         |ev AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_before,
+         |    CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         |    CAST(count(DISTINCT CASE WHEN d.user_id IS NOT NULL THEN e.user_id END) AS BIGINT)
+         |      AS n_users_purged
+         |  FROM events e LEFT JOIN del d ON e.user_id = d.user_id),
+         |rt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_before,
+         |    CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         |    CAST(count(DISTINCT CASE WHEN d.user_id IS NOT NULL THEN r.userId END) AS BIGINT)
+         |      AS n_users_purged
+         |  FROM ratings r LEFT JOIN del d ON r.userId = d.user_id)
+         |SELECT 'events' AS table_name, n_before, n_purged,
+         |  n_before - n_purged AS n_after, n_users_purged FROM ev
+         |UNION ALL
+         |SELECT 'ratings', n_before, n_purged, n_before - n_purged, n_users_purged FROM rt""".stripMargin,
     // chr(1)-joined null-sentineled row strings → md5-prefix row hash →
     // order-invariant sum, identical on both engines by construction
     "q139_table_checksum" ->

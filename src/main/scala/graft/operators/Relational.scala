@@ -506,6 +506,37 @@ object Relational {
         coalesce(sum(col("weight")), lit(0L)).as("total_weight"))
   }
 
+  /** Right-to-be-forgotten purge audit — the governance pass a
+    * training-data pipeline must run before every release: for each
+    * fact table, how many rows the deletion list removes, how many
+    * distinct listed users actually appear, and what survives.
+    *
+    * One scan per table: the deletion list broadcasts (a GDPR list is
+    * tiny next to the corpus) as a left join adding a purge flag, and
+    * the three counts fold in a single conditional aggregate — there is
+    * no second "count the survivors" pass. The actual scrub is the same
+    * join shape with `WHERE NOT hit` (left_anti); auditing and
+    * scrubbing share one plan, so the audit numbers are exactly what
+    * the scrub will do.
+    *
+    * @param tables    (name, df, userCol) per audited fact table
+    * @param deletions single-column `user_id` frame of listed users
+    */
+  def tombstonePurge(tables: Seq[(String, DataFrame, String)],
+                     deletions: DataFrame): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    val del = deletions.select(col("user_id").as("__del_uid")).distinct()
+    tables.map { case (name, df, userCol) =>
+      df.join(broadcast(del), col(userCol) === col("__del_uid"), "left")
+        .agg(
+          count(lit(1)).as("n_before"),
+          sum(when(col("__del_uid").isNotNull, 1L).otherwise(0L)).as("n_purged"),
+          count_distinct(when(col("__del_uid").isNotNull, col(userCol))).as("n_users_purged"))
+        .select(lit(name).as("table_name"), col("n_before"), col("n_purged"),
+          (col("n_before") - col("n_purged")).as("n_after"), col("n_users_purged"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Order-invariant table checksum — the migration/replication
     * validation primitive: row hash = first 32 md5 bits of the
     * chr(1)-joined null-sentineled column strings, table checksum = the

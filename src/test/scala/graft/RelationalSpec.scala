@@ -176,6 +176,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("parent->parent") === ((2L, 0L, 1.0)))
   }
 
+  test("tombstonePurge audits exactly what the anti-join scrub would remove") {
+    val events = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      .toDF("user_id", "payload")
+    val del = Seq(1L, 3L, 99L).toDF("user_id") // 99 absent from the table
+    val r = Relational.tombstonePurge(Seq(("events", events, "user_id")), del)
+      .collect().head
+    assert(r.getAs[String]("table_name") === "events")
+    assert(r.getAs[Long]("n_before") === 5L)
+    assert(r.getAs[Long]("n_purged") === 3L) // user 1 twice + user 3
+    assert(r.getAs[Long]("n_after") === 2L)
+    assert(r.getAs[Long]("n_users_purged") === 2L) // 99 never appears
+    // the audit equals the scrub: anti-join survivor count == n_after
+    val scrubbed = events.join(del, Seq("user_id"), "left_anti").count()
+    assert(scrubbed === r.getAs[Long]("n_after"))
+  }
+
   test("tableChecksum is row-order invariant, change-sensitive, and null-safe") {
     val a = Seq((1L, Some("x"), "p"), (2L, Some("y"), "q"), (3L, None, "r"))
       .toDF("k", "s", "t")
