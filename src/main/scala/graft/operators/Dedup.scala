@@ -86,8 +86,11 @@ object Dedup {
       .select("shingle")
     val filtered = sh.join(stopShingles, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.as("a")
-      .join(filtered.as("b"),
+    // shuffle-hash: the cost is streaming the per-shingle pair fan-out,
+    // so pre-sorting both index sides (SMJ) is pure overhead — same win
+    // as the itemKNN pair join (Reco.itemNeighborsFromDeduped)
+    val inter = filtered.as("a").hint("shuffle_hash")
+      .join(filtered.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -125,8 +128,8 @@ object Dedup {
       .select("shingle")
     val filtered = sh.join(stopShingles, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    filtered.as("a")
-      .join(filtered.as("b"),
+    filtered.as("a").hint("shuffle_hash")
+      .join(filtered.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -523,6 +526,10 @@ object Dedup {
       .withColumn("nsh", count(lit(1)).over(byDoc))
     val pref = ranked.where(col("rn") <= expr("nsh - (nsh + 1) div 2 + 1"))
       .select("doc_id", "g")
+    // NOT shuffle-hash here (unlike the full-index joins): the prefix
+    // table is rarest-first-truncated, so the fan-out is small and SMJ's
+    // sort feeds the downstream distinct cheaper than a per-partition
+    // hash build (measured 4.4 s SMJ vs 5.8 s SHJ at sf0.1)
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
