@@ -215,12 +215,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q137 column profile is one scan: a single Expand, no join, no window") {
+  test("q137 column profile: one pruned single-column scan per branch, no Expand") {
     val plan = planString(SparkEntry.queries("q137_column_profile")(spark, TestSpark.sf))
-    assert(plan.contains("Expand"), s"q137 lost the multi-distinct Expand:\n$plan")
-    assert("Scan parquet".r.findAllIn(plan).size <= 1, s"q137 rescans the table:\n$plan")
+    // the Expand form (all distincts in one agg) is the 10×-slower plan —
+    // guard against regressing into it
+    assert(!plan.contains("Expand"), s"q137 regressed to the Expand plan:\n$plan")
     assert(!plan.contains("Join"), s"q137 gained a join:\n$plan")
     assert(!plan.contains("Window"), s"q137 gained a window:\n$plan")
+    // every branch scan prunes to ≤2 columns (its own + none besides)
+    val reads = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq
+    assert(reads.nonEmpty && reads.forall(r => r.count(_ == ',') <= 1),
+      s"q137 branch scans read extra columns:\n${reads.mkString("\n")}")
   }
 
   test("q138 drift statistic joins only broadcast singletons after the type aggregate") {
