@@ -640,6 +640,15 @@ object SparkEntry {
           .withColumn("day_num", expr("unix_micros(ts) div 86400000000"))
           .withColumn("v_bucket", expr("CAST(floor(value / 100.0) AS BIGINT)")),
         Seq("event_type", "day_num", "v_bucket"), k = 20L)),
+    // l-diversity homogeneity audit over the same QI classes with the
+    // user-id bucket as the sensitive attribute
+    "q142_l_diversity" -> ((s, dir) =>
+      Relational.lDiversity(
+        Tables.events(s, dir)
+          .withColumn("day_num", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("v_bucket", expr("CAST(floor(value / 100.0) AS BIGINT)"))
+          .withColumn("u_bucket", expr("user_id div 10")),
+        Seq("event_type", "day_num", "v_bucket"), "u_bucket", l = 3L)),
     // CMS inner-product estimate of |clicks x purchases on user_id|,
     // graded against the exact join size (optimizer statistics)
     "q113_join_size_sketch" -> ((s, dir) => {
@@ -731,6 +740,11 @@ object SparkEntry {
     // (vs the fixed-byte-offset slicing of q84/q87)
     "q135_pgm_decode" -> ((s, dir) =>
       Multimodal.decodePgm(Multimodal.synthesizePgm(Tables.documents(s, dir)))),
+    // temporal-media kernel: per consecutive frame pair, exact integer
+    // |Δpixel| sums over synthesized frame sequences; planted inverted
+    // frames must flag as hard cuts
+    "q141_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(Multimodal.synthesizeFrameSeq(Tables.documents(s, dir)))),
     // MapType coverage: construct map<string,string> props per media row,
     // then aggregate through element_at lookups and map_keys
     "q136_media_props" -> ((s, dir) =>
@@ -1786,6 +1800,30 @@ object SparkEntry {
         |  CAST(list_sum(b) AS BIGINT) AS px_sum,
         |  CAST(list_sum(b) AS DOUBLE) / (w * h) AS mean_gray
         |FROM px""".stripMargin,
+    // recomputes the frame-sequence formula (inverted frame 2 on every
+    // 5th doc) and the same integer |Δ| fold per consecutive pair
+    "q141_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id, (3 + doc_id % 4) * (2 + doc_id % 3) AS n_pixels,
+        |    3 + doc_id % 3 AS nf
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, n_pixels, unnest(range(1, nf)) AS f FROM d),
+        |diffs AS (
+        |  SELECT doc_id, f, n_pixels,
+        |    list_sum(list_transform(range(0, n_pixels), k -> abs(
+        |      (CASE WHEN f = 2 AND doc_id % 5 = 0
+        |            THEN 255 - ((doc_id*13 + f*29 + k*7) % 256)
+        |            ELSE (doc_id*13 + f*29 + k*7) % 256 END)
+        |      - (CASE WHEN f - 1 = 2 AND doc_id % 5 = 0
+        |            THEN 255 - ((doc_id*13 + (f-1)*29 + k*7) % 256)
+        |            ELSE (doc_id*13 + (f-1)*29 + k*7) % 256 END)))) AS s
+        |  FROM pairs)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        |  CAST(s AS BIGINT) AS sum_absdiff,
+        |  CAST(n_pixels AS BIGINT) AS n_pixels,
+        |  CAST(s AS DOUBLE) / n_pixels AS mean_absdiff,
+        |  s * 4 > n_pixels * 510 AS is_cut
+        |FROM diffs""".stripMargin,
     // the props map is (kind, bytes, parity) derived from media_kind and
     // the payload byte length; the oracle recomputes the lookups directly
     "q136_media_props" ->
@@ -1909,6 +1947,31 @@ object SparkEntry {
         |SELECT item, neighbor, dot, support, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // same QI classes; sensitive = user-id decade bucket
+    "q142_l_diversity" ->
+      """WITH qi AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS v_bucket,
+        |    user_id // 10 AS u_bucket
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, day_num, v_bucket, u_bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM qi GROUP BY 1, 2, 3, 4),
+        |classes AS (
+        |  SELECT event_type, day_num, v_bucket,
+        |    CAST(sum(n) AS BIGINT) AS class_rows,
+        |    CAST(count(*) AS BIGINT) AS n_sensitive
+        |  FROM cells GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(COALESCE(sum(CASE WHEN n_sensitive < 3 THEN 1 END), 0) AS BIGINT)
+        |    AS n_homogeneous,
+        |  CAST(COALESCE(sum(CASE WHEN n_sensitive < 3 THEN class_rows END), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(min(n_sensitive) AS BIGINT) AS min_diversity,
+        |  CAST(3 AS BIGINT) AS l
+        |FROM classes""".stripMargin,
     // same QI buckets (epoch-day, value-centile); constant-size summary
     "q115_k_anonymity" ->
       """WITH qi AS (

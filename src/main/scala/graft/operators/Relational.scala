@@ -228,6 +228,29 @@ object Relational {
         coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("rows_at_risk"),
         max(lit(k)).as("k"))
 
+  /** l-diversity audit — k-anonymity's complement ([[kAnonymity]],
+    * q115): a QI equivalence class can be large yet still leak if every
+    * member shares the same SENSITIVE value (homogeneity attack,
+    * Machanavajjhala 2007). Per class: size and distinct sensitive
+    * count; summary: classes below l, rows in them, and the corpus
+    * minimum diversity.
+    *
+    * Two hash aggregates — (QI, sensitive) then QI — both map-side
+    * combinable; nothing scales past |distinct QI × sensitive|.
+    */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String,
+                 l: Long): DataFrame =
+    df.groupBy((qi.map(col) :+ col(sensitive)): _*).agg(count(lit(1)).as("n"))
+      .groupBy(qi.map(col): _*)
+      .agg(sum(col("n")).as("class_rows"), count(lit(1)).as("n_sensitive"))
+      .agg(count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("n_sensitive") < l, lit(1L))), lit(0L))
+          .as("n_homogeneous"),
+        coalesce(sum(when(col("n_sensitive") < l, col("class_rows"))), lit(0L))
+          .as("rows_at_risk"),
+        min(col("n_sensitive")).as("min_diversity"),
+        max(lit(l)).as("l"))
+
   def eventScalars(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),

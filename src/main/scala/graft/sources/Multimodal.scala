@@ -326,6 +326,54 @@ object Multimodal {
           col("px_sum").cast("double") / col("n_pixels")).otherwise(lit(0.0)))
   }
 
+  /** Synthesize a per-document FRAME SEQUENCE (a stand-in for decoded
+    * video): nf = 3 + doc_id % 3 grayscale frames of w·h pixels
+    * (w = 3 + doc_id % 4, h = 2 + doc_id % 3); frame f pixel k is
+    * (doc_id·13 + f·29 + k·7) mod 256. Frame 2 of every 5th document is
+    * replaced by an inverted frame (255 − pixel) — a planted hard cut
+    * for [[sceneCuts]] to find.
+    */
+  def synthesizeFrameSeq(documents: DataFrame): DataFrame = {
+    val w = lit(3L) + col("doc_id") % 4
+    val h = lit(2L) + col("doc_id") % 3
+    val nf = lit(3L) + col("doc_id") % 3
+    val base = (f: Column, k: Column) => (col("doc_id") * 13 + f * 29 + k * 7) % 256
+    documents.select(col("doc_id"), (w * h).as("n_pixels"),
+      transform(sequence(lit(0L), nf - 1), f =>
+        transform(sequence(lit(0L), w * h - 1), k =>
+          when(f === 2 && col("doc_id") % 5 === 0, lit(255L) - base(f, k))
+            .otherwise(base(f, k)))).as("frames"))
+  }
+
+  /** Scene-cut detection over a frame sequence — the temporal-media
+    * kernel a video training pipeline runs after decode: per consecutive
+    * frame pair, the summed absolute pixel difference (exact integers),
+    * the mean per pixel (one double division), and a cut flag on the
+    * integer predicate sum·4 > 255·2·n_pixels (mean |Δ| > 63.75 — half
+    * the expected |Δ| of uncorrelated uniform bytes). Pure column
+    * expressions over the frames array: map-side only, no shuffle, the
+    * per-row cost is O(frames · pixels) exactly like a real differencing
+    * kernel.
+    *
+    * @return (doc_id, frame_no [the LATER frame], sum_absdiff,
+    *         n_pixels, mean_absdiff, is_cut)
+    */
+  def sceneCuts(frameSeq: DataFrame): DataFrame =
+    frameSeq
+      .select(col("doc_id"), col("n_pixels"),
+        posexplode(transform(sequence(lit(1L), size(col("frames")).cast("long") - 1), f =>
+          aggregate(
+            zip_with(element_at(col("frames"), (f + 1).cast("int")),
+              element_at(col("frames"), f.cast("int")),
+              (a, b) => abs(a - b)),
+            lit(0L), (acc, v) => acc + v))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("frame_no"),
+        col("col").as("sum_absdiff"), col("n_pixels"))
+      .withColumn("mean_absdiff",
+        col("sum_absdiff").cast("double") / col("n_pixels"))
+      .withColumn("is_cut",
+        col("sum_absdiff") * 4 > col("n_pixels") * 510)
+
   /** Typed map<string,string> media properties — the one container type
     * (MapType) with no other graded coverage. Properties are derived
     * deterministically from the payload so the map *construction*,

@@ -212,6 +212,28 @@ class MultimodalSpec extends AnyFunSuite {
     ).count() === 0L)
   }
 
+  test("sceneCuts flags exactly the planted inverted frames") {
+    import org.apache.spark.sql.functions._
+    // hand fixture: identical pair (no cut), full-inversion pair (cut)
+    val manual = Seq((1L, 2L, Seq(Seq(10L, 20L), Seq(10L, 20L), Seq(245L, 235L))))
+      .toDF("doc_id", "n_pixels", "frames")
+    val m = Multimodal.sceneCuts(manual).collect()
+      .map(r => r.getAs[Long]("frame_no") -> r).toMap
+    assert(m(1L).getAs[Long]("sum_absdiff") === 0L && !m(1L).getAs[Boolean]("is_cut"))
+    assert(m(2L).getAs[Long]("sum_absdiff") === 450L) // |245-10| + |235-20|
+    assert(m(2L).getAs[Boolean]("is_cut")) // 450·4 > 2·510
+    assert(m(2L).getAs[Double]("mean_absdiff") === 225.0)
+
+    // synthesized: doc 0 (≡0 mod 5) has the inverted frame 2 → its pair
+    // (1→2) must cut; the smooth pair (0→1) must not
+    val cuts = Multimodal.sceneCuts(Multimodal.synthesizeFrameSeq(
+      Seq(0L, 1L).toDF("doc_id"))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_no")) ->
+        r.getAs[Boolean]("is_cut")).toMap
+    assert(!cuts((0L, 1L)) && cuts((0L, 2L)))
+    assert(cuts.filterKeys(_._1 == 1L).forall(!_._2)) // doc 1: no inversion
+  }
+
   test("documents text is pure ASCII (oracle contract: byte slices = char slices)") {
     // the q43/q44 DuckDB twins slice VARCHAR where Spark slices binary —
     // only sound while octet_length == char length on every row

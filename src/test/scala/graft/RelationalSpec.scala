@@ -176,6 +176,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("parent->parent") === ((2L, 0L, 1.0)))
   }
 
+  test("lDiversity flags homogeneous classes k-anonymity would pass") {
+    // class A: 3 rows, ONE sensitive value (large but homogeneous);
+    // class B: 2 rows, two sensitive values
+    val df = Seq(
+      ("A", 1L), ("A", 1L), ("A", 1L),
+      ("B", 1L), ("B", 2L))
+      .toDF("qi", "sens")
+    val r = Relational.lDiversity(df, Seq("qi"), "sens", l = 2L).collect().head
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Long]("n_homogeneous") === 1L) // only A
+    assert(r.getAs[Long]("rows_at_risk") === 3L)
+    assert(r.getAs[Long]("min_diversity") === 1L)
+    assert(r.getAs[Long]("l") === 2L)
+  }
+
   test("tombstonePurge audits exactly what the anti-join scrub would remove") {
     val events = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
       .toDF("user_id", "payload")
