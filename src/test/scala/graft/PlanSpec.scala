@@ -228,6 +228,23 @@ class PlanSpec extends AnyFunSuite {
       s"q137 branch scans read extra columns:\n${reads.mkString("\n")}")
   }
 
+  test("q141 frame differencing is a pure map-side plan: no exchange") {
+    val plan = planString(SparkEntry.queries("q141_scene_cuts")(spark, TestSpark.sf))
+    assert(!plan.contains("Exchange"), s"q141 gained a shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"q141 gained a join:\n$plan")
+  }
+
+  test("q139/q142 are aggregate-only plans; q140 broadcasts the deletion list") {
+    for (q <- Seq("q139_table_checksum", "q142_l_diversity")) {
+      val plan = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(!plan.contains("Join"), s"$q gained a join:\n$plan")
+      assert(!plan.contains("Window"), s"$q gained a window:\n$plan")
+    }
+    val purge = planString(SparkEntry.queries("q140_tombstone_purge")(spark, TestSpark.sf))
+    assert(purge.contains("BroadcastHashJoin"), s"q140 deletion list not broadcast:\n$purge")
+    assert(!purge.contains("SortMergeJoin"), s"q140 shuffles a fact table:\n$purge")
+  }
+
   test("q138 drift statistic joins only broadcast singletons after the type aggregate") {
     val plan = planString(SparkEntry.queries("q138_distribution_drift")(spark, TestSpark.sf))
     assert(!plan.contains("SortMergeJoin"), s"q138 shuffles a join:\n$plan")
