@@ -145,6 +145,10 @@ object SparkEntry {
     // canonical wedge join, over C(deg,2) — exact-integer division
     "q129_clustering_coeff" -> ((s, dir) =>
       plans.GraphOps.clusteringCoefficients(coPairs(s, dir))),
+    // degree mixing: Newman assortativity from exact DECIMAL moments over
+    // the symmetrized co-rating edges (one double division at the end)
+    "q143_assortativity" -> ((s, dir) =>
+      plans.GraphOps.degreeAssortativity(coPairs(s, dir))),
     // graph centrality: 3-iteration PageRank in scaled-integer arithmetic
     // (floor-division damping -> bit-identical ranks on any engine/partitioning)
     "q96_pagerank" -> ((s, dir) =>
@@ -807,6 +811,27 @@ object SparkEntry {
          |$pairsCte
          |SELECT src, dst FROM pairs
          |UNION ALL SELECT dst AS src, src AS dst FROM pairs""".stripMargin,
+    // same symmetrized edges; HUGEINT moments mirror Spark's DECIMAL(38,0)
+    // exactly, so the one double division agrees bit-for-bit
+    "q143_assortativity" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |und AS (SELECT src, dst FROM pairs
+         |        UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m2,
+         |    sum(CAST(da.deg AS HUGEINT)) AS sx,
+         |    sum(CAST(da.deg AS HUGEINT) * CAST(db.deg AS HUGEINT)) AS sxy,
+         |    sum(CAST(da.deg AS HUGEINT) * CAST(da.deg AS HUGEINT)) AS sxx
+         |  FROM und e JOIN deg da ON e.src = da.src JOIN deg db ON e.dst = db.src)
+         |SELECT n_vertices, m2 // 2 AS n_edges,
+         |  CAST(m2 * 1000 // n_vertices AS BIGINT) AS mean_degree_x1000,
+         |  CAST(CAST(m2 AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+         |    / CAST(CAST(m2 AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS assortativity
+         |FROM m CROSS JOIN nv""".stripMargin,
     // wedge join + closing edge over the canonical (src < dst) pair list —
     // each triangle a<b<c counted exactly once on both engines
     "q90_triangle_count" ->

@@ -247,4 +247,45 @@ object GraphOps {
     }
     r
   }
+
+  /** Degree assortativity (Newman 2002): do high-degree vertices attach
+    * to high-degree vertices? Over the symmetrized edge list, with
+    * x = deg(src), y = deg(dst) per directed edge, the Pearson
+    * coefficient reduces (by x/y symmetry) to
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — every sum an exact
+    * DECIMAL(38,0) integer aggregate, ONE double division at the end,
+    * so the statistic is bit-identical across engines and partitionings.
+    *
+    * Plan: degree table (|V| rows) joined to the edge list twice —
+    * broadcast at dimension scale, plain equi-shuffles on src/dst at
+    * web-graph scale — then a constant-size moment aggregate. Nothing
+    * holds more than |V|+|E| rows.
+    *
+    * @param pairs canonical (src < dst) undirected pair list
+    * @return one row: (n_vertices, n_edges, mean_degree_x1000, assortativity)
+    */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("src"), col("dst"))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.barrier)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nv = broadcast(deg.agg(count(lit(1)).as("n_vertices")))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val moments = und
+      .join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")), "dst")
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(dec(col("deg"))).as("sx"),
+        sum(dec(col("deg")) * dec(col("deg_dst"))).as("sxy"),
+        sum(dec(col("deg")) * dec(col("deg"))).as("sxx"))
+    moments.crossJoin(nv).select(
+      col("n_vertices"),
+      expr("m2 div 2").as("n_edges"),
+      // exact integer mean degree ×1000: 2|E| = m2 directed edges over |V|
+      expr("CAST(m2 * 1000 div n_vertices AS BIGINT)").as("mean_degree_x1000"),
+      (( dec(col("m2")) * col("sxy") - col("sx") * col("sx")).cast("double")
+        / (dec(col("m2")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("assortativity"))
+  }
 }

@@ -118,6 +118,16 @@ class GraphSpec extends AnyFunSuite {
     assert(byOurs.head === byGx.head, "both rankings agree on the top vertex")
   }
 
+  test("degreeAssortativity: the star K1,3 is perfectly disassortative (r = -1)") {
+    // center degree 3, leaves degree 1: every edge joins extremes
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphOps.degreeAssortativity(star).collect().head
+    assert(r.getAs[Long]("n_vertices") === 4L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("mean_degree_x1000") === 1500L) // 2·3/4 = 1.5
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
   test("GraphX LP agrees with DataFrame LP on the trivially-converged graph") {
     // a single complete triangle converges to one community in both
     val edges = Reco.undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"))
