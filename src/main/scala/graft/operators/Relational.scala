@@ -577,12 +577,18 @@ object Relational {
     * Plan: per table, one scan → map-side hash → single-row partial-sum
     * aggregate; the union of per-table rows is driver-free.
     */
+  /** The per-row hash behind [[tableChecksum]] — shared with the
+    * streaming maintainer ([[graft.streaming.RealTime.checksumStream]]),
+    * so both compute the identical commutative sum.
+    */
+  def rowHash(cols: Seq[String]): Column =
+    graft.functions.TextAnalysis.md5Prefix32(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*))
+
   def tableChecksum(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
     require(tables.nonEmpty, "need at least one table")
     tables.map { case (name, df, cols) =>
-      val joined = concat_ws("\u0001",
-        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
-      df.select(graft.functions.TextAnalysis.md5Prefix32(joined).as("h"))
+      df.select(rowHash(cols).as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
         .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
     }.reduce(_ unionAll _)

@@ -430,6 +430,19 @@ object RealTime {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** Streaming maintainer of the q139 table checksum
+    * ([[graft.operators.Relational.tableChecksum]]): because the checksum
+    * is a COMMUTATIVE sum of per-row hashes, the stream maintains it
+    * exactly with a Complete-mode global aggregate whose state is two
+    * numbers — replication can be verified continuously instead of by
+    * rescanning the table. Shares [[graft.operators.Relational.rowHash]]
+    * with the batch form, so a closed input yields the identical value
+    * (spec-asserted).
+    */
+  def checksumStream(rows: DataFrame, cols: Seq[String]): DataFrame =
+    rows.select(graft.operators.Relational.rowHash(cols).as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+
   /** Streaming near-dup candidates — the MinHash+LSH band join (q39's
     * [[graft.operators.Dedup.minhashPairs]]) run as a watermarked
     * stream-stream SELF-join: each arriving document's band-content keys

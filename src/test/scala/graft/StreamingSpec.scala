@@ -609,6 +609,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted === Seq(2L)) // the quoting doc was dropped at ingestion
   }
 
+  test("streaming checksum equals the batch table checksum on a closed input") {
+    val rows = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "z"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      spark)
+    val q = RealTime.checksumStream(
+        input.toDF().toDF("k", "s"), Seq("k", "s"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cksum_stream")
+      .option("checkpointLocation", tmp("cksum-ck"))
+      .start()
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cksum_stream")
+      .select("n_rows", "checksum").as[(Long, Long)].collect().head
+    val batch = graft.operators.Relational.tableChecksum(
+      Seq(("t", rows.toDF("k", "s"), Seq("k", "s")))).collect().head
+    assert(streamed._1 === batch.getAs[Long]("n_rows"))
+    assert(streamed._2 === batch.getAs[Long]("checksum"))
+  }
+
   test("streaming near-dup band join equals batch minhashPairs on a closed input") {
     val base = "spark catalyst optimizer pushes filters below joins and prunes columns " +
       "for parquet scans while tungsten generates compact bytecode for each stage"
