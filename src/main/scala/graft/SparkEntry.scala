@@ -591,6 +591,10 @@ object SparkEntry {
     // two halves of the day range (exact integer counts, tiny pivot)
     "q138_distribution_drift" -> ((s, dir) =>
       Relational.distributionDrift(Tables.events(s, dir))),
+    // growth/decay monitor: exact-integer OLS slope + r² of daily counts
+    // per event type (micro-count slope as an exact BIGINT)
+    "q144_volume_trend" -> ((s, dir) =>
+      TimeWindows.volumeTrend(Tables.events(s, dir))),
     // governance: right-to-be-forgotten purge audit — broadcast the
     // deletion list, flag-join each fact table, one conditional aggregate
     "q140_tombstone_purge" -> ((s, dir) => {
@@ -2286,6 +2290,32 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'customer', CAST(count(*) AS BIGINT),
          |  CAST(sum(${md5Prefix32Sql("j")}) AS BIGINT) FROM cu""".stripMargin,
+    // HUGEINT OLS moments; slope_micro sign-adjusts DuckDB's floor //
+    // to match Spark's truncating div (denominator ≥ 0 by Cauchy-Schwarz)
+    "q144_volume_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(day_num AS HUGEINT)) AS sx,
+        |    sum(CAST(cnt AS HUGEINT)) AS sy,
+        |    sum(CAST(day_num AS HUGEINT) * CAST(cnt AS HUGEINT)) AS sxy,
+        |    sum(CAST(day_num AS HUGEINT) * CAST(day_num AS HUGEINT)) AS sxx,
+        |    sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS syy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  CAST(CASE WHEN n * sxy - sx * sy < 0
+        |    THEN -((sx * sy - n * sxy) * 1000000 // (n * sxx - sx * sx))
+        |    ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) END
+        |    AS BIGINT) AS slope_micro,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+        |    / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE) AS r2
+        |FROM m""".stripMargin,
     // mirrors the Spark expression order exactly (tot*row/grand, then
     // squared-residual ratios) so the doubles match bit-for-bit
     "q138_distribution_drift" ->

@@ -357,6 +357,44 @@ object TimeWindows {
       expr("unix_micros(ts) div 86400000000").as("day_num"))
     .agg(count(lit(1)).as("cnt"))
 
+  /** Per-type daily-volume TREND: exact ordinary-least-squares slope of
+    * count over day — is this event type growing or decaying, and how
+    * well does a line explain it? With x = day_num and y = cnt both
+    * integers, every OLS moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    * DECIMAL aggregate, so slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+    * r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)) are single
+    * divisions of exact integers — bit-identical on any engine or
+    * partitioning. Slope ships ×10⁶ as an exact integer (micro-counts
+    * per day) plus the double form.
+    *
+    * Cost: the [[dailyCounts]] aggregate plus a constant-size moment
+    * fold per type — nothing scales past |types| × |days|.
+    *
+    * @return (event_type, n_days, slope_micro, slope, r2)
+    */
+  def volumeTrend(events: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    dailyCounts(events)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("day_num"))).as("sx"),
+        sum(dec(col("cnt"))).as("sy"),
+        sum(dec(col("day_num")) * dec(col("cnt"))).as("sxy"),
+        sum(dec(col("day_num")) * dec(col("day_num"))).as("sxx"),
+        sum(dec(col("cnt")) * dec(col("cnt"))).as("syy"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)")
+          .as("slope_micro"),
+        ((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        (((dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+          * (dec(col("n")) * col("sxy") - col("sx") * col("sy"))).cast("double")
+          / ((dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+            * (dec(col("n")) * col("syy") - col("sy") * col("sy"))).cast("double"))
+          .as("r2"))
+  }
+
   /** The grading stage of [[dailyVolumeAnomalies]] over an
     * already-materialized daily-count table (from [[dailyCounts]] or its
     * streaming twin): per-type stats broadcast back over the daily rows.

@@ -277,6 +277,28 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r("b") === ((1L, 0L, 1.0))) // single day: seed only
   }
 
+  test("volumeTrend: exact OLS slope and r2 match hand-computed lines") {
+    def t(day: Int, i: Int): Timestamp =
+      new Timestamp((day.toLong * 1440 + i) * 60000L)
+    // "up": counts 1,3,5 over days 0-2 — a perfect slope-2 line;
+    // "down": counts 4,2 over days 0-1 — a perfect slope −2 line
+    val events = (
+      (1 to 1).map(i => (i.toLong, t(0, i), 1L, "up", 0.0, "")) ++
+      (1 to 3).map(i => (10 + i.toLong, t(1, i), 1L, "up", 0.0, "")) ++
+      (1 to 5).map(i => (20 + i.toLong, t(2, i), 1L, "up", 0.0, "")) ++
+      (1 to 4).map(i => (30 + i.toLong, t(0, i), 2L, "down", 0.0, "")) ++
+      (1 to 2).map(i => (40 + i.toLong, t(1, i), 2L, "down", 0.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.volumeTrend(events).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("up").getAs[Long]("n_days") === 3L)
+    assert(r("up").getAs[Long]("slope_micro") === 2000000L)
+    assert(r("up").getAs[Double]("slope") === 2.0)
+    assert(r("up").getAs[Double]("r2") === 1.0)
+    assert(r("down").getAs[Long]("slope_micro") === -2000000L)
+    assert(r("down").getAs[Double]("slope") === -2.0)
+  }
+
   test("monthlyRollup: daily partials merge to the direct monthly numbers") {
     def t(day: Int, i: Int): Timestamp =
       new Timestamp((day.toLong * 1440 + i) * 60000L)
