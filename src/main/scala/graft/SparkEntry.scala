@@ -484,6 +484,10 @@ object SparkEntry {
     // vocab induction: corpus-wide top-50 word bigrams (BPE counting pass)
     "q76_top_ngrams" -> ((s, dir) =>
       Corpus.topNgrams(Tables.documents(s, dir))),
+    // vocabulary coverage: per-doc OOV fraction against the corpus's own
+    // deterministic top-1000 token vocabulary (broadcast back)
+    "q145_oov_rate" -> ((s, dir) =>
+      Corpus.oovRate(Tables.documents(s, dir))),
     // corpus release audit: v1/v2 simulated by modulo splits, with
     // doc_id%13 docs edited in v2 so every status class appears
     "q78_snapshot_diff" -> ((s, dir) => {
@@ -1431,6 +1435,23 @@ object SparkEntry {
         |  FROM toks WHERE len(t) >= 2)
         |SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram LIMIT 50""".stripMargin,
+    // same deterministic (count desc, token asc) top-1000 vocabulary;
+    // the count division is exact-integer → double on both engines
+    "q145_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+        |  ORDER BY cnt DESC, tok ASC LIMIT 1000)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY 1""".stripMargin,
     // µs-cast timestamps on every comparison, matching Spark's precision;
     // rates are exact-integer-count divisions, so doubles agree bit-for-bit
     "q82_conversion_funnel" ->

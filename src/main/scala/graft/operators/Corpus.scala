@@ -98,6 +98,36 @@ object Corpus {
       .orderBy(desc("n_occurrences"), asc("gram"))
       .limit(k)
 
+  /** Out-of-vocabulary rate per document — the vocabulary-coverage
+    * quality signal an LLM data pipeline scores before tokenizer
+    * training: how much of each document falls outside the corpus's own
+    * top-`v` token vocabulary? High OOV = noise, foreign scripts, or
+    * boilerplate soup; near-zero OOV = template chrome.
+    *
+    * The vocabulary is deterministic (count desc, token asc tiebreak —
+    * same total order in any engine) and TINY (`v` rows via
+    * TakeOrderedAndProject, broadcast back), so the scoring pass is the
+    * token explode + one broadcast left join + a per-doc count — no
+    * shuffle of the corpus beyond the doc_id aggregate, and the vocab
+    * build is the same one-shuffle count topNgrams already pays.
+    *
+    * @return (doc_id, n_tokens, n_oov, oov_rate)
+    */
+  def oovRate(documents: DataFrame, v: Int = 1000): DataFrame = {
+    val toks = tokensBarrier(documents)
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+      .limit(v)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Corpus-wide boilerplate mining: split every document into
     * non-overlapping `w`-token windows (partial tail window kept), hash
     * each window, and surface the windows that occur more than once across

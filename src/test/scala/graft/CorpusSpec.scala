@@ -223,6 +223,21 @@ class CorpusSpec extends AnyFunSuite {
     r.values.foreach { case (_, _, err) => assert(math.abs(err) <= 1L, s"err $err") }
   }
 
+  test("oovRate scores tokens outside the deterministic top-v vocabulary") {
+    // vocab (v=2) by (count desc, token asc): "aa" ×4, then the tie at
+    // count 2 breaks alphabetically -> "bb" in, "cc" out
+    val docs = Seq(
+      (1L, "aa aa bb cc", "s"), (2L, "aa aa bb cc", "s"), (3L, "zz qq", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.oovRate(docs, v = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"),
+          x.getAs[Double]("oov_rate"))).toMap
+    assert(r(1L) === ((4L, 1L, 0.25))) // only cc is OOV
+    assert(r(2L) === ((4L, 1L, 0.25)))
+    assert(r(3L) === ((2L, 2L, 1.0))) // all tokens OOV
+  }
+
   test("hllCardinality sketch side aggregates map-side (partial_max before the exchange)") {
     val df = Corpus.hllCardinality(graft.Tables.documents(spark, TestSpark.sf))
     val plan = df.queryExecution.executedPlan.toString
