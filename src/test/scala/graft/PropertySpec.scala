@@ -215,4 +215,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tableChecksum: permutation/partitioning invariant; equals the hand-summed hashes") {
+    val rowGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(20, for {
+        k <- Gen.choose(1L, 50L)
+        s <- Gen.oneOf("x", "y", "zz", "")
+      } yield (k, s))
+    for (seed <- 1 to 5; rows <- rowGen(Gen.Parameters.default, Seed(seed.toLong))) {
+      val df = rows.toDF("k", "s")
+      def sum(d: org.apache.spark.sql.DataFrame): Long =
+        graft.operators.Relational.tableChecksum(Seq(("t", d, Seq("k", "s"))))
+          .collect().head.getAs[Long]("checksum")
+      val base = sum(df)
+      assert(base === sum(rows.reverse.toDF("k", "s").repartition(5)))
+      // cross-check against the scala-side md5 fold
+      val expected = rows.map { case (k, s) =>
+        val joined = s"$k\u0001$s"
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(joined.getBytes("UTF-8"))
+        java.lang.Long.parseLong(md5.take(4).map("%02x".format(_)).mkString, 16)
+      }.sum
+      assert(base === expected)
+    }
+  }
+
+  test("distributionDrift conserves counts and keeps chi2 non-negative") {
+    val evGen: Gen[List[(String, Int)]] =
+      Gen.listOfN(40, for {
+        t <- Gen.oneOf("a", "b", "c")
+        d <- Gen.choose(0, 9)
+      } yield (t, d))
+    for (seed <- 1 to 5; rows <- evGen(Gen.Parameters.default, Seed(seed.toLong))) {
+      val df = rows.map { case (t, d) =>
+        (t, new java.sql.Timestamp((d * 86400L + 1) * 1000L))
+      }.toDF("event_type", "ts")
+      val out = graft.operators.Relational.distributionDrift(df).collect()
+      assert(out.map(r =>
+        r.getAs[Long]("n_early") + r.getAs[Long]("n_late")).sum === rows.size.toLong)
+      out.foreach { r =>
+        val chi2 = r.getAs[Double]("chi2_contrib")
+        assert(chi2.isNaN || chi2 >= 0.0, s"negative chi2: $r")
+      }
+    }
+  }
 }
