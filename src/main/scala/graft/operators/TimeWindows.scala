@@ -372,9 +372,17 @@ object TimeWindows {
     *
     * @return (event_type, n_days, slope_micro, slope, r2)
     */
-  def volumeTrend(events: DataFrame): DataFrame = {
+  def volumeTrend(events: DataFrame): DataFrame =
+    volumeTrendFromDaily(dailyCounts(events))
+
+  /** The grading stage of [[volumeTrend]] over an already-materialized
+    * daily table — shared with the streaming twin exactly like
+    * [[volumeAnomaliesFromDaily]]: the live `dailyCountsStream` keeps
+    * the daily counts current and this moment fold closes the report.
+    */
+  def volumeTrendFromDaily(daily: DataFrame): DataFrame = {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    dailyCounts(events)
+    daily
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(dec(col("day_num"))).as("sx"),

@@ -609,6 +609,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted === Seq(2L)) // the quoting doc was dropped at ingestion
   }
 
+  test("streamed daily counts close through volumeTrendFromDaily to the batch trend") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // view: 1,3,5 events over days 0-2 (slope exactly 2)
+    val closed =
+      Seq(SessEv(1L, t(0, 1), 1L, "view")) ++
+      (1 to 3).map(i => SessEv(10 + i.toLong, t(1, i), 1L, "view")) ++
+      (1 to 5).map(i => SessEv(20 + i.toLong, t(2, i), 1L, "view"))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trend_daily")
+      .option("checkpointLocation", tmp("trend-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(90L, t(40, 0), 9L, "view"))
+    q.processAllAvailable()
+    input.addData(SessEv(91L, t(40, 1), 9L, "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedDaily = spark.table("trend_daily").where($"day_num" < 40)
+    val streamed = graft.operators.TimeWindows.volumeTrendFromDaily(streamedDaily)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val batch = graft.operators.TimeWindows.volumeTrend(
+      closed.toDF("event_id", "ts", "user_id", "event_type"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(streamed.keySet === batch.keySet)
+    for ((k, s) <- streamed; b = batch(k)) {
+      assert(s.getAs[Long]("slope_micro") === b.getAs[Long]("slope_micro"))
+      assert(s.getAs[Double]("slope") === b.getAs[Double]("slope"))
+      assert(s.getAs[Double]("r2") === b.getAs[Double]("r2"))
+    }
+    assert(streamed("view").getAs[Double]("slope") === 2.0)
+  }
+
   test("streaming checksum equals the batch table checksum on a closed input") {
     val rows = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "z"))
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
