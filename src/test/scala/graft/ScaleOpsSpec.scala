@@ -35,6 +35,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("itemKNN pair fan-out over userId-bucketed ratings joins with no pre-join Exchange") {
+    // the 100-TB endgame for q107: pre-bucket the deduped ratings by
+    // userId once, and the pair self-join's only remaining shuffle is the
+    // (pa, pb) aggregate — the join itself reads co-located buckets
+    val deduped = Tables.ratings(spark, TestSpark.sf)
+      .groupBy($"userId", $"productId")
+      .agg(org.apache.spark.sql.functions.max($"rating").cast("long").as("rv"))
+    Bucketing.writeBucketed(deduped, "knn_bucketed", "userId", 8)
+    val r = spark.table("knn_bucketed")
+    val pairs = r.as("a").join(r.as("b"),
+        $"a.userId" === $"b.userId" && $"a.productId" < $"b.productId")
+      .groupBy($"a.productId".as("pa"), $"b.productId".as("pb"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("support"))
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    // exactly one hash Exchange: the pair aggregate's. The join has none.
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 1, s"pair join over bucketed ratings still shuffles its inputs:\n$plan")
+  }
+
   test("q52's bucketed join AND its per-customer aggregate are exchange-free") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
