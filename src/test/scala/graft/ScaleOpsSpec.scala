@@ -38,22 +38,50 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("itemKNN pair fan-out over userId-bucketed ratings joins with no pre-join Exchange") {
     // the 100-TB endgame for q107: pre-bucket the deduped ratings by
     // userId once, and the pair self-join's only remaining shuffle is the
-    // (pa, pb) aggregate — the join itself reads co-located buckets
-    val deduped = Tables.ratings(spark, TestSpark.sf)
-      .groupBy($"userId", $"productId")
-      .agg(org.apache.spark.sql.functions.max($"rating").cast("long").as("rv"))
-    Bucketing.writeBucketed(deduped, "knn_bucketed", "userId", 8)
-    val r = spark.table("knn_bucketed")
-    val pairs = r.as("a").join(r.as("b"),
-        $"a.userId" === $"b.userId" && $"a.productId" < $"b.productId")
-      .groupBy($"a.productId".as("pa"), $"b.productId".as("pb"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("support"))
-    pairs.collect()
-    val plan = pairs.queryExecution.executedPlan.toString
-    // exactly one hash Exchange: the pair aggregate's. The join has none.
-    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(n <= 1, s"pair join over bucketed ratings still shuffles its inputs:\n$plan")
+    // (pa, pb) aggregate — the join itself reads co-located buckets. At
+    // 100 TB neither side broadcasts, so force the shuffled-join path the
+    // bucket layout must rescue.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val deduped = Tables.ratings(spark, TestSpark.sf)
+        .groupBy($"userId", $"productId")
+        .agg(org.apache.spark.sql.functions.max($"rating").cast("long").as("rv"))
+      Bucketing.writeBucketed(deduped, "knn_bucketed", "userId", 8)
+      val r = spark.table("knn_bucketed")
+      val pairs = r.as("a").join(r.as("b"),
+          $"a.userId" === $"b.userId" && $"a.productId" < $"b.productId")
+        .groupBy($"a.productId".as("pa"), $"b.productId".as("pb"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("support"))
+      pairs.collect()
+      // count Exchanges as plan NODES (the AQE string repeats the tree in
+      // its Initial Plan section — string counting double-counts)
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val finalPlan = pairs.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // in a finalized AQE plan each materialized shuffle is a
+      // ShuffleQueryStage LEAF (its exchange hidden inside .plan, which
+      // collect does not traverse) — count both shapes, no double count
+      val n = finalPlan.collect {
+        case e: ShuffleExchangeLike => e
+        case s: ShuffleQueryStageExec => s
+      }.size
+      assert(n <= 1,
+        s"pair join over bucketed ratings still shuffles its inputs:\n$finalPlan")
+      // exactly the unbucketed self-join's pairs
+      val plainR = deduped
+      val plain = plainR.as("a").join(plainR.as("b"),
+          $"a.userId" === $"b.userId" && $"a.productId" < $"b.productId")
+        .groupBy($"a.productId".as("pa"), $"b.productId".as("pb"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("support"))
+      assert(pairs.exceptAll(plain).count() === 0)
+      assert(plain.exceptAll(pairs).count() === 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q52's bucketed join AND its per-customer aggregate are exchange-free") {
