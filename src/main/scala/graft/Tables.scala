@@ -31,17 +31,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively — read nanos as Long (session conf, set defensively here so
-    * any caller-supplied session works) and truncate to a microsecond
-    * TimestampType column, matching DuckDB's NS→TIMESTAMP cast.
+  /** `events.ts` arrives in whatever parquet timestamp encoding the data
+    * generator used — TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * natively; legacy conf reads it as a nanos Long), or TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (which Spark 4 infers as TIMESTAMP_NTZ).
+    * Normalize every variant to a microsecond session-TZ TimestampType
+    * column: all graft sessions pin UTC, so the NTZ→TZ cast is
+    * value-preserving and matches DuckDB's naive-timestamp read.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, sfDir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

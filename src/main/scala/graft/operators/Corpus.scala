@@ -373,17 +373,28 @@ object Corpus {
     *
     * @return (source, n_exact, occupied, s_scaled, est)
     */
-  def hllCardinality(documents: DataFrame, k: Int = 8): DataFrame = {
+  /** The shared heavy stage of [[hllCardinality]] and [[hllMerge]]: every
+    * char-`k`-gram of every document with its 32-bit md5-prefix hash,
+    * materialized once behind a barrier (SparkEntry memoizes this frame so
+    * q102 and q147 pay the explode+hash exactly once per session).
+    *
+    * @return (source, g, h)
+    */
+  def hashedGrams(documents: DataFrame, k: Int = 8): DataFrame = {
     val grams = when(length(col("text")) >= k,
       transform(sequence(lit(1), length(col("text")) - (k - 1)),
         i => col("text").substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
-    // grams hashed once behind a barrier; the exact truth and the sketch
-    // both read this single materialization
-    val sh = documents
+    documents
       .select(col("source"), explode(grams).as("g"))
       .select(col("source"), col("g"), TextAnalysis.md5Prefix32(col("g")).as("h"))
       .transform(graft.barrier)
+  }
+
+  def hllCardinality(documents: DataFrame, k: Int = 8): DataFrame =
+    hllCardinalityFrom(hashedGrams(documents, k))
+
+  def hllCardinalityFrom(sh: DataFrame): DataFrame = {
     val regs = sh
       .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
       .select(col("source"), col("reg"),

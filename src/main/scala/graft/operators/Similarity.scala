@@ -165,9 +165,9 @@ object Similarity {
     * Scale shape: the explode ships |vectors|·dims rows of three narrow
     * integers into a map-combined (cell, dim) aggregate — the standard
     * dimension-sharded centroid update. The result stays EXPLODED as one
-    * row per (cell, dim): downstream consumers (the next E-step's
-    * broadcast) re-assemble arrays themselves, and scalar rows are what
-    * a cross-engine grader can sort and hash (arrays are not).
+    * row per (cell, dim): [[lloydNextAssign]] re-assembles the arrays for
+    * the next E-step's broadcast, and scalar rows are what a cross-engine
+    * grader can sort and hash (arrays are not).
     *
     * @return (cell, dim, n_members, centroid_micro: double)
     */
@@ -180,6 +180,29 @@ object Similarity {
       .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
       .select(col("cell"), col("dim"), col("n").as("n_members"),
         (col("s").cast("double") / col("n").cast("double")).as("centroid_micro"))
+  }
+
+  /** Second half of the Lloyd iteration: CONSUMES [[kmeansUpdateExact]]'s
+    * exploded (cell, dim) rows, re-assembles each cell's centroid array
+    * (sorted by dim, micro units rescaled to floats), broadcasts the tiny
+    * centroid table, and re-assigns every corpus vector to its nearest
+    * updated centroid.
+    *
+    * Scale shape: the re-assembly aggregate touches only |cells|·dims
+    * rows (the centroid table, not the corpus), and the assignment is the
+    * same broadcast-join + per-row argmax as [[ivfAssign]] — the corpus
+    * never shuffles.
+    *
+    * @return (vec_id, embedding, cell) — the refreshed assignment
+    */
+  def lloydNextAssign(corpus: DataFrame, centroidStride: Int = 37): DataFrame = {
+    val centroids = kmeansUpdateExact(corpus, centroidStride)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("dim"), col("centroid_micro"))).as("dims"))
+      .select(col("cell").as("c_id"),
+        transform(array_sort(col("dims")),
+          x => (x.getField("centroid_micro") / lit(1e6)).cast("float")).as("c_emb"))
+    nearestCells(corpus, centroids, "vec_id", "embedding", nprobe = 1)
   }
 
   /** Scalar (int8) quantization of embeddings — the vector-compression

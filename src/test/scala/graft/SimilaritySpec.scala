@@ -155,11 +155,27 @@ class SimilaritySpec extends AnyFunSuite {
       (3L, Array(0.0f, 3.0f), 0)) // cos with c2 = 1 -> cell 2
       .toDF("vec_id", "embedding", "label")
     val r = Similarity.kmeansUpdateExact(emb, centroidStride = 2).collect()
-      .map(x => x.getAs[Long]("cell") ->
-        (x.getAs[Long]("n_members"), x.getSeq[Double](x.fieldIndex("centroid_micro"))))
+      .map(x => (x.getAs[Long]("cell"), x.getAs[Int]("dim")) ->
+        (x.getAs[Long]("n_members"), x.getAs[Double]("centroid_micro")))
       .toMap
-    assert(r(0L) === ((2L, Seq(1500000.0, 0.0)))) // (1e6 + 2e6)/2, 0
-    assert(r(2L) === ((2L, Seq(0.0, 2000000.0)))) // 0, (1e6 + 3e6)/2
+    assert(r((0L, 0)) === ((2L, 1500000.0))) // (1e6 + 2e6)/2
+    assert(r((0L, 1)) === ((2L, 0.0)))
+    assert(r((2L, 0)) === ((2L, 0.0)))
+    assert(r((2L, 1)) === ((2L, 2000000.0))) // (1e6 + 3e6)/2
+  }
+
+  test("lloydNextAssign re-assembles exploded centroids and re-assigns") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(0.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // updated centroids: cell 0 -> (1.5, 0), cell 2 -> (0, 2.0); axis-
+    // aligned vectors keep their cells under the refreshed assignment
+    val r = Similarity.lloydNextAssign(emb, centroidStride = 2).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("cell")).toMap
+    assert(r === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
   }
 
   test("one full Lloyd iteration over real embeddings keeps k cells and dim") {
