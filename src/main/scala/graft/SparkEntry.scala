@@ -100,6 +100,16 @@ object SparkEntry {
       Reco.itemNeighborsFrom(cfDeduped(spark, dir)).cache()
     }
 
+  /** The corpus 8-gram explode+hash is the dominant cost of BOTH HLL
+    * queries (q102 per-source sketches, q147 merge proof) — one barriered
+    * materialization per session, exactly the shared scan a cluster
+    * deployment would stage.
+    */
+  private def hllGrams(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "hll_grams") {
+      Corpus.hashedGrams(Tables.documents(spark, dir))
+    }
+
   /** Near-dup cluster labels (q45), memoized per session so q73's
     * weighting reuses the LSH/CC run instead of repeating it. The frame is
     * |docs| rows × 3 narrow columns — on a cluster this is the persisted
@@ -526,7 +536,30 @@ object SparkEntry {
     // deterministic 256-register HLL distinct-8-gram estimate per source,
     // graded against the exact distinct count (error is the deliverable)
     "q102_hll_cardinality" -> ((s, dir) =>
-      Corpus.hllCardinality(Tables.documents(s, dir))),
+      Corpus.hllCardinalityFrom(hllGrams(s, dir))),
+    // HLL shard-merge ≡ direct-registers proof over the same memoized
+    // hashed grams — the property that makes the sketch distributed
+    "q147_hll_merge" -> ((s, dir) =>
+      Corpus.hllMergeFrom(hllGrams(s, dir))),
+    // SCD-2 validity intervals per user folded from the event log
+    "q146_scd_intervals" -> ((s, dir) =>
+      TimeWindows.scdIntervals(Tables.events(s, dir))),
+    // deterministic hash-based negative sampling (BPR/two-tower training
+    // pairs): k unrated products per user, no user x product cross join
+    "q148_negative_sampling" -> ((s, dir) =>
+      Reco.negativeSampling(Tables.ratings(s, dir))),
+    // t-closeness: per-QI-class sensitive-distribution distance (exact
+    // integer TVD), completing the k-anonymity / l-diversity trio
+    "q149_t_closeness" -> ((s, dir) =>
+      Relational.tCloseness(
+        Tables.events(s, dir)
+          .withColumn("day_num", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("v_bucket", expr("CAST(floor(value / 100.0) AS BIGINT)")),
+        Seq("day_num", "v_bucket"), "event_type")),
+    // lag-1/lag-7 autocorrelation of per-type daily volumes — the
+    // seasonality detector beside q144's trend and q132's EWMA
+    "q150_autocorrelation" -> ((s, dir) =>
+      TimeWindows.autocorrelation(Tables.events(s, dir))),
     // integer z-test spike/crater flags on per-type daily event volumes
     "q103_volume_anomalies" -> ((s, dir) =>
       TimeWindows.dailyVolumeAnomalies(Tables.events(s, dir))),
@@ -1989,6 +2022,147 @@ object SparkEntry {
         |SELECT ex.source, ex.n_exact, sk.occupied, sk.s_scaled,
         |  5.175699493294551e16 / CAST(sk.s_scaled AS DOUBLE) AS est
         |FROM ex JOIN sk USING (source)""".stripMargin,
+    // same gram hash and register algebra as q102, computed twice: once
+    // through per-source shard registers then merged by max, once directly
+    // over the union — the graded row carries both plus the equality proof
+    "q147_hll_merge" ->
+      s"""WITH sh AS (
+        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
+        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS g
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT source, g, ${md5Prefix32Sql("g")} AS h FROM sh),
+        |rho AS (
+        |  SELECT source, h % 256 AS reg,
+        |    CASE WHEN (h // 256) = 0 THEN 25
+        |         ELSE 25 - length(bin(h // 256)) END AS rho
+        |  FROM hashed),
+        |shard AS (
+        |  SELECT source, reg, max(rho) AS rho FROM rho GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT reg, max(rho) AS rho FROM shard GROUP BY 1),
+        |msk AS (
+        |  SELECT CAST(sum(1::BIGINT << (40 - rho)) AS BIGINT)
+        |      + (256 - CAST(count(*) AS BIGINT)) * 1099511627776 AS s_merged,
+        |    CAST(count(*) AS BIGINT) AS occ_merged
+        |  FROM merged),
+        |direct AS (
+        |  SELECT reg, max(rho) AS rho FROM rho GROUP BY 1),
+        |dsk AS (
+        |  SELECT CAST(sum(1::BIGINT << (40 - rho)) AS BIGINT)
+        |      + (256 - CAST(count(*) AS BIGINT)) * 1099511627776 AS s_direct,
+        |    CAST(count(*) AS BIGINT) AS occ_direct
+        |  FROM direct),
+        |ex AS (
+        |  SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_exact,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_shards
+        |  FROM hashed)
+        |SELECT n_shards, n_exact, occ_merged, s_merged, occ_direct, s_direct,
+        |  s_merged = s_direct AND occ_merged = occ_direct AS merge_eq_direct,
+        |  5.175699493294551e16 / CAST(s_merged AS DOUBLE) AS est
+        |FROM ex CROSS JOIN msk CROSS JOIN dsk""".stripMargin,
+    // change rows = where lag() differs, then version/lead over the same
+    // per-user order; micros epochs so both engines emit exact BIGINTs
+    "q146_scd_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_id, event_type FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type AS attr_value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+        |  lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS valid_to_us,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // identical md5 candidate draws, earliest-draw dedup, NOT EXISTS
+    // anti-join, first-k by draw order
+    "q148_negative_sampling" ->
+      s"""WITH $ratingsCte,
+        |mp AS (SELECT max(productId) AS max_pid FROM ratings),
+        |users AS (SELECT DISTINCT userId FROM ratings),
+        |draws AS (SELECT unnest(range(1, 17)) AS i),
+        |cand AS (
+        |  SELECT userId, i,
+        |    ${md5Prefix32Sql("'neg:' || CAST(userId AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+        |      % max_pid + 1 AS cand_pid
+        |  FROM users CROSS JOIN mp CROSS JOIN draws),
+        |dedup AS (
+        |  SELECT userId, cand_pid, CAST(min(i) AS BIGINT) AS cand_index
+        |  FROM cand GROUP BY 1, 2),
+        |neg AS (
+        |  SELECT d.* FROM dedup d
+        |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+        |    WHERE r.userId = d.userId AND r.productId = d.cand_pid))
+        |SELECT userId, cand_pid AS neg_productId, cand_index FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY userId ORDER BY cand_index) AS rn
+        |  FROM neg) WHERE rn <= 5""".stripMargin,
+    // exact-integer TVD per QI class vs the corpus margin; HUGEINT
+    // products mirror the Spark side's DECIMAL(38,0)
+    "q149_t_closeness" ->
+      """WITH q AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS v_bucket,
+        |    event_type
+        |  FROM events),
+        |cs AS (
+        |  SELECT day_num, v_bucket, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY 1, 2, 3),
+        |classes AS (
+        |  SELECT day_num, v_bucket, CAST(sum(c) AS BIGINT) AS n_class
+        |  FROM cs GROUP BY 1, 2),
+        |margin AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS g FROM cs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total FROM margin),
+        |grid AS (
+        |  SELECT cl.day_num, cl.v_bucket, cl.n_class, t.n_total,
+        |    m.event_type, m.g, COALESCE(cs.c, 0) AS c
+        |  FROM classes cl CROSS JOIN margin m CROSS JOIN tot t
+        |  LEFT JOIN cs ON cs.day_num = cl.day_num AND cs.v_bucket = cl.v_bucket
+        |    AND cs.event_type = m.event_type)
+        |SELECT day_num, v_bucket, n_class,
+        |  CAST(sum(abs(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_class))
+        |    AS BIGINT) AS t_num,
+        |  CAST(CAST(n_class AS HUGEINT) * n_total * 2 AS BIGINT) AS t_den,
+        |  CAST(sum(abs(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_class))
+        |      AS DOUBLE)
+        |    / CAST(CAST(n_class AS HUGEINT) * n_total * 2 AS DOUBLE) AS t,
+        |  sum(abs(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_class)) * 4
+        |    > CAST(n_class AS HUGEINT) * n_total * 2 AS flagged
+        |FROM grid GROUP BY day_num, v_bucket, n_class, n_total""".stripMargin,
+    // five HUGEINT moments over the lag-joined daily table; r evaluated
+    // in the same cast/multiply/sqrt/divide order as the Spark column
+    "q150_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT unnest([1, 7]) AS lag_d),
+        |pairs AS (
+        |  SELECT a.event_type, l.lag_d, a.cnt AS x, b.cnt AS y
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.event_type = a.event_type
+        |    AND b.day_num = a.day_num + l.lag_d),
+        |m AS (
+        |  SELECT event_type, lag_d, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, lag_d, n AS n_pairs,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |FROM m""".stripMargin,
     // integer dots/norms from the deduped (user, product) max-rating;
     // cosine = one division by one sqrt of an exact integer product, and
     // the row_number (cos DESC, neighbor) mirror of the ExactTopK contract

@@ -413,6 +413,56 @@ object Corpus {
         (lit(5.175699493294551e16) / col("s_scaled").cast("double")).as("est"))
   }
 
+  /** HLL mergeability proof (q147) — the property that makes the sketch a
+    * DISTRIBUTED primitive: per-shard register vectors (here one shard per
+    * `source`, exactly the per-source sketches q102 grades) merged by
+    * element-wise register max must equal the registers computed directly
+    * over the union. The graded row carries both paths' occupied-register
+    * count and scaled harmonic sum plus the boolean proof, the exact
+    * global distinct, and the single-division estimate — so the grade pins
+    * merge ≡ direct, not just the final float.
+    *
+    * At 100 TB this is how corpus-wide cardinality is actually computed:
+    * each ingest shard keeps 256 registers; coordinators merge register
+    * vectors (256 numbers per shard, not the gram stream) — this operator
+    * is that merge with its correctness certificate attached.
+    */
+  def hllMerge(documents: DataFrame, k: Int = 8): DataFrame =
+    hllMergeFrom(hashedGrams(documents, k))
+
+  def hllMergeFrom(sh: DataFrame): DataFrame = {
+    val rhoRows = sh
+      .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
+      .select(col("source"), col("reg"),
+        when(col("w") === 0, lit(25))
+          .otherwise(lit(25) - length(conv(col("w"), 10, 2))).as("rho"))
+      .transform(graft.barrier) // feeds the per-shard and the direct path
+    // shard sketches (one register vector per source), then the merge
+    val merged = rhoRows
+      .groupBy("source", "reg").agg(max(col("rho")).as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
+          + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_merged"),
+        count(lit(1)).as("occ_merged"))
+    // direct global registers from the same hashed grams
+    val direct = rhoRows
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
+          + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_direct"),
+        count(lit(1)).as("occ_direct"))
+    val exact = sh.agg(
+      countDistinct(col("g")).as("n_exact"),
+      countDistinct(col("source")).as("n_shards"))
+    exact.crossJoin(merged).crossJoin(direct) // three 1-row frames
+      .select(col("n_shards"), col("n_exact"),
+        col("occ_merged"), col("s_merged"), col("occ_direct"), col("s_direct"),
+        (col("s_merged") === col("s_direct") &&
+          col("occ_merged") === col("occ_direct")).as("merge_eq_direct"),
+        (lit(5.175699493294551e16) / col("s_merged").cast("double")).as("est"))
+  }
+
   /** Histogram-sketch quantiles graded against exact order statistics —
     * the [[hllCardinality]] pattern for percentiles: a fixed-`buckets`
     * equal-width histogram per source estimates p50/p90/p99 of document

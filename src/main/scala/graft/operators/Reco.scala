@@ -344,4 +344,46 @@ object Reco {
     scores.join(broadcast(winners), Seq("userId", "item"), "left_semi")
       .select("userId", "item", "num", "den", "pred")
   }
+
+  /** Deterministic negative sampling (q148) — the training-set
+    * complement every implicit-feedback recommender (BPR, ALS with
+    * negatives, two-tower retrieval) needs: for each user, `k` product
+    * ids they have NOT rated, drawn pseudo-randomly but reproducibly.
+    *
+    * Candidate generation is hash-based, not a user×product cross join:
+    * candidate i of user u is `md5_32("neg:" u ":" i) mod maxPid + 1` —
+    * `nCand` narrow rows per user, independent of catalog size (TPC-H
+    * part keys are dense 1..P, so every candidate is a real product).
+    * Collisions within a user keep the smallest i (hash-order = sample
+    * order); rated pairs drop via one anti-join keyed (user, product);
+    * the first `k` survivors by i are the sample. The per-user window
+    * orders ≤ `nCand` rows — bounded state, no global sort; the same
+    * md5 literal runs on both engines, so the sample is oracle-exact.
+    *
+    * @return (userId, neg_productId, cand_index) — ≤ k rows per user
+    */
+  def negativeSampling(ratings: DataFrame, nCand: Int = 16, k: Int = 5): DataFrame = {
+    val maxP = ratings.agg(max(col("productId")).as("max_pid"))
+    val cands = ratings.select(col("userId")).distinct()
+      .crossJoin(broadcast(maxP))
+      .select(col("userId"), col("max_pid"),
+        explode(sequence(lit(1L), lit(nCand.toLong))).as("i"))
+      .select(col("userId"), col("i"),
+        (graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("neg:"), col("userId").cast("string"), lit(":"),
+            col("i").cast("string"))) % col("max_pid") + 1).as("cand_pid"))
+      // duplicate candidate product within a user: keep the earliest draw
+      .groupBy(col("userId"), col("cand_pid"))
+      .agg(min(col("i")).as("cand_index"))
+    val rated = ratings.select(col("userId"), col("productId")).distinct()
+    val w = Window.partitionBy("userId").orderBy("cand_index")
+    cands
+      .join(rated,
+        cands("userId") === rated("userId") &&
+          cands("cand_pid") === rated("productId"), "left_anti")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("userId"), col("cand_pid").as("neg_productId"),
+        col("cand_index"))
+  }
 }

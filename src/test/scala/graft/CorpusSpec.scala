@@ -244,4 +244,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"),
       s"register max does not combine map-side:\n$plan")
   }
+
+  test("hllMerge: shard-merged registers equal direct, estimate is sane") {
+    val r = Corpus.hllMerge(graft.Tables.documents(spark, TestSpark.sf)).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Boolean]("merge_eq_direct"),
+      "element-wise max merge of per-source registers must equal the " +
+        "union's registers — HLL's defining algebraic property")
+    assert(row.getAs[Long]("n_shards") >= 2L, "fixture has several sources")
+    val exact = row.getAs[Long]("n_exact").toDouble
+    val est = row.getAs[Double]("est")
+    // 256 registers -> ~6.5% typical error; 50% is a regression alarm only
+    assert(est > exact * 0.5 && est < exact * 1.5,
+      s"merged estimate $est far from exact $exact")
+  }
 }

@@ -303,4 +303,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"q66 weight join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"q66 shuffles the fact side:\n$plan")
   }
+
+  test("q146 SCD intervals: one user-keyed shuffle, never a global sort") {
+    val plan = planString(SparkEntry.queries("q146_scd_intervals")(spark, TestSpark.sf))
+    // lag / change-filter / row_number / lead all share one (user_id) ×
+    // (ts, event_id) window: exactly one hash exchange, no SinglePartition
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"q146 expected exactly one user-keyed shuffle:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q146 funnels through one partition:\n$plan")
+  }
+
+  test("q150 autocorrelation: lag join broadcasts the daily table") {
+    val plan = planString(SparkEntry.queries("q150_autocorrelation")(spark, TestSpark.sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q150 lag self-join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q150 shuffles or cross-joins the daily table:\n$plan")
+  }
+
+  test("q148 negative sampling: candidate window partitions per user") {
+    val plan = planString(SparkEntry.queries("q148_negative_sampling")(spark, TestSpark.sf))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q148 funnels through one partition:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q148 gained an unpartitioned cross join:\n$plan")
+    // the only nested-loop join allowed is the 1-row max_pid broadcast;
+    // the rated-pair anti-join must stay a keyed hash join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"q148 has $bnlj nested-loop joins (max_pid alone is 1):\n$plan")
+    assert(plan.contains("LeftAnti"), s"q148 lost the rated-pair anti-join:\n$plan")
+  }
 }

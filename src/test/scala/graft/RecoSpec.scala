@@ -188,4 +188,25 @@ class RecoSpec extends AnyFunSuite {
     assert(p.keySet === Set((1L, 300L), (3L, 100L)))
     assert(p((1L, 300L)) === 4.0 && p((3L, 100L)) === 4.0)
   }
+
+  test("negativeSampling: never rated, bounded per user, deterministic") {
+    // user 1 rated 9 of 10 products -> negatives can only be product 10;
+    // user 2 rated only product 10 -> negatives never include 10
+    val ratings = ((1L to 9L).map(p => (1L, p, 5.0)) :+ ((2L, 10L, 5.0)))
+      .toDF("userId", "productId", "rating")
+    val run1 = graft.operators.Reco.negativeSampling(ratings, nCand = 16, k = 5)
+      .collect().map(x => (x.getAs[Long]("userId"),
+        x.getAs[Long]("neg_productId"), x.getAs[Long]("cand_index")))
+    val rated = Set((1L to 9L).map((1L, _)): _*) + ((2L, 10L))
+    assert(run1.forall { case (u, p, _) => !rated((u, p)) },
+      "a sampled negative must not be a rated pair")
+    assert(run1.forall { case (_, p, _) => p >= 1L && p <= 10L })
+    assert(run1.groupBy(_._1).forall(_._2.length <= 5))
+    assert(run1.filter(_._1 == 1L).forall(_._2 == 10L))
+    assert(run1.exists(_._1 == 2L), "16 draws over 10 products reach user 2")
+    val run2 = graft.operators.Reco.negativeSampling(ratings, nCand = 16, k = 5)
+      .collect().map(x => (x.getAs[Long]("userId"),
+        x.getAs[Long]("neg_productId"), x.getAs[Long]("cand_index")))
+    assert(run1.sorted.toSeq === run2.sorted.toSeq, "hash draws are reproducible")
+  }
 }

@@ -264,4 +264,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("s").getAs[String]("min_val") === "a")
     assert(r("s").getAs[String]("max_val") === "b")
   }
+
+  test("tCloseness: homogeneous classes hit TVD 1/2 and flag; balanced do not") {
+    // global margin: a=2, b=2, N=4; class X all-a, class Y all-b.
+    // X: |2·4-2·2| + |0·4-2·2| = 8 -> t = 8/16 = 0.5, flagged (t > 1/4).
+    val df = Seq(("X", "a"), ("X", "a"), ("Y", "b"), ("Y", "b"))
+      .toDF("grp", "sens")
+    val r = Relational.tCloseness(df, Seq("grp"), "sens").collect()
+      .map(x => x.getAs[String]("grp") ->
+        (x.getAs[Long]("n_class"), x.getAs[Long]("t_num"),
+          x.getAs[Long]("t_den"), x.getAs[Double]("t"),
+          x.getAs[Boolean]("flagged"))).toMap
+    assert(r("X") === ((2L, 8L, 16L, 0.5, true)))
+    assert(r("Y") === ((2L, 8L, 16L, 0.5, true)))
+    // a class mirroring the global mix exactly has t = 0 and no flag
+    val bal = Seq(("X", "a"), ("X", "b"), ("Y", "a"), ("Y", "b"))
+      .toDF("grp", "sens")
+    val r2 = Relational.tCloseness(bal, Seq("grp"), "sens").collect()
+    assert(r2.forall(x => x.getAs[Long]("t_num") == 0L &&
+      !x.getAs[Boolean]("flagged")))
+  }
 }

@@ -319,4 +319,50 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r(("a", 1L)) === ((3L, 300L, 3L, 1L)))
     assert(r(("b", 0L)) === ((1L, 999L, 1L, 1L)))
   }
+
+  test("scdIntervals: runs collapse, versions count changes, last is open") {
+    // user 1: a a b a  -> intervals a[t0,t2) b[t2,t3) a[t3,∞)
+    // user 2: single event -> one open interval
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 1.0, ""),
+      (2L, ts(1), 1L, "a", 1.0, ""), // same run, no new version
+      (3L, ts(2), 1L, "b", 1.0, ""),
+      (4L, ts(3), 1L, "a", 1.0, ""),
+      (5L, ts(0), 2L, "x", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.scdIntervals(events).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("version")) ->
+        (x.getAs[String]("attr_value"), x.getAs[Long]("valid_from_us"),
+          Option(x.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+          x.getAs[Boolean]("is_current"))).toMap
+    def us(min: Int): Long = ts(min).getTime * 1000L
+    assert(r.size === 4)
+    assert(r((1L, 1L)) === (("a", us(0), Some(us(2)), false)))
+    assert(r((1L, 2L)) === (("b", us(2), Some(us(3)), false)))
+    assert(r((1L, 3L)) === (("a", us(3), None, true)))
+    assert(r((2L, 1L)) === (("x", us(0), None, true)))
+  }
+
+  test("autocorrelation: perfectly linear dailies give r(1) = 1 exactly") {
+    // type a: counts 1,2,3,4,5 on days 0..4 -> lag-1 pairs perfectly
+    // correlated; only 5 days, so lag 7 emits no row
+    def t(day: Int, i: Int): Timestamp =
+      new Timestamp((day.toLong * 1440 + i) * 60000L)
+    val rows = for {
+      d <- 0 until 5
+      i <- 0 to d // day d gets d+1 events
+    } yield ((d * 100 + i).toLong, t(d, i), 1L, "a", 1.0, "")
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.autocorrelation(events, lags = Seq(1, 7)).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("event_type") === "a")
+    assert(row.getAs[Int]("lag_d") === 1)
+    assert(row.getAs[Long]("n_pairs") === 4L)
+    // moments: sx=10 sy=14 sxy=40 sxx=30 syy=54 -> num=20, both dens=20
+    assert(row.getAs[Long]("num") === 20L)
+    assert(row.getAs[Long]("den_x") === 20L)
+    assert(row.getAs[Long]("den_y") === 20L)
+    assert(row.getAs[Double]("r") === 1.0)
+  }
 }
