@@ -415,4 +415,82 @@ object Stateful {
             next.ewma, next.openDays.size))
       }
   }
+
+  /** Wire record for [[scdIntervalsStream]]: one CDC event with its
+    * event-time column for the watermark.
+    */
+  case class ScdEvent(userId: Long, eventId: Long, tsUs: Long,
+                      eventType: String, eventTime: java.sql.Timestamp)
+
+  /** Per-user SCD fold state: events the watermark has not finalized yet
+    * (bounded by the watermark delay), plus the open interval — three
+    * scalars. Total state per user = O(events inside the delay horizon).
+    */
+  case class ScdState(buffer: List[(Long, Long, String)], curAttr: Option[String],
+                      curFromUs: Long, version: Long)
+
+  /** One CLOSED validity interval — the Append-mode emission unit. */
+  case class ScdClosed(userId: Long, version: Long, attrValue: String,
+                       validFromUs: Long, validToUs: Long)
+
+  /** Streaming twin of [[graft.operators.TimeWindows.scdIntervals]]
+    * (q146) — the CDC-stream → dimension-history fold, maintained live:
+    * per user, arrivals buffer until the watermark passes their event
+    * time (late/out-of-order data within the delay reorders correctly),
+    * then fold in (ts, event_id) order; a value change CLOSES the open
+    * interval and emits it. Append mode can only emit finalized rows, so
+    * the stream emits closed intervals — on a closed input they equal
+    * exactly the batch rows with `is_current = false` (spec-asserted);
+    * the open interval lives in state, queryable as the current
+    * dimension row.
+    *
+    * Event-time timeouts re-fire the fold when a user goes quiet, so
+    * buffered events still finalize without new arrivals. Like the
+    * reference's Redis user-state (SURVEY §2 row 3.3), the open interval
+    * per user persists indefinitely — that is SCD semantics; a
+    * production deployment bounds USER cardinality, not interval
+    * lifetime.
+    */
+  def scdIntervalsStream(spark: SparkSession, events: DataFrame,
+                         watermarkDelay: String = "10 minutes"): Dataset[ScdClosed] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        unix_micros(col("ts")).as("tsUs"), col("event_type").as("eventType"),
+        col("ts").as("eventTime"))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[ScdEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[ScdState, ScdClosed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[ScdEvent], state: GroupState[ScdState]) =>
+          val prev = state.getOption.getOrElse(ScdState(Nil, None, 0L, 0L))
+          val buffered =
+            if (state.hasTimedOut) prev
+            else prev.copy(buffer = prev.buffer ++
+              batch.map(e => (e.tsUs, e.eventId, e.eventType)))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, open) = buffered.buffer.partition(_._1 < wmUs)
+          var cur = buffered.curAttr
+          var from = buffered.curFromUs
+          var ver = buffered.version
+          val out = scala.collection.mutable.ListBuffer.empty[ScdClosed]
+          ripe.sortBy { case (ts, eid, _) => (ts, eid) }.foreach {
+            case (ts, _, attr) =>
+              cur match {
+                case Some(a) if a == attr => () // run continues
+                case Some(a) =>
+                  out += ScdClosed(userId, ver, a, from, ts)
+                  ver += 1; cur = Some(attr); from = ts
+                case None =>
+                  ver = 1L; cur = Some(attr); from = ts
+              }
+          }
+          val next = ScdState(open, cur, from, ver)
+          state.update(next)
+          open.map(_._1).reduceOption(_ min _)
+            .foreach(ts => state.setTimeoutTimestamp(ts / 1000L + 1L))
+          out.iterator
+      }
+  }
 }

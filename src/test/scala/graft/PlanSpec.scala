@@ -324,8 +324,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("q148 negative sampling: candidate window partitions per user") {
     val plan = planString(SparkEntry.queries("q148_negative_sampling")(spark, TestSpark.sf))
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"q148 funnels through one partition:\n$plan")
+    // the only SinglePartition merge allowed is the 1-row max_pid
+    // aggregate; the candidate ranking itself must shuffle BY USER
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"q148 has $singles single-partition exchanges:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(userId"),
+      s"q148 candidate window lost its per-user shuffle:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"q148 gained an unpartitioned cross join:\n$plan")
     // the only nested-loop join allowed is the 1-row max_pid broadcast;

@@ -217,4 +217,59 @@ class StatefulSpec extends AnyFunSuite {
     // hand-check view: 3 → 1 + 3/2 = 2.5 → 2 + 2.5/2 = 3.25
     assert(last("view").ewma === 3.25)
   }
+
+  test("scdIntervalsStream: out-of-order CDC folds to the batch closed intervals") {
+    // offset from epoch 0: the INITIAL watermark is 0 ms, and rows at-or-
+    // under the watermark are dropped as late — an epoch-0 event would
+    // silently vanish before the first fold
+    def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp((60 + min) * 60000L)
+    def us(min: Int): Long = (60L + min) * 60000000L
+    // user 1: a a b a (t0,t1,t2,t3) -> closed a[t0,t2) v1, b[t2,t3) v2;
+    // user 2: one event -> open only, nothing emitted
+    // tuples are (event_id, user_id, ts, event_type)
+    val rows = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "a"),
+      (3L, 1L, ts(2), "b"), (4L, 1L, ts(3), "a"),
+      (5L, 2L, ts(0), "x"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Long, java.sql.Timestamp, String)](spark)
+    val q = Stateful.scdIntervalsStream(spark,
+        input.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd_stream")
+      .option("checkpointLocation", Files.createTempDirectory("scd-ck").toString)
+      .start()
+    // arrivals OUT of time order: the buffer must reorder before folding
+    input.addData((3L, 1L, ts(2), "b"), (1L, 1L, ts(0), "a"), (5L, 2L, ts(0), "x"))
+    q.processAllAvailable()
+    input.addData((2L, 1L, ts(1), "a"), (4L, 1L, ts(3), "a"))
+    q.processAllAvailable()
+    // sentinel advances the watermark past every real event; one more
+    // batch fires the pending event-time timeouts
+    input.addData((98L, 99L, ts(120), "zz"))
+    q.processAllAvailable()
+    input.addData((99L, 99L, ts(121), "zz"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("scd_stream").as[Stateful.ScdClosed].collect()
+      .filter(_.userId < 99L)
+      .map(c => (c.userId, c.version, c.attrValue, c.validFromUs, c.validToUs))
+      .toSet
+    assert(streamed === Set(
+      (1L, 1L, "a", us(0), us(2)),
+      (1L, 2L, "b", us(2), us(3))))
+    // batch twin over the same closed input: streamed rows = the
+    // non-current intervals exactly
+    val batch = graft.operators.TimeWindows.scdIntervals(
+        rows.map { case (e, u, t, a) => (e, t, u, a) }
+          .toDF("event_id", "ts", "user_id", "event_type"))
+      .where(!org.apache.spark.sql.functions.col("is_current"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("attr_value"), r.getAs[Long]("valid_from_us"),
+        r.getAs[Long]("valid_to_us")))
+      .toSet
+    assert(streamed === batch, "stream and batch disagree on closed intervals")
+  }
 }
