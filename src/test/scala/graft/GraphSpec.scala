@@ -136,4 +136,22 @@ class GraphSpec extends AnyFunSuite {
     assert(df.values.toSet.size === 1)
     assert(gx.values.toSet.size === 1)
   }
+
+  test("kCore: K4 survives the 3-core, its tail peels off") {
+    // K4 on 1-4 (every degree 3) + a tail 4-5-6: 6 then 5 cascade away
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pairs = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val r = GraphOps.kCore(pairs, k = 3, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: a path fully cascades at k=2, a cycle is its own 2-core") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.kCore(path, k = 2, rounds = 5).count() === 0L)
+    val cycle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val r = GraphOps.kCore(cycle, k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

@@ -647,6 +647,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("view").getAs[Double]("slope") === 2.0)
   }
 
+  test("streamed daily counts close through autocorrelationFromDaily to the batch r") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // view: counts 1..5 over days 0-4 -> lag-1 r exactly 1.0
+    val closed = (0 until 5).flatMap(d =>
+      (0 to d).map(i => SessEv((d * 100 + i).toLong, t(d, i), 1L, "view")))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("acf_daily")
+      .option("checkpointLocation", tmp("acf-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(90L, t(40, 0), 9L, "view"))
+    q.processAllAvailable()
+    input.addData(SessEv(91L, t(40, 1), 9L, "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedDaily = spark.table("acf_daily").where($"day_num" < 40)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("lag_d")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("num"), r.getAs[Long]("den_x"),
+          r.getAs[Long]("den_y"), r.getAs[Double]("r"))).toMap
+    val streamed = key(graft.operators.TimeWindows.autocorrelationFromDaily(
+      streamedDaily, Seq(1, 7)))
+    val batch = key(graft.operators.TimeWindows.autocorrelation(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    assert(streamed(("view", 1))._5 === 1.0)
+  }
+
   test("streaming checksum equals the batch table checksum on a closed input") {
     val rows = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "z"))
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
