@@ -110,6 +110,36 @@ object SparkEntry {
       Corpus.hashedGrams(Tables.documents(spark, dir))
     }
 
+  /** The token-shingle similarity family's persisted artifacts, memoized
+    * per session exactly as a cluster deployment would persist them: the
+    * per-doc hashed shingle SETS (q106's verify table), their exploded
+    * inverted INDEX (q36/q133's join input), q36's exact Jaccard pair
+    * result (q85's truth), and q39's LSH candidate pairs (q85's estimate
+    * and q45's closure input). Before this seam, q85 re-ran BOTH full
+    * pipelines and q45 re-ran the LSH — the bench's biggest redundancy.
+    */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "shingle_sets") {
+      Dedup.shingleSets(Tables.documents(spark, dir))
+    }
+
+  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "shingle_index") {
+      Dedup.shingleIndexFrom(shingleSets(spark, dir))
+    }
+
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "jaccard_pairs") {
+      Dedup.ngramJaccardPairsFrom(shingleIndex(spark, dir))
+        .transform(graft.barrier)
+    }
+
+  private def mhPairs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "minhash_pairs") {
+      Dedup.minhashPairs(Tables.documents(spark, dir))
+        .transform(graft.barrier)
+    }
+
   /** Near-dup cluster labels (q45), memoized per session so q73's
     * weighting reuses the LSH/CC run instead of repeating it. The frame is
     * |docs| rows × 3 narrow columns — on a cluster this is the persisted
@@ -117,7 +147,9 @@ object SparkEntry {
     */
   private def nearDupClusterLabels(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "neardup_clusters") {
-      Dedup.nearDupClusters(Tables.documents(spark, dir)).cache()
+      Dedup.nearDupClustersFromPairs(Tables.documents(spark, dir),
+        mhPairs(spark, dir)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))).cache()
     }
 
   private def qRecommendations(spark: SparkSession, dir: String): DataFrame =
@@ -369,8 +401,8 @@ object SparkEntry {
     // ---- training-data pipeline: deduplication ----
     "q30_dedup_exact" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
     "q31_dedup_canonical" -> ((s, dir) => Dedup.dropExactDuplicates(Tables.documents(s, dir))),
-    "q36_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
-    "q39_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
+    "q36_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
+    "q39_dedup_minhash" -> ((s, dir) => mhPairs(s, dir)),
     "q40_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // end-to-end dedup: LSH pairs -> transitive closure -> cluster labels
     "q45_dedup_clusters" -> ((s, dir) => nearDupClusterLabels(s, dir)),
@@ -518,7 +550,8 @@ object SparkEntry {
     // LSH configuration grading: precision/recall of the MinHash candidate
     // set vs the exact n-gram Jaccard truth at the same 0.5 threshold
     "q85_lsh_quality" -> ((s, dir) =>
-      Dedup.lshQuality(Tables.documents(s, dir))),
+      Dedup.lshQualityFrom(mhPairs(s, dir).select("a_id", "b_id"),
+        jaccardPairs(s, dir).select("a_id", "b_id"))),
     // weekly cohort retention matrix over the event log
     "q86_cohort_retention" -> ((s, dir) =>
       TimeWindows.cohortRetention(Tables.events(s, dir))),
@@ -563,6 +596,10 @@ object SparkEntry {
     // seasonality detector beside q144's trend and q132's EWMA
     "q150_autocorrelation" -> ((s, dir) =>
       TimeWindows.autocorrelation(Tables.events(s, dir))),
+    // PPS sample + Horvitz-Thompson corpus-total estimate: pure-integer
+    // md5 inclusion draws, graded estimate-vs-exact (the q102 pattern)
+    "q152_pps_sample" -> ((s, dir) =>
+      TrainingMix.ppsSample(Tables.documents(s, dir))),
     // integer z-test spike/crater flags on per-type daily event volumes
     "q103_volume_anomalies" -> ((s, dir) =>
       TimeWindows.dailyVolumeAnomalies(Tables.events(s, dir))),
@@ -582,7 +619,7 @@ object SparkEntry {
     // prefix-filtered EXACT set-similarity join (PPJoin): q36's pairs
     // from ~1/12th the candidates, rarest-first prefixes as skew guard
     "q106_ppjoin" -> ((s, dir) =>
-      Dedup.ppjoinPairs(Tables.documents(s, dir))),
+      Dedup.ppjoinPairsFrom(shingleSets(s, dir))),
     // item-item CF: top-5 cosine neighbors per product over user-rating
     // vectors (integer dots/norms, ExactTopK ranking); neighbor table
     // memoized per session — q108 scores over it without recomputing
@@ -667,7 +704,7 @@ object SparkEntry {
     // asymmetric containment pairs: the quote/subset detector a symmetric
     // Jaccard threshold misses (same inverted-index skeleton as q36)
     "q133_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables.documents(s, dir))),
+      Dedup.containmentPairsFrom(shingleIndex(s, dir))),
     // per-transition step-latency SLOs: exact p50/p90/p99 on the x100
     // integer grid (q100's edges, q121's percentile exactness)
     "q134_transition_latency" -> ((s, dir) =>
@@ -2147,6 +2184,33 @@ object SparkEntry {
         |  sum(abs(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_class)) * 4
         |    > CAST(n_class AS HUGEINT) * n_total * 2 AS flagged
         |FROM grid GROUP BY day_num, v_bucket, n_class, n_total""".stripMargin,
+    // identical md5 inclusion compare and per-term floor-scaled HT
+    // contribution; the double casts mirror the Spark column order
+    "q152_pps_sample" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |mx AS (SELECT max(n_chars) AS max_chars FROM base),
+        |k AS (
+        |  SELECT n_tok, n_chars, max_chars,
+        |    ${md5Prefix32Sql("'pps:' || CAST(doc_id AS VARCHAR)")} * max_chars
+        |      < n_chars * 4294967296 AS kept
+        |  FROM base CROSS JOIN mx)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(sum(CASE WHEN kept THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS exact_tokens,
+        |  CAST(COALESCE(sum(CASE WHEN kept
+        |    THEN n_tok * max_chars * 1000000 // n_chars END), 0) AS BIGINT)
+        |    AS est_tokens_micro,
+        |  CAST(CAST(COALESCE(sum(CASE WHEN kept
+        |    THEN n_tok * max_chars * 1000000 // n_chars END), 0) AS BIGINT) AS DOUBLE)
+        |    / 1e6 AS est_tokens,
+        |  (CAST(CAST(COALESCE(sum(CASE WHEN kept
+        |      THEN n_tok * max_chars * 1000000 // n_chars END), 0) AS BIGINT) AS DOUBLE)
+        |      / 1e6 - CAST(sum(n_tok) AS DOUBLE))
+        |    / CAST(sum(n_tok) AS DOUBLE) AS rel_err
+        |FROM k""".stripMargin,
     // five HUGEINT moments over the lag-joined daily table; r evaluated
     // in the same cast/multiply/sqrt/divide order as the Spark column
     "q150_autocorrelation" ->

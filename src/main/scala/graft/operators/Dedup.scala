@@ -66,18 +66,37 @@ object Dedup {
     * identically; `array_distinct` after hashing keeps per-doc shingle-set
     * sizes collision-consistent on both sides too.
     */
-  def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                        maxShingleDf: Long = 1000): DataFrame = {
+  /** Per-document distinct hashed n-gram SETS — the shared front end of
+    * the whole token-shingle similarity family ([[ngramJaccardPairsFrom]],
+    * [[containmentPairsFrom]], [[ppjoinPairsFrom]] via its explode).
+    * SparkEntry memoizes this frame and [[shingleIndexFrom]]'s exploded
+    * form per session: on a cluster these are THE persisted artifacts (the
+    * doc-set table and its inverted index) every dedup consumer reads —
+    * rebuilding them per query was the bench's redundant work.
+    *
+    * The tokens barrier underneath stops the shingle lambda from
+    * re-running the regex split per element; the outer barrier stops each
+    * consumer branch from re-running the shingle+hash lambdas.
+    */
+  def shingleSets(documents: DataFrame, n: Int = 3): DataFrame = {
     val hashed = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))
-    // Materialize the inverted index once: it feeds four plan branches
-    // (sizes, stop-shingle counts, both self-join sides), and without the
-    // barrier each branch would re-run the shingle lambdas per row. On a
-    // cluster this is persist()/a written bucketed table; semantics equal.
-    // The tokens barrier before it stops the shingle lambda from re-running
-    // the regex split per element (see TextAnalysis.shinglesOfTokens).
-    val sh = tokensBarrier(documents)
-      .select(col("doc_id"), explode(array_distinct(hashed)).as("shingle"))
+    tokensBarrier(documents)
+      .select(col("doc_id"), array_distinct(hashed).as("sh"))
       .transform(graft.barrier)
+  }
+
+  /** (doc_id, shingle) inverted index rows from [[shingleSets]]. */
+  def shingleIndexFrom(docSets: DataFrame): DataFrame =
+    docSets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .transform(graft.barrier)
+
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Long = 1000): DataFrame =
+    ngramJaccardPairsFrom(shingleIndexFrom(shingleSets(documents, n)),
+      threshold, maxShingleDf)
+
+  def ngramJaccardPairsFrom(sh: DataFrame, threshold: Double = 0.5,
+                            maxShingleDf: Long = 1000): DataFrame = {
     // document frequency via aggregate + join, not a window: the groupBy
     // gets map-side partial aggregation and shuffles |distinct shingles|
     // rows, where a count-over-window would sort-shuffle the full index
@@ -118,11 +137,12 @@ object Dedup {
     * @return (a_id, b_id, inter, n_a, n_b, c_a_in_b, c_b_in_a)
     */
   def containmentPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.7,
-                       maxShingleDf: Long = 1000): DataFrame = {
-    val hashed = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))
-    val sh = tokensBarrier(documents)
-      .select(col("doc_id"), explode(array_distinct(hashed)).as("shingle"))
-      .transform(graft.barrier)
+                       maxShingleDf: Long = 1000): DataFrame =
+    containmentPairsFrom(shingleIndexFrom(shingleSets(documents, n)),
+      threshold, maxShingleDf)
+
+  def containmentPairsFrom(sh: DataFrame, threshold: Double = 0.7,
+                           maxShingleDf: Long = 1000): DataFrame = {
     val stopShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf)
       .select("shingle")
@@ -263,14 +283,18 @@ object Dedup {
     * @return one row: (n_candidates, n_truth, n_hits, lsh_precision,
     *         lsh_recall)
     */
-  def lshQuality(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // each pair set feeds two consumers (its own count + the agreement
-    // join); the barriers run each expensive pipeline exactly once, and
-    // the materialized frames are only the near-dup pairs (tiny)
-    val est = minhashPairs(documents, n, minEstJaccard = threshold)
-      .select("a_id", "b_id").transform(graft.barrier)
-    val truth = ngramJaccardPairs(documents, n, threshold)
-      .select("a_id", "b_id").transform(graft.barrier)
+  def lshQuality(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    lshQualityFrom(
+      minhashPairs(documents, n, minEstJaccard = threshold)
+        .select("a_id", "b_id").transform(graft.barrier),
+      ngramJaccardPairs(documents, n, threshold)
+        .select("a_id", "b_id").transform(graft.barrier))
+
+  /** The report-card half of [[lshQuality]] over already-materialized
+    * candidate and truth pair frames (SparkEntry memoizes q39's and q36's
+    * results, so q85 pays only these joins).
+    */
+  def lshQualityFrom(est: DataFrame, truth: DataFrame): DataFrame = {
     val hits = est.join(truth, Seq("a_id", "b_id"))
     est.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
@@ -295,10 +319,17 @@ object Dedup {
     * shuffle of |documents| against |paired docs|.
     */
   def nearDupClusters(documents: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
-                      minEstJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(documents, n, k, bands, minEstJaccard)
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .transform(graft.barrier) // CC iterates over it; don't re-run LSH per round
+                      minEstJaccard: Double = 0.5): DataFrame =
+    nearDupClustersFromPairs(documents,
+      minhashPairs(documents, n, k, bands, minEstJaccard)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .transform(graft.barrier)) // CC iterates; don't re-run LSH per round
+
+  /** The closure+label half of [[nearDupClusters]] over an
+    * already-materialized LSH pair frame (SparkEntry memoizes q39's
+    * pairs, so q45 pays only the CC rounds and the label join).
+    */
+  def nearDupClustersFromPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = graft.plans.GraphOps.connectedComponentsDF(pairs)
     documents.select(col("doc_id"))
       .join(comp, documents("doc_id") === comp("id"), "left")
@@ -512,12 +543,14 @@ object Dedup {
     *
     * @return (a_id, b_id, inter, un, j) for J ≥ 1/2, a_id < b_id
     */
-  def ppjoinPairs(documents: DataFrame, n: Int = 3): DataFrame = {
-    val hashed = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))
-    // one materialization feeds the prefix build and both verify sides
-    val docSets = tokensBarrier(documents)
-      .select(col("doc_id"), array_distinct(hashed).as("sh"))
-      .transform(graft.barrier)
+  def ppjoinPairs(documents: DataFrame, n: Int = 3): DataFrame =
+    ppjoinPairsFrom(shingleSets(documents, n))
+
+  /** [[ppjoinPairs]] against an already-materialized [[shingleSets]]
+    * frame — one doc-set table feeds the prefix build and both verify
+    * sides.
+    */
+  def ppjoinPairsFrom(docSets: DataFrame): DataFrame = {
     val tok = docSets.select(col("doc_id"), explode(col("sh")).as("g"))
     val freq = tok.groupBy("g").agg(count(lit(1)).as("f"))
     val byDoc = Window.partitionBy("doc_id")

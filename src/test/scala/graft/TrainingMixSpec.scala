@@ -213,4 +213,35 @@ class TrainingMixSpec extends AnyFunSuite {
       .select("doc_id", "cum_chars").as[(Long, Long)].collect().toMap
     assert(kept === Map(2L -> 400L, 5L -> 99L))
   }
+
+  test("ppsSample: equal sizes keep everything with a zero-error estimate") {
+    // p_i = n_chars/max_chars = 1 for every doc -> all kept, and each HT
+    // term collapses to exactly n_tok * 1e6: estimate == exact, err == 0
+    val docs = Seq(
+      (1L, "aa bb cc", "en", "web", 8L),
+      (2L, "dd ee ff", "en", "web", 8L),
+      (3L, "gg hh ii", "de", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TrainingMix.ppsSample(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_kept") === 3L)
+    assert(r.getAs[Long]("exact_tokens") === 9L)
+    assert(r.getAs[Long]("est_tokens_micro") === 9000000L)
+    assert(r.getAs[Double]("rel_err") === 0.0)
+  }
+
+  test("ppsSample: the max-size doc is always kept; draws are reproducible") {
+    val docs = Seq(
+      (10L, "one two three four five six seven eight", "en", "web", 40L),
+      (11L, "a b", "en", "web", 3L),
+      (12L, "c d", "en", "web", 3L),
+      (13L, "e f", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = TrainingMix.ppsSample(docs).collect().head
+    // the max doc has p = 1 (h * max < max * 2^32 for every 32-bit h)
+    assert(r1.getAs[Long]("n_kept") >= 1L)
+    assert(r1.getAs[Long]("n_docs") === 4L)
+    val r2 = TrainingMix.ppsSample(docs).collect().head
+    assert(r1.toSeq === r2.toSeq, "md5 draws must be reproducible")
+  }
 }
