@@ -600,6 +600,10 @@ object SparkEntry {
     // md5 inclusion draws, graded estimate-vs-exact (the q102 pattern)
     "q152_pps_sample" -> ((s, dir) =>
       TrainingMix.ppsSample(Tables.documents(s, dir))),
+    // per-source lexical diversity: Simpson repeat concentration + TTR,
+    // single divisions of exact integer counts
+    "q153_token_diversity" -> ((s, dir) =>
+      graft.functions.TextAnalysis.tokenDiversity(Tables.documents(s, dir))),
     // integer z-test spike/crater flags on per-type daily event volumes
     "q103_volume_anomalies" -> ((s, dir) =>
       TimeWindows.dailyVolumeAnomalies(Tables.events(s, dir))),
@@ -2184,6 +2188,25 @@ object SparkEntry {
         |  sum(abs(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_class)) * 4
         |    > CAST(n_class AS HUGEINT) * n_total * 2 AS flagged
         |FROM grid GROUP BY day_num, v_bucket, n_class, n_total""".stripMargin,
+    // same tokenizer, HUGEINT count-squared products, identical division
+    // order for the two reported ratios
+    "q153_token_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS BIGINT) AS rep_pairs
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types, rep_pairs,
+        |  CAST(rep_pairs AS DOUBLE)
+        |    / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE) AS simpson,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+        |FROM m""".stripMargin,
     // identical md5 inclusion compare and per-term floor-scaled HT
     // contribution; the double casts mirror the Spark column order
     "q152_pps_sample" ->

@@ -54,6 +54,37 @@ object TextAnalysis {
         / size(t)).as("avg_token_len"))
   }
 
+  /** Per-source lexical diversity (q153) — the corpus-health signal next
+    * to the per-doc quality score: Simpson repeat-concentration
+    * (probability two random tokens from the source are the SAME type,
+    * Σc(c−1)/n(n−1) — high = templated/boilerplate-heavy source) and the
+    * type-token ratio. Both are single divisions of exact BIGINT counts
+    * (numerators ship alongside), so the row grades exactly.
+    *
+    * Scale shape: one explode to (source, token), one map-combinable
+    * count aggregate, then per-source sums over the type table — nothing
+    * after the first aggregate exceeds |sources|·|vocab| narrow rows.
+    *
+    * @return (source, n_tokens, n_types, rep_pairs, simpson, ttr)
+    */
+  def tokenDiversity(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    counts
+      .groupBy(col("source"))
+      // count² products in DECIMAL(38,0) — the q143/q144 overflow seam
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(dec(col("c")) * dec(col("c") - 1)).cast("long").as("rep_pairs"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("rep_pairs"),
+        (col("rep_pairs").cast("double")
+          / (dec(col("n_tokens")) * dec(col("n_tokens") - 1)).cast("double"))
+          .as("simpson"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+  }
+
   /** N-gram-heuristic language ID: stopword-hit counts per candidate
     * language, argmax with fixed priority en > de > fr on ties.
     * (The container ships no language-ID model; this is the classic

@@ -610,9 +610,16 @@ object Dedup {
     (1 until w).map { i =>
       nb.where(col(s"nb$i").isNotNull)
         .select(col("doc_id").as("a_id"), col(s"nb$i").as("b_id"),
-          levenshtein(col("norm"), col(s"nn$i")).as("lev"),
-          greatest(length(col("norm")), length(col(s"nn$i"))).as("max_len"))
+          col("norm").as("na"), col(s"nn$i").as("nbm"))
     }.reduce(_ unionAll _)
+      .withColumn("max_len", greatest(length(col("na")), length(col("nbm"))))
+      // lev >= |len_a - len_b|, so pairs whose LENGTH GAP alone breaks the
+      // threshold skip the O(len^2) DP entirely — the projection computing
+      // `lev` sits above this filter, result-identical by construction
+      .where(abs(length(col("na")) - length(col("nbm"))) * 100
+        <= col("max_len") * maxLevPct)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("na"), col("nbm")).as("lev"), col("max_len"))
       .where(col("lev") * 100 <= col("max_len") * maxLevPct)
   }
 

@@ -143,4 +143,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("doc_id", "n_distinct_fp").as[(Long, Int)].collect().toMap
     sel.foreach { case (d, fps) => assert(fps.size < full(d)) }
   }
+
+  test("tokenDiversity: hand-counted Simpson and TTR per source") {
+    // web: tokens a a a b  -> n=4 types=2 rep=3·2+0=6, simpson=6/12=0.5,
+    // ttr=0.5; news: all distinct -> simpson 0, ttr 1
+    val df = Seq(
+      (1L, "a a", "en", "web", 3L), (2L, "a b", "en", "web", 3L),
+      (3L, "x y z", "en", "news", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.tokenDiversity(df).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_types"),
+          x.getAs[Long]("rep_pairs"), x.getAs[Double]("simpson"),
+          x.getAs[Double]("ttr"))).toMap
+    assert(r("web") === ((4L, 2L, 6L, 0.5, 0.5)))
+    assert(r("news") === ((3L, 3L, 0L, 0.0, 1.0)))
+  }
 }
