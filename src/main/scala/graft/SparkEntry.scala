@@ -194,6 +194,10 @@ object SparkEntry {
     // density filter: fixed-round synchronous 3-core peeling over the
     // memoized co-rating pairs (survivors + their in-subgraph degree)
     "q151_kcore" -> ((s, dir) => plans.GraphOps.kCore(coPairs(s, dir))),
+    // triadic-closure candidates: common-neighbor count + neighborhood
+    // Jaccard for non-edges, global top-100 heap (TakeOrderedAndProject)
+    "q154_link_prediction" -> ((s, dir) =>
+      plans.GraphOps.linkPrediction(coPairs(s, dir))),
     // graph centrality: 3-iteration PageRank in scaled-integer arithmetic
     // (floor-division damping -> bit-identical ranks on any engine/partitioning)
     "q96_pagerank" -> ((s, dir) =>
@@ -917,6 +921,30 @@ object SparkEntry {
          |  CAST(CAST(m2 AS HUGEINT) * sxy - sx * sx AS DOUBLE)
          |    / CAST(CAST(m2 AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS assortativity
          |FROM m CROSS JOIN nv""".stripMargin,
+    // same hub wedge join, NOT-EXISTS non-edge filter, and the row_number
+    // mirror of the (jaccard DESC, src, dst) top-k contract
+    "q154_link_prediction" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |$edgesCte,
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |cn AS (
+         |  SELECT x.dst AS src, y.dst AS dst, CAST(count(*) AS BIGINT) AS cn
+         |  FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ne AS (
+         |  SELECT c.* FROM cn c
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+         |    WHERE p.src = c.src AND p.dst = c.dst))
+         |SELECT src, dst, cn, deg_src, deg_dst, jaccard FROM (
+         |  SELECT ne.src, ne.dst, ne.cn, da.deg AS deg_src, db.deg AS deg_dst,
+         |    CAST(ne.cn AS DOUBLE)
+         |      / CAST(da.deg + db.deg - ne.cn AS DOUBLE) AS jaccard,
+         |    row_number() OVER (ORDER BY CAST(ne.cn AS DOUBLE)
+         |      / CAST(da.deg + db.deg - ne.cn AS DOUBLE) DESC, ne.src, ne.dst) AS rn
+         |  FROM ne JOIN deg da ON ne.src = da.src JOIN deg db ON ne.dst = db.src)
+         |WHERE rn <= 100""".stripMargin,
     // unrolled 5-round synchronous 3-core peel; the Spark loop's early
     // exit only fires at a fixpoint, where extra peels are no-ops
     "q151_kcore" ->

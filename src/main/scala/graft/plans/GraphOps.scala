@@ -309,6 +309,45 @@ object GraphOps {
     * @return (id, core_deg) — vertices surviving `rounds` peels with
     *         their degree INSIDE the surviving subgraph
     */
+  /** Common-neighbor link prediction (q154) — the graph-side recommender
+    * primitive: for every NON-adjacent pair with ≥ `minCommon` shared
+    * neighbors, the common-neighbor count and neighborhood Jaccard
+    * cn/(deg_u + deg_v − cn); the top-`k` by (jaccard DESC, src, dst) are
+    * the triadic-closure candidates (new friendships / co-rating edges
+    * most likely to form). Exact integers + one division; the global
+    * top-k plans as TakeOrderedAndProject (per-partition heaps), never a
+    * full sort.
+    *
+    * Scale shape: wedge enumeration through each hub is the q90 triangle
+    * skeleton (C(deg,2) pairs per hub — AQE skew-split handles hot hubs),
+    * the existing-edge anti-join and two degree joins are keyed, and only
+    * k rows leave the final heap merge.
+    *
+    * @param pairs canonical (src < dst) undirected pair list
+    * @return (src, dst, cn, deg_src, deg_dst, jaccard) — k rows
+    */
+  def linkPrediction(pairs: DataFrame, minCommon: Long = 2, k: Int = 100): DataFrame = {
+    val e = pairs.select(col("src"), col("dst")).transform(graft.barrier)
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // hub join: both endpoints adjacent to the same wedge center
+    val cn = sym.as("x").join(sym.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("src"), col("y.dst").as("dst"))
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= minCommon)
+    cn
+      .join(e, Seq("src", "dst"), "left_anti") // only NON-edges predict
+      .join(deg.select(col("src"), col("deg").as("deg_src")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")), "dst")
+      .withColumn("jaccard", col("cn").cast("double")
+        / (col("deg_src") + col("deg_dst") - col("cn")).cast("double"))
+      .select(col("src"), col("dst"), col("cn"), col("deg_src"),
+        col("deg_dst"), col("jaccard"))
+      .orderBy(desc("jaccard"), asc("src"), asc("dst"))
+      .limit(k)
+  }
+
   def kCore(pairs: DataFrame, k: Int = 3, rounds: Int = 5): DataFrame = {
     var e = pairs
       .select(greatest(col("src"), col("dst")).as("u"),

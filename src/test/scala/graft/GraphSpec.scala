@@ -146,6 +146,17 @@ class GraphSpec extends AnyFunSuite {
     assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("linkPrediction: the square's diagonals are the only candidates") {
+    // C4 cycle 1-2-3-4-1: non-edges (1,3) and (2,4) each share BOTH
+    // remaining vertices (cn=2, deg=2 everywhere -> jaccard = 2/2 = 1);
+    // every adjacent pair is excluded by the non-edge filter
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphOps.linkPrediction(square, minCommon = 2, k = 10)
+      .collect().map(x => (x.getAs[Long]("src"), x.getAs[Long]("dst")) ->
+        (x.getAs[Long]("cn"), x.getAs[Double]("jaccard"))).toMap
+    assert(r === Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+  }
+
   test("kCore: a path fully cascades at k=2, a cycle is its own 2-core") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     assert(GraphOps.kCore(path, k = 2, rounds = 5).count() === 0L)
