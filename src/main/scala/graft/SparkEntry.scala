@@ -833,6 +833,11 @@ object SparkEntry {
     // (vs the fixed-byte-offset slicing of q84/q87)
     "q135_pgm_decode" -> ((s, dir) =>
       Multimodal.decodePgm(Multimodal.synthesizePgm(Tables.documents(s, dir)))),
+    // REAL BMP (24-bit) decode: little-endian header fields, BOTTOM-UP
+    // rows, 4-byte stride padding — the 2D-geometry decode the other
+    // three codecs don't exercise (0xAA pad bytes trap a bad stride)
+    "q155_bmp_decode" -> ((s, dir) =>
+      Multimodal.decodeBmp(Multimodal.synthesizeBmp(Tables.documents(s, dir)))),
     // temporal-media kernel: per consecutive frame pair, exact integer
     // |Δpixel| sums over synthesized frame sequences; planted inverted
     // frames must flag as hard cuts
@@ -1929,6 +1934,30 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, w * h), i -> b[i * 3 + 3])) AS BIGINT) AS b_sum,
         |  CAST(list_sum(b) AS DOUBLE) / (w * h * 3) AS mean_luma
         |FROM px""".stripMargin,
+    // recomputes every statistic from the synthesis formula (w/h from
+    // doc_id, per-channel mods); top_row_sum is image row y = 0
+    "q155_bmp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h FROM documents)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS valid_magic,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS bpp,
+        |  CAST(((3 * w + 3) // 4) * 4 AS BIGINT) AS row_size,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x -> (doc_id * 7 + x * 3 + y * 5) % 256))))
+        |    AS BIGINT) AS b_sum,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x -> (doc_id * 11 + x * 5 + y * 3) % 256))))
+        |    AS BIGINT) AS g_sum,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x -> (doc_id * 13 + x * 7 + y * 11) % 256))))
+        |    AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(range(0, w), x ->
+        |    (doc_id * 7 + x * 3) % 256 + (doc_id * 11 + x * 5) % 256
+        |      + (doc_id * 13 + x * 7) % 256)) AS BIGINT) AS top_row_sum
+        |FROM d""".stripMargin,
     // histogram of the q84 synthesis formula's sample stream: n = 32 +
     // doc_id%33 samples of (doc_id·31 + i·7) mod 256, bucketed by 32s
     "q92_wav_features" ->

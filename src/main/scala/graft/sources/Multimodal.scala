@@ -408,4 +408,87 @@ object Multimodal {
         }
       }
   }
+
+  /** Synthesize a REAL (spec-conformant) 24-bit uncompressed BMP per
+    * document: 54-byte BITMAPFILEHEADER+BITMAPINFOHEADER with little-
+    * endian fields, pixel rows stored BOTTOM-UP and padded to 4-byte
+    * boundaries (pad bytes 0xAA — a trap: any decoder that sums the raw
+    * stream or miscomputes the stride reads them). w = 3 + doc_id % 3
+    * (strides 12/12/16: both padded and unpadded rows occur),
+    * h = 2 + doc_id % 2; pixel (x, y) has B = (doc_id·7 + x·3 + y·5),
+    * G = (doc_id·11 + x·5 + y·3), R = (doc_id·13 + x·7 + y·11), each
+    * mod 256 — every statistic [[decodeBmp]] emits is oracle-
+    * recomputable from the formula.
+    */
+  def synthesizeBmp(documents: DataFrame): DataFrame = {
+    val w = lit(3L) + col("doc_id") % 3
+    val h = lit(2L) + col("doc_id") % 2
+    val rowSize = expr("((3 * (3 + doc_id % 3) + 3) div 4) * 4")
+    val imgSize = rowSize * h
+    val headerHex = concat(
+      lit("424d"), leHex(lit(54L) + imgSize, 4), lit("00000000"),
+      leHex(lit(54L), 4), leHex(lit(40L), 4), leHex(w, 4), leHex(h, 4),
+      lit("0100"), lit("1800"), lit("00000000"), leHex(imgSize, 4),
+      leHex(lit(2835L), 4), leHex(lit(2835L), 4), lit("0000000000000000"))
+    // file row r holds image row y = h−1−r (bottom-up), then stride pad
+    val dataHex = array_join(
+      transform(sequence(lit(0L), h - 1), r =>
+        concat(
+          array_join(
+            transform(sequence(lit(0L), w - 1), x =>
+              format_string("%02x%02x%02x",
+                ((col("doc_id") * 7 + x * 3 + (h - 1 - r) * 5) % 256).cast("int"),
+                ((col("doc_id") * 11 + x * 5 + (h - 1 - r) * 3) % 256).cast("int"),
+                ((col("doc_id") * 13 + x * 7 + (h - 1 - r) * 11) % 256).cast("int"))),
+            ""),
+          repeat(lit("aa"), (rowSize - w * 3).cast("int")))),
+      "")
+    documents.select(col("doc_id"), concat(unhex(headerHex), unhex(dataHex)).as("payload"))
+  }
+
+  /** REAL BMP decode (q155) — the stride-aware sibling of [[decodePpm]]:
+    * little-endian multi-byte header fields (like [[decodeWav]]), then
+    * per-channel sums that must index pixel (x, y) at
+    * data_offset + (h−1−y)·row_size + 3x — both the BOTTOM-UP row order
+    * and the 4-byte row padding are load-bearing (`top_row_sum` grades
+    * the flip: image row 0 lives at the END of the stream; the 0xAA pad
+    * bytes grade the stride).
+    *
+    * @return (doc_id, valid_magic, width, height, bpp, row_size,
+    *         b_sum, g_sum, r_sum, top_row_sum)
+    */
+  def decodeBmp(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    def byteAt(pos: Column): Column = conv(hex(p.substr(pos, lit(1))), 16, 10).cast("long")
+    def leUint(pos: Column, nBytes: Int): Column =
+      (0 until nBytes).map(k => byteAt(pos + k) * lit(1L << (8 * k))).reduce(_ + _)
+    val valid = when(length(p) >= 54 &&
+      p.substr(lit(1), lit(2)).cast("string") === "BM" &&
+      leUint(lit(29), 2) === 24, 1L).otherwise(0L)
+    val parsed = media.select(col("doc_id"), p, valid.as("valid_magic"),
+      when(valid === 1, leUint(lit(11), 4)).otherwise(0L).as("data_off"),
+      when(valid === 1, leUint(lit(19), 4)).otherwise(0L).as("width"),
+      when(valid === 1, leUint(lit(23), 4)).otherwise(0L).as("height"),
+      when(valid === 1, leUint(lit(29), 2)).otherwise(0L).as("bpp"))
+      .withColumn("row_size", expr("((3 * width + 3) div 4) * 4"))
+    def chanSum(c: Int): Column =
+      aggregate(
+        transform(sequence(lit(0L), col("width") * col("height") - 1), i =>
+          byteAt(col("data_off")
+            + (col("height") - 1 - floor(i / col("width")).cast("long")) * col("row_size")
+            + (i % col("width")) * 3 + c + 1)),
+        lit(0L), (a, v) => a + v)
+    // image row 0 (the TOP of the picture) is the LAST file row: summing
+    // all three channels over it grades the bottom-up flip specifically
+    val topRowSum = aggregate(
+      transform(sequence(lit(0L), col("width") * 3 - 1), k =>
+        byteAt(col("data_off") + (col("height") - 1) * col("row_size") + k + 1)),
+      lit(0L), (a, v) => a + v)
+    parsed.select(col("doc_id"), col("valid_magic"), col("width"), col("height"),
+      col("bpp"), col("row_size"),
+      when(col("valid_magic") === 1, chanSum(0)).otherwise(0L).as("b_sum"),
+      when(col("valid_magic") === 1, chanSum(1)).otherwise(0L).as("g_sum"),
+      when(col("valid_magic") === 1, chanSum(2)).otherwise(0L).as("r_sum"),
+      when(col("valid_magic") === 1, topRowSum).otherwise(0L).as("top_row_sum"))
+  }
 }

@@ -234,6 +234,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(cuts.filterKeys(_._1 == 1L).forall(!_._2)) // doc 1: no inversion
   }
 
+  test("decodeBmp parses a hand-built 24-bit BMP: stride padding and bottom-up rows") {
+    // 2x2 image, rowSize = 8 (2 pad bytes of 0xEE per row — summing the
+    // raw stream or using stride 6 changes every sum). Stored BOTTOM-UP:
+    // file row 0 = image row y=1. Pixels (B,G,R):
+    //   y=0: (1,2,3) (4,5,6)   y=1: (7,8,9) (10,11,12)
+    val w = 2; val h = 2; val rowSize = 8
+    val bb = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+      .putInt(0).putInt(54) // reserved, data offset
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(rowSize * h) // compression, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // file row 0 (image y=1), then pad; file row 1 (image y=0), then pad
+    Seq(7, 8, 9, 10, 11, 12).foreach(v => bb.put(v.toByte))
+    bb.put(0xEE.toByte).put(0xEE.toByte)
+    Seq(1, 2, 3, 4, 5, 6).foreach(v => bb.put(v.toByte))
+    bb.put(0xEE.toByte).put(0xEE.toByte)
+
+    val r = Multimodal.decodeBmp(Seq((9L, bb.array())).toDF("doc_id", "payload"))
+      .collect().head
+    assert(r.getAs[Long]("valid_magic") === 1L)
+    assert(r.getAs[Long]("width") === 2L && r.getAs[Long]("height") === 2L)
+    assert(r.getAs[Long]("bpp") === 24L && r.getAs[Long]("row_size") === 8L)
+    assert(r.getAs[Long]("b_sum") === (1 + 4 + 7 + 10))
+    assert(r.getAs[Long]("g_sum") === (2 + 5 + 8 + 11))
+    assert(r.getAs[Long]("r_sum") === (3 + 6 + 9 + 12))
+    // image row 0 = the LAST file row: 1+2+3+4+5+6 (bottom-up proof)
+    assert(r.getAs[Long]("top_row_sum") === 21L)
+  }
+
+  test("synthesizeBmp → decodeBmp roundtrip matches the synthesis formula") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+    val r = Multimodal.decodeBmp(Multimodal.synthesizeBmp(docs)).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val d = x.getAs[Long]("doc_id")
+      val w = 3 + d % 3; val h = 2 + d % 2
+      assert(x.getAs[Long]("valid_magic") === 1L)
+      assert(x.getAs[Long]("width") === w && x.getAs[Long]("height") === h)
+      val cells = for (y <- 0L until h; xx <- 0L until w) yield (xx, y)
+      assert(x.getAs[Long]("b_sum") ===
+        cells.map { case (xx, y) => (d * 7 + xx * 3 + y * 5) % 256 }.sum)
+      assert(x.getAs[Long]("r_sum") ===
+        cells.map { case (xx, y) => (d * 13 + xx * 7 + y * 11) % 256 }.sum)
+      assert(x.getAs[Long]("top_row_sum") ===
+        (0L until w).map(xx => (d * 7 + xx * 3) % 256
+          + (d * 11 + xx * 5) % 256 + (d * 13 + xx * 7) % 256).sum)
+    }
+  }
+
   test("documents text is pure ASCII (oracle contract: byte slices = char slices)") {
     // the q43/q44 DuckDB twins slice VARCHAR where Spark slices binary —
     // only sound while octet_length == char length on every row
