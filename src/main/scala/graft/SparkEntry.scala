@@ -608,6 +608,11 @@ object SparkEntry {
     // single divisions of exact integer counts
     "q153_token_diversity" -> ((s, dir) =>
       graft.functions.TextAnalysis.tokenDiversity(Tables.documents(s, dir))),
+    // range-partition planner: 8 equal-frequency n_chars ranges from one
+    // exact scaled percentile aggregate + the achieved balance report
+    "q156_range_boundaries" -> ((s, dir) =>
+      Relational.rangeBoundaries(
+        Tables.documents(s, dir).select(col("n_chars")), "n_chars")),
     // integer z-test spike/crater flags on per-type daily event volumes
     "q103_volume_anomalies" -> ((s, dir) =>
       TimeWindows.dailyVolumeAnomalies(Tables.events(s, dir))),
@@ -2245,6 +2250,24 @@ object SparkEntry {
         |  sum(abs(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_class)) * 4
         |    > CAST(n_class AS HUGEINT) * n_total * 2 AS flagged
         |FROM grid GROUP BY day_num, v_bucket, n_class, n_total""".stripMargin,
+    // same x8 scaling before quantile_cont, same strictly-greater bucket
+    // rule; cuts are exact integers by construction on both engines
+    "q156_range_boundaries" ->
+      """WITH cs AS (
+        |  SELECT quantile_cont(n_chars * 8,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cs
+        |  FROM documents),
+        |bk AS (
+        |  SELECT len(list_filter(cs.cs, c -> n_chars * 8 > c)) AS bucket
+        |  FROM documents CROSS JOIN cs),
+        |cnt AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM bk GROUP BY 1)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CASE WHEN bucket < 7
+        |    THEN CAST(cs.cs[CAST(bucket + 1 AS INTEGER)] AS BIGINT) END AS upper_scaled,
+        |  n_rows
+        |FROM cnt CROSS JOIN cs""".stripMargin,
     // same tokenizer, HUGEINT count-squared products, identical division
     // order for the two reported ratios
     "q153_token_diversity" ->

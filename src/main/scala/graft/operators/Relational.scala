@@ -301,6 +301,44 @@ object Relational {
           .as("flagged")): _*)
   }
 
+  /** Range-partition boundary planner (q156) — the primitive behind
+    * `repartitionByRange`/global sort at 100 TB: choose `b−1` split
+    * points for a key so the resulting ranges are equal-frequency, and
+    * report the balance actually achieved. Spark itself samples for
+    * this; the exact-percentile form is the planner a pipeline runs
+    * once per layout decision, and its balance report is the skew gate.
+    *
+    * Exactness (the q121/q48 trick generalized): the key is scaled ×b
+    * BEFORE `percentile`, so every interpolated cut ((n−1)·i/b lands on
+    * the 1/b grid) is an exact integer — Spark `percentile` and DuckDB
+    * `quantile_cont` agree bit-for-bit. Bucket of a row = how many cuts
+    * its scaled key strictly exceeds (ties stick to the lower bucket) —
+    * a pure integer fold over the broadcast cut array; no sort, no
+    * window anywhere.
+    *
+    * @return one row per bucket: (bucket, upper_scaled — NULL for the
+    *         top bucket, n_rows)
+    */
+  def rangeBoundaries(df: DataFrame, key: String, b: Int = 8): DataFrame = {
+    require(b >= 2, "need at least two ranges")
+    val fracs = (1 until b).map(i => i.toDouble / b).mkString(", ")
+    val cuts = df.agg(
+      expr(s"percentile($key * $b, array($fracs))").as("cs"))
+    val bucketed = df
+      .crossJoin(broadcast(cuts))
+      .select(aggregate(col("cs"),
+        lit(0), (acc, c) => acc + when(col(key) * b > c, 1).otherwise(0))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    bucketed
+      .crossJoin(broadcast(cuts))
+      .select(col("bucket"),
+        when(col("bucket") < b - 1,
+          element_at(col("cs"), col("bucket") + 1).cast("long"))
+          .as("upper_scaled"),
+        col("n_rows"))
+  }
+
   def eventScalars(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),

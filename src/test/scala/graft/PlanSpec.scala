@@ -207,8 +207,9 @@ class PlanSpec extends AnyFunSuite {
       s"retention funnels through one partition:\n$ret")
   }
 
-  test("q84/q87/q135 codec-free decoders are pure map-side plans: no exchange") {
-    for (q <- Seq("q84_wav_decode", "q87_ppm_decode", "q135_pgm_decode")) {
+  test("q84/q87/q135/q155 codec-free decoders are pure map-side plans: no exchange") {
+    for (q <- Seq("q84_wav_decode", "q87_ppm_decode", "q135_pgm_decode",
+        "q155_bmp_decode")) {
       val plan = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
       assert(!plan.contains("Exchange"), s"$q gained a shuffle:\n$plan")
       assert(!plan.contains("Window"), s"$q gained a window:\n$plan")
@@ -302,6 +303,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = planString(df)
     assert(plan.contains("BroadcastHashJoin"), s"q66 weight join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"q66 shuffles the fact side:\n$plan")
+  }
+
+  test("q154 link prediction tops out in a heap, never a global sort") {
+    val plan = planString(SparkEntry.queries("q154_link_prediction")(spark, TestSpark.sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q154 top-100 is not a per-partition heap merge:\n$plan")
   }
 
   test("q146 SCD intervals: one user-keyed shuffle, never a global sort") {

@@ -265,6 +265,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("s").getAs[String]("max_val") === "b")
   }
 
+  test("rangeBoundaries: hand-computed exact cuts, perfectly balanced buckets") {
+    // keys 1..8, b=4: scaled cuts at interp indices 1.75/3.5/5.25 over
+    // 4,8,...,32 -> 11, 18, 25 (exact integers); 2 rows per bucket
+    val df = (1L to 8L).toDF("k")
+    val r = Relational.rangeBoundaries(df, "k", b = 4).collect()
+      .map(x => x.getAs[Int]("bucket") ->
+        (Option(x.getAs[java.lang.Long]("upper_scaled")).map(_.toLong),
+          x.getAs[Long]("n_rows"))).toMap
+    assert(r === Map(
+      0 -> ((Some(11L), 2L)), 1 -> ((Some(18L), 2L)),
+      2 -> ((Some(25L), 2L)), 3 -> ((None, 2L))))
+  }
+
   test("tCloseness: homogeneous classes hit TVD 1/2 and flag; balanced do not") {
     // global margin: a=2, b=2, N=4; class X all-a, class Y all-b.
     // X: |2·4-2·2| + |0·4-2·2| = 8 -> t = 8/16 = 0.5, flagged (t > 1/4).
