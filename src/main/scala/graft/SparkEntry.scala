@@ -581,6 +581,10 @@ object SparkEntry {
     // hashed grams — the property that makes the sketch distributed
     "q147_hll_merge" -> ((s, dir) =>
       Corpus.hllMergeFrom(hllGrams(s, dir))),
+    // pairwise source overlap by register inclusion-exclusion — the
+    // constant-size sketch form of the quadratic exact overlap matrix
+    "q157_hll_intersection" -> ((s, dir) =>
+      Corpus.hllIntersectionFrom(hllGrams(s, dir))),
     // SCD-2 validity intervals per user folded from the event log
     "q146_scd_intervals" -> ((s, dir) =>
       TimeWindows.scdIntervals(Tables.events(s, dir))),
@@ -588,6 +592,10 @@ object SparkEntry {
     // pairs): k unrated products per user, no user x product cross join
     "q148_negative_sampling" -> ((s, dir) =>
       Reco.negativeSampling(Tables.ratings(s, dir))),
+    // one rank-1 ALS alternation in exact integer arithmetic: hash-seeded
+    // item factors, closed-form user solve, graded item re-solve
+    "q158_als_step" -> ((s, dir) =>
+      Reco.alsRankOneStep(Tables.ratings(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2177,6 +2185,54 @@ object SparkEntry {
         |  s_merged = s_direct AND occ_merged = occ_direct AS merge_eq_direct,
         |  5.175699493294551e16 / CAST(s_merged AS DOUBLE) AS est
         |FROM ex CROSS JOIN msk CROSS JOIN dsk""".stripMargin,
+    // same register algebra pairwise: scaled harmonic sums as exact
+    // BIGINTs, the estimate evaluated in the same (a + b) - union order
+    "q157_hll_intersection" ->
+      s"""WITH sh AS (
+        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
+        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS g
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT source, g, ${md5Prefix32Sql("g")} AS h FROM sh),
+        |regs AS (
+        |  SELECT source, h % 256 AS reg,
+        |    max(CASE WHEN (h // 256) = 0 THEN 25
+        |             ELSE 25 - length(bin(h // 256)) END) AS rho
+        |  FROM hashed GROUP BY 1, 2),
+        |single AS (
+        |  SELECT source,
+        |    CAST(sum(1::BIGINT << (40 - rho)) AS BIGINT)
+        |      + (256 - CAST(count(*) AS BIGINT)) * 1099511627776 AS s
+        |  FROM regs GROUP BY 1),
+        |pr AS (
+        |  SELECT x.source AS sa, y.source AS sb
+        |  FROM (SELECT DISTINCT source FROM regs) x
+        |  JOIN (SELECT DISTINCT source FROM regs) y ON x.source < y.source),
+        |un AS (
+        |  SELECT pr.sa, pr.sb, r.reg, max(r.rho) AS rho
+        |  FROM pr JOIN regs r ON r.source = pr.sa OR r.source = pr.sb
+        |  GROUP BY 1, 2, 3),
+        |usk AS (
+        |  SELECT sa, sb,
+        |    CAST(sum(1::BIGINT << (40 - rho)) AS BIGINT)
+        |      + (256 - CAST(count(*) AS BIGINT)) * 1099511627776 AS s_union
+        |  FROM un GROUP BY 1, 2),
+        |dg AS (SELECT DISTINCT source, g FROM hashed),
+        |ex AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    CAST(count(*) AS BIGINT) AS n_inter_exact
+        |  FROM dg a JOIN dg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT u.sa, u.sb,
+        |  COALESCE(ex.n_inter_exact, 0) AS n_inter_exact,
+        |  a.s AS s_a, b.s AS s_b, u.s_union,
+        |  (5.175699493294551e16 / CAST(a.s AS DOUBLE)
+        |     + 5.175699493294551e16 / CAST(b.s AS DOUBLE))
+        |    - 5.175699493294551e16 / CAST(u.s_union AS DOUBLE) AS est_inter
+        |FROM usk u
+        |JOIN single a ON a.source = u.sa
+        |JOIN single b ON b.source = u.sb
+        |LEFT JOIN ex ON ex.sa = u.sa AND ex.sb = u.sb""".stripMargin,
     // change rows = where lag() differs, then version/lead over the same
     // per-user order; micros epochs so both engines emit exact BIGINTs
     "q146_scd_intervals" ->
@@ -2217,6 +2273,30 @@ object SparkEntry {
         |SELECT userId, cand_pid AS neg_productId, cand_index FROM (
         |  SELECT *, row_number() OVER (PARTITION BY userId ORDER BY cand_index) AS rn
         |  FROM neg) WHERE rn <= 5""".stripMargin,
+    // same hash-seeded v0, the same floored micro-unit user solve, and
+    // HUGEINT item sums mirroring the Spark side's DECIMAL(38,0); the
+    // reported float spends the identical multiply-then-divide
+    "q158_als_step" ->
+      s"""WITH $ratingsCte,
+        |ded AS (
+        |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv,
+        |    ${md5Prefix32Sql("'als:' || CAST(productId AS VARCHAR)")} % 1000 + 1 AS v
+        |  FROM ratings GROUP BY 1, 2),
+        |uf AS (
+        |  SELECT userId,
+        |    sum(rv * v) * 1000000 // sum(v * v) AS u_micro
+        |  FROM ded GROUP BY 1),
+        |it AS (
+        |  SELECT d.productId, d.v AS v0,
+        |    sum(CAST(d.rv * u.u_micro AS HUGEINT)) AS num2,
+        |    sum(CAST(u.u_micro AS HUGEINT) * u.u_micro) AS den2
+        |  FROM ded d JOIN uf u ON u.userId = d.userId
+        |  GROUP BY 1, 2)
+        |SELECT productId, CAST(v0 AS BIGINT) AS v0,
+        |  CAST(num2 AS DECIMAL(38,0)) AS num2,
+        |  CAST(den2 AS DECIMAL(38,0)) AS den2,
+        |  CAST(num2 AS DOUBLE) * 1000000.0 / CAST(den2 AS DOUBLE) AS v_new
+        |FROM it""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -391,4 +391,53 @@ object Reco {
       .select(col("userId"), col("cand_pid").as("neg_productId"),
         col("cand_index"))
   }
+
+  /** One rank-1 ALS iteration (q158) — the matrix-factorization training
+    * step the reference's recommendation pipeline would graduate to at
+    * scale (item-item CF is its neighborhood form; ALS is its latent
+    * form). Item factors start deterministic — v₀(p) = md5₃₂("als:"p)
+    * mod 1000 + 1 ∈ [1, 1000] — then one full alternation runs in exact
+    * integer arithmetic:
+    *
+    *   user solve:  u(i) = Σ_p r(i,p)·v₀(p) / Σ_p v₀(p)²  (closed-form
+    *                least squares at rank 1), floored to micro-units
+    *                u_µ = ⌊u·10⁶⌋ — both engines floor identical BIGINTs
+    *   item solve:  v₁(p) = Σ_i r(i,p)·u(i) / Σ_i u(i)², reported with
+    *                its exact DECIMAL(38,0) numerator Σ r·u_µ and
+    *                denominator Σ u_µ² (order-invariant sums; one IEEE
+    *                multiply+divide for the reported float)
+    *
+    * Bound check: u ≤ max_p r/v₀ ≤ 5, so u_µ ≤ 5·10⁶ and per-rating
+    * products fit comfortably in BIGINT; the per-item sums go DECIMAL
+    * because Σ u_µ² crosses 2⁶³ at ~370k raters of one item.
+    *
+    * Scale shape: factor derivation is map-side arithmetic on the rating
+    * row itself (no factor-table join for v₀); the user solve is one
+    * map-combined aggregate; the item solve joins ratings to the |users|-
+    * row factor table on the rating table's natural key and aggregates —
+    * two keyed shuffles total, the ALS-on-a-cluster minimum.
+    *
+    * @return (productId, v0, num2, den2, v_new), one row per rated item
+    */
+  def alsRankOneStep(ratings: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // (userId, productId, rv, v) — barriered: the user solve and the item
+    // solve both stream it
+    val r = dedupedRatings(ratings)
+      .withColumn("v",
+        graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("als:"), col("productId").cast("string"))) % 1000 + 1)
+      .transform(graft.barrier)
+    val uf = r.groupBy("userId")
+      .agg(sum(col("rv") * col("v")).as("unum"),
+        sum(col("v") * col("v")).as("uden"))
+      .select(col("userId"), expr("unum * 1000000 div uden").as("u_micro"))
+    r.join(uf, "userId")
+      .groupBy(col("productId"), col("v"))
+      .agg(sum(dec(col("rv") * col("u_micro"))).as("num2"),
+        sum(dec(col("u_micro")) * dec(col("u_micro"))).as("den2"))
+      .select(col("productId"), col("v").as("v0"), col("num2"), col("den2"),
+        (col("num2").cast("double") * lit(1000000.0)
+          / col("den2").cast("double")).as("v_new"))
+  }
 }

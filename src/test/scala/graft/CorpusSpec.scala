@@ -206,6 +206,32 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("hllIntersection: union sums dominate, identical shards estimate their own size") {
+    import spark.implicits._
+    // two identical sources: union registers == each side's registers, so
+    // inclusion-exclusion reduces to est(A) + est(A) - est(A) = est(A)
+    val twin = Seq((1L, "abcdefghijklmnop", "s1"), (2L, "abcdefghijklmnop", "s2"))
+      .toDF("doc_id", "text", "source")
+    val t = Corpus.hllIntersection(twin).collect()
+    assert(t.length === 1)
+    assert(t.head.getAs[Long]("s_union") === t.head.getAs[Long]("s_a"))
+    assert(t.head.getAs[Long]("s_a") === t.head.getAs[Long]("s_b"))
+    assert(t.head.getAs[Long]("n_inter_exact") === 9L) // 16 chars -> 9 8-grams
+    // real corpus: every pair reported once, and the union register sum can
+    // only dominate (element-wise max can only raise registers, which can
+    // only shrink the scaled harmonic sum)
+    val r = Corpus.hllIntersection(
+      graft.Tables.documents(spark, TestSpark.sf)).collect()
+    val nSrc = graft.Tables.documents(spark, TestSpark.sf)
+      .select("source").distinct().count()
+    assert(r.length === (nSrc * (nSrc - 1) / 2).toInt)
+    r.foreach { row =>
+      assert(row.getAs[Long]("s_union") <= row.getAs[Long]("s_a"))
+      assert(row.getAs[Long]("s_union") <= row.getAs[Long]("s_b"))
+      assert(row.getAs[Long]("n_inter_exact") >= 0L)
+    }
+  }
+
   test("histogramQuantiles: exact order statistics, estimate within one bucket width") {
     import spark.implicits._
     // 100 docs with lengths 1..100 in one source: p50/p90/p99 order

@@ -209,4 +209,37 @@ class RecoSpec extends AnyFunSuite {
         x.getAs[Long]("neg_productId"), x.getAs[Long]("cand_index")))
     assert(run1.sorted.toSeq === run2.sorted.toSeq, "hash draws are reproducible")
   }
+
+  test("alsRankOneStep: hand-folded integer alternation matches the plan") {
+    val ratings = Seq((1L, 10L, 4.0), (1L, 20L, 2.0), (2L, 10L, 5.0))
+      .toDF("userId", "productId", "rating")
+    val out = graft.operators.Reco.alsRankOneStep(ratings).collect()
+      .map(r => r.getAs[Long]("productId") -> r).toMap
+    assert(out.keySet === Set(10L, 20L))
+    // recover the hash-seeded item factors the operator derived, then
+    // re-run the alternation by hand with plain BigInt arithmetic
+    val v = out.map { case (p, r) => p -> r.getAs[Long]("v0") }
+    assert(v.values.forall(x => x >= 1L && x <= 1000L))
+    val rv = Map((1L, 10L) -> 4L, (1L, 20L) -> 2L, (2L, 10L) -> 5L)
+    def uMicro(u: Long): Long = {
+      val its = rv.keys.filter(_._1 == u).toSeq
+      val num = its.map(k => rv(k) * v(k._2)).sum
+      val den = its.map(k => v(k._2) * v(k._2)).sum
+      num * 1000000L / den
+    }
+    val expNum = Map(10L -> (4L * uMicro(1) + 5L * uMicro(2)),
+      20L -> 2L * uMicro(1))
+    val expDen = Map(
+      10L -> (uMicro(1) * uMicro(1) + uMicro(2) * uMicro(2)),
+      20L -> uMicro(1) * uMicro(1))
+    out.foreach { case (p, r) =>
+      assert(r.getAs[java.math.BigDecimal]("num2").longValueExact === expNum(p))
+      assert(r.getAs[java.math.BigDecimal]("den2").longValueExact === expDen(p))
+      val vNew = r.getAs[Double]("v_new")
+      assert(vNew === expNum(p).toDouble * 1000000.0 / expDen(p).toDouble)
+      // a user who rates one item with r=v-recoverable factor: the re-
+      // solved factor stays within rounding of a consistent rank-1 model
+      assert(vNew > 0.0)
+    }
+  }
 }
