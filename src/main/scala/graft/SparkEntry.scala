@@ -203,6 +203,12 @@ object SparkEntry {
     "q96_pagerank" -> ((s, dir) =>
       plans.GraphOps.pageRank(Reco.undirected(coPairs(s, dir)))
         .select(col("v").as("user_id"), col("r").as("rank_scaled"))),
+    // HITS authorities over the bipartite rating graph in exact
+    // path-count integers (unnormalized power iteration, same ranking)
+    "q160_hits" -> ((s, dir) =>
+      plans.GraphOps.hits(
+        Reco.goodRatings(Tables.ratings(s, dir))
+          .select(col("userId"), col("productId")).distinct())),
     // Support 4.3/4.4 — deterministic DB/stream split
     "q05_sample_split" -> ((s, dir) => Reco.sampleSplit(Tables.ratings(s, dir))),
     // J2 rows 2.9-2.11 — label propagation communities
@@ -596,6 +602,10 @@ object SparkEntry {
     // item factors, closed-form user solve, graded item re-solve
     "q158_als_step" -> ((s, dir) =>
       Reco.alsRankOneStep(Tables.ratings(s, dir))),
+    // 2-D Pareto skyline over orders (price x recency), grid-pruned so
+    // the exact sort-scan window never sees more than ~|skyline| points
+    "q159_skyline" -> ((s, dir) =>
+      Relational.skyline(Tables.orders(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2297,6 +2307,41 @@ object SparkEntry {
         |  CAST(den2 AS DECIMAL(38,0)) AS den2,
         |  CAST(num2 AS DOUBLE) * 1000000.0 / CAST(den2 AS DOUBLE) AS v_new
         |FROM it""".stripMargin,
+    // the declarative skyline: a distinct point survives iff its y beats
+    // the running max-y in (x DESC, y DESC) order — the Spark side's grid
+    // prune is a lossless physical rewrite, so the results agree exactly
+    "q159_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS y,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT x, y, n_rows,
+        |    max(y) OVER (ORDER BY x DESC, y DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS my
+        |  FROM pts)
+        |SELECT x AS price_cents, y AS day_num, n_rows
+        |FROM w WHERE my IS NULL OR y > my""".stripMargin,
+    // the same three path-count rounds in HUGEINT, the same (a2, id)
+    // top-20 tiebreak; `good` is already the distinct bipartite edge list
+    "q160_hits" ->
+      s"""WITH $ratingsCte,
+        |$goodCte,
+        |a1 AS (
+        |  SELECT productId AS p, CAST(count(*) AS HUGEINT) AS a1
+        |  FROM good GROUP BY 1),
+        |h1 AS (
+        |  SELECT g.userId AS u, sum(a1.a1) AS h1
+        |  FROM good g JOIN a1 ON a1.p = g.productId GROUP BY 1),
+        |a2 AS (
+        |  SELECT g.productId AS p, sum(h1.h1) AS a2
+        |  FROM good g JOIN h1 ON h1.u = g.userId GROUP BY 1)
+        |SELECT a2.p AS productId,
+        |  CAST(a1.a1 AS DECIMAL(38,0)) AS a1,
+        |  CAST(a2.a2 AS DECIMAL(38,0)) AS a2
+        |FROM a2 JOIN a1 ON a1.p = a2.p
+        |ORDER BY a2.a2 DESC, a2.p LIMIT 20""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

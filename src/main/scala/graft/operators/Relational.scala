@@ -339,6 +339,56 @@ object Relational {
         col("n_rows"))
   }
 
+  /** 2-D Pareto skyline (q159) — the multi-objective filter behind "best
+    * candidates" selection (maximize both dimensions; a row survives iff
+    * no other row is ≥ on both and > on one). Here: orders that are
+    * undominated on (price, recency) — no later order was also more
+    * expensive.
+    *
+    * Algorithm: collapse to DISTINCT points with multiplicity, then one
+    * pass in (x DESC, y DESC) order keeps a point iff its y strictly
+    * exceeds the running max-y of every point before it — the classic
+    * sort-scan skyline, correct because any preceding point has ≥ x (and
+    * > x or > y when distinct), so `y ≤ running max` is exactly
+    * "dominated".
+    *
+    * Scale shape — the sort-scan is a GLOBAL ordered window, which would
+    * single-partition the corpus, so a grid prune runs first: per
+    * x-bucket max-y (one map-combined aggregate → `buckets` rows), the
+    * running max over strictly-higher buckets (a `buckets`-row window,
+    * broadcast back), and only points whose y beats every higher bucket's
+    * max survive to the exact window. Any point in a strictly higher
+    * x-bucket has strictly higher x, so `y ≤ that bucket's max` proves
+    * dominance — the prune is lossless, and the survivor set is within a
+    * per-bucket straggler of the skyline itself (≤ buckets + |skyline|
+    * points), trivially windowable at any corpus size.
+    *
+    * @return (price_cents, day_num, n_rows): the undominated distinct
+    *         points and how many orders sit on each
+    */
+  def skyline(orders: DataFrame, buckets: Int = 1024): DataFrame = {
+    val pts = orders.select(
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("x"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_rows"))
+      .transform(graft.barrier) // read by the prune stats and the filter
+    val mm = pts.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val bucketed = pts.crossJoin(broadcast(mm))
+      .withColumn("b", expr(s"((x - lo) * $buckets) div (hi - lo + 1)"))
+    // thr(b) = max y over strictly higher buckets; NULL for the top bucket
+    val thr = bucketed.groupBy("b").agg(max(col("y")).as("by"))
+      .withColumn("thr", max(col("by")).over(Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("b", "thr")
+    val cand = bucketed.join(broadcast(thr), "b")
+      .where(col("thr").isNull || col("y") > col("thr"))
+    val w = Window.orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("my", max(col("y")).over(w))
+      .where(col("my").isNull || col("y") > col("my"))
+      .select(col("x").as("price_cents"), col("y").as("day_num"), col("n_rows"))
+  }
+
   def eventScalars(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),

@@ -380,4 +380,40 @@ object GraphOps {
     symF.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("id"), col("core_deg"))
   }
+
+  /** HITS hubs/authorities (q162 lineage: Kleinberg 1999) over the
+    * bipartite user→product rating graph, in EXACT path-count form:
+    * starting from h₀ ≡ 1, the unnormalized power iteration
+    *
+    *   a₁(p) = Σ_{u~p} h₀(u) = deg(p)      (authority: paths of length 1)
+    *   h₁(u) = Σ_{p~u} a₁(p)               (hub: length-2 paths from u)
+    *   a₂(p) = Σ_{u~p} h₁(u)               (length-3 paths ending at p)
+    *
+    * Classic HITS normalizes each round; normalization is a positive
+    * scalar, so the RANKING of unnormalized scores is identical — and
+    * the integers are exact path counts, order-invariant under any
+    * shuffle (the [[pageRank]] determinism argument without even a floor
+    * division). Sums go DECIMAL(38,0): a₂ ≤ deg·max(h₁) ≤ deg²·max(deg)
+    * crosses 2⁶³ on web-scale degree distributions.
+    *
+    * Scale shape: two keyed join+aggregate rounds over the edge list
+    * (the per-iteration minimum of any HITS implementation — |E| rows
+    * shuffled per round, no vertex state beyond the degree tables), then
+    * an exact top-K heap (TakeOrderedAndProject), never a global sort.
+    *
+    * @param pairs distinct (userId, productId) edges
+    * @return (productId, a1, a2) — the topK authorities, ties by id
+    */
+  def hits(pairs: DataFrame, topK: Int = 20): DataFrame = {
+    val e = pairs.select(col("userId").as("u"), col("productId").as("p"))
+      .transform(graft.barrier) // streamed by all three rounds
+    val a1 = e.groupBy("p")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("a1"))
+    val h1 = e.join(a1, "p").groupBy("u").agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, "u").groupBy("p").agg(sum(col("h1")).as("a2"))
+    a2.join(a1, "p")
+      .orderBy(col("a2").desc, col("p"))
+      .limit(topK)
+      .select(col("p").as("productId"), col("a1"), col("a2"))
+  }
 }

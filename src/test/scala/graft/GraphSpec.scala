@@ -157,6 +157,19 @@ class GraphSpec extends AnyFunSuite {
     assert(r === Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
   }
 
+  test("hits: path counts match hand numbers on a tiny bipartite graph") {
+    // users {1,2}, products {10,20}; edges 1-10, 1-20, 2-10.
+    // a1 = deg: a1(10)=2, a1(20)=1
+    // h1(1) = a1(10)+a1(20) = 3; h1(2) = a1(10) = 2
+    // a2(10) = h1(1)+h1(2) = 5; a2(20) = h1(1) = 3
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("userId", "productId")
+    val r = GraphOps.hits(e).collect()
+      .map(x => x.getAs[Long]("productId") ->
+        (x.getAs[java.math.BigDecimal]("a1").longValueExact,
+          x.getAs[java.math.BigDecimal]("a2").longValueExact)).toMap
+    assert(r === Map(10L -> ((2L, 5L)), 20L -> ((1L, 3L))))
+  }
+
   test("kCore: a path fully cascades at k=2, a cycle is its own 2-core") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     assert(GraphOps.kCore(path, k = 2, rounds = 5).count() === 0L)

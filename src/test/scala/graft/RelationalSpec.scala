@@ -297,4 +297,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(r2.forall(x => x.getAs[Long]("t_num") == 0L &&
       !x.getAs[Boolean]("flagged")))
   }
+
+  test("skyline: sort-scan matches the brute-force dominance definition") {
+    // hand fixture: days 0..3, prices in cents after the x100 scale.
+    // (300, d3) and (500, d1) and (900, d0) are the frontier; (300, d1)
+    // is dominated by (500, d1); (500, d0) by (900, d0) and (500, d1);
+    // the duplicate (900, d0) rows collapse with n_rows = 2
+    val day = (d: Int) => java.sql.Date.valueOf(s"1970-01-0${d + 1}")
+    val orders = Seq(
+      (1L, 3.0, day(3)), (2L, 5.0, day(1)), (3L, 9.0, day(0)),
+      (4L, 9.0, day(0)), (5L, 3.0, day(1)), (6L, 5.0, day(0)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val r = Relational.skyline(orders).collect()
+      .map(x => (x.getAs[Long]("price_cents"), x.getAs[Long]("day_num")) ->
+        x.getAs[Long]("n_rows")).toMap
+    assert(r === Map((300L, 3L) -> 1L, (500L, 1L) -> 1L, (900L, 0L) -> 2L))
+    // real corpus: compare against the O(n^2) definition point by point
+    val real = Relational.skyline(graft.Tables.orders(spark, TestSpark.sf))
+      .collect().map(x => (x.getAs[Long]("price_cents"), x.getAs[Long]("day_num")))
+      .toSet
+    val pts = graft.Tables.orders(spark, TestSpark.sf)
+      .selectExpr("CAST(floor(o_totalprice * 100) AS BIGINT) AS x",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS y")
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val brute = pts.filter { case (x, y) =>
+      !pts.exists { case (a, b) =>
+        a >= x && b >= y && (a > x || b > y) }
+    }.toSet
+    assert(real === brute, "grid prune must be lossless")
+  }
 }
