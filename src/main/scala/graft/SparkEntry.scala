@@ -606,6 +606,14 @@ object SparkEntry {
     // the exact sort-scan window never sees more than ~|skyline| points
     "q159_skyline" -> ((s, dir) =>
       Relational.skyline(Tables.orders(s, dir))),
+    // epsilon-DP count release via the geometric mechanism — integer
+    // inverse-CDF noise, bit-identical on both engines
+    "q161_dp_release" -> ((s, dir) =>
+      Relational.dpNoisedCounts(Tables.events(s, dir))),
+    // compaction bin-packing over segment metadata: size-desc running
+    // total into ceil(total/8) targets, fill report per planned file
+    "q162_compaction_plan" -> ((s, dir) =>
+      graft.sources.ZOrder.compactionPlan(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2342,6 +2350,39 @@ object SparkEntry {
         |  CAST(a2.a2 AS DECIMAL(38,0)) AS a2
         |FROM a2 JOIN a1 ON a1.p = a2.p
         |ORDER BY a2.a2 DESC, a2.p LIMIT 20""".stripMargin,
+    // the identical 30-entry threshold table (one JVM computed it for
+    // both engines) folded with the same u >= t compare
+    "q161_dp_release" ->
+      s"""WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS true_cnt
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT *,
+        |    CAST(len(list_filter([${operators.DpNoise.thresholds.mkString(", ")}],
+        |      t -> ${md5Prefix32Sql("'dp:' || event_type || ':' || CAST(day_num AS VARCHAR)")} >= t)) - 15
+        |      AS BIGINT) AS noise
+        |  FROM daily)
+        |SELECT event_type, day_num, true_cnt, noise,
+        |  true_cnt + noise AS released FROM n""".stripMargin,
+    // same segment aggregate, same (size DESC, source, bucket) pack
+    // order, exact integer cumulative-sum bin assignment and fill
+    "q162_compaction_plan" ->
+      """WITH segs AS (
+        |  SELECT source, doc_id % 64 AS bucket,
+        |    CAST(sum(n_chars) AS BIGINT) AS seg_bytes
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(seg_bytes) AS BIGINT) AS total FROM segs),
+        |packed AS (
+        |  SELECT seg_bytes, (total + 7) // 8 AS target,
+        |    sum(seg_bytes) OVER (ORDER BY seg_bytes DESC, source, bucket) AS cum
+        |  FROM segs CROSS JOIN tot)
+        |SELECT (cum - 1) // target AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(seg_bytes) AS BIGINT) AS bin_bytes, target,
+        |  CAST(sum(seg_bytes) AS BIGINT) * 1000000 // target AS fill_ppm
+        |FROM packed GROUP BY 1, 4""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -301,6 +301,48 @@ object Relational {
           .as("flagged")): _*)
   }
 
+  /** Differentially-private count release (q161) — the geometric
+    * mechanism (Ghosh, Roughgarden & Sundararajan 2009; the discrete
+    * Laplace): per-(event_type, day) counts released with two-sided
+    * geometric noise P(k) ∝ α^|k|, α = e^−ε, the ε-DP mechanism for
+    * count queries under unit sensitivity. Completes the privacy family:
+    * k-anonymity (q115) and l-diversity (q142) and t-closeness (q149)
+    * measure the risk; this is the release that bounds it.
+    *
+    * Determinism (the part floating-point Laplace can't give): the noise
+    * is drawn by inverse-CDF lookup — u = md5₃₂ of the group key is
+    * uniform on [0, 2³²), and noise = −15 + |{k : u ≥ T_k}| over the
+    * precomputed integer thresholds T_k = ⌊CDF(k)·2³²⌋ from
+    * [[DpNoise.thresholds]]. Both engines evaluate one integer-compare
+    * fold over the same 30-element literal — bit-identical, seedable,
+    * and auditable (the production swap is u ← a keyed-hash of a secret
+    * seed; the mechanism and its ε are unchanged). Tails truncate to
+    * ±15 (CDF mass beyond is < 4·10⁻³ at ε = 0.25; the table is the
+    * truncation policy, visible in the plan).
+    *
+    * Scale shape: one map-combined aggregate, then pure per-row
+    * expression work — the mechanism adds zero shuffles to the count
+    * query it protects.
+    *
+    * @return (event_type, day_num, true_cnt, noise, released) —
+    *         released may go negative (raw mechanism output; clamping
+    *         is the consumer's policy, applied after accounting)
+    */
+  def dpNoisedCounts(events: DataFrame): DataFrame = {
+    val thr = array(DpNoise.thresholds.map(lit): _*)
+    events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .withColumn("u", graft.functions.TextAnalysis.md5Prefix32(
+        concat(lit("dp:"), col("event_type"), lit(":"),
+          col("day_num").cast("string"))))
+      .withColumn("noise",
+        (size(filter(thr, t => col("u") >= t)) - lit(15)).cast("long"))
+      .select(col("event_type"), col("day_num"), col("true_cnt"),
+        col("noise"), (col("true_cnt") + col("noise")).as("released"))
+  }
+
   /** Range-partition boundary planner (q156) — the primitive behind
     * `repartitionByRange`/global sort at 100 TB: choose `b−1` split
     * points for a key so the resulting ranges are equal-frequency, and
@@ -824,5 +866,25 @@ object Relational {
       sqrt((n * sxx - sx * sx) / (n * n)).as("stddev_pop_value"),
       ((n * sxy - sx * sy)
         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_value_user"))
+  }
+}
+
+/** The [[Relational.dpNoisedCounts]] noise table, shared verbatim with
+  * the oracle-SQL builder so both engines fold over IDENTICAL integer
+  * literals (one JVM computes them; the doubles never cross an engine
+  * boundary).
+  *
+  * Two-sided geometric with α = e^−ε, ε = 0.25. Closed-form CDF:
+  * k < 0 → α^−k / (1+α);  k ≥ 0 → 1 − α^(k+1) / (1+α). Thresholds are
+  * ⌊CDF(k)·2³²⌋ for k = −15..14 (k = 15 is the implicit 2³² cap), so
+  * noise = −15 + |{k : u ≥ T_k}| for u uniform on [0, 2³²).
+  */
+object DpNoise {
+  val epsilon: Double = 0.25
+  private val alpha = math.exp(-epsilon)
+  val thresholds: Seq[Long] = (-15 to 14).map { k =>
+    val c = if (k < 0) math.pow(alpha, -k) / (1 + alpha)
+            else 1.0 - math.pow(alpha, k + 1) / (1 + alpha)
+    math.floor(c * 4294967296.0).toLong
   }
 }

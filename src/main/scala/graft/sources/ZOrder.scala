@@ -151,4 +151,46 @@ object ZOrder {
         (col("rows_scanned").cast("double") / col("exact_rows").cast("double"))
           .as("read_amplification"))
   }
+
+  /** Compaction planner (q162) — the small-files problem's answer:
+    * collapse per-(source, hash-bucket) segments into `bins` target
+    * files by running-total assignment — segments in size-descending
+    * order, bin = ⌈cumsum / target⌉−1 with target = ⌈total/bins⌉ — and
+    * report each planned file's fill against the target. This is the
+    * bin-pack an OPTIMIZE/compaction job runs before rewriting; the
+    * fill report is its skew gate (the q156 pattern applied to files
+    * instead of ranges).
+    *
+    * Scale note — why the global ordered window is FINE here, when the
+    * same shape was a bug in q121's first draft: the window runs over
+    * SEGMENT METADATA (one row per (source, bucket) after the
+    * aggregate — |sources|·`buckets` rows, not corpus rows). File
+    * manifests are driver-sized by construction; the corpus-wide work
+    * is only the one map-combined size aggregate.
+    *
+    * Determinism: sizes, cumulative sums, targets and fills are exact
+    * BIGINT arithmetic; the pack order (seg_bytes DESC, source, bucket)
+    * is a total order.
+    *
+    * @return per planned file: (bin, n_segments, bin_bytes, target,
+    *         fill_ppm = bin_bytes·10⁶ div target)
+    */
+  def compactionPlan(documents: DataFrame, buckets: Int = 64,
+      bins: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = documents
+      .groupBy(col("source"), (col("doc_id") % buckets).as("bucket"))
+      .agg(sum(col("n_chars")).as("seg_bytes"))
+      .transform(graft.barrier) // read by the total and the pack
+    val tot = segs.agg(sum(col("seg_bytes")).as("total"))
+    val w = Window.orderBy(col("seg_bytes").desc, col("source"), col("bucket"))
+    segs.crossJoin(broadcast(tot))
+      .withColumn("target", expr(s"(total + ${bins - 1}) div $bins"))
+      .withColumn("cum", sum(col("seg_bytes")).over(w))
+      .withColumn("bin", expr("(cum - 1) div target"))
+      .groupBy(col("bin"), col("target"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("seg_bytes")).as("bin_bytes"))
+      .select(col("bin"), col("n_segments"), col("bin_bytes"), col("target"),
+        expr("bin_bytes * 1000000 div target").as("fill_ppm"))
+  }
 }

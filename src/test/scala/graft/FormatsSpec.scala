@@ -118,4 +118,28 @@ class FormatsSpec extends AnyFunSuite {
     assert(sortedMonth.getAs[Double]("read_amplification")
       < hashedMonth.getAs[Double]("read_amplification") / 3)
   }
+
+  test("compactionPlan: bins conserve bytes, stay near target, pack deterministically") {
+    import graft.sources.ZOrder
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val r = ZOrder.compactionPlan(docs).collect()
+    val total = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .head().getLong(0)
+    assert(r.map(_.getAs[Long]("bin_bytes")).sum === total,
+      "every byte lands in exactly one planned file")
+    val target = r.head.getAs[Long]("target")
+    assert(target === (total + 7) / 8)
+    r.foreach { row =>
+      val bin = row.getAs[Long]("bin")
+      assert(bin >= 0L && bin < 8L)
+      // running-total packing overshoots a bin by at most one segment,
+      // and every non-final bin is at least half full by construction
+      // (segments are <= target here: 64 hash buckets x ~5 sources)
+      val fill = row.getAs[Long]("fill_ppm")
+      if (bin < r.map(_.getAs[Long]("bin")).max) assert(fill >= 500000L,
+        s"bin $bin badly underfull: $fill ppm")
+    }
+    val again = ZOrder.compactionPlan(docs).collect()
+    assert(r.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
 }

@@ -298,6 +298,36 @@ class RelationalSpec extends AnyFunSuite {
       !x.getAs[Boolean]("flagged")))
   }
 
+  test("dpNoisedCounts: noise is bounded, centered, and reproducible") {
+    import graft.operators.DpNoise
+    // the threshold table itself: strictly increasing, inside [0, 2^32),
+    // and CDF(0) = 1/(1+alpha) lands where the closed form says
+    val t = DpNoise.thresholds
+    assert(t.length === 30)
+    assert(t.zip(t.tail).forall { case (a, b) => a < b })
+    assert(t.head > 0L && t.last < 4294967296L)
+    val alpha = math.exp(-DpNoise.epsilon)
+    assert(math.abs(t(15).toDouble / 4294967296.0 - 1.0 / (1 + alpha)) < 1e-9)
+    val r = Relational.dpNoisedCounts(graft.Tables.events(spark, TestSpark.sf))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("noise")
+      assert(n >= -15L && n <= 15L, s"noise $n outside the truncation")
+      assert(row.getAs[Long]("released") ===
+        row.getAs[Long]("true_cnt") + n)
+    }
+    // at eps = 0.25 the mechanism is wide but centered: the mean |noise|
+    // of the geometric is ~2a/(1-a^2) ~ 4; 8 is a regression alarm only
+    val meanAbs = r.map(x => math.abs(x.getAs[Long]("noise"))).sum.toDouble / r.length
+    assert(meanAbs < 8.0, s"mean |noise| $meanAbs implausibly wide")
+    assert(r.map(_.getAs[Long]("noise")).distinct.length > 1,
+      "hash-indexed draws must vary across groups")
+    val again = Relational.dpNoisedCounts(graft.Tables.events(spark, TestSpark.sf))
+      .collect().map(_.toString).sorted
+    assert(again.toSeq === r.map(_.toString).sorted.toSeq, "seeded noise replays")
+  }
+
   test("skyline: sort-scan matches the brute-force dominance definition") {
     // hand fixture: days 0..3, prices in cents after the x100 scale.
     // (300, d3) and (500, d1) and (900, d0) are the frontier; (300, d1)
