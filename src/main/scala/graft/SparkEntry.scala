@@ -614,6 +614,10 @@ object SparkEntry {
     // total into ceil(total/8) targets, fill report per planned file
     "q162_compaction_plan" -> ((s, dir) =>
       graft.sources.ZOrder.compactionPlan(Tables.documents(s, dir))),
+    // Benford first-digit audit on order totals — observed vs expected
+    // shares in exact parts-per-billion, shared-literal expectation
+    "q163_benford" -> ((s, dir) =>
+      Relational.benfordAudit(Tables.orders(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2383,6 +2387,22 @@ object SparkEntry {
         |  CAST(sum(seg_bytes) AS BIGINT) AS bin_bytes, target,
         |  CAST(sum(seg_bytes) AS BIGINT) * 1000000 // target AS fill_ppm
         |FROM packed GROUP BY 1, 4""".stripMargin,
+    // identical ppb expectation literals, identical floor-div shares
+    "q163_benford" ->
+      s"""WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM c)
+        |SELECT digit, obs, n_total,
+        |  CAST(([${operators.BenfordExpected.ppb.mkString(", ")}])[digit] AS BIGINT)
+        |    AS exp_ppb,
+        |  obs * 1000000000 // n_total AS obs_ppb,
+        |  obs * 1000000000 // n_total
+        |    - CAST(([${operators.BenfordExpected.ppb.mkString(", ")}])[digit] AS BIGINT)
+        |    AS dev_ppb
+        |FROM c CROSS JOIN tot""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -328,12 +328,19 @@ object Relational {
     *         released may go negative (raw mechanism output; clamping
     *         is the consumer's policy, applied after accounting)
     */
-  def dpNoisedCounts(events: DataFrame): DataFrame = {
+  def dpNoisedCounts(events: DataFrame): DataFrame =
+    dpFromDaily(TimeWindows.dailyCounts(events))
+
+  /** The release stage of [[dpNoisedCounts]] over an already-maintained
+    * (event_type, day_num, cnt) daily table — the twin seam: the live
+    * [[graft.streaming.RealTime.dailyCountsStream]] closes through this
+    * SAME stage, so the streaming release and the batch release agree
+    * row for row on closed days (the q103/q144/q150 pattern).
+    */
+  def dpFromDaily(daily: DataFrame): DataFrame = {
     val thr = array(DpNoise.thresholds.map(lit): _*)
-    events
-      .groupBy(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day_num"))
-      .agg(count(lit(1)).as("true_cnt"))
+    daily
+      .select(col("event_type"), col("day_num"), col("cnt").as("true_cnt"))
       .withColumn("u", graft.functions.TextAnalysis.md5Prefix32(
         concat(lit("dp:"), col("event_type"), lit(":"),
           col("day_num").cast("string"))))
@@ -341,6 +348,37 @@ object Relational {
         (size(filter(thr, t => col("u") >= t)) - lit(15)).cast("long"))
       .select(col("event_type"), col("day_num"), col("true_cnt"),
         col("noise"), (col("true_cnt") + col("noise")).as("released"))
+  }
+
+  /** Benford first-digit audit (q163) — the classic fraud / synthetic-
+    * data detector: naturally-occurring multiplicative magnitudes put
+    * digit d first with probability log₁₀(1+1/d); ledgers that deviate
+    * hard were typed in, generated, or truncated. Joins the data-quality
+    * family (q111 integrity audit, q137 column profile, q138 drift) as
+    * the distribution-shape check.
+    *
+    * Integer grading end to end: observed shares and the expectation are
+    * both parts-per-billion BIGINTs (the log₁₀ constants come from
+    * [[BenfordExpected]], one JVM feeding both engines — the DpNoise
+    * trick), so deviation is an exact subtraction, no float compare
+    * anywhere. One map-combined 9-group aggregate; the audit adds zero
+    * shuffles beyond it.
+    *
+    * @return per leading digit: (digit, obs, n_total, exp_ppb, obs_ppb,
+    *         dev_ppb)
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val expArr = array(BenfordExpected.ppb.map(lit): _*)
+    val digits = orders.select(
+        substring(expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"), 1, 1)
+          .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val tot = digits.agg(sum(col("obs")).as("n_total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("exp_ppb", element_at(expArr, col("digit")))
+      .withColumn("obs_ppb", expr("obs * 1000000000 div n_total"))
+      .select(col("digit"), col("obs"), col("n_total"), col("exp_ppb"),
+        col("obs_ppb"), (col("obs_ppb") - col("exp_ppb")).as("dev_ppb"))
   }
 
   /** Range-partition boundary planner (q156) — the primitive behind
@@ -879,6 +917,15 @@ object Relational {
   * ⌊CDF(k)·2³²⌋ for k = −15..14 (k = 15 is the implicit 2³² cap), so
   * noise = −15 + |{k : u ≥ T_k}| for u uniform on [0, 2³²).
   */
+/** [[Relational.benfordAudit]]'s expected first-digit shares as exact
+  * parts-per-billion: ⌊log₁₀(1+1/d)·10⁹⌋ for d = 1..9 — computed once
+  * here and embedded as literals in both engines' plans.
+  */
+object BenfordExpected {
+  val ppb: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e9).toLong)
+}
+
 object DpNoise {
   val epsilon: Double = 0.25
   private val alpha = math.exp(-epsilon)

@@ -298,6 +298,32 @@ class RelationalSpec extends AnyFunSuite {
       !x.getAs[Boolean]("flagged")))
   }
 
+  test("benfordAudit: shares are exact ppb and the expectation sums to ~1") {
+    import graft.operators.BenfordExpected
+    // the table itself: decreasing, log10(2) first, ~10^9 total
+    val e = BenfordExpected.ppb
+    assert(e.length === 9 && e.zip(e.tail).forall { case (a, b) => a > b })
+    assert(e.head === math.floor(math.log10(2.0) * 1e9).toLong)
+    assert(math.abs(e.sum - 1000000000L) < 10L)
+    // fixture: 2 orders leading 1, 1 order leading 9 -> exact thirds
+    val orders = Seq((1L, 123.45), (2L, 1999.0), (3L, 900.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = Relational.benfordAudit(orders).collect()
+      .map(x => x.getAs[Int]("digit") ->
+        (x.getAs[Long]("obs"), x.getAs[Long]("obs_ppb"),
+          x.getAs[Long]("dev_ppb"))).toMap
+    assert(r.keySet === Set(1, 9))
+    assert(r(1)._1 === 2L && r(1)._2 === 2000000000L / 3L)
+    assert(r(9)._1 === 1L && r(9)._2 === 1000000000L / 3L)
+    assert(r(1)._3 === r(1)._2 - e(0))
+    // real orders: every digit appears and shares sum to ~1
+    val real = Relational.benfordAudit(graft.Tables.orders(spark, TestSpark.sf))
+      .collect()
+    assert(real.map(_.getAs[Int]("digit")).toSet === (1 to 9).toSet)
+    val shareSum = real.map(_.getAs[Long]("obs_ppb")).sum
+    assert(shareSum > 999999900L && shareSum <= 1000000000L)
+  }
+
   test("dpNoisedCounts: noise is bounded, centered, and reproducible") {
     import graft.operators.DpNoise
     // the threshold table itself: strictly increasing, inside [0, 2^32),

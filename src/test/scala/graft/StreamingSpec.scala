@@ -681,6 +681,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(("view", 1))._5 === 1.0)
   }
 
+  test("streamed daily counts close through dpFromDaily to the batch release") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    val closed = (0 until 4).flatMap(d =>
+      (0 to d + 1).map(i => SessEv((d * 100 + i).toLong, t(d, i), 1L, "view")))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dp_daily")
+      .option("checkpointLocation", tmp("dp-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(90L, t(40, 0), 9L, "view")) // advances the watermark
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_num")) ->
+        (r.getAs[Long]("true_cnt"), r.getAs[Long]("noise"),
+          r.getAs[Long]("released"))).toMap
+    val streamed = key(graft.operators.Relational.dpFromDaily(
+      spark.table("dp_daily").where($"day_num" < 40)))
+    val batch = key(graft.operators.Relational.dpNoisedCounts(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    assert(streamed.keySet.map(_._2) === Set(0L, 1L, 2L, 3L))
+  }
+
   test("streaming checksum equals the batch table checksum on a closed input") {
     val rows = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "z"))
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
