@@ -618,6 +618,18 @@ object SparkEntry {
     // shares in exact parts-per-billion, shared-literal expectation
     "q163_benford" -> ((s, dir) =>
       Relational.benfordAudit(Tables.orders(s, dir))),
+    // Nelson-Aalen cumulative churn hazard over user lifetimes, exact
+    // nano-unit hazard terms
+    "q164_churn_hazard" -> ((s, dir) =>
+      TimeWindows.churnHazard(Tables.events(s, dir))),
+    // MLE Markov next-type predictor graded in-sample (argmax of the
+    // q100 matrix; accuracy = max row share, in exact ppm)
+    "q165_markov_eval" -> ((s, dir) =>
+      TimeWindows.markovEval(Tables.events(s, dir))),
+    // CUSUM chart over per-type daily volumes: sustained-shift detector
+    // beside q103's single-day z-flags, exact integer both sides
+    "q166_cusum" -> ((s, dir) =>
+      TimeWindows.cusumChangePoints(Tables.events(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2403,6 +2415,82 @@ object SparkEntry {
         |    - CAST(([${operators.BenfordExpected.ppb.mkString(", ")}])[digit] AS BIGINT)
         |    AS dev_ppb
         |FROM c CROSS JOIN tot""".stripMargin,
+    // same last-day deaths, same ordered at-risk scan, same nano floors
+    "q164_churn_hazard" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS dday
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT dday, CAST(count(*) AS BIGINT) AS deaths FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(deaths) AS BIGINT) AS n_users FROM dd),
+        |scan AS (
+        |  SELECT dday, deaths,
+        |    n_users - COALESCE(sum(deaths) OVER (ORDER BY dday
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+        |  FROM dd CROSS JOIN tot),
+        |h AS (
+        |  SELECT dday, deaths, n_at_risk,
+        |    deaths * 1000000000 // n_at_risk AS h_term_nano
+        |  FROM scan)
+        |SELECT dday AS day_num, deaths, n_at_risk, h_term_nano,
+        |  CAST(sum(h_term_nano) OVER (ORDER BY dday
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS h_cum_nano
+        |FROM h""".stripMargin,
+    // same lead pairs, same (n DESC, type) argmax, same ppm floor
+    "q165_markov_eval" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |pairs AS (SELECT from_type, to_type FROM p WHERE to_type IS NOT NULL),
+        |model AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT from_type, to_type AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY from_type
+        |      ORDER BY n DESC, to_type) AS rn FROM model)
+        |  WHERE rn = 1)
+        |SELECT p.from_type, pred.predicted,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(sum(CASE WHEN p.to_type = pred.predicted THEN 1 END), 0)
+        |    AS BIGINT) AS hits,
+        |  CAST(COALESCE(sum(CASE WHEN p.to_type = pred.predicted THEN 1 END), 0)
+        |    AS BIGINT) * 1000000 // count(*) AS acc_ppm
+        |FROM pairs p JOIN pred ON pred.from_type = p.from_type
+        |GROUP BY 1, 2""".stripMargin,
+    // same x n_days centering (residuals sum to zero exactly), same
+    // running-extrema cusum identities, same one-average-day threshold
+    "q166_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM daily GROUP BY 1),
+        |s AS (
+        |  SELECT d.event_type, d.day_num, d.cnt, st.total,
+        |    sum(d.cnt * st.n_days - st.total) OVER
+        |      (PARTITION BY d.event_type ORDER BY d.day_num
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM daily d JOIN st USING (event_type)),
+        |x AS (
+        |  SELECT event_type, day_num, cnt, total, s,
+        |    CAST(s - min(s) OVER (PARTITION BY event_type ORDER BY day_num
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cusum_pos,
+        |    CAST(max(s) OVER (PARTITION BY event_type ORDER BY day_num
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s AS BIGINT)
+        |      AS cusum_neg
+        |  FROM s)
+        |SELECT event_type, day_num, cnt, cusum_pos, cusum_neg,
+        |  cusum_pos > total AS flag_up, cusum_neg > total AS flag_down
+        |FROM x""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

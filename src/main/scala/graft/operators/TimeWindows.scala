@@ -693,4 +693,118 @@ object TimeWindows {
       .select(col("user_id"), col("click_id"), col("view_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
+
+  /** Churn hazard curve (q164) — the Nelson–Aalen cumulative-hazard
+    * estimator over user lifetimes: a user "dies" on their last active
+    * day, the at-risk set at day t is everyone whose last day is ≥ t,
+    * and H(t) = Σ_{s≤t} d_s/n_s accumulates the daily hazard. This is
+    * the survival-analysis view of retention — q86's cohort table says
+    * who came back; the hazard curve says how the leaving RATE evolves
+    * (the estimator of choice when S(t) would need a product of floats).
+    *
+    * Exactness: each hazard term is ⌊d·10⁹/n⌋ — an exact BIGINT both
+    * engines floor identically — and the cumulative sum adds exact
+    * integers, so H_nano is hash-stable (a float Π(1−d/n) Kaplan–Meier
+    * would not be; consumers wanting S(t) exponentiate −H themselves).
+    *
+    * Scale shape: one map-combined per-user max (the only corpus-wide
+    * work), then a |days|-row death table — the windows run over
+    * CALENDAR metadata, bounded by the observation span, not the
+    * corpus (the q162 argument).
+    *
+    * @return per death day: (day_num, deaths, n_at_risk, h_term_nano,
+    *         h_cum_nano)
+    */
+  def churnHazard(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deaths = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("user_id").agg(max(col("day")).as("dday"))
+      .groupBy("dday").agg(count(lit(1)).as("deaths"))
+      .transform(graft.barrier) // read by the total and the scan
+    val total = deaths.agg(sum(col("deaths")).as("n_users"))
+    val before = Window.orderBy("dday").rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy("dday").rowsBetween(Window.unboundedPreceding, 0)
+    deaths.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_users") - coalesce(sum(col("deaths")).over(before), lit(0L)))
+      .withColumn("h_term_nano", expr("deaths * 1000000000 div n_at_risk"))
+      .withColumn("h_cum_nano", sum(col("h_term_nano")).over(upTo))
+      .select(col("dday").as("day_num"), col("deaths"), col("n_at_risk"),
+        col("h_term_nano"), col("h_cum_nano"))
+  }
+
+  /** Markov next-event model fit (q165) — train the maximum-likelihood
+    * next-type predictor (argmax of [[transitionMatrix]]'s rows, ties to
+    * the alphabetically first type) and grade it in-sample: of all
+    * transitions leaving each type, how many went to the predicted
+    * type? The model-evaluation companion to q100, in the q83/q85
+    * measure-the-model family — accuracy per from-type is exactly the
+    * max row share, so the report doubles as the matrix's concentration
+    * profile.
+    *
+    * Scale shape: one user-keyed lead window builds the pair stream
+    * (barriered — the model build and the grade both read it); the
+    * model is ≤ |types|² rows, broadcast back over the pairs; integer
+    * counts and one floor-div ppm per row.
+    *
+    * @return (from_type, predicted, n_pairs, hits, acc_ppm)
+    */
+  def markovEval(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .transform(graft.barrier)
+    val model = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val pred = model.withColumn("rn", row_number().over(
+        Window.partitionBy("from_type").orderBy(col("n").desc, col("to_type"))))
+      .where(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    pairs.join(broadcast(pred), "from_type")
+      .groupBy(col("from_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L)).as("hits"))
+      .withColumn("acc_ppm", expr("hits * 1000000 div n_pairs"))
+  }
+
+  /** CUSUM change-point detection (q166) — the cumulative-sum chart
+    * over per-type daily volumes: where q103's z-flags mark single
+    * outlier days, CUSUM accumulates small sustained shifts until they
+    * cross a threshold (the classic Page 1954 chart, in its
+    * running-sum-minus-running-min form: S⁺_t = max over prefixes of
+    * the centered sum = cum − min(cum), and symmetrically S⁻).
+    *
+    * Exactness: residuals are centered WITHOUT division — r_t =
+    * cnt·n_days − total (they sum to zero exactly) — so both cusum
+    * sides are exact BIGINT window sums. The flag policy is integer
+    * too: in the ×n_days scale, S⁺ > total ⟺ Σ(cnt−mean) > mean — the
+    * accumulated above-mean excess exceeds one average day of volume
+    * (mirrored below). Windows partition per type over
+    * calendar-bounded rows.
+    *
+    * @return (event_type, day_num, cnt, cusum_pos, cusum_neg, flag_up,
+    *         flag_down)
+    */
+  def cusumChangePoints(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyCounts(events).transform(graft.barrier)
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+    val upTo = Window.partitionBy("event_type").orderBy("day_num")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("resid", col("cnt") * col("n_days") - col("total"))
+      .withColumn("s", sum(col("resid")).over(upTo))
+      .withColumn("cusum_pos", col("s") - min(col("s")).over(upTo))
+      .withColumn("cusum_neg", max(col("s")).over(upTo) - col("s"))
+      .withColumn("flag_up", col("cusum_pos") > col("total"))
+      .withColumn("flag_down", col("cusum_neg") > col("total"))
+      .select(col("event_type"), col("day_num"), col("cnt"),
+        col("cusum_pos"), col("cusum_neg"), col("flag_up"), col("flag_down"))
+  }
 }

@@ -365,4 +365,60 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("den_y") === 20L)
     assert(row.getAs[Double]("r") === 1.0)
   }
+
+  private def dayTs(day: Int, min: Int = 0): Timestamp =
+    new Timestamp((day.toLong * 1440 + min) * 60000L)
+
+  test("churnHazard: at-risk shrinks by prior deaths, nano terms are exact floors") {
+    // users 1,2 last active day 0; user 3 last active day 2
+    val events = Seq(
+      (1L, dayTs(0), 1L, "view", 1.0, ""),
+      (2L, dayTs(0, 5), 2L, "view", 1.0, ""),
+      (3L, dayTs(0), 3L, "view", 1.0, ""),
+      (4L, dayTs(2), 3L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.churnHazard(events).collect()
+      .map(x => x.getAs[Long]("day_num") ->
+        (x.getAs[Long]("deaths"), x.getAs[Long]("n_at_risk"),
+          x.getAs[Long]("h_term_nano"), x.getAs[Long]("h_cum_nano"))).toMap
+    assert(r.keySet === Set(0L, 2L))
+    assert(r(0L) === ((2L, 3L, 2000000000L / 3L, 2000000000L / 3L)))
+    assert(r(2L) === ((1L, 1L, 1000000000L,
+      2000000000L / 3L + 1000000000L)))
+  }
+
+  test("markovEval: argmax prediction, alphabetical ties, exact ppm accuracy") {
+    // user 1: A B A B -> pairs A->B, B->A, A->B
+    // user 2: C A C B -> pairs C->A, A->C, C->B (C's argmax ties -> A)
+    val events = Seq(
+      (1L, ts(0), 1L, "A", 1.0, ""), (2L, ts(1), 1L, "B", 1.0, ""),
+      (3L, ts(2), 1L, "A", 1.0, ""), (4L, ts(3), 1L, "B", 1.0, ""),
+      (5L, ts(10), 2L, "C", 1.0, ""), (6L, ts(11), 2L, "A", 1.0, ""),
+      (7L, ts(12), 2L, "C", 1.0, ""), (8L, ts(13), 2L, "B", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.markovEval(events).collect()
+      .map(x => x.getAs[String]("from_type") ->
+        (x.getAs[String]("predicted"), x.getAs[Long]("n_pairs"),
+          x.getAs[Long]("hits"), x.getAs[Long]("acc_ppm"))).toMap
+    assert(r("A") === (("B", 3L, 2L, 2000000L / 3L)))
+    assert(r("B") === (("A", 1L, 1L, 1000000L)))
+    assert(r("C") === (("A", 2L, 1L, 500000L)))
+  }
+
+  test("cusumChangePoints: running-extrema identities, one-average-day flag") {
+    // type X: days 0,1,2 with counts 1,1,10 -> n=3, total=12
+    // resid x3: -9,-9,18; s: -9,-18,0; pos: 0,0,18 (18 > 12 -> flag);
+    // neg: 0,9,0 (never > 12)
+    val rows = (0 until 1).map(_ => (1L, dayTs(0), 1L, "X", 1.0, "")) ++
+      Seq((2L, dayTs(1), 1L, "X", 1.0, "")) ++
+      (0 until 10).map(i => (10L + i, dayTs(2, i), 1L, "X", 1.0, ""))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.cusumChangePoints(events).collect()
+      .map(x => x.getAs[Long]("day_num") ->
+        (x.getAs[Long]("cusum_pos"), x.getAs[Long]("cusum_neg"),
+          x.getAs[Boolean]("flag_up"), x.getAs[Boolean]("flag_down"))).toMap
+    assert(r(0L) === ((0L, 0L, false, false)))
+    assert(r(1L) === ((0L, 9L, false, false)))
+    assert(r(2L) === ((18L, 0L, true, false)))
+  }
 }
