@@ -630,6 +630,10 @@ object SparkEntry {
     // beside q103's single-day z-flags, exact integer both sides
     "q166_cusum" -> ((s, dir) =>
       TimeWindows.cusumChangePoints(Tables.events(s, dir))),
+    // one BPE merge-selection step: overlapping pair counts rank the
+    // candidates, greedy replace-shrinkage grades what each would merge
+    "q167_bpe_merge" -> ((s, dir) =>
+      Corpus.bpeMergeStep(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2491,6 +2495,25 @@ object SparkEntry {
         |SELECT event_type, day_num, cnt, cusum_pos, cusum_neg,
         |  cusum_pos > total AS flag_up, cusum_neg > total AS flag_down
         |FROM x""".stripMargin,
+    // same tokenizer, same overlapping pair positions, same greedy
+    // replace-shrinkage count (replace is left-to-right in both engines)
+    "q167_bpe_merge" ->
+      """WITH wt AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |w2 AS (SELECT w FROM wt WHERE length(w) >= 2),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+        |  FROM w2),
+        |top AS (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM p GROUP BY 1 ORDER BY n_pair DESC, pair LIMIT 10)
+        |SELECT t.pair, t.n_pair,
+        |  CAST(sum(length(w2.w) - length(replace(w2.w, t.pair, chr(1))))
+        |    AS BIGINT) AS n_applied
+        |FROM w2 CROSS JOIN top t
+        |GROUP BY 1, 2""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

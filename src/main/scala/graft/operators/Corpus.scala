@@ -536,6 +536,48 @@ object Corpus {
           - lit(C) / col("s_union").cast("double")).as("est_inter"))
   }
 
+  /** One BPE merge-selection step (q167) — the inner loop of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016), the algorithm
+    * behind every modern LLM vocabulary: count adjacent symbol pairs
+    * across the corpus, rank merge candidates, and evaluate how many
+    * merges each candidate would actually perform. q53 tokenizes WITH a
+    * BPE-style vocabulary; this is the step that BUILDS one.
+    *
+    * Two statistics per candidate, deliberately distinct: `n_pair` is
+    * the standard BPE training count (adjacent positions — overlapping,
+    * "aaa" counts (a,a) twice), while `n_applied` is what a greedy
+    * left-to-right merge pass would really do ("aaa" → one merge). The
+    * latter is computed without any per-word loop: each `replace`
+    * shrinks a word by exactly one char, so applications =
+    * len(w) − len(replace(w, pair, ·)) — and `replace` is greedy
+    * left-to-right in every ANSI engine, which makes the trick
+    * oracle-exact.
+    *
+    * Scale shape: one word explode (barriered — the pair count and the
+    * apply pass both read it), a map-combined pair aggregate, a top-k
+    * heap, then the k candidates broadcast over the word stream with
+    * immediate re-aggregation to k rows. Nothing wider than the corpus
+    * scan itself.
+    *
+    * @return (pair, n_pair, n_applied) for the top `k` candidates
+    */
+  def bpeMergeStep(documents: DataFrame, k: Int = 10): DataFrame = {
+    val words = documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .where(length(col("w")) >= 2)
+      .transform(graft.barrier)
+    val top = words
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair")).limit(k)
+    words.crossJoin(broadcast(top))
+      .groupBy(col("pair"), col("n_pair"))
+      .agg(sum(length(col("w")) - length(expr("replace(w, pair, chr(1))")))
+        .as("n_applied"))
+      .select(col("pair"), col("n_pair"), col("n_applied"))
+  }
+
   /** Histogram-sketch quantiles graded against exact order statistics —
     * the [[hllCardinality]] pattern for percentiles: a fixed-`buckets`
     * equal-width histogram per source estimates p50/p90/p99 of document

@@ -432,7 +432,9 @@ object Reco {
       .agg(sum(col("rv") * col("v")).as("unum"),
         sum(col("v") * col("v")).as("uden"))
       .select(col("userId"), expr("unum * 1000000 div uden").as("u_micro"))
-    r.join(uf, "userId")
+    // shuffle-hash, not sort-merge: both sides stream straight into the
+    // per-item aggregate, so sorting them on userId first is pure cost
+    r.hint("shuffle_hash").join(uf.hint("shuffle_hash"), "userId")
       .groupBy(col("productId"), col("v"))
       .agg(sum(dec(col("rv") * col("u_micro"))).as("num2"),
         sum(dec(col("u_micro")) * dec(col("u_micro"))).as("den2"))

@@ -206,6 +206,29 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("bpeMergeStep: overlapping counts rank, greedy application counts grade") {
+    import spark.implicits._
+    // "aaab aaab cd": pairs per word "aaab" -> aa, aa, ab (overlapping);
+    // corpus counts: aa=4, ab=2, cd=1. Greedy merges of "aa" in "aaab":
+    // ONE (aaa overlaps), so n_applied(aa) = 2 across both words.
+    val docs = Seq((1L, "aaab aaab cd", "s")).toDF("doc_id", "text", "source")
+    val r = Corpus.bpeMergeStep(docs).collect()
+      .map(x => x.getAs[String]("pair") ->
+        (x.getAs[Long]("n_pair"), x.getAs[Long]("n_applied"))).toMap
+    assert(r("aa") === ((4L, 2L)))
+    assert(r("ab") === ((2L, 2L)))
+    assert(r("cd") === ((1L, 1L)))
+    // invariant on the real corpus: greedy applications never exceed the
+    // overlapping count, and every candidate applies at least once
+    val real = Corpus.bpeMergeStep(
+      graft.Tables.documents(spark, TestSpark.sf)).collect()
+    assert(real.length === 10)
+    real.foreach { x =>
+      val (np, na) = (x.getAs[Long]("n_pair"), x.getAs[Long]("n_applied"))
+      assert(na >= 1L && na <= np, s"${x.getAs[String]("pair")}: $na vs $np")
+    }
+  }
+
   test("hllIntersection: union sums dominate, identical shards estimate their own size") {
     import spark.implicits._
     // two identical sources: union registers == each side's registers, so

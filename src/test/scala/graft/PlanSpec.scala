@@ -345,4 +345,48 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"q148 has $bnlj nested-loop joins (max_pid alone is 1):\n$plan")
     assert(plan.contains("LeftAnti"), s"q148 lost the rated-pair anti-join:\n$plan")
   }
+
+  test("q160 HITS tops out in a heap; q158 ALS never sorts or windows") {
+    val hits = planString(SparkEntry.queries("q160_hits")(spark, TestSpark.sf))
+    assert(hits.contains("TakeOrderedAndProject"),
+      s"q160 authorities must heap-select, not global-sort:\n$hits")
+    val als = planString(SparkEntry.queries("q158_als_step")(spark, TestSpark.sf))
+    assert(!als.contains("Window") && !als.contains("Sort "),
+      s"q158 is pure join+aggregate; a sort/window crept in:\n$als")
+  }
+
+  test("q161 DP release adds no shuffle beyond the count it protects") {
+    val plan = planString(SparkEntry.queries("q161_dp_release")(spark, TestSpark.sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"q161 expected only the daily-count shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"q161 must not join:\n$plan")
+  }
+
+  test("q159 skyline: the exact window runs only over the pruned survivors") {
+    val plan = planString(SparkEntry.queries("q159_skyline")(spark, TestSpark.sf))
+    // prune path: a bucket aggregate and a broadcast of the 1024-row
+    // threshold table must sit UNDER the final single-partition window
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q159 lost the broadcast threshold prune:\n$plan")
+    val windowIdx = plan.indexOf("Window")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(windowIdx >= 0 && joinIdx > windowIdx,
+      s"q159 prune join must feed the window (appear below it):\n$plan")
+  }
+
+  test("q164/q166 windows are calendar-bounded; q165 broadcasts the model") {
+    // churn hazard: corpus-wide work is one per-user aggregate; the
+    // ordered scan runs over the |days| death table
+    val hz = planString(SparkEntry.queries("q164_churn_hazard")(spark, TestSpark.sf))
+    assert("Exchange hashpartitioning".r.findAllIn(hz).length <= 2,
+      s"q164 shuffles more than the user and day aggregates:\n$hz")
+    val cu = planString(SparkEntry.queries("q166_cusum")(spark, TestSpark.sf))
+    assert(!cu.contains("Exchange SinglePartition"),
+      s"q166 cusum windows must partition per type:\n$cu")
+    val mk = planString(SparkEntry.queries("q165_markov_eval")(spark, TestSpark.sf))
+    assert(mk.contains("BroadcastHashJoin"),
+      s"q165 prediction table must broadcast over the pair stream:\n$mk")
+    assert(!mk.contains("SortMergeJoin"),
+      s"q165 shuffled the pair stream for the model join:\n$mk")
+  }
 }
