@@ -884,6 +884,10 @@ object SparkEntry {
     // (vs the fixed-byte-offset slicing of q84/q87)
     "q135_pgm_decode" -> ((s, dir) =>
       Multimodal.decodePgm(Multimodal.synthesizePgm(Tables.documents(s, dir)))),
+    // Otsu binarization threshold over the corpus histogram of REAL-
+    // decoded PGM pixels — exact integer variance ratio, one division
+    "q168_otsu" -> ((s, dir) =>
+      Multimodal.otsuThreshold(Multimodal.synthesizePgm(Tables.documents(s, dir)))),
     // REAL BMP (24-bit) decode: little-endian header fields, BOTTOM-UP
     // rows, 4-byte stride padding — the 2D-geometry decode the other
     // three codecs don't exercise (0xAA pad bytes trap a bad stride)
@@ -2045,6 +2049,37 @@ object SparkEntry {
         |  CAST(list_sum(b) AS BIGINT) AS px_sum,
         |  CAST(list_sum(b) AS DOUBLE) / (w * h) AS mean_gray
         |FROM px""".stripMargin,
+    // pixel values re-derived from the generative formula (Spark parses
+    // the real bytes); same cumulative scan, same HUGEINT variance ratio
+    "q168_otsu" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS iw, 2 + doc_id % 3 AS ih FROM documents),
+        |pxl AS (
+        |  SELECT unnest(list_transform(range(0, iw * ih),
+        |    k -> (doc_id * 13 + k * 7) % 256)) AS v
+        |  FROM d),
+        |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM pxl GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(v * cnt) AS BIGINT) AS s
+        |  FROM hist),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w0,
+        |    CAST(sum(v * cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s0
+        |  FROM hist),
+        |f AS (
+        |  SELECT v, w0, n,
+        |    CAST(CAST(s0 AS HUGEINT) * n - CAST(w0 AS HUGEINT) * s AS HUGEINT) AS numr,
+        |    CAST(w0 AS HUGEINT) * (n - w0) AS den
+        |  FROM c CROSS JOIN tot WHERE w0 > 0 AND w0 < n)
+        |SELECT v AS threshold, w0, n - w0 AS w1, n AS n_pixels,
+        |  CAST(numr * numr AS DOUBLE) / CAST(den AS DOUBLE) AS between_var_scaled
+        |FROM f
+        |QUALIFY row_number() OVER (
+        |  ORDER BY CAST(numr * numr AS DOUBLE) / CAST(den AS DOUBLE) DESC, v) = 1""".stripMargin,
     // recomputes the frame-sequence formula (inverted frame 2 on every
     // 5th doc) and the same integer |Δ| fold per consecutive pair
     "q141_scene_cuts" ->

@@ -326,6 +326,54 @@ object Multimodal {
           col("px_sum").cast("double") / col("n_pixels")).otherwise(lit(0.0)))
   }
 
+  /** Otsu threshold (q168) over the corpus-wide grayscale histogram of
+    * REAL-decoded PGM pixels — the classic binarization algorithm
+    * (Otsu 1979): pick the cut t maximizing between-class variance
+    * σ²_B(t) = ω₀ω₁(μ₀−μ₁)², the first actual computer-vision
+    * computation on top of the decoder family (q84/q87/q135/q155 prove
+    * the parsers; this consumes one).
+    *
+    * Exactness: with histogram counts, σ²_B(t) ∝ (s₀·N − w₀·S)² /
+    * (w₀·(N−w₀)) — numerator and denominator are exact DECIMAL(38,0)
+    * integers (the square reaches ~10²⁸ at sf0.1, past BIGINT), and the
+    * single division to a double is IEEE-identical on both engines, so
+    * the argmax (ties to the lower t) is hash-stable.
+    *
+    * Scale shape: pixel decode is map-side; the histogram map-combines
+    * to ≤256 rows; every window after runs over the 256-bin table —
+    * palette-bounded metadata, not corpus rows.
+    *
+    * @return one row: (threshold, w0, w1, n_pixels, between_var_scaled)
+    */
+  def otsuThreshold(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val s = col("payload").cast("string")
+    val hdr = "^P2\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s"
+    val toks = filter(split(regexp_replace(s, hdr, ""), "\\s+"), t => t =!= "")
+    val px = media.select(explode(transform(toks, t => t.cast("long"))).as("v"))
+    val hist = px.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .transform(graft.barrier) // read by the totals and the scan
+    val tot = hist.agg(sum(col("cnt")).as("n"),
+      sum(col("v") * col("cnt")).as("s"))
+    val upTo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cand = hist
+      .withColumn("w0", sum(col("cnt")).over(upTo))
+      .withColumn("s0", sum(col("v") * col("cnt")).over(upTo))
+      .crossJoin(broadcast(tot))
+      .where(col("w0") > 0 && col("w0") < col("n"))
+      .withColumn("numr", dec(col("s0")) * dec(col("n")) - dec(col("w0")) * dec(col("s")))
+      .withColumn("den", dec(col("w0")) * (dec(col("n")) - dec(col("w0"))))
+      .withColumn("f", (col("numr") * col("numr")).cast("double")
+        / col("den").cast("double"))
+    cand
+      .withColumn("rn", row_number().over(Window.orderBy(col("f").desc, col("v"))))
+      .where(col("rn") === 1)
+      .select(col("v").as("threshold"), col("w0"),
+        (col("n") - col("w0")).as("w1"), col("n").as("n_pixels"),
+        col("f").as("between_var_scaled"))
+  }
+
   /** Synthesize a per-document FRAME SEQUENCE (a stand-in for decoded
     * video): nf = 3 + doc_id % 3 grayscale frames of w·h pixels
     * (w = 3 + doc_id % 4, h = 2 + doc_id % 3); frame f pixel k is

@@ -182,6 +182,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(3L).getAs[Long]("valid_magic") === 0L)
   }
 
+  test("otsuThreshold: bimodal fixture cuts at the low mode with exact variance ratio") {
+    // pixels {0,0,0,255,255}: the only candidate cut is v=0 (v=255 has
+    // w0=n). numr = 0*5 - 3*510 = -1530; f = 1530^2 / (3*2) = 390150
+    val payload = "P2\n5 1\n255\n0 0 0 255 255\n".getBytes("US-ASCII")
+    val r = Multimodal.otsuThreshold(Seq((1L, payload)).toDF("doc_id", "payload"))
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("threshold") === 0L)
+    assert(row.getAs[Long]("w0") === 3L && row.getAs[Long]("w1") === 2L)
+    assert(row.getAs[Long]("n_pixels") === 5L)
+    assert(row.getAs[Double]("between_var_scaled") === 1530.0 * 1530.0 / 6.0)
+    // real corpus: a single in-range cut with both classes populated
+    val real = Multimodal.otsuThreshold(
+      Multimodal.synthesizePgm(Tables.documents(spark, TestSpark.sf))).collect()
+    assert(real.length === 1)
+    val t = real.head
+    assert(t.getAs[Long]("threshold") >= 0L && t.getAs[Long]("threshold") < 255L)
+    assert(t.getAs[Long]("w0") + t.getAs[Long]("w1") === t.getAs[Long]("n_pixels"))
+    assert(t.getAs[Double]("between_var_scaled") > 0.0)
+  }
+
   test("synthesizePgm → decodePgm roundtrip matches the synthesis formula") {
     val docs = Tables.documents(spark, TestSpark.sf).select("doc_id").limit(40)
     val decoded = Multimodal.decodePgm(Multimodal.synthesizePgm(docs))
