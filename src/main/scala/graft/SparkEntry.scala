@@ -634,6 +634,14 @@ object SparkEntry {
     // candidates, greedy replace-shrinkage grades what each would merge
     "q167_bpe_merge" -> ((s, dir) =>
       Corpus.bpeMergeStep(Tables.documents(s, dir))),
+    // positional-index phrase query: adjacent-position self-join over
+    // (doc, pos, token) postings — the index algebra twin of q95
+    "q169_phrase_search" -> ((s, dir) =>
+      Corpus.phraseSearch(Tables.documents(s, dir))),
+    // per-label farthest-from-centroid vectors: exact decimal distance
+    // numerators over micro-quantized coordinates, per-label ranking
+    "q170_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2549,6 +2557,46 @@ object SparkEntry {
         |    AS BIGINT) AS n_applied
         |FROM w2 CROSS JOIN top t
         |GROUP BY 1, 2""".stripMargin,
+    // same tokenizer; bigrams from list adjacency (positionally equal to
+    // the Spark side's postings self-join), same (count, phrase) top-3
+    "q169_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)])) AS phrase
+        |  FROM toks)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM bg GROUP BY 1
+        |ORDER BY n_occurrences DESC, phrase LIMIT 3""".stripMargin,
+    // same micro quantization, same HUGEINT (m*n - s)^2 numerators, the
+    // same per-label (num DESC, vec_id) ranking and final division
+    "q170_embedding_outliers" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS m
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim, CAST(sum(m) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT ex.label, ex.vec_id, cent.n,
+        |    sum((CAST(ex.m AS HUGEINT) * cent.n - cent.s)
+        |      * (CAST(ex.m AS HUGEINT) * cent.n - cent.s)) AS dist_num
+        |  FROM ex JOIN cent ON cent.label = ex.label AND cent.dim = ex.dim
+        |  GROUP BY 1, 2, 3)
+        |SELECT label, vec_id, n AS n_members,
+        |  CAST(dist_num AS DECIMAL(38,0)) AS dist_num,
+        |  CAST(dist_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12)
+        |    AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY dist_num DESC, vec_id) AS rn FROM dist)
+        |WHERE rn <= 5""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -536,6 +536,39 @@ object Corpus {
           - lit(C) / col("s_union").cast("double")).as("est_inter"))
   }
 
+  /** Positional-index phrase query (q169) — the search-engine primitive
+    * the n-gram family never exercises: build positional postings
+    * (doc, position, token), then answer a 2-word phrase query as an
+    * adjacent-position SELF-JOIN on the index — the classic inverted-
+    * index phrase algorithm, here finding the corpus's own top phrases.
+    * Distinct from q95 (collocations via a lead window): same answer
+    * space, the INDEX algebra instead of the window algebra — exactly
+    * the swap a search deployment makes when queries outnumber scans.
+    *
+    * Scale shape: postings are one narrow explode (barriered — both
+    * join sides read them); the adjacency join is keyed on (doc, pos),
+    * so it shuffles postings once and streams; counts map-combine; the
+    * final ranking is a top-k heap.
+    *
+    * @return (phrase, n_occurrences, n_docs) for the top `k` phrases
+    *         by (count DESC, phrase)
+    */
+  def phraseSearch(documents: DataFrame, k: Int = 3): DataFrame = {
+    val postings = documents
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .transform(graft.barrier)
+    val nexts = postings
+      .select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("tok2"))
+    postings.join(nexts, Seq("doc_id", "pos"))
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("tok2")).as("phrase"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** One BPE merge-selection step (q167) — the inner loop of byte-pair-
     * encoding tokenizer training (Sennrich et al. 2016), the algorithm
     * behind every modern LLM vocabulary: count adjacent symbol pairs

@@ -388,4 +388,50 @@ object Similarity {
         col("tk").getItem(0).getField("payload").as("best_train_id"),
         col("tk").getItem(0).getField("score").as("best_sim"))
   }
+
+  /** Per-label embedding outliers (q170) — the mislabeled-example /
+    * contamination detector: for each label, the `topK` vectors farthest
+    * from their label centroid. The quality-control counterpart to the
+    * retrieval family (q37/q38/q41): the same geometry, pointed inward
+    * at the training set itself.
+    *
+    * Exactness (the kmeansUpdateExact algebra extended to distances):
+    * with micro-quantized coordinates m = ⌊x·10⁶⌋ and per-(label, dim)
+    * sums s over n members, the squared distance to the EXACT rational
+    * centroid s/n scales to Σ_d (m·n − s)² / n² — the numerator is an
+    * exact DECIMAL(38,0) both engines sum identically, the ranking
+    * needs only the numerator (n is constant within a label), and the
+    * reported float distance spends one division at the end.
+    *
+    * Scale shape: one exploded map-combined aggregate builds the
+    * |labels|·dims centroid table (broadcast back); the distance pass
+    * re-aggregates per vector; the per-label ranking window partitions
+    * by label. Nothing exceeds corpus·dims narrow rows.
+    *
+    * @return (label, vec_id, n_members, dist_num, dist) — topK rows per
+    *         label, farthest first by (dist_num DESC, vec_id)
+    */
+  def embeddingOutliers(embeddings: DataFrame, topK: Int = 5): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ex = embeddings
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("vec_id"), col("pos").as("dim"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("m"))
+      .transform(graft.barrier) // read by the centroid agg and the join
+    val cent = ex.groupBy("label", "dim")
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+    val dist = ex.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("d", dec(col("m")) * dec(col("n")) - dec(col("s")))
+      .groupBy(col("label"), col("vec_id"), col("n"))
+      .agg(sum(col("d") * col("d")).as("dist_num"))
+    dist
+      .withColumn("rn", row_number().over(Window.partitionBy("label")
+        .orderBy(col("dist_num").desc, col("vec_id"))))
+      .where(col("rn") <= topK)
+      .select(col("label"), col("vec_id"), col("n").as("n_members"),
+        col("dist_num"),
+        (col("dist_num").cast("double")
+          / (col("n").cast("double") * col("n").cast("double") * lit(1e12)))
+          .as("dist"))
+  }
 }

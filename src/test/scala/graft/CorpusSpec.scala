@@ -206,6 +206,16 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("phraseSearch: positional join counts occurrences and docs, ties by phrase") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y", "s"), (2L, "x y z", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.phraseSearch(docs).collect()
+      .map(x => (x.getAs[String]("phrase"), x.getAs[Long]("n_occurrences"),
+        x.getAs[Long]("n_docs")))
+    assert(r.toSeq === Seq(("x y", 3L, 2L), ("y x", 1L, 1L), ("y z", 1L, 1L)))
+  }
+
   test("bpeMergeStep: overlapping counts rank, greedy application counts grade") {
     import spark.implicits._
     // "aaab aaab cd": pairs per word "aaab" -> aa, aa, ab (overlapping);

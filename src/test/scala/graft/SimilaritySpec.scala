@@ -190,6 +190,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(updated.agg(sum($"n_members")).as[Long].head() === emb.count())
   }
 
+  test("embeddingOutliers: exact distance numerators rank the far vector first") {
+    // label 0: (0,0), (0,0), (3,0) -> centroid (1,0); v3's numerator is
+    // (3e6*3 - 3e6)^2 = 3.6e13, the twins' (0*3 - 3e6)^2 = 9e12 each
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.0f, 0.0f), 0),
+      (3L, Array(3.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingOutliers(emb).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[java.math.BigDecimal]("dist_num").longValueExact,
+          x.getAs[Double]("dist"))).toMap
+    assert(r(3L) === ((36000000000000L, 4.0))) // (3-1)^2 = 4
+    assert(r(1L) === ((9000000000000L, 1.0)))
+    assert(r(2L) === ((9000000000000L, 1.0)))
+    // real corpus: 5 rows per label, farthest-first within each label
+    val real = Similarity.embeddingOutliers(
+      Tables.embeddings(spark, TestSpark.sf)).collect()
+    val byLabel = real.groupBy(_.getAs[Int]("label"))
+    byLabel.values.foreach { rows =>
+      assert(rows.length === 5)
+      val nums = rows.sortBy(_.getAs[Long]("vec_id"))
+        .map(_.getAs[java.math.BigDecimal]("dist_num"))
+      assert(nums.forall(_.signum >= 0))
+    }
+  }
+
   test("semanticContamination: odd test ids vs even train ids, best hit is the max") {
     val out = Similarity.semanticContamination(Tables.embeddings(spark, TestSpark.sf))
       .as[(Long, Long, Long, Double)].collect()
