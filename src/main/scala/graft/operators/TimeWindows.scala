@@ -790,9 +790,17 @@ object TimeWindows {
     * @return (event_type, day_num, cnt, cusum_pos, cusum_neg, flag_up,
     *         flag_down)
     */
-  def cusumChangePoints(events: DataFrame): DataFrame = {
+  def cusumChangePoints(events: DataFrame): DataFrame =
+    cusumFromDaily(dailyCounts(events))
+
+  /** The chart stage of [[cusumChangePoints]] over an already-maintained
+    * daily table — the twin seam ([[graft.streaming.RealTime
+    * .dailyCountsStream]] closes through this same stage, like
+    * q103/q144/q150/q161).
+    */
+  def cusumFromDaily(dailyIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = dailyCounts(events).transform(graft.barrier)
+    val daily = dailyIn.transform(graft.barrier)
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
     val upTo = Window.partitionBy("event_type").orderBy("day_num")

@@ -709,6 +709,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.keySet.map(_._2) === Set(0L, 1L, 2L, 3L))
   }
 
+  test("streamed daily counts close through cusumFromDaily to the batch chart") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // counts 1,1,10 over days 0-2: day 2 flags up (cusum 18 > total 12)
+    val closed = Seq(SessEv(1L, t(0, 0), 1L, "view"), SessEv(2L, t(1, 0), 1L, "view")) ++
+      (0 until 10).map(i => SessEv(10L + i, t(2, i), 1L, "view"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_daily")
+      .option("checkpointLocation", tmp("cusum-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(90L, t(40, 0), 9L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_num")) ->
+        (r.getAs[Long]("cusum_pos"), r.getAs[Long]("cusum_neg"),
+          r.getAs[Boolean]("flag_up"), r.getAs[Boolean]("flag_down"))).toMap
+    val streamed = key(graft.operators.TimeWindows.cusumFromDaily(
+      spark.table("cusum_daily").where($"day_num" < 40)))
+    val batch = key(graft.operators.TimeWindows.cusumChangePoints(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    assert(streamed(("view", 2L))._3 === true)
+  }
+
   test("streaming checksum equals the batch table checksum on a closed input") {
     val rows = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "z"))
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
