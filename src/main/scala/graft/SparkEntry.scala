@@ -642,6 +642,10 @@ object SparkEntry {
     // numerators over micro-quantized coordinates, per-label ranking
     "q170_embedding_outliers" -> ((s, dir) =>
       Similarity.embeddingOutliers(Tables.embeddings(s, dir))),
+    // chi-square independence audit (type x weekday): exact integer
+    // deviations, 3-sigma integer flag, per-cell contribution
+    "q171_independence" -> ((s, dir) =>
+      Relational.independenceAudit(Tables.events(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2597,6 +2601,29 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY label
         |    ORDER BY dist_num DESC, vec_id) AS rn FROM dist)
         |WHERE rn <= 5""".stripMargin,
+    // same HUGEINT dev = obs*N - r*c, same 9rcN flag, same one-division
+    // contribution; margins from the same cell table
+    "q171_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS weekday,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |rw AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cl AS (SELECT weekday, CAST(sum(obs) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |g AS (
+        |  SELECT cells.event_type, cells.weekday, cells.obs, rw.r, cl.c, tt.n,
+        |    CAST(cells.obs AS HUGEINT) * tt.n
+        |      - CAST(rw.r AS HUGEINT) * cl.c AS dev
+        |  FROM cells JOIN rw USING (event_type) JOIN cl USING (weekday)
+        |  CROSS JOIN tt)
+        |SELECT event_type, weekday, obs, r, c, n,
+        |  CAST(dev AS DECIMAL(38,0)) AS dev,
+        |  CAST(dev * dev AS DOUBLE)
+        |    / CAST(CAST(r AS HUGEINT) * c * n AS DOUBLE) AS contrib,
+        |  dev * dev > 9 * CAST(r AS HUGEINT) * c * n AS flagged
+        |FROM g""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

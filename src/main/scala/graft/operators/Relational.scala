@@ -350,6 +350,50 @@ object Relational {
         col("noise"), (col("true_cnt") + col("noise")).as("released"))
   }
 
+  /** Chi-square independence audit (q171) — is event type independent
+    * of weekday? The contingency-table companion to [[benfordAudit]]:
+    * per cell, the observed count against the independence expectation
+    * E = r·c/N, with the deviation kept exact — dev = obs·N − r·c (a
+    * DECIMAL(38,0) integer) — and the cell flagged when the squared
+    * standardized residual exceeds 3σ: dev² > 9·r·c·N, a pure integer
+    * compare. The per-cell χ² contribution dev²/(r·c·N) ships as one
+    * fixed double division (no cross-cell float sum, so no
+    * order-dependence; consumers sum contributions over the ≤ |types|·7
+    * cells themselves).
+    *
+    * Bound note: dev² reaches (obs·N)² — exact through DECIMAL(38,0) up
+    * to ~10¹⁹-row tables (the q149 narrow-seam argument); beyond that,
+    * pre-scale counts (e.g. to per-million) before the audit.
+    *
+    * Scale shape: one map-combined cell aggregate; margins are tiny
+    * broadcast aggregates of the cell table itself.
+    *
+    * @return per cell: (event_type, weekday, obs, r, c, n, dev,
+    *         contrib, flagged)
+    */
+  def independenceAudit(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = events
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("weekday"))
+      .groupBy("event_type", "weekday").agg(count(lit(1)).as("obs"))
+      .transform(graft.barrier) // read by both margins and the grid
+    val rows = cells.groupBy("event_type").agg(sum(col("obs")).as("r"))
+    val cols = cells.groupBy("weekday").agg(sum(col("obs")).as("c"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
+    cells
+      .join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "weekday")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", dec(col("obs")) * dec(col("n")) - dec(col("r")) * dec(col("c")))
+      .withColumn("contrib", (col("dev") * col("dev")).cast("double")
+        / (dec(col("r")) * dec(col("c")) * dec(col("n"))).cast("double"))
+      .withColumn("flagged", col("dev") * col("dev")
+        > dec(lit(9)) * dec(col("r")) * dec(col("c")) * dec(col("n")))
+      .select(col("event_type"), col("weekday"), col("obs"), col("r"),
+        col("c"), col("n"), col("dev"), col("contrib"), col("flagged"))
+  }
+
   /** Benford first-digit audit (q163) — the classic fraud / synthetic-
     * data detector: naturally-occurring multiplicative magnitudes put
     * digit d first with probability log₁₀(1+1/d); ledgers that deviate

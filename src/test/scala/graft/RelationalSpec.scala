@@ -298,6 +298,41 @@ class RelationalSpec extends AnyFunSuite {
       !x.getAs[Boolean]("flagged")))
   }
 
+  test("independenceAudit: exact deviations, zero for a perfectly independent grid") {
+    // 2 types x 2 weekdays, perfectly independent: obs = r*c/N exactly
+    def t(day: Int, i: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + i) * 60000L)
+    // type a: 2 on day 0 (weekday 0), 2 on day 1; type b: 1 and 1
+    val rows = Seq(
+      (1L, t(0, 0), 1L, "a", 1.0, ""), (2L, t(0, 1), 1L, "a", 1.0, ""),
+      (3L, t(1, 0), 1L, "a", 1.0, ""), (4L, t(1, 1), 1L, "a", 1.0, ""),
+      (5L, t(0, 2), 1L, "b", 1.0, ""), (6L, t(1, 2), 1L, "b", 1.0, ""))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.independenceAudit(events).collect()
+    assert(r.length === 4)
+    r.foreach { x =>
+      assert(x.getAs[java.math.BigDecimal]("dev").signum === 0)
+      assert(x.getAs[Double]("contrib") === 0.0)
+      assert(!x.getAs[Boolean]("flagged"))
+    }
+    // a fully dependent grid: type a only day0, type b only day1 -> every
+    // cell deviates; with 2 obs per cell the 3-sigma flag fires (dev^2 =
+    // (2*4-2*2)^2 = 16 > 9*r*c*n = ... wait r=c=2, n=4 -> 9*2*2*4 = 144)
+    val dep = Seq(
+      (1L, t(0, 0), 1L, "a", 1.0, ""), (2L, t(0, 1), 1L, "a", 1.0, ""),
+      (3L, t(1, 0), 1L, "b", 1.0, ""), (4L, t(1, 1), 1L, "b", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = Relational.independenceAudit(dep).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("weekday")) -> x).toMap
+    // observed cells only: (a,0) and (b,1); dev = 2*4 - 2*2 = 4
+    assert(r2.keySet === Set(("a", 0L), ("b", 1L)))
+    r2.values.foreach { x =>
+      assert(x.getAs[java.math.BigDecimal]("dev").longValueExact === 4L)
+      assert(x.getAs[Double]("contrib") === 1.0) // 16 / (2*2*4)
+      assert(!x.getAs[Boolean]("flagged")) // 16 < 144: n too small for 3 sigma
+    }
+  }
+
   test("benfordAudit: shares are exact ppb and the expectation sums to ~1") {
     import graft.operators.BenfordExpected
     // the table itself: decreasing, log10(2) first, ~10^9 total
