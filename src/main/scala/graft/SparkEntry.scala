@@ -601,7 +601,7 @@ object SparkEntry {
     // one rank-1 ALS alternation in exact integer arithmetic: hash-seeded
     // item factors, closed-form user solve, graded item re-solve
     "q158_als_step" -> ((s, dir) =>
-      Reco.alsRankOneStep(Tables.ratings(s, dir))),
+      Reco.alsFromDeduped(cfDeduped(s, dir))),
     // 2-D Pareto skyline over orders (price x recency), grid-pruned so
     // the exact sort-scan window never sees more than ~|skyline| points
     "q159_skyline" -> ((s, dir) =>
@@ -646,6 +646,10 @@ object SparkEntry {
     // deviations, 3-sigma integer flag, per-cell contribution
     "q171_independence" -> ((s, dir) =>
       Relational.independenceAudit(Tables.events(s, dir))),
+    // exact per-source KS and Wasserstein-1 drift of the length
+    // distribution vs the rest of the corpus (one grid pass, both stats)
+    "q172_ks_drift" -> ((s, dir) =>
+      Corpus.ksDrift(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2624,6 +2628,43 @@ object SparkEntry {
         |    / CAST(CAST(r AS HUGEINT) * c * n AS DOUBLE) AS contrib,
         |  dev * dev > 9 * CAST(r AS HUGEINT) * c * n AS flagged
         |FROM g""".stripMargin,
+    // same (source, value) grid, same scaled CDF-difference integers,
+    // same max/sum-by-gap aggregates and single divisions
+    "q172_ks_drift" ->
+      """WITH vc AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM vc),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM vc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM srcs),
+        |gv AS (SELECT v, CAST(sum(c) AS BIGINT) AS g FROM vc GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, s.n_s, va.v, COALESCE(vc.c, 0) AS c
+        |  FROM srcs s CROSS JOIN vals va
+        |  LEFT JOIN vc ON vc.source = s.source AND vc.v = va.v),
+        |cum AS (
+        |  SELECT grid.source, grid.n_s, grid.v, gv.g, tot.n,
+        |    CAST(sum(grid.c) OVER (PARTITION BY grid.source ORDER BY grid.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+        |    CAST(sum(gv.g) OVER (PARTITION BY grid.source ORDER BY grid.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg,
+        |    COALESCE(lead(grid.v) OVER (PARTITION BY grid.source ORDER BY grid.v)
+        |      - grid.v, 0) AS gap
+        |  FROM grid JOIN gv ON gv.v = grid.v CROSS JOIN tot),
+        |d AS (
+        |  SELECT source, n_s, n,
+        |    abs(CAST(cs AS HUGEINT) * (n - n_s)
+        |      - CAST(cg - cs AS HUGEINT) * n_s) AS diff, gap
+        |  FROM cum)
+        |SELECT source, n_s, n - n_s AS n_rest,
+        |  CAST(max(diff) AS DECIMAL(38,0)) AS d_num,
+        |  CAST(CAST(n_s AS HUGEINT) * (n - n_s) AS DECIMAL(38,0)) AS d_den,
+        |  CAST(max(diff) AS DOUBLE)
+        |    / CAST(CAST(n_s AS HUGEINT) * (n - n_s) AS DOUBLE) AS d,
+        |  CAST(sum(diff * gap) AS DECIMAL(38,0)) AS w1_num,
+        |  CAST(sum(diff * gap) AS DOUBLE)
+        |    / CAST(CAST(n_s AS HUGEINT) * (n - n_s) AS DOUBLE) AS w1
+        |FROM d GROUP BY 1, 2, n""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

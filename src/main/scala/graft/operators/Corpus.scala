@@ -536,6 +536,62 @@ object Corpus {
           - lit(C) / col("s_union").cast("double")).as("est_inter"))
   }
 
+  /** Exact two-sample drift distances (q172) — per source, the
+    * Kolmogorov–Smirnov statistic AND the Wasserstein-1 (earth-mover)
+    * distance between that source's document-length distribution and
+    * the rest of the corpus. The order-statistic drift measures beside
+    * q138's count-based test: KS is the worst-case CDF gap (max), W1
+    * the total transport (sum × gap) — one grid pass yields both.
+    *
+    * Exactness: with per-source cumulative counts cs and global cg at
+    * each jump value, the CDF difference scales to diff = cs·(N−n_s) −
+    * (cg−cs)·n_s — an exact DECIMAL integer. D = max|diff| and
+    * W1_num = Σ|diff|·gap are exact aggregates over it; each statistic
+    * spends exactly one division into a double.
+    *
+    * Scale shape: one map-combined (source, value) count is the only
+    * corpus-wide work; the evaluation grid is |sources| × |distinct
+    * values| (value-domain-bounded metadata — document lengths, not
+    * documents), with per-source windows over it.
+    *
+    * @return per source: (source, n_s, n_rest, d_num, d_den, d,
+    *         w1_num, w1)
+    */
+  def ksDrift(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val vc = documents.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.barrier) // read by the grid, margins, and globals
+    val values = vc.select("v").distinct()
+    val srcs = vc.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val tot = srcs.agg(sum(col("n_s")).as("n"))
+    val gv = vc.groupBy("v").agg(sum(col("c")).as("g"))
+    val grid = srcs.crossJoin(values)
+      .join(vc, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+    val w = Window.partitionBy("source").orderBy("v")
+    val upTo = w.rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(broadcast(gv), "v").crossJoin(broadcast(tot))
+      .withColumn("cs", sum(col("c")).over(upTo))
+      .withColumn("cg", sum(col("g")).over(upTo))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(w) - col("v"), lit(0L)))
+      .withColumn("diff", abs(dec(col("cs")) * (dec(col("n")) - dec(col("n_s")))
+        - (dec(col("cg")) - dec(col("cs"))) * dec(col("n_s"))))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(max(col("diff")).as("d_num"),
+        sum(col("diff") * dec(col("gap"))).as("w1_num"))
+      .select(col("source"), col("n_s"), (col("n") - col("n_s")).as("n_rest"),
+        col("d_num"),
+        (dec(col("n_s")) * (dec(col("n")) - dec(col("n_s")))).as("d_den"),
+        (col("d_num").cast("double")
+          / (dec(col("n_s")) * (dec(col("n")) - dec(col("n_s")))).cast("double"))
+          .as("d"),
+        col("w1_num"),
+        (col("w1_num").cast("double")
+          / (dec(col("n_s")) * (dec(col("n")) - dec(col("n_s")))).cast("double"))
+          .as("w1"))
+  }
+
   /** Positional-index phrase query (q169) — the search-engine primitive
     * the n-gram family never exercises: build positional postings
     * (doc, position, token), then answer a 2-word phrase query as an

@@ -419,11 +419,19 @@ object Reco {
     *
     * @return (productId, v0, num2, den2, v_new), one row per rated item
     */
-  def alsRankOneStep(ratings: DataFrame): DataFrame = {
+  def alsRankOneStep(ratings: DataFrame): DataFrame =
+    alsFromDeduped(dedupedRatings(ratings))
+
+  /** [[alsRankOneStep]] from an already-deduped (userId, productId, rv)
+    * table — the [[itemNeighborsFrom]] memoization seam: the harness
+    * computes [[dedupedRatings]] once per session for the whole
+    * recommender family (q107/q108/q158).
+    */
+  def alsFromDeduped(deduped: DataFrame): DataFrame = {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     // (userId, productId, rv, v) — barriered: the user solve and the item
     // solve both stream it
-    val r = dedupedRatings(ratings)
+    val r = deduped
       .withColumn("v",
         graft.functions.TextAnalysis.md5Prefix32(
           concat(lit("als:"), col("productId").cast("string"))) % 1000 + 1)

@@ -206,6 +206,31 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("ksDrift: disjoint supports give D=1 and W1=the mean shift") {
+    import spark.implicits._
+    // source a: lengths {1,1}; source b: lengths {3,3}. Each vs rest:
+    // D = 1 (total separation); W1 = 2 (all mass moves distance 2)
+    val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "xxx", "b"), (4L, "xxx", "b"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "source", "CAST(length(text) AS BIGINT) AS n_chars")
+    val r = Corpus.ksDrift(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[java.math.BigDecimal]("d_num").longValueExact,
+          x.getAs[Double]("d"),
+          x.getAs[java.math.BigDecimal]("w1_num").longValueExact,
+          x.getAs[Double]("w1"))).toMap
+    assert(r("a") === ((4L, 1.0, 8L, 2.0)))
+    assert(r("b") === ((4L, 1.0, 8L, 2.0)))
+    // real corpus: D in (0, 1], W1 >= 0, one row per source
+    val real = Corpus.ksDrift(graft.Tables.documents(spark, TestSpark.sf)).collect()
+    assert(real.length === graft.Tables.documents(spark, TestSpark.sf)
+      .select("source").distinct().count().toInt)
+    real.foreach { x =>
+      assert(x.getAs[Double]("d") > 0.0 && x.getAs[Double]("d") <= 1.0)
+      assert(x.getAs[Double]("w1") >= 0.0)
+    }
+  }
+
   test("phraseSearch: positional join counts occurrences and docs, ties by phrase") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y", "s"), (2L, "x y z", "s"))
