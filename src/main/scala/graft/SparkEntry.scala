@@ -95,9 +95,17 @@ object SparkEntry {
       Reco.dedupedRatings(Tables.ratings(spark, dir)).cache()
     }
 
+  /** The co-rated pair table (the family's Σdeg² fan-out), memoized so
+    * q107/q108's neighbor build and q173's lift ranking pay it once.
+    */
+  private def cfPairs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_pairs") {
+      Reco.itemPairs(cfDeduped(spark, dir))
+    }
+
   private def cfNeighbors(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "cf_neighbors") {
-      Reco.itemNeighborsFrom(cfDeduped(spark, dir)).cache()
+      Reco.itemNeighborsFromPairs(cfDeduped(spark, dir), cfPairs(spark, dir)).cache()
     }
 
   /** The corpus 8-gram explode+hash is the dominant cost of BOTH HLL
@@ -650,6 +658,10 @@ object SparkEntry {
     // distribution vs the rest of the corpus (one grid pass, both stats)
     "q172_ks_drift" -> ((s, dir) =>
       Corpus.ksDrift(Tables.documents(s, dir))),
+    // association-rule lift over the memoized co-rated pair table —
+    // third consumer of the q107/q108 fan-out
+    "q173_basket_lift" -> ((s, dir) =>
+      Reco.basketLift(cfDeduped(s, dir), cfPairs(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2665,6 +2677,20 @@ object SparkEntry {
         |  CAST(sum(diff * gap) AS DOUBLE)
         |    / CAST(CAST(n_s AS HUGEINT) * (n - n_s) AS DOUBLE) AS w1
         |FROM d GROUP BY 1, 2, n""".stripMargin,
+    // q107's pair CTE, user-population margins, the same exact-product
+    // lift division and (lift DESC, pa, pb) top-20
+    "q173_basket_lift" ->
+      s"""WITH $itemCfCtes,
+        |pop AS (SELECT productId, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+        |tt AS (SELECT CAST(count(DISTINCT userId) AS BIGINT) AS n_users FROM r)
+        |SELECT p.pa, p.pb, p.support, a.cnt AS ca, b.cnt AS cb, tt.n_users,
+        |  CAST(CAST(p.support AS HUGEINT) * tt.n_users AS DOUBLE)
+        |    / CAST(CAST(a.cnt AS HUGEINT) * b.cnt AS DOUBLE) AS lift
+        |FROM pairs p
+        |JOIN pop a ON a.productId = p.pa
+        |JOIN pop b ON b.productId = p.pb
+        |CROSS JOIN tt
+        |ORDER BY lift DESC, p.pa, p.pb LIMIT 20""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

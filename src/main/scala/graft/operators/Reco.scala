@@ -249,20 +249,35 @@ object Reco {
       .agg(max(col("rating")).cast("long").as("rv"))
       .transform(graft.barrier)
 
-  private def itemNeighborsFromDeduped(r: DataFrame, k: Int,
-      minSupport: Long): DataFrame = {
-    // per-item squared norms: |items| rows — broadcast to keep the wide
-    // mirrored pair table from shuffling twice for its two norm lookups
-    val norms = r.groupBy("productId").agg(sum(col("rv") * col("rv")).as("s2"))
+  /** The co-rated item-pair table — the expensive stage of the whole
+    * recommender-analytics family (q107/q108 neighbors, q173 basket
+    * lift): one user-keyed self-join whose cost is the Σdeg² per-user
+    * fan-out, aggregated to (pa, pb, dot, support) and barriered.
+    * SparkEntry memoizes this frame per session so every consumer pays
+    * the fan-out once.
+    */
+  def itemPairs(r: DataFrame, minSupport: Long = 2): DataFrame =
     // shuffle-hash, not sort-merge: the join's cost is streaming the k²
     // per-user pair fan-out, so sorting both 600k-row sides first is pure
     // overhead (measured 3.9 → 2.8 s at sf0.1; identical 413k pairs)
-    val pairs = r.as("a").hint("shuffle_hash").join(r.as("b").hint("shuffle_hash"),
+    r.as("a").hint("shuffle_hash").join(r.as("b").hint("shuffle_hash"),
         col("a.userId") === col("b.userId") && col("a.productId") < col("b.productId"))
       .groupBy(col("a.productId").as("pa"), col("b.productId").as("pb"))
       .agg(sum(col("a.rv") * col("b.rv")).as("dot"), count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
       .transform(graft.barrier)
+
+  private def itemNeighborsFromDeduped(r: DataFrame, k: Int,
+      minSupport: Long): DataFrame =
+    itemNeighborsFromPairs(r, itemPairs(r, minSupport), k)
+
+  /** [[itemNeighborsFromDeduped]] over a precomputed [[itemPairs]] frame
+    * (the memoization seam).
+    */
+  def itemNeighborsFromPairs(r: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {
+    // per-item squared norms: |items| rows — broadcast to keep the wide
+    // mirrored pair table from shuffling twice for its two norm lookups
+    val norms = r.groupBy("productId").agg(sum(col("rv") * col("rv")).as("s2"))
     def scored = pairs
       .select(col("pa").as("item"), col("pb").as("neighbor"), col("dot"), col("support"))
       .unionAll(pairs
@@ -390,6 +405,39 @@ object Reco {
       .where(col("rnk") <= k)
       .select(col("userId"), col("cand_pid").as("neg_productId"),
         col("cand_index"))
+  }
+
+  /** Market-basket lift (q173) — association-rule mining's core
+    * statistic over the SAME co-rated pair table the itemKNN family
+    * already pays for: lift(a,b) = P(a∧b)/(P(a)·P(b)) =
+    * support·N / (pop_a·pop_b), ranked to the strongest `topK`
+    * associations. Third consumer of the memoized [[itemPairs]] frame —
+    * at 100 TB the pair fan-out is the cost and it amortizes across
+    * neighbors (q107), inference (q108), and this.
+    *
+    * Determinism: numerator and denominator are exact DECIMAL products
+    * of counts; the ranking float is their single division, computed
+    * identically on both engines, ties broken by (pa, pb).
+    *
+    * @param deduped [[dedupedRatings]] output
+    * @param pairs   [[itemPairs]] output
+    * @return (pa, pb, support, ca, cb, n_users, lift) — topK rows
+    */
+  def basketLift(deduped: DataFrame, pairs: DataFrame, topK: Int = 20): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // deduped has one row per (user, product): count = users per product
+    val pop = deduped.groupBy("productId").agg(count(lit(1)).as("cnt"))
+    val tot = deduped.agg(countDistinct(col("userId")).as("n_users"))
+    pairs
+      .join(broadcast(pop.select(col("productId").as("pa"), col("cnt").as("ca"))), "pa")
+      .join(broadcast(pop.select(col("productId").as("pb"), col("cnt").as("cb"))), "pb")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", (dec(col("support")) * dec(col("n_users"))).cast("double")
+        / (dec(col("ca")) * dec(col("cb"))).cast("double"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(topK)
+      .select(col("pa"), col("pb"), col("support"), col("ca"), col("cb"),
+        col("n_users"), col("lift"))
   }
 
   /** One rank-1 ALS iteration (q158) — the matrix-factorization training

@@ -210,6 +210,25 @@ class RecoSpec extends AnyFunSuite {
     assert(run1.sorted.toSeq === run2.sorted.toSeq, "hash draws are reproducible")
   }
 
+  test("basketLift: exact support/population lift over the shared pair table") {
+    // u1:{A,B}, u2:{A,B}, u3:{A,C}: only (A,B) clears minSupport=2;
+    // lift = support*N/(ca*cb) = 2*3/(3*2) = 1.0
+    val ratings = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 5.0), (2L, 1L, 5.0),
+      (2L, 2L, 5.0), (3L, 1L, 5.0), (3L, 3L, 5.0))
+      .toDF("userId", "productId", "rating")
+    val ded = graft.operators.Reco.dedupedRatings(ratings)
+    val r = graft.operators.Reco.basketLift(ded,
+      graft.operators.Reco.itemPairs(ded)).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("pa") === 1L && row.getAs[Long]("pb") === 2L)
+    assert(row.getAs[Long]("support") === 2L)
+    assert(row.getAs[Long]("ca") === 3L && row.getAs[Long]("cb") === 2L)
+    assert(row.getAs[Long]("n_users") === 3L)
+    assert(row.getAs[Double]("lift") === 1.0)
+  }
+
   test("alsRankOneStep: hand-folded integer alternation matches the plan") {
     val ratings = Seq((1L, 10L, 4.0), (1L, 20L, 2.0), (2L, 10L, 5.0))
       .toDF("userId", "productId", "rating")
