@@ -202,6 +202,10 @@ object SparkEntry {
     // density filter: fixed-round synchronous 3-core peeling over the
     // memoized co-rating pairs (survivors + their in-subgraph degree)
     "q151_kcore" -> ((s, dir) => plans.GraphOps.kCore(coPairs(s, dir))),
+    // synchronous BFS from the min-id seed over the co-rating closure:
+    // per-layer reachability counts (fixed supersteps, unrollable twin)
+    "q174_bfs_layers" -> ((s, dir) =>
+      plans.GraphOps.bfsLayers(Reco.undirected(coPairs(s, dir)))),
     // triadic-closure candidates: common-neighbor count + neighborhood
     // Jaccard for non-edges, global top-100 heap (TakeOrderedAndProject)
     "q154_link_prediction" -> ((s, dir) =>
@@ -1043,6 +1047,17 @@ object SparkEntry {
          |SELECT u AS id, CAST(count(*) AS BIGINT) AS core_deg FROM (
          |  SELECT u, v FROM e5 UNION ALL SELECT v, u FROM e5)
          |GROUP BY u""".stripMargin,
+    // same seed, same unrolled frontier supersteps, same layer report
+    "q174_bfs_layers" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |$edgesCte,
+         |${bfsCtes(4)}
+         |SELECT CAST(layer AS BIGINT) AS layer,
+         |  CAST(count(*) AS BIGINT) AS n_vertices,
+         |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+         |FROM v4 GROUP BY 1""".stripMargin,
     // wedge join + closing edge over the canonical (src < dst) pair list —
     // each triangle a<b<c counted exactly once on both engines
     "q90_triangle_count" ->
@@ -4037,6 +4052,26 @@ object SparkEntry {
     """edges AS (
       |  SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
       |)""".stripMargin
+
+  /** Unrolled synchronous BFS (`rounds` fixed supersteps) as a
+    * non-recursive CTE chain — the SQL twin of
+    * [[graft.plans.GraphOps.bfsLayers]]. Ends with CTE `v<rounds>`
+    * holding (id, layer). MATERIALIZED for the kCoreCtes reason.
+    */
+  private def bfsCtes(rounds: Int): String = {
+    val init = "v0 AS MATERIALIZED (SELECT min(src) AS id, 0 AS layer FROM edges)"
+    val steps = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS id FROM edges e
+         |  JOIN v${i - 1} v ON e.src = v.id AND v.layer = ${i - 1}),
+         |v$i AS MATERIALIZED (
+         |  SELECT id, layer FROM v${i - 1}
+         |  UNION ALL
+         |  SELECT f.id, ${i} AS layer FROM f$i f
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p WHERE p.id = f.id))""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
 
   /** Unrolled synchronous k-core peeling (`rounds` fixed supersteps) as a
     * non-recursive CTE chain — the SQL twin of

@@ -381,6 +381,48 @@ object GraphOps {
       .select(col("u").as("id"), col("core_deg"))
   }
 
+  /** Synchronous BFS layers (q174) — single-source reachability by
+    * frontier expansion from a canonical seed (the minimum vertex id),
+    * reported as per-layer vertex counts: the reachability profile that
+    * tells you how small-world the graph is (and the scaffold every
+    * distributed shortest-path computation shares). Fixed `rounds`
+    * supersteps, the LP ×5 / k-core contract form, so the oracle is an
+    * unrollable non-recursive CTE chain; graded graphs exhaust their
+    * frontier well before the cap (the loop's early exit fires only on
+    * an empty frontier, where further rounds are no-ops).
+    *
+    * Per round: one keyed semi-ish join (edges ⋈ frontier on src), a
+    * distinct, and an anti-join against the visited set — all equi-hash
+    * operations scaling with |E|; each round's visited table is
+    * barriered so lineage stays flat.
+    *
+    * @param edges UNDIRECTED closure (both directions present)
+    * @return (layer, n_vertices, min_id, max_id), one row per non-empty
+    *         layer 0..rounds
+    */
+  def bfsLayers(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = edges.select("src", "dst").transform(graft.barrier)
+    var visited = e.agg(min(col("src")).as("id"))
+      .withColumn("layer", lit(0L))
+      .transform(graft.barrier)
+    var frontierEmpty = false
+    var i = 1
+    while (!frontierEmpty && i <= rounds) {
+      val frontier = visited.where(col("layer") === i - 1)
+      val next = e
+        .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("layer", lit(i.toLong))
+      visited = visited.unionAll(next).transform(graft.barrier)
+      frontierEmpty = visited.where(col("layer") === i).isEmpty
+      i += 1
+    }
+    visited.groupBy("layer")
+      .agg(count(lit(1)).as("n_vertices"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
   /** HITS hubs/authorities (q162 lineage: Kleinberg 1999) over the
     * bipartite user→product rating graph, in EXACT path-count form:
     * starting from h₀ ≡ 1, the unnormalized power iteration

@@ -157,6 +157,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r === Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
   }
 
+  test("bfsLayers: path graph layers from the min seed; disconnected part unreached") {
+    // path 1-2-3-4 plus isolated edge 9-10: seed=1, layers 0..3 cover the
+    // path; {9,10} never appear within 4 rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+    val und = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.bfsLayers(und).collect()
+      .map(x => x.getAs[Long]("layer") ->
+        (x.getAs[Long]("n_vertices"), x.getAs[Long]("min_id"),
+          x.getAs[Long]("max_id"))).toMap
+    assert(r === Map(
+      0L -> ((1L, 1L, 1L)), 1L -> ((1L, 2L, 2L)),
+      2L -> ((1L, 3L, 3L)), 3L -> ((1L, 4L, 4L))))
+    // early exit: a triangle exhausts its frontier in 2 rounds and stops
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val triUnd = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val r2 = GraphOps.bfsLayers(triUnd, rounds = 4).collect()
+    assert(r2.map(_.getAs[Long]("layer")).toSet === Set(0L, 1L))
+  }
+
   test("hits: path counts match hand numbers on a tiny bipartite graph") {
     // users {1,2}, products {10,20}; edges 1-10, 1-20, 2-10.
     // a1 = deg: a1(10)=2, a1(20)=1
