@@ -666,6 +666,10 @@ object SparkEntry {
     // third consumer of the q107/q108 fan-out
     "q173_basket_lift" -> ((s, dir) =>
       Reco.basketLift(cfDeduped(s, dir), cfPairs(s, dir))),
+    // holdout calibration: hash-split train/test, item-mean model,
+    // exact decile table of predicted vs actual on unseen ratings
+    "q175_calibration" -> ((s, dir) =>
+      Reco.calibrationCurve(Tables.ratings(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2706,6 +2710,36 @@ object SparkEntry {
         |JOIN pop b ON b.productId = p.pb
         |CROSS JOIN tt
         |ORDER BY lift DESC, p.pa, p.pb LIMIT 20""".stripMargin,
+    // same md5 split, same floored micro model, same x10 quantile cuts
+    // and strictly-below bucketing, same floored decile means
+    "q175_calibration" ->
+      s"""WITH $ratingsCte,
+        |ded AS (
+        |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv,
+        |    ${md5Prefix32Sql("'cal:' || CAST(userId AS VARCHAR) || ':' || CAST(productId AS VARCHAR)")}
+        |      % 5 = 0 AS is_test
+        |  FROM ratings GROUP BY 1, 2),
+        |model AS (
+        |  SELECT productId, sum(rv) * 1000000 // count(*) AS pred_micro
+        |  FROM ded WHERE NOT is_test GROUP BY 1),
+        |scored AS (
+        |  SELECT m.pred_micro, d.rv
+        |  FROM ded d JOIN model m USING (productId) WHERE d.is_test),
+        |cuts AS (
+        |  SELECT quantile_cont(pred_micro * 10,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        |  FROM scored),
+        |bk AS (
+        |  SELECT pred_micro, rv,
+        |    len(list_filter(cuts.cs, c -> pred_micro * 10 > c)) AS bucket
+        |  FROM scored CROSS JOIN cuts)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(pred_micro) // count(*) AS BIGINT) AS mean_pred_micro,
+        |  CAST(sum(rv) * 1000000 // count(*) AS BIGINT) AS mean_actual_micro,
+        |  CAST(sum(pred_micro) // count(*)
+        |    - sum(rv) * 1000000 // count(*) AS BIGINT) AS gap_micro
+        |FROM bk GROUP BY 1""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

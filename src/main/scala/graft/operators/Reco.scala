@@ -440,6 +440,58 @@ object Reco {
         col("n_users"), col("lift"))
   }
 
+  /** Holdout calibration curve (q175) — the honest model-eval the
+    * in-sample graders (q165) can't give: ratings hash-split 80/20,
+    * an item-mean model fit on the TRAIN side only, predictions scored
+    * on the held-out TEST side, and the calibration table reported per
+    * predicted-value decile: does an item predicted 4.2 actually
+    * average 4.2 among unseen ratings? The deliverable of any
+    * recommender offline eval.
+    *
+    * Exactness end to end: the split is the q28 md5 idiom (both engines
+    * replay it), predictions are micro-unit floors ⌊Σrv·10⁶/c⌋, decile
+    * cuts use the ×10-scaled exact `percentile` trick (q156 — every
+    * interpolated cut an integer), bucket = cuts strictly below (tie to
+    * the lower bucket), and both reported means are floored micro-unit
+    * divisions of exact sums.
+    *
+    * Scale shape: one keyed train aggregate, one keyed test join, one
+    * broadcast 9-cut array, one final 10-group aggregate. Items never
+    * broadcast; nothing exceeds |ratings| narrow rows.
+    *
+    * @return per decile: (bucket, n_pairs, mean_pred_micro,
+    *         mean_actual_micro, gap_micro)
+    */
+  def calibrationCurve(ratings: DataFrame, testMod: Int = 5): DataFrame = {
+    val r = dedupedRatings(ratings)
+      .withColumn("is_test",
+        graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("cal:"), col("userId").cast("string"), lit(":"),
+            col("productId").cast("string"))) % testMod === 0)
+      .transform(graft.barrier) // read by the train fit and the test score
+    val model = r.where(!col("is_test"))
+      .groupBy("productId")
+      .agg(expr("sum(rv) * 1000000 div count(1)").as("pred_micro"))
+    val scored = r.where(col("is_test"))
+      .join(model, "productId")
+      .select(col("pred_micro"), col("rv"))
+      .transform(graft.barrier) // read by the cuts and the bucket pass
+    val fracs = (1 until 10).map(i => i.toDouble / 10).mkString(", ")
+    val cuts = scored.agg(
+      expr(s"percentile(pred_micro * 10, array($fracs))").as("cs"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("pred_micro"), col("rv"),
+        aggregate(col("cs"), lit(0),
+          (acc, c) => acc + when(col("pred_micro") * 10 > c, 1).otherwise(0))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(pred_micro) div count(1)").as("mean_pred_micro"),
+        expr("sum(rv) * 1000000 div count(1)").as("mean_actual_micro"))
+      .withColumn("gap_micro",
+        col("mean_pred_micro") - col("mean_actual_micro"))
+  }
+
   /** One rank-1 ALS iteration (q158) — the matrix-factorization training
     * step the reference's recommendation pipeline would graduate to at
     * scale (item-item CF is its neighborhood form; ALS is its latent

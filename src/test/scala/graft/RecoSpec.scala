@@ -229,6 +229,30 @@ class RecoSpec extends AnyFunSuite {
     assert(row.getAs[Double]("lift") === 1.0)
   }
 
+  test("calibrationCurve: honest holdout, monotone deciles, exact gaps") {
+    val ratings = graft.Tables.ratings(spark, TestSpark.sf)
+    val r = graft.operators.Reco.calibrationCurve(ratings).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(r.length >= 2, "the decile table must have several buckets")
+    r.foreach { x =>
+      assert(x.getAs[Long]("gap_micro") ===
+        x.getAs[Long]("mean_pred_micro") - x.getAs[Long]("mean_actual_micro"))
+      assert(x.getAs[Long]("n_pairs") > 0L)
+      // item means live in the rating range [1, 5] in micro units
+      assert(x.getAs[Long]("mean_pred_micro") >= 1000000L)
+      assert(x.getAs[Long]("mean_pred_micro") <= 5000000L)
+    }
+    // buckets partition by predicted value: means must be nondecreasing
+    val preds = r.map(_.getAs[Long]("mean_pred_micro"))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a <= b },
+      s"decile mean predictions not monotone: ${preds.mkString(",")}")
+    // the holdout is disjoint from training by construction: re-running
+    // is deterministic
+    val again = graft.operators.Reco.calibrationCurve(ratings).collect()
+      .map(_.toString).sorted
+    assert(again.toSeq === r.map(_.toString).sorted.toSeq)
+  }
+
   test("alsRankOneStep: hand-folded integer alternation matches the plan") {
     val ratings = Seq((1L, 10L, 4.0), (1L, 20L, 2.0), (2L, 10L, 5.0))
       .toDF("userId", "productId", "rating")
