@@ -670,6 +670,10 @@ object SparkEntry {
     // exact decile table of predicted vs actual on unseen ratings
     "q175_calibration" -> ((s, dir) =>
       Reco.calibrationCurve(Tables.ratings(s, dir))),
+    // Chao1 + Good-Turing unseen-vocabulary estimates per source from
+    // one count-of-counts pass — the corpus-coverage report
+    "q176_vocab_richness" -> ((s, dir) =>
+      Corpus.vocabRichness(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2740,6 +2744,32 @@ object SparkEntry {
         |  CAST(sum(pred_micro) // count(*)
         |    - sum(rv) * 1000000 // count(*) AS BIGINT) AS gap_micro
         |FROM bk GROUP BY 1""".stripMargin,
+    // same tokenizer, same count-of-counts fold, same guarded one-
+    // expression Chao1 and floored Good-Turing ppm
+    "q176_vocab_richness" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |tc AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT source, c, CAST(count(*) AS BIGINT) AS f
+        |  FROM tc GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source,
+        |    CAST(sum(c * f) AS BIGINT) AS n_tokens,
+        |    CAST(sum(f) AS BIGINT) AS d_types,
+        |    CAST(COALESCE(sum(CASE WHEN c = 1 THEN f END), 0) AS BIGINT) AS f1,
+        |    CAST(COALESCE(sum(CASE WHEN c = 2 THEN f END), 0) AS BIGINT) AS f2
+        |  FROM cc GROUP BY 1)
+        |SELECT source, n_tokens, d_types, f1, f2,
+        |  f1 * 1000000 // n_tokens AS gt_unseen_ppm,
+        |  CASE WHEN f2 > 0
+        |    THEN CAST(d_types AS DOUBLE)
+        |      + CAST(f1 * f1 AS DOUBLE) / CAST(2 * f2 AS DOUBLE)
+        |    ELSE CAST(d_types AS DOUBLE) END AS chao1
+        |FROM m""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

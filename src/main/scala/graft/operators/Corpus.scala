@@ -536,6 +536,46 @@ object Corpus {
           - lit(C) / col("s_union").cast("double")).as("est_inter"))
   }
 
+  /** Vocabulary richness (q176) — how much vocabulary remains UNSEEN:
+    * per source, the Chao1 species-richness estimate
+    * D + F₁²/(2F₂) (Chao 1984) and the Good–Turing unseen-probability
+    * mass F₁/N — the two classical estimators a corpus-coverage report
+    * needs before claiming a crawl is "done", both read off the same
+    * count-of-counts table (F_c = how many types occur exactly c
+    * times).
+    *
+    * Exactness: token counts, F₁, F₂, D and the Good–Turing ppm floor
+    * are exact integers; Chao1 spends one fixed double expression
+    * (D + (F₁·F₁)/(2F₂), guarded to plain D when F₂ = 0).
+    *
+    * Scale shape: one map-combined (source, token) count — the corpus-
+    * wide work — then a (source, c) count-of-counts aggregate whose
+    * cardinality is bounded by the count distribution, and a per-source
+    * fold. The q102 shape with frequencies instead of registers.
+    *
+    * @return (source, n_tokens, d_types, f1, f2, gt_unseen_ppm, chao1)
+    */
+  def vocabRichness(documents: DataFrame): DataFrame = {
+    val tc = documents
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val cc = tc.groupBy(col("source"), col("c"))
+      .agg(count(lit(1)).as("f"))
+    cc.groupBy("source").agg(
+        sum(col("c") * col("f")).as("n_tokens"),
+        sum(col("f")).as("d_types"),
+        coalesce(sum(when(col("c") === 1, col("f"))), lit(0L)).as("f1"),
+        coalesce(sum(when(col("c") === 2, col("f"))), lit(0L)).as("f2"))
+      .withColumn("gt_unseen_ppm", expr("f1 * 1000000 div n_tokens"))
+      .withColumn("chao1",
+        when(col("f2") > 0,
+          col("d_types").cast("double")
+            + (col("f1") * col("f1")).cast("double")
+              / (lit(2L) * col("f2")).cast("double"))
+          .otherwise(col("d_types").cast("double")))
+  }
+
   /** Exact two-sample drift distances (q172) — per source, the
     * Kolmogorov–Smirnov statistic AND the Wasserstein-1 (earth-mover)
     * distance between that source's document-length distribution and

@@ -206,6 +206,32 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("vocabRichness: hand count-of-counts, Chao1 and Good-Turing exact") {
+    import spark.implicits._
+    // source s: tokens a a a b b c d -> counts {a:3, b:2, c:1, d:1}
+    // N=7, D=4, F1=2, F2=1; chao1 = 4 + 4/2 = 6; GT = 2e6/7
+    val docs = Seq((1L, "a a a b b c d", "s")).toDF("doc_id", "text", "source")
+    val r = Corpus.vocabRichness(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_tokens") === 7L)
+    assert(row.getAs[Long]("d_types") === 4L)
+    assert(row.getAs[Long]("f1") === 2L && row.getAs[Long]("f2") === 1L)
+    assert(row.getAs[Long]("gt_unseen_ppm") === 2000000L / 7L)
+    assert(row.getAs[Double]("chao1") === 6.0)
+    // f2 = 0 falls back to D alone
+    val solo = Seq((1L, "x y", "s")).toDF("doc_id", "text", "source")
+    assert(Corpus.vocabRichness(solo).head().getAs[Double]("chao1") === 2.0)
+    // real corpus: chao1 >= observed richness, GT mass in [0, 1e6]
+    val real = Corpus.vocabRichness(
+      graft.Tables.documents(spark, TestSpark.sf)).collect()
+    real.foreach { x =>
+      assert(x.getAs[Double]("chao1") >= x.getAs[Long]("d_types").toDouble)
+      val gt = x.getAs[Long]("gt_unseen_ppm")
+      assert(gt >= 0L && gt <= 1000000L)
+    }
+  }
+
   test("ksDrift: disjoint supports give D=1 and W1=the mean shift") {
     import spark.implicits._
     // source a: lengths {1,1}; source b: lengths {3,3}. Each vs rest:
