@@ -674,6 +674,10 @@ object SparkEntry {
     // one count-of-counts pass — the corpus-coverage report
     "q176_vocab_richness" -> ((s, dir) =>
       Corpus.vocabRichness(Tables.documents(s, dir))),
+    // Poisson-bootstrap CI on per-type mean value: hash-seeded replica
+    // multiplicities, exact integer replica means, ranked interval picks
+    "q177_bootstrap_ci" -> ((s, dir) =>
+      Relational.bootstrapCI(Tables.events(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2770,6 +2774,39 @@ object SparkEntry {
         |      + CAST(f1 * f1 AS DOUBLE) / CAST(2 * f2 AS DOUBLE)
         |    ELSE CAST(d_types AS DOUBLE) END AS chao1
         |FROM m""".stripMargin,
+    // same Poisson threshold literals, same md5 replica draws, same
+    // floored replica means and ranked 2nd/31st interval picks
+    "q177_bootstrap_ci" ->
+      s"""WITH base AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) * 1000000 // count(*) AS BIGINT) AS mean_micro
+        |  FROM base GROUP BY 1),
+        |fan AS (
+        |  SELECT event_type, cents, rep,
+        |    len(list_filter([${operators.PoissonBoot.thresholds.mkString(", ")}],
+        |      t -> ${md5Prefix32Sql("'boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")} >= t))
+        |      AS k
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 32)) AS rep)),
+        |rm AS (
+        |  SELECT event_type, rep,
+        |    CAST(sum(cents * k) * 1000000 // sum(k) AS BIGINT) AS rep_mean
+        |  FROM fan GROUP BY 1, 2 HAVING sum(k) > 0),
+        |rk AS (
+        |  SELECT event_type, rep_mean,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY rep_mean, rep) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_reps
+        |  FROM rm)
+        |SELECT pt.event_type, pt.n_rows, pt.mean_micro,
+        |  lo.rep_mean AS lo_micro, hi.rep_mean AS hi_micro,
+        |  CAST(lo.n_reps AS BIGINT) AS n_reps
+        |FROM pt
+        |JOIN rk lo ON lo.event_type = pt.event_type AND lo.rn = 2
+        |JOIN rk hi ON hi.event_type = pt.event_type AND hi.rn = hi.n_reps - 1""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -350,6 +350,67 @@ object Relational {
         col("noise"), (col("true_cnt") + col("noise")).as("released"))
   }
 
+  /** Poisson-bootstrap confidence intervals (q177) — the distributed
+    * bootstrap production metric systems actually run: each row joins
+    * replica `b` with multiplicity ~ Poisson(1) (so a replica is a
+    * with-replacement resample in expectation), per-replica means are
+    * computed in one pass, and the CI is an order statistic over the
+    * `reps` replica means. Completes the eval family: q123 gives the
+    * z-test, this gives the assumption-free interval.
+    *
+    * Determinism: multiplicities come from the [[PoissonBoot]] inverse-
+    * CDF threshold table (the [[DpNoise]] one-JVM trick) keyed by
+    * md5(event_id, replica) — reproducible, engine-identical. Sums are
+    * exact integer cents; replica means are floored micro-cent
+    * divisions; the interval bounds are exact ranked picks (2nd and
+    * 31st of 32 ≈ a 90% percentile-bootstrap CI), not float quantiles.
+    *
+    * Scale shape: the ×`reps` fan-out is map-side and collapses
+    * immediately into a (type, replica) aggregate — shuffle cardinality
+    * |types|·reps, independent of row count; the ranking window runs
+    * over `reps` rows per type.
+    *
+    * @return per type: (event_type, n_rows, mean_micro, lo_micro,
+    *         hi_micro, n_reps)
+    */
+  def bootstrapCI(events: DataFrame, reps: Int = 32): DataFrame = {
+    val thr = array(PoissonBoot.thresholds.map(lit): _*)
+    val base = events.select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .transform(graft.barrier) // read by the point estimate and the fan
+    val point = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(cents) * 1000000 div count(1)").as("mean_micro"))
+    val repMeans = base
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("u", graft.functions.TextAnalysis.md5Prefix32(
+        concat(lit("boot:"), col("event_id").cast("string"), lit(":"),
+          col("rep").cast("string"))))
+      .withColumn("k", size(filter(thr, t => col("u") >= t)).cast("long"))
+      .groupBy("event_type", "rep")
+      .agg(sum(col("cents") * col("k")).as("sc"), sum(col("k")).as("nk"))
+      .where(col("nk") > 0)
+      .select(col("event_type"), col("rep"),
+        expr("sc * 1000000 div nk").as("rep_mean"))
+    // rep id as tiebreak: equal replica means must rank identically on
+    // both engines for the ranked picks to agree
+    val ranked = repMeans
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("rep_mean"), col("rep"))))
+    val counts = ranked.groupBy("event_type").agg(count(lit(1)).as("n_reps"))
+    val lo = ranked.where(col("rn") === 2)
+      .select(col("event_type"), col("rep_mean").as("lo_micro"))
+    val hi = ranked.join(broadcast(counts), "event_type")
+      .where(col("rn") === col("n_reps") - 1)
+      .select(col("event_type"), col("rep_mean").as("hi_micro"))
+    point
+      .join(broadcast(lo), "event_type")
+      .join(broadcast(hi.select("event_type", "hi_micro")), "event_type")
+      .join(broadcast(counts), "event_type")
+      .select(col("event_type"), col("n_rows"), col("mean_micro"),
+        col("lo_micro"), col("hi_micro"), col("n_reps"))
+  }
+
   /** Chi-square independence audit (q171) — is event type independent
     * of weekday? The contingency-table companion to [[benfordAudit]]:
     * per cell, the observed count against the independence expectation
@@ -961,6 +1022,21 @@ object Relational {
   * ⌊CDF(k)·2³²⌋ for k = −15..14 (k = 15 is the implicit 2³² cap), so
   * noise = −15 + |{k : u ≥ T_k}| for u uniform on [0, 2³²).
   */
+/** [[Relational.bootstrapCI]]'s Poisson(1) multiplicity table — the
+  * [[DpNoise]] one-JVM trick: cumulative thresholds ⌊CDF(k)·2³²⌋ for
+  * k = 0..4 (mass beyond 5 is < 4·10⁻⁴ and truncates to 5), embedded
+  * as identical literals in both engines. multiplicity =
+  * |{k : u ≥ T_k}| for u uniform on [0, 2³²).
+  */
+object PoissonBoot {
+  val thresholds: Seq[Long] = {
+    val pmf = (0 to 4).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).product.toDouble
+    }.tail // CDF(0..4)
+    pmf.map(c => math.floor(c * 4294967296.0).toLong)
+  }
+}
+
 /** [[Relational.benfordAudit]]'s expected first-digit shares as exact
   * parts-per-billion: ⌊log₁₀(1+1/d)·10⁹⌋ for d = 1..9 — computed once
   * here and embedded as literals in both engines' plans.

@@ -298,6 +298,31 @@ class RelationalSpec extends AnyFunSuite {
       !x.getAs[Boolean]("flagged")))
   }
 
+  test("bootstrapCI: thresholds are a Poisson(1) CDF, interval brackets the mean") {
+    import graft.operators.PoissonBoot
+    val t = PoissonBoot.thresholds
+    assert(t.length === 5)
+    assert(t.zip(t.tail).forall { case (a, b) => a < b })
+    // CDF(1) = 2/e ~ 0.7358, CDF(4) ~ 0.9963
+    assert(math.abs(t(1).toDouble / 4294967296.0 - 2.0 / math.E) < 1e-9)
+    assert(t(4).toDouble / 4294967296.0 > 0.995)
+    val r = Relational.bootstrapCI(graft.Tables.events(spark, TestSpark.sf))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (m, lo, hi) = (x.getAs[Long]("mean_micro"),
+        x.getAs[Long]("lo_micro"), x.getAs[Long]("hi_micro"))
+      assert(lo <= hi, "interval must be ordered")
+      assert(x.getAs[Long]("n_reps") === 32L)
+      // a 90% bootstrap interval around a mean of thousands of rows
+      // must bracket the point estimate
+      assert(lo <= m && m <= hi, s"CI [$lo, $hi] misses the mean $m")
+    }
+    val again = Relational.bootstrapCI(graft.Tables.events(spark, TestSpark.sf))
+      .collect().map(_.toString).sorted
+    assert(again.toSeq === r.map(_.toString).sorted.toSeq, "replicas replay")
+  }
+
   test("independenceAudit: exact deviations, zero for a perfectly independent grid") {
     // 2 types x 2 weekdays, perfectly independent: obs = r*c/N exactly
     def t(day: Int, i: Int): java.sql.Timestamp =
