@@ -374,6 +374,35 @@ class PlanSpec extends AnyFunSuite {
       s"q159 prune join must feed the window (appear below it):\n$plan")
   }
 
+  test("q167/q169/q173: candidate tables broadcast; postings join stays keyed") {
+    // BPE: the 10-candidate table fans over words via broadcast, never a
+    // shuffled join
+    val bpe = planString(SparkEntry.queries("q167_bpe_merge")(spark, TestSpark.sf))
+    assert(!bpe.contains("SortMergeJoin") && !bpe.contains("ShuffledHashJoin"),
+      s"q167 shuffled the word stream for the candidate pass:\n$bpe")
+    // phrase search: the adjacency self-join is keyed on (doc, pos) —
+    // never a cartesian
+    val ph = planString(SparkEntry.queries("q169_phrase_search")(spark, TestSpark.sf))
+    assert(!ph.contains("CartesianProduct") && !ph.contains("BroadcastNestedLoopJoin"),
+      s"q169 lost the keyed adjacency join:\n$ph")
+    assert(ph.contains("TakeOrderedAndProject"),
+      s"q169 must heap-select the top phrases:\n$ph")
+    // basket lift: margins broadcast over the pair table
+    val bl = planString(SparkEntry.queries("q173_basket_lift")(spark, TestSpark.sf))
+    assert(bl.contains("BroadcastHashJoin") && !bl.contains("SortMergeJoin"),
+      s"q173 shuffled the pair table for its margins:\n$bl")
+  }
+
+  test("q177 bootstrap: shuffle cardinality is types x replicas, not rows") {
+    val plan = planString(SparkEntry.queries("q177_bootstrap_ci")(spark, TestSpark.sf))
+    // the replica aggregate must combine map-side: partial_sum before the
+    // (event_type, rep) exchange — the fan-out never crosses the wire raw
+    assert(plan.contains("partial_sum"),
+      s"q177 replica sums do not combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q177 has an unpartitioned cross join:\n$plan")
+  }
+
   test("q164/q166 windows are calendar-bounded; q165 broadcasts the model") {
     // churn hazard: corpus-wide work is one per-user aggregate; the
     // ordered scan runs over the |days| death table
