@@ -678,6 +678,10 @@ object SparkEntry {
     // multiplicities, exact integer replica means, ranked interval picks
     "q177_bootstrap_ci" -> ((s, dir) =>
       Relational.bootstrapCI(Tables.events(s, dir))),
+    // d-gap + varint byte cost of the top-df posting lists vs raw ids —
+    // the storage half of the q169 index
+    "q178_postings_compression" -> ((s, dir) =>
+      Corpus.postingsCompression(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2807,6 +2811,29 @@ object SparkEntry {
         |FROM pt
         |JOIN rk lo ON lo.event_type = pt.event_type AND lo.rn = 2
         |JOIN rk hi ON hi.event_type = pt.event_type AND hi.rn = hi.n_reps - 1""".stripMargin,
+    // same distinct postings, same (df DESC, tok) top-20, same binary-
+    // length varint formula and exact ppm ratio
+    "q178_postings_compression" ->
+      """WITH p AS (
+        |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+        |    doc_id
+        |  FROM documents),
+        |top AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM p GROUP BY 1 ORDER BY df DESC, tok LIMIT 20),
+        |g AS (
+        |  SELECT p.tok, top.df,
+        |    COALESCE(p.doc_id - lag(p.doc_id) OVER
+        |      (PARTITION BY p.tok ORDER BY p.doc_id), p.doc_id + 1) AS gap
+        |  FROM p JOIN top USING (tok)),
+        |v AS (
+        |  SELECT tok, df,
+        |    CAST((length(bin(gap)) + 6) // 7 AS BIGINT) AS vb
+        |  FROM g)
+        |SELECT tok, df, df * 8 AS raw_bytes,
+        |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
+        |  CAST(sum(vb) AS BIGINT) * 1000000 // (df * 8) AS ratio_ppm
+        |FROM v GROUP BY 1, 2""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -632,6 +632,49 @@ object Corpus {
           .as("w1"))
   }
 
+  /** Posting-list compression report (q178) — the storage half of the
+    * inverted index q169 queries: per high-df token, the byte cost of
+    * its sorted doc-id posting list under delta + varint encoding vs
+    * raw 8-byte ids — the d-gap analysis every search/log engine runs
+    * when sizing an index. Frequent tokens have dense postings → small
+    * gaps → high compression; the report quantifies exactly that.
+    *
+    * Exactness: varint bytes of a gap g ≥ 1 are ⌈bits(g)/7⌉ with
+    * bits = length of the binary string (`conv`/`bin` agree across
+    * engines — the q102 rho trick); all sums and the ppm ratio are
+    * exact integers.
+    *
+    * Scale shape: distinct (token, doc) postings aggregate once; the
+    * top-`k` df tokens broadcast back as a semi-join filter so the gap
+    * window only ever sorts the k winners' postings (per-token
+    * partitions, k bounded).
+    *
+    * @return per token: (tok, df, raw_bytes, varint_bytes, ratio_ppm)
+    */
+  def postingsCompression(documents: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"),
+        col("doc_id"))
+      .distinct()
+      .transform(graft.barrier) // read by the df ranking and the gap pass
+    val top = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(k)
+    val w = Window.partitionBy("tok").orderBy("doc_id")
+    postings
+      .join(broadcast(top), "tok")
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id") + 1)) // first entry stores doc_id + 1 (gap >= 1)
+      .withColumn("vbytes",
+        expr("CAST((length(conv(gap, 10, 2)) + 6) div 7 AS BIGINT)"))
+      .groupBy(col("tok"), col("df"))
+      .agg(sum(col("vbytes")).as("varint_bytes"))
+      .select(col("tok"), col("df"), (col("df") * 8).as("raw_bytes"),
+        col("varint_bytes"),
+        expr("varint_bytes * 1000000 div (df * 8)").as("ratio_ppm"))
+  }
+
   /** Positional-index phrase query (q169) — the search-engine primitive
     * the n-gram family never exercises: build positional postings
     * (doc, position, token), then answer a 2-word phrase query as an

@@ -206,6 +206,28 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("postingsCompression: dense postings compress to ~1 byte per gap") {
+    import spark.implicits._
+    // token "a" in docs 1..5 (dense: gaps 2,1,1,1,1 -> 5 varint bytes vs
+    // 40 raw); token "b" only in doc 300 (gap 301 -> 2 varint bytes)
+    val docs = ((1L to 5L).map(i => (i, "a", "s")) :+ ((300L, "b", "s")))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.postingsCompression(docs).collect()
+      .map(x => x.getAs[String]("tok") ->
+        (x.getAs[Long]("df"), x.getAs[Long]("raw_bytes"),
+          x.getAs[Long]("varint_bytes"), x.getAs[Long]("ratio_ppm"))).toMap
+    assert(r("a") === ((5L, 40L, 5L, 125000L)))
+    assert(r("b") === ((1L, 8L, 2L, 250000L)))
+    // real corpus: every winner compresses below raw
+    val real = Corpus.postingsCompression(
+      graft.Tables.documents(spark, TestSpark.sf)).collect()
+    assert(real.length === 20)
+    real.foreach { x =>
+      assert(x.getAs[Long]("varint_bytes") < x.getAs[Long]("raw_bytes"))
+      assert(x.getAs[Long]("ratio_ppm") < 1000000L)
+    }
+  }
+
   test("vocabRichness: hand count-of-counts, Chao1 and Good-Turing exact") {
     import spark.implicits._
     // source s: tokens a a a b b c d -> counts {a:3, b:2, c:1, d:1}
