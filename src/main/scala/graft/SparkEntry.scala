@@ -682,6 +682,10 @@ object SparkEntry {
     // the storage half of the q169 index
     "q178_postings_compression" -> ((s, dir) =>
       Corpus.postingsCompression(Tables.documents(s, dir))),
+    // pairwise correlation matrix from one exact-moment pass — the
+    // feature screen built-in corr can't hash-match
+    "q179_corr_matrix" -> ((s, dir) =>
+      Relational.corrMatrix(Tables.lineitem(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2789,12 +2793,19 @@ object SparkEntry {
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(cents) * 1000000 // count(*) AS BIGINT) AS mean_micro
         |  FROM base GROUP BY 1),
+        |hashed AS (
+        |  SELECT event_type, cents,
+        |    ${md5Prefix32Sql("'boot:' || CAST(event_id AS VARCHAR)")} AS h
+        |  FROM base),
+        |mixed AS (
+        |  SELECT event_type, cents, rep,
+        |    ((h + rep * 2654435761) % 4294967296) * 1640531527 % 4294967296 AS u1
+        |  FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS rep)),
         |fan AS (
         |  SELECT event_type, cents, rep,
         |    len(list_filter([${operators.PoissonBoot.thresholds.mkString(", ")}],
-        |      t -> ${md5Prefix32Sql("'boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")} >= t))
-        |      AS k
-        |  FROM base CROSS JOIN (SELECT unnest(range(0, 32)) AS rep)),
+        |      t -> xor(u1, u1 // 65536) >= t)) AS k
+        |  FROM mixed),
         |rm AS (
         |  SELECT event_type, rep,
         |    CAST(sum(cents * k) * 1000000 // sum(k) AS BIGINT) AS rep_mean
@@ -2834,6 +2845,9 @@ object SparkEntry {
         |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
         |  CAST(sum(vb) AS BIGINT) * 1000000 // (df * 8) AS ratio_ppm
         |FROM v GROUP BY 1, 2""".stripMargin,
+    // same cents scaling, same HUGEINT moments, same per-pair
+    // multiply/sqrt/divide order
+    "q179_corr_matrix" -> corrMatrixOracle,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->
@@ -3882,6 +3896,39 @@ object SparkEntry {
     * first 8 hex digits of md5 as a BIGINT (no hex-cast builtin in DuckDB
     * 1.0; 16**i fits exactly in doubles, so the digit fold is exact).
     */
+  /** DuckDB twin of [[Relational.corrMatrix]]: the same four cents-scaled
+    * features, one HUGEINT moment pass, six UNION ALL pair rows.
+    */
+  private def corrMatrixOracle: String = {
+    val cols = Seq(
+      "quantity" -> "CAST(floor(l_quantity) AS BIGINT)",
+      "price_cents" -> "CAST(floor(l_extendedprice * 100) AS BIGINT)",
+      "discount_pct" -> "CAST(floor(l_discount * 100) AS BIGINT)",
+      "tax_pct" -> "CAST(floor(l_tax * 100) AS BIGINT)")
+    val feats = cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val sums = cols.map { case (c, _) => s"sum(CAST($c AS HUGEINT)) AS s_$c" }
+    val squares = cols.map { case (c, _) =>
+      s"sum(CAST($c AS HUGEINT) * $c) AS ss_$c" }
+    val crosses = cols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+      s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" }
+    val pairs = cols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+      s"""SELECT '$a' AS x_col, '$b' AS y_col, CAST(n AS BIGINT) AS n,
+         |  CAST(CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b AS DECIMAL(38,0)) AS num,
+         |  CAST(CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a AS DECIMAL(38,0)) AS den_x,
+         |  CAST(CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b AS DECIMAL(38,0)) AS den_y,
+         |  CASE WHEN CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a > 0
+         |        AND CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b > 0
+         |    THEN CAST(CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+         |      / (sqrt(CAST(CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a AS DOUBLE))
+         |         * sqrt(CAST(CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b AS DOUBLE)))
+         |  END AS r
+         |FROM m""".stripMargin }
+    s"""WITH f AS (SELECT $feats FROM lineitem),
+       |m AS (SELECT count(*) AS n, ${(sums ++ squares ++ crosses).mkString(", ")}
+       |  FROM f)
+       |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private def md5Prefix32Sql(e: String): String =
     s"CAST(list_sum(list_transform(range(0, 8), hx -> " +
       s"CAST(strpos('0123456789abcdef', substring(md5($e), CAST(hx + 1 AS INTEGER), 1)) - 1 AS BIGINT)" +

@@ -350,6 +350,50 @@ object Relational {
         col("noise"), (col("true_cnt") + col("noise")).as("released"))
   }
 
+  /** Pairwise correlation matrix (q179) — feature-screening across the
+    * lineitem numerics (quantity, price, discount, tax) from ONE pass
+    * of exact integer moments: every Σx, Σx², Σxy is a DECIMAL(38,0)
+    * aggregate over cents-scaled integers (the q46/q143 determinism
+    * argument — built-in `corr` sums doubles in partition order and
+    * never hash-matches), and each of the 6 pair rows spends a fixed
+    * multiply/sqrt/divide sequence on the exact moments.
+    *
+    * Scale shape: one map-combined moment aggregate (constant-width
+    * state), then constant-size row construction — the matrix costs
+    * one scan regardless of width·rows.
+    *
+    * @return per pair: (x_col, y_col, n, num, den_x, den_y, r)
+    */
+  def corrMatrix(lineitem: DataFrame): DataFrame = {
+    val cols = Seq(
+      "quantity" -> "CAST(floor(l_quantity) AS BIGINT)",
+      "price_cents" -> "CAST(floor(l_extendedprice * 100) AS BIGINT)",
+      "discount_pct" -> "CAST(floor(l_discount * 100) AS BIGINT)",
+      "tax_pct" -> "CAST(floor(l_tax * 100) AS BIGINT)")
+    val f = lineitem.select(cols.map { case (n, e) => expr(e).as(n) }: _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val moments = f.agg(
+      count(lit(1)).as("n"),
+      (cols.map { case (c, _) => sum(dec(col(c))).as(s"s_$c") } ++
+        cols.map { case (c, _) => sum(dec(col(c)) * dec(col(c))).as(s"ss_$c") } ++
+        cols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+          sum(dec(col(a)) * dec(col(b))).as(s"sp_${a}_$b") }): _*)
+      .transform(graft.barrier) // six pair rows read the one-row frame
+    val pairRows = cols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+      moments.select(
+        lit(a).as("x_col"), lit(b).as("y_col"), col("n"),
+        (dec(col("n")) * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")).as("num"),
+        (dec(col("n")) * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).as("den_x"),
+        (dec(col("n")) * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).as("den_y"))
+    }
+    // zero-variance columns have no defined correlation: NULL, not a
+    // division error (ANSI) or engine-specific inf/NaN
+    pairRows.reduce(_ unionAll _)
+      .withColumn("r", when(col("den_x") > 0 && col("den_y") > 0,
+        col("num").cast("double")
+          / (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double")))))
+  }
+
   /** Poisson-bootstrap confidence intervals (q177) — the distributed
     * bootstrap production metric systems actually run: each row joins
     * replica `b` with multiplicity ~ Poisson(1) (so a replica is a
@@ -381,11 +425,18 @@ object Relational {
     val point = base.groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"),
         expr("sum(cents) * 1000000 div count(1)").as("mean_micro"))
+    // ONE md5 per row; per-replica draws come from a 32-bit integer
+    // mixer (Knuth multiplicative + xor-shift) over (h, rep) — md5 at
+    // ×reps volume was the whole cost of the operator (23 s → ~2 s at
+    // sf0.1), and the mixer is the same three integer ops on both
+    // engines
     val repMeans = base
+      .withColumn("h", graft.functions.TextAnalysis.md5Prefix32(
+        concat(lit("boot:"), col("event_id").cast("string"))))
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("u", graft.functions.TextAnalysis.md5Prefix32(
-        concat(lit("boot:"), col("event_id").cast("string"), lit(":"),
-          col("rep").cast("string"))))
+      .withColumn("u1",
+        expr("pmod(pmod(h + rep * 2654435761, 4294967296) * 1640531527, 4294967296)"))
+      .withColumn("u", expr("u1 ^ (u1 div 65536)"))
       .withColumn("k", size(filter(thr, t => col("u") >= t)).cast("long"))
       .groupBy("event_type", "rep")
       .agg(sum(col("cents") * col("k")).as("sc"), sum(col("k")).as("nk"))

@@ -298,6 +298,31 @@ class RelationalSpec extends AnyFunSuite {
       !x.getAs[Boolean]("flagged")))
   }
 
+  test("corrMatrix: engineered perfect and zero correlations come out exact") {
+    // price = 100*quantity (r=1); discount alternates independently of
+    // quantity over a balanced design (r=0); tax constant (den 0 -> NaN)
+    val li = Seq(
+      (1.0, 1.0, 0.01, 0.05), (2.0, 2.0, 0.02, 0.05),
+      (1.0, 1.0, 0.02, 0.05), (2.0, 2.0, 0.01, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val r = Relational.corrMatrix(li).collect()
+      .map(x => (x.getAs[String]("x_col"), x.getAs[String]("y_col")) -> x).toMap
+    assert(r.size === 6)
+    assert(r(("quantity", "price_cents")).getAs[Double]("r") === 1.0)
+    assert(r(("quantity", "discount_pct")).getAs[Double]("r") === 0.0)
+    // constant column: zero variance -> den_y = 0 -> r is NULL (guarded)
+    assert(r(("quantity", "tax_pct")).getAs[java.math.BigDecimal]("den_y")
+      .signum === 0)
+    assert(r(("quantity", "tax_pct")).isNullAt(
+      r(("quantity", "tax_pct")).fieldIndex("r")))
+    // exact moments: num for the perfect pair is n*sxy - sx*sy with
+    // cents scaling = 4*60000 - 600*400 = 0? hand-check via den equality
+    val p = r(("quantity", "price_cents"))
+    assert(p.getAs[java.math.BigDecimal]("num").longValueExact ===
+      math.sqrt(p.getAs[java.math.BigDecimal]("den_x").doubleValue
+        * p.getAs[java.math.BigDecimal]("den_y").doubleValue).round)
+  }
+
   test("bootstrapCI: thresholds are a Poisson(1) CDF, interval brackets the mean") {
     import graft.operators.PoissonBoot
     val t = PoissonBoot.thresholds
