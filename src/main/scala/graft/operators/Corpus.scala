@@ -391,10 +391,24 @@ object Corpus {
       .transform(graft.barrier)
   }
 
-  def hllCardinality(documents: DataFrame, k: Int = 8): DataFrame =
-    hllCardinalityFrom(hashedGrams(documents, k))
+  /** The distinct (source, gram) table — the exact-truth side's shared
+    * stage: q102's per-source exact distinct, q147's global exact
+    * distinct, and q157's exact pair intersections all fold over it.
+    * Memoized by SparkEntry beside [[hashedGrams]] so the distinct
+    * shuffle runs once per session, not once per grading query.
+    */
+  def distinctGrams(sh: DataFrame): DataFrame =
+    sh.select("source", "g").distinct().transform(graft.barrier)
 
-  def hllCardinalityFrom(sh: DataFrame): DataFrame = {
+  def hllCardinality(documents: DataFrame, k: Int = 8): DataFrame = {
+    val sh = hashedGrams(documents, k)
+    hllCardinalityWith(sh, distinctGrams(sh))
+  }
+
+  def hllCardinalityFrom(sh: DataFrame): DataFrame =
+    hllCardinalityWith(sh, distinctGrams(sh))
+
+  def hllCardinalityWith(sh: DataFrame, dg: DataFrame): DataFrame = {
     val regs = sh
       .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
       .select(col("source"), col("reg"),
@@ -405,7 +419,7 @@ object Corpus {
       (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
         + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_scaled"),
       count(lit(1)).as("occupied"))
-    val exact = sh.groupBy("source").agg(countDistinct(col("g")).as("n_exact"))
+    val exact = dg.groupBy("source").agg(count(lit(1)).as("n_exact"))
     exact.join(broadcast(sketch), "source")
       .select(col("source"), col("n_exact"), col("occupied"), col("s_scaled"),
         // alpha_256 * 256^2 * 2^40 = (0.7213/(1 + 1.079/256)) * 2^56,
@@ -427,10 +441,15 @@ object Corpus {
     * vectors (256 numbers per shard, not the gram stream) — this operator
     * is that merge with its correctness certificate attached.
     */
-  def hllMerge(documents: DataFrame, k: Int = 8): DataFrame =
-    hllMergeFrom(hashedGrams(documents, k))
+  def hllMerge(documents: DataFrame, k: Int = 8): DataFrame = {
+    val sh = hashedGrams(documents, k)
+    hllMergeWith(sh, distinctGrams(sh))
+  }
 
-  def hllMergeFrom(sh: DataFrame): DataFrame = {
+  def hllMergeFrom(sh: DataFrame): DataFrame =
+    hllMergeWith(sh, distinctGrams(sh))
+
+  def hllMergeWith(sh: DataFrame, dg: DataFrame): DataFrame = {
     val rhoRows = sh
       .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
       .select(col("source"), col("reg"),
@@ -452,7 +471,7 @@ object Corpus {
         (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
           + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_direct"),
         count(lit(1)).as("occ_direct"))
-    val exact = sh.agg(
+    val exact = dg.agg(
       countDistinct(col("g")).as("n_exact"),
       countDistinct(col("source")).as("n_shards"))
     exact.crossJoin(merged).crossJoin(direct) // three 1-row frames
@@ -489,10 +508,15 @@ object Corpus {
     *
     * @return (sa, sb, n_inter_exact, s_a, s_b, s_union, est_inter)
     */
-  def hllIntersection(documents: DataFrame, k: Int = 8): DataFrame =
-    hllIntersectionFrom(hashedGrams(documents, k))
+  def hllIntersection(documents: DataFrame, k: Int = 8): DataFrame = {
+    val sh = hashedGrams(documents, k)
+    hllIntersectionWith(sh, distinctGrams(sh))
+  }
 
-  def hllIntersectionFrom(sh: DataFrame): DataFrame = {
+  def hllIntersectionFrom(sh: DataFrame): DataFrame =
+    hllIntersectionWith(sh, distinctGrams(sh))
+
+  def hllIntersectionWith(sh: DataFrame, dg: DataFrame): DataFrame = {
     val C = 5.175699493294551e16 // alpha_256 * 256^2 * 2^40 (see hllCardinality)
     def sScaled = (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
       + (lit(256L) - count(lit(1))) * lit(1099511627776L))
@@ -520,7 +544,6 @@ object Corpus {
       .groupBy("sa", "sb").agg(sScaled.as("s_union"))
     // exact pair overlap — the graded truth a production run drops: one
     // distinct per source, one equi-join on the gram hash stream
-    val dg = sh.select("source", "g").distinct()
     val exact = dg.as("a").join(dg.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))

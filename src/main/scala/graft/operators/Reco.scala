@@ -462,8 +462,15 @@ object Reco {
     * @return per decile: (bucket, n_pairs, mean_pred_micro,
     *         mean_actual_micro, gap_micro)
     */
-  def calibrationCurve(ratings: DataFrame, testMod: Int = 5): DataFrame = {
-    val r = dedupedRatings(ratings)
+  def calibrationCurve(ratings: DataFrame, testMod: Int = 5): DataFrame =
+    calibrationFromDeduped(dedupedRatings(ratings), testMod)
+
+  /** [[calibrationCurve]] from an already-deduped table — the
+    * [[itemNeighborsFrom]] memoization seam (q107/q108/q158/q175 share
+    * one dedup per session).
+    */
+  def calibrationFromDeduped(deduped: DataFrame, testMod: Int = 5): DataFrame = {
+    val r = deduped
       .withColumn("is_test",
         graft.functions.TextAnalysis.md5Prefix32(
           concat(lit("cal:"), col("userId").cast("string"), lit(":"),
