@@ -616,8 +616,10 @@ object SparkEntry {
       TimeWindows.scdIntervals(Tables.events(s, dir))),
     // deterministic hash-based negative sampling (BPR/two-tower training
     // pairs): k unrated products per user, no user x product cross join
+    // reads the memoized deduped pairs: the sampler only needs (user,
+    // product) identity, which cf_deduped already holds uniquely
     "q148_negative_sampling" -> ((s, dir) =>
-      Reco.negativeSampling(Tables.ratings(s, dir))),
+      Reco.negativeSampling(cfDeduped(s, dir))),
     // one rank-1 ALS alternation in exact integer arithmetic: hash-seeded
     // item factors, closed-form user solve, graded item re-solve
     "q158_als_step" -> ((s, dir) =>
