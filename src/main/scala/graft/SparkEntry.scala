@@ -696,6 +696,10 @@ object SparkEntry {
     // feature screen built-in corr can't hash-match
     "q179_corr_matrix" -> ((s, dir) =>
       Relational.corrMatrix(Tables.lineitem(s, dir))),
+    // 7-day-half-life decayed activity leaderboard: literal weight
+    // table, exact integer scores, top-k heap
+    "q180_decayed_leaderboard" -> ((s, dir) =>
+      TimeWindows.decayedLeaderboard(Tables.events(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2858,6 +2862,26 @@ object SparkEntry {
     // same cents scaling, same HUGEINT moments, same per-pair
     // multiply/sqrt/divide order
     "q179_corr_matrix" -> corrMatrixOracle,
+    // same literal weight table, same age lookup and integer score,
+    // same (score DESC, user) top-20
+    "q180_decayed_leaderboard" ->
+      s"""WITH daily AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |md AS (SELECT max(day) AS max_day FROM daily),
+        |sc AS (
+        |  SELECT user_id, cnt,
+        |    CASE WHEN max_day - day <= 63
+        |      THEN ([${operators.DecayWeights.ppm.mkString(", ")}])
+        |        [CAST(max_day - day + 1 AS INTEGER)]
+        |      ELSE 0 END AS w_ppm
+        |  FROM daily CROSS JOIN md)
+        |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  CAST(sum(cnt * w_ppm) AS BIGINT) AS decayed_ppm
+        |FROM sc GROUP BY 1
+        |ORDER BY decayed_ppm DESC, user_id LIMIT 20""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -694,6 +694,43 @@ object TimeWindows {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** Exponentially-decayed leaderboard (q180) — the production form of
+    * "trending": recent activity counts more, with a 7-day half-life,
+    * so a burst last week outranks steady noise last month. q89 ranks
+    * within fixed windows; this ranks across ALL history with recency
+    * decay — the score every feed-ranking system actually uses.
+    *
+    * Exactness: 2^(−age/7) is irrational, so per-age weights come from
+    * [[DecayWeights]] — ⌊2^(−age/7)·10⁶⌋ for age 0..63, computed once
+    * in one JVM and embedded as literals in both plans (ages past 63
+    * weigh 0; the table IS the truncation policy). The score
+    * Σ cnt·w_ppm is then an exact BIGINT, and the ranking a top-k heap.
+    *
+    * Scale shape: one map-combined (user, day) count, a broadcast
+    * 1-row max-day, per-row weight lookup, one more map-combined user
+    * aggregate, TakeOrderedAndProject. No windows, no sorts.
+    *
+    * @return (user_id, n_events, decayed_ppm) — topK by score
+    */
+  def decayedLeaderboard(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = array(DecayWeights.ppm.map(lit): _*)
+    val daily = events
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    daily.crossJoin(broadcast(maxDay))
+      .withColumn("age", col("max_day") - col("day"))
+      .withColumn("w_ppm",
+        when(col("age") <= 63, element_at(w, (col("age") + 1).cast("int")))
+          .otherwise(lit(0L)))
+      .groupBy("user_id")
+      .agg(sum(col("cnt")).as("n_events"),
+        sum(col("cnt") * col("w_ppm")).as("decayed_ppm"))
+      .orderBy(col("decayed_ppm").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** Churn hazard curve (q164) — the Nelson–Aalen cumulative-hazard
     * estimator over user lifetimes: a user "dies" on their last active
     * day, the at-risk set at day t is everyone whose last day is ≥ t,
@@ -815,4 +852,13 @@ object TimeWindows {
       .select(col("event_type"), col("day_num"), col("cnt"),
         col("cusum_pos"), col("cusum_neg"), col("flag_up"), col("flag_down"))
   }
+}
+
+/** [[TimeWindows.decayedLeaderboard]]'s half-life weight table — the
+  * DpNoise one-JVM trick: ⌊2^(−age/7)·10⁶⌋ for age 0..63 days, embedded
+  * as identical literals in both engines' plans.
+  */
+object DecayWeights {
+  val ppm: Seq[Long] =
+    (0 to 63).map(a => math.floor(math.pow(2.0, -a / 7.0) * 1e6).toLong)
 }

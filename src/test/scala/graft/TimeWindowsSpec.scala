@@ -369,6 +369,27 @@ class TimeWindowsSpec extends AnyFunSuite {
   private def dayTs(day: Int, min: Int = 0): Timestamp =
     new Timestamp((day.toLong * 1440 + min) * 60000L)
 
+  test("decayedLeaderboard: half-life weights rank recency over volume") {
+    import graft.operators.DecayWeights
+    val w = DecayWeights.ppm
+    assert(w.head === 1000000L)
+    assert(w(7) === 500000L && w(14) === 250000L) // exact halvings
+    assert(w.zip(w.tail).forall { case (a, b) => a > b })
+    // u1: 1 event today (1e6); u2: 3 events 7 days ago (1.5e6);
+    // u3: 100 events 70 days ago (age > 63 -> 0)
+    val events = (Seq((1L, dayTs(70), 1L, "view", 1.0, ""),
+      (2L, dayTs(63), 2L, "view", 1.0, ""),
+      (3L, dayTs(63, 1), 2L, "view", 1.0, ""),
+      (4L, dayTs(63, 2), 2L, "view", 1.0, "")) ++
+      (0 until 100).map(i => (10L + i, dayTs(0, i), 3L, "view", 1.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.decayedLeaderboard(events).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("decayed_ppm")))
+    assert(r.toSeq === Seq(2L -> ((3L, 1500000L)), 1L -> ((1L, 1000000L)),
+      3L -> ((100L, 0L))))
+  }
+
   test("churnHazard: at-risk shrinks by prior deaths, nano terms are exact floors") {
     // users 1,2 last active day 0; user 3 last active day 2
     val events = Seq(
