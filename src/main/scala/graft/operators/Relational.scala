@@ -403,8 +403,10 @@ object Relational {
     * z-test, this gives the assumption-free interval.
     *
     * Determinism: multiplicities come from the [[PoissonBoot]] inverse-
-    * CDF threshold table (the [[DpNoise]] one-JVM trick) keyed by
-    * md5(event_id, replica) — reproducible, engine-identical. Sums are
+    * CDF threshold table (the [[DpNoise]] one-JVM trick), keyed by ONE
+    * md5 per row mixed per-replica with three integer ops —
+    * reproducible, engine-identical, and 10× cheaper than hashing per
+    * (row, replica). Sums are
     * exact integer cents; replica means are floored micro-cent
     * divisions; the interval bounds are exact ranked picks (2nd and
     * 31st of 32 ≈ a 90% percentile-bootstrap CI), not float quantiles.
