@@ -118,13 +118,6 @@ object SparkEntry {
       Corpus.hashedGrams(Tables.documents(spark, dir))
     }
 
-  /** The distinct (source, gram) table — the HLL family's exact-truth
-    * stage, memoized so q102/q147/q157 pay the distinct shuffle once.
-    */
-  private def hllDg(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "hll_dg") {
-      Corpus.distinctGrams(hllGrams(spark, dir))
-    }
 
   /** The token-shingle similarity family's persisted artifacts, memoized
     * per session exactly as a cluster deployment would persist them: the
@@ -602,15 +595,15 @@ object SparkEntry {
     // deterministic 256-register HLL distinct-8-gram estimate per source,
     // graded against the exact distinct count (error is the deliverable)
     "q102_hll_cardinality" -> ((s, dir) =>
-      Corpus.hllCardinalityWith(hllGrams(s, dir), hllDg(s, dir))),
+      Corpus.hllCardinalityFrom(hllGrams(s, dir))),
     // HLL shard-merge ≡ direct-registers proof over the same memoized
     // hashed grams — the property that makes the sketch distributed
     "q147_hll_merge" -> ((s, dir) =>
-      Corpus.hllMergeWith(hllGrams(s, dir), hllDg(s, dir))),
+      Corpus.hllMergeFrom(hllGrams(s, dir))),
     // pairwise source overlap by register inclusion-exclusion — the
     // constant-size sketch form of the quadratic exact overlap matrix
     "q157_hll_intersection" -> ((s, dir) =>
-      Corpus.hllIntersectionWith(hllGrams(s, dir), hllDg(s, dir))),
+      Corpus.hllIntersectionFrom(hllGrams(s, dir))),
     // SCD-2 validity intervals per user folded from the event log
     "q146_scd_intervals" -> ((s, dir) =>
       TimeWindows.scdIntervals(Tables.events(s, dir))),

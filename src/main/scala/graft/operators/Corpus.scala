@@ -391,24 +391,10 @@ object Corpus {
       .transform(graft.barrier)
   }
 
-  /** The distinct (source, gram) table — the exact-truth side's shared
-    * stage: q102's per-source exact distinct, q147's global exact
-    * distinct, and q157's exact pair intersections all fold over it.
-    * Memoized by SparkEntry beside [[hashedGrams]] so the distinct
-    * shuffle runs once per session, not once per grading query.
-    */
-  def distinctGrams(sh: DataFrame): DataFrame =
-    sh.select("source", "g").distinct().transform(graft.barrier)
+  def hllCardinality(documents: DataFrame, k: Int = 8): DataFrame =
+    hllCardinalityFrom(hashedGrams(documents, k))
 
-  def hllCardinality(documents: DataFrame, k: Int = 8): DataFrame = {
-    val sh = hashedGrams(documents, k)
-    hllCardinalityWith(sh, distinctGrams(sh))
-  }
-
-  def hllCardinalityFrom(sh: DataFrame): DataFrame =
-    hllCardinalityWith(sh, distinctGrams(sh))
-
-  def hllCardinalityWith(sh: DataFrame, dg: DataFrame): DataFrame = {
+  def hllCardinalityFrom(sh: DataFrame): DataFrame = {
     val regs = sh
       .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
       .select(col("source"), col("reg"),
@@ -419,7 +405,7 @@ object Corpus {
       (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
         + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_scaled"),
       count(lit(1)).as("occupied"))
-    val exact = dg.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val exact = sh.groupBy("source").agg(countDistinct(col("g")).as("n_exact"))
     exact.join(broadcast(sketch), "source")
       .select(col("source"), col("n_exact"), col("occupied"), col("s_scaled"),
         // alpha_256 * 256^2 * 2^40 = (0.7213/(1 + 1.079/256)) * 2^56,
@@ -441,15 +427,10 @@ object Corpus {
     * vectors (256 numbers per shard, not the gram stream) — this operator
     * is that merge with its correctness certificate attached.
     */
-  def hllMerge(documents: DataFrame, k: Int = 8): DataFrame = {
-    val sh = hashedGrams(documents, k)
-    hllMergeWith(sh, distinctGrams(sh))
-  }
+  def hllMerge(documents: DataFrame, k: Int = 8): DataFrame =
+    hllMergeFrom(hashedGrams(documents, k))
 
-  def hllMergeFrom(sh: DataFrame): DataFrame =
-    hllMergeWith(sh, distinctGrams(sh))
-
-  def hllMergeWith(sh: DataFrame, dg: DataFrame): DataFrame = {
+  def hllMergeFrom(sh: DataFrame): DataFrame = {
     val rhoRows = sh
       .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
       .select(col("source"), col("reg"),
@@ -471,7 +452,7 @@ object Corpus {
         (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
           + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_direct"),
         count(lit(1)).as("occ_direct"))
-    val exact = dg.agg(
+    val exact = sh.agg(
       countDistinct(col("g")).as("n_exact"),
       countDistinct(col("source")).as("n_shards"))
     exact.crossJoin(merged).crossJoin(direct) // three 1-row frames
@@ -508,15 +489,16 @@ object Corpus {
     *
     * @return (sa, sb, n_inter_exact, s_a, s_b, s_union, est_inter)
     */
-  def hllIntersection(documents: DataFrame, k: Int = 8): DataFrame = {
-    val sh = hashedGrams(documents, k)
-    hllIntersectionWith(sh, distinctGrams(sh))
-  }
+  def hllIntersection(documents: DataFrame, k: Int = 8): DataFrame =
+    hllIntersectionFrom(hashedGrams(documents, k))
 
-  def hllIntersectionFrom(sh: DataFrame): DataFrame =
-    hllIntersectionWith(sh, distinctGrams(sh))
-
-  def hllIntersectionWith(sh: DataFrame, dg: DataFrame): DataFrame = {
+  def hllIntersectionFrom(sh: DataFrame): DataFrame = {
+    // exact-side note: the distinct gram table is NOT barriered or shared
+    // — Catalyst reuses the one distinct exchange for both self-join
+    // sides, and a round-9 experiment that materialized it (and shared it
+    // with q102/q147's countDistinct folds) measured ~1.7 s slower across
+    // the family at sf0.1 than this form
+    val dg = sh.select("source", "g").distinct()
     val C = 5.175699493294551e16 // alpha_256 * 256^2 * 2^40 (see hllCardinality)
     def sScaled = (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
       + (lit(256L) - count(lit(1))) * lit(1099511627776L))
