@@ -693,6 +693,24 @@ object SparkEntry {
     // table, exact integer scores, top-k heap
     "q180_decayed_leaderboard" -> ((s, dir) =>
       TimeWindows.decayedLeaderboard(Tables.events(s, dir))),
+    // interval ANTI-join: views with no click in the next 30 min — the
+    // unconverted-impression report (q101's missing complement)
+    "q181_unconverted_views" -> ((s, dir) =>
+      Relational.unconvertedViews(Tables.events(s, dir))),
+    // power-of-two inter-arrival histogram per type (the Prometheus
+    // bucket form; integer log2 via binary length)
+    "q182_latency_histogram" -> ((s, dir) =>
+      Relational.latencyHistogram(Tables.events(s, dir))),
+    // TPC-H Q5 shape: five-table star, same-nation correlation, exact
+    // decimal revenue — the join-reorder stressor
+    "q183_region_revenue" -> ((s, dir) =>
+      Relational.regionRevenue(Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // TPC-H Q3 shape: segment + date cutoffs, top-10 pending revenue
+    "q184_shipping_priority" -> ((s, dir) =>
+      Relational.shippingPriority(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2875,6 +2893,82 @@ object SparkEntry {
         |  CAST(sum(cnt * w_ppm) AS BIGINT) AS decayed_ppm
         |FROM sc GROUP BY 1
         |ORDER BY decayed_ppm DESC, user_id LIMIT 20""".stripMargin,
+    // NOT EXISTS over the same user-keyed time range; per-day totals
+    // with the same floored ppm
+    "q181_unconverted_views" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT day_num, CAST(count(*) AS BIGINT) AS n_unconverted
+        |  FROM v WHERE NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = v.user_id
+        |      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT day_num, CAST(count(*) AS BIGINT) AS n_views
+        |  FROM v GROUP BY 1)
+        |SELECT t.day_num, t.n_views,
+        |  COALESCE(u.n_unconverted, 0) AS n_unconverted,
+        |  COALESCE(u.n_unconverted, 0) * 1000000 // t.n_views AS unconv_ppm
+        |FROM t LEFT JOIN u USING (day_num)""".stripMargin,
+    // same per-user lead gaps, same binary-length bucket, same edges
+    "q182_latency_histogram" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN gap_us = 0 THEN 0
+        |         ELSE CAST(length(bin(gap_us)) AS BIGINT) END AS bucket
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, bucket,
+        |  CASE WHEN bucket = 0 THEN 0
+        |       ELSE (1::BIGINT << CAST(bucket - 1 AS INTEGER)) END AS lo_us,
+        |  CASE WHEN bucket = 0 THEN 0
+        |       ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi_us,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    // same epoch-day filters, same same-nation correlation, the q10
+    // decimal revenue sum
+    "q183_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |    BETWEEN 9862 AND 10226
+        |GROUP BY 1""".stripMargin,
+    // same cutoffs, same exact-decimal revenue, same (rev DESC, date,
+    // key) top-10
+    "q184_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |    AS o_orderdate_day,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 < 10013
+        |  AND epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 > 10013
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate_day, o_orderkey LIMIT 10""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

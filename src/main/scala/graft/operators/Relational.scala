@@ -350,6 +350,136 @@ object Relational {
         col("noise"), (col("true_cnt") + col("noise")).as("released"))
   }
 
+  /** Interval ANTI-join (q181) — the missing complement of q101's
+    * interval join: views with NO click by the same user inside the
+    * following `horizonMinutes` — the unconverted-impression report
+    * (abandonment, SLA-miss, and orphaned-span detection all share this
+    * shape). NOT EXISTS over a time range is its own operator: the
+    * equi-key (user) carries the join, the range predicate filters
+    * within each key group, and Spark executes it as a keyed LeftAnti —
+    * never a cartesian.
+    *
+    * @return per day: (day_num, n_views, n_unconverted, unconv_ppm)
+    */
+  def unconvertedViews(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .transform(graft.barrier) // read by the totals and the anti-join
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val unconv = views.join(clicks,
+        views("user_id") === col("cu") && col("cts") >= views("ts") &&
+          col("cts") <= views("ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+        "left_anti")
+      .groupBy("day_num").agg(count(lit(1)).as("n_unconverted"))
+    views.groupBy("day_num").agg(count(lit(1)).as("n_views"))
+      .join(unconv, Seq("day_num"), "left")
+      .na.fill(0L, Seq("n_unconverted"))
+      .withColumn("unconv_ppm", expr("n_unconverted * 1000000 div n_views"))
+  }
+
+  /** Exponential-bucket latency histogram (q182) — the Prometheus/HDR
+    * form of q134's percentiles: per event type, inter-arrival gaps of
+    * each user's stream bucketed by powers of two, with bucket =
+    * len(bin(gap)) (integer ⌊log₂⌋+1 — the q102 rho trick, no float
+    * log). Exponential buckets are what production observability
+    * actually stores: constant state per type, mergeable by addition,
+    * one window + one map-combined aggregate here.
+    *
+    * @return (event_type, bucket, lo_us, hi_us, n)
+    */
+  def latencyHistogram(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us",
+        expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))")
+          - expr("unix_micros(ts)"))
+      .where(col("gap_us").isNotNull)
+      .withColumn("bucket",
+        when(col("gap_us") === 0, lit(0L))
+          .otherwise(expr("CAST(length(conv(gap_us, 10, 2)) AS BIGINT)")))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_us",
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))")))
+      .withColumn("hi_us",
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1")))
+      .select(col("event_type"), col("bucket"), col("lo_us"), col("hi_us"), col("n"))
+  }
+
+  /** TPC-H Q5 shape (q183) — local-supplier volume: revenue per nation
+    * in one region and one year, counting only lineitems whose customer
+    * and supplier sit in the SAME nation. The classic join-order
+    * stressor: a five-table star with two independent selective dims
+    * (region filter, date filter) and a correlated equality between two
+    * branches — exactly the shape Catalyst's join reordering and
+    * broadcast planning exist for (dims broadcast; lineitem never
+    * shuffles more than once).
+    *
+    * Dates compare as integer epoch-days (the shared NTZ contract);
+    * revenue is the exact-decimal q10 money sum.
+    *
+    * @return (n_name, revenue, n_items)
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+      regionName: String = "ASIA", loDay: Long = 9862L,
+      hiDay: Long = 10227L): DataFrame = {
+    val n = nation.join(broadcast(region.where(col("r_name") === regionName)),
+      col("n_regionkey") === col("r_regionkey"))
+    val o = orders.where(
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .between(loDay, hiDay - 1))
+    lineitem
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q3 shape (q184) — shipping priority: the top-10 highest-
+    * pending-revenue orders for one market segment, ordered before a
+    * cutoff but shipped after it. Filter-pushdown + broadcast dim +
+    * top-k heap; revenue exact-decimal before the one ranking cast.
+    *
+    * @return (o_orderkey, o_orderdate_day, o_orderpriority, revenue)
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String = "BUILDING",
+      cutDay: Long = 10013L): DataFrame = {
+    val c = customer.where(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val o = orders.where(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000") < cutDay)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("o_orderdate_day"),
+        col("o_orderpriority"))
+    lineitem.where(
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000") > cutDay)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate_day", "o_orderpriority")
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate_day"), col("o_orderkey"))
+      .limit(10)
+  }
+
   /** Pairwise correlation matrix (q179) — feature-screening across the
     * lineitem numerics (quantity, price, discount, tax) from ONE pass
     * of exact integer moments: every Σx, Σx², Σxy is a DECIMAL(38,0)

@@ -298,6 +298,56 @@ class RelationalSpec extends AnyFunSuite {
       !x.getAs[Boolean]("flagged")))
   }
 
+  test("unconvertedViews: only views with no in-horizon click count") {
+    def t(min: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"1970-01-01 10:$min%02d:00")
+    // u1: view then click 10 min later (converted); u2: view, click 40
+    // min later (outside horizon); u3: view, no click at all
+    val events = Seq(
+      (1L, t(0), 1L, "view", 1.0, ""), (2L, t(10), 1L, "click", 1.0, ""),
+      (3L, t(0), 2L, "view", 1.0, ""), (4L, t(40), 2L, "click", 1.0, ""),
+      (5L, t(0), 3L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.unconvertedViews(events).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_views") === 3L)
+    assert(r.head.getAs[Long]("n_unconverted") === 2L)
+    assert(r.head.getAs[Long]("unconv_ppm") === 2000000L / 3L)
+  }
+
+  test("latencyHistogram: gaps land in their power-of-two buckets") {
+    def us(micro: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(micro / 1000)
+      ts.setNanos((micro % 1000000L).toInt * 1000); ts
+    }
+    // one user, gaps of exactly 1us, 7us, 8us: buckets 1 ([1,1]),
+    // 3 ([4,7]), 4 ([8,15]); typed by the FROM event's type
+    val events = Seq(
+      (1L, us(0L), 1L, "a", 1.0, ""), (2L, us(1L), 1L, "a", 1.0, ""),
+      (3L, us(8L), 1L, "a", 1.0, ""), (4L, us(16L), 1L, "b", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.latencyHistogram(events).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("bucket")) ->
+        (x.getAs[Long]("lo_us"), x.getAs[Long]("hi_us"), x.getAs[Long]("n"))).toMap
+    assert(r(("a", 1L)) === ((1L, 1L, 1L)))
+    assert(r(("a", 3L)) === ((4L, 7L, 1L)))
+    assert(r(("a", 4L)) === ((8L, 15L, 1L)))
+    assert(r.size === 3)
+  }
+
+  test("q183/q184 plans broadcast every dimension; the fact never double-shuffles") {
+    val q5 = SparkEntry.queries("q183_region_revenue")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"), s"q183 lost its broadcast dims:\n$q5")
+    assert(!q5.contains("CartesianProduct"), s"q183 has a cross join:\n$q5")
+    val q3 = SparkEntry.queries("q184_shipping_priority")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(q3.contains("TakeOrderedAndProject"),
+      s"q184 must heap-select, not global-sort:\n$q3")
+    assert(q3.contains("PushedFilters") || q3.contains("Filter"),
+      s"q184 lost its pushed predicates:\n$q3")
+  }
+
   test("corrMatrix: engineered perfect and zero correlations come out exact") {
     // price = 100*quantity (r=1); discount alternates independently of
     // quantity over a balanced design (r=0); tax constant (den 0 -> NaN)
