@@ -389,14 +389,24 @@ object Relational {
     *
     * @return (event_type, bucket, lo_us, hi_us, n)
     */
-  def latencyHistogram(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    events
+  def latencyHistogram(events: DataFrame): DataFrame =
+    histogramFromGaps(events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("gap_us",
         expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))")
           - expr("unix_micros(ts)"))
       .where(col("gap_us").isNotNull)
+      .select(col("event_type"), col("gap_us")))
+
+  /** The bucket stage of [[latencyHistogram]] over an (event_type,
+    * gap_us) stream — the twin seam: the stateful
+    * [[graft.streaming.Stateful.interArrivalGaps]] emits the same gap
+    * rows live, and closing them through this stage matches the batch
+    * histogram exactly (the q103/q161/q166 pattern with real
+    * per-key state instead of a windowed aggregate).
+    */
+  def histogramFromGaps(gaps: DataFrame): DataFrame =
+    gaps
       .withColumn("bucket",
         when(col("gap_us") === 0, lit(0L))
           .otherwise(expr("CAST(length(conv(gap_us, 10, 2)) AS BIGINT)")))
@@ -409,7 +419,6 @@ object Relational {
         when(col("bucket") === 0, lit(0L))
           .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1")))
       .select(col("event_type"), col("bucket"), col("lo_us"), col("hi_us"), col("n"))
-  }
 
   /** TPC-H Q5 shape (q183) — local-supplier volume: revenue per nation
     * in one region and one year, counting only lineitems whose customer

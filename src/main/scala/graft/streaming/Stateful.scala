@@ -223,6 +223,51 @@ object Stateful {
       }
   }
 
+  /** Input row for the streaming gap extractor (micros timestamps;
+    * `eventId` is the same tiebreak as the batch window's sort key).
+    */
+  case class GapEvent(userId: Long, eventId: Long, eventType: String, timestamp: Long)
+
+  /** The last event a user was seen at — the O(1) state behind
+    * [[interArrivalGaps]].
+    */
+  case class LastSeen(ts: Long, tpe: String)
+
+  /** One inter-arrival observation, typed by the FROM event (matching
+    * the batch histogram's attribution).
+    */
+  case class Gap(userId: Long, eventType: String, gapUs: Long)
+
+  /** Streaming twin of [[graft.operators.Relational.latencyHistogram]]'s
+    * gap extraction: per user, state is the last (timestamp, type) pair
+    * and every arriving event emits one gap row typed by the previous
+    * event — the [[transitions]] scaffold carrying a measurement instead
+    * of an adjacency. Closing the emitted gaps through
+    * `Relational.histogramFromGaps` reproduces the batch histogram
+    * exactly on closed inputs (spec-asserted).
+    *
+    * In-batch disorder folds in (timestamp, eventId) order like every
+    * stateful op here; state is O(1) per user (NoTimeout form — add
+    * event-time TTL as [[statsWithTTL]] for unbounded key cardinality).
+    */
+  def interArrivalGaps(spark: SparkSession, events: Dataset[GapEvent]): Dataset[Gap] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[LastSeen, Gap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[GapEvent], state: GroupState[LastSeen]) =>
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Gap]
+          batch.toSeq.sortBy(e => (e.timestamp, e.eventId)).foreach { e =>
+            prev.foreach(p => out += Gap(userId, p.tpe, e.timestamp - p.ts))
+            prev = Some(LastSeen(e.timestamp, e.eventType))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming conversion funnel — the stateful real-time twin of
     * [[graft.operators.TimeWindows.conversionFunnel]]: per user, a tiny
     * state machine (current stage int) advances only on the NEXT stage's

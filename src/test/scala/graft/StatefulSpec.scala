@@ -71,6 +71,48 @@ class StatefulSpec extends AnyFunSuite {
       ("view", "purchase") -> 1, ("purchase", "view") -> 1))
   }
 
+  test("streamed inter-arrival gaps close through the batch histogram stage") {
+    import org.apache.spark.sql.functions.col
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      Stateful.GapEvent](spark)
+    val q = Stateful.interArrivalGaps(spark, input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gaps_out")
+      .option("checkpointLocation", Files.createTempDirectory("gaps-ck").toString)
+      .start()
+    // same shape the batch fixture uses: gaps 1us, 7us, 8us for one
+    // user, delivered out of order and across two micro-batches
+    input.addData(
+      Stateful.GapEvent(1L, 2L, "a", 1L),
+      Stateful.GapEvent(1L, 1L, "a", 0L),
+      Stateful.GapEvent(1L, 3L, "a", 8L))
+    q.processAllAvailable()
+    input.addData(Stateful.GapEvent(1L, 4L, "b", 16L)) // cross-batch gap
+    q.processAllAvailable()
+    q.stop()
+    val streamed = graft.operators.Relational.histogramFromGaps(
+      spark.table("gaps_out")
+        .select(col("eventType").as("event_type"), col("gapUs").as("gap_us")))
+      .collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("bucket")) ->
+        (x.getAs[Long]("lo_us"), x.getAs[Long]("hi_us"), x.getAs[Long]("n"))).toMap
+    // batch twin on the identical closed input
+    def us(micro: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(micro / 1000)
+      ts.setNanos((micro % 1000000L).toInt * 1000); ts
+    }
+    import spark.implicits._
+    val batch = graft.operators.Relational.latencyHistogram(Seq(
+      (1L, us(0L), 1L, "a", 1.0, ""), (2L, us(1L), 1L, "a", 1.0, ""),
+      (3L, us(8L), 1L, "a", 1.0, ""), (4L, us(16L), 1L, "b", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("bucket")) ->
+        (x.getAs[Long]("lo_us"), x.getAs[Long]("hi_us"), x.getAs[Long]("n"))).toMap
+    assert(streamed === batch)
+    assert(streamed(("a", 4L))._3 === 1L) // the cross-batch 8us gap
+  }
+
   test("streaming funnel advances only on in-order stages, across micro-batches") {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
       Stateful.FunnelEvent](spark)
