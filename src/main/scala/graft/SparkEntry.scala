@@ -711,6 +711,11 @@ object SparkEntry {
     "q184_shipping_priority" -> ((s, dir) =>
       Relational.shippingPriority(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // greedy set-cover source selection: which 3 sources buy the most
+    // distinct 8-grams (the data-curation budget question), over the
+    // memoized hashed-gram stream
+    "q185_greedy_coverage" -> ((s, dir) =>
+      Corpus.greedyCoverageFrom(hllGrams(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -2969,6 +2974,47 @@ object SparkEntry {
         |  AND epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 > 10013
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate_day, o_orderkey LIMIT 10""".stripMargin,
+    // same distinct (source, token) table, the same three unrolled
+    // greedy rounds with (gain DESC, source) argmax and NOT EXISTS
+    // freshness — MATERIALIZED for the q151 inlining reason
+    "q185_greedy_coverage" ->
+      """WITH sh AS (
+        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
+        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS t
+        |  FROM documents),
+        |st AS MATERIALIZED (SELECT DISTINCT source, t FROM sh),
+        |g1 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM st GROUP BY 1),
+        |p1 AS MATERIALIZED (
+        |  SELECT source, gain FROM g1 ORDER BY gain DESC, source LIMIT 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT DISTINCT t FROM st JOIN p1 USING (source)),
+        |g2 AS (
+        |  SELECT s.source, CAST(count(*) AS BIGINT) AS gain FROM st s
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.t = s.t)
+        |    AND s.source NOT IN (SELECT source FROM p1)
+        |  GROUP BY 1),
+        |p2 AS MATERIALIZED (
+        |  SELECT source, gain FROM g2 ORDER BY gain DESC, source LIMIT 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT t FROM c1 UNION SELECT t FROM st JOIN p2 USING (source)),
+        |g3 AS (
+        |  SELECT s.source, CAST(count(*) AS BIGINT) AS gain FROM st s
+        |  WHERE NOT EXISTS (SELECT 1 FROM c2 WHERE c2.t = s.t)
+        |    AND s.source NOT IN (SELECT source FROM p1)
+        |    AND s.source NOT IN (SELECT source FROM p2)
+        |  GROUP BY 1),
+        |p3 AS MATERIALIZED (
+        |  SELECT source, gain FROM g3 ORDER BY gain DESC, source LIMIT 1),
+        |c3 AS MATERIALIZED (
+        |  SELECT t FROM c2 UNION SELECT t FROM st JOIN p3 USING (source))
+        |SELECT CAST(1 AS BIGINT) AS round, source, gain,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total FROM p1
+        |UNION ALL
+        |SELECT 2, source, gain,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c2) FROM p2
+        |UNION ALL
+        |SELECT 3, source, gain,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM p3""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

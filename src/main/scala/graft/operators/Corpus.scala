@@ -541,6 +541,66 @@ object Corpus {
           - lit(C) / col("s_union").cast("double")).as("est_inter"))
   }
 
+  /** Greedy set-cover source selection (q185) — the data-curation
+    * question "which k sources buy the most vocabulary?": the classic
+    * (1−1/e)-approximate greedy — each round picks the source with the
+    * largest count of tokens NOT yet covered, then folds its tokens
+    * into the covered set. The selection loop every dataset-mixing /
+    * budget-allocation pipeline runs before committing crawl spend.
+    *
+    * Iteration contract: fixed `rounds` supersteps (the LP/k-core
+    * form), each round one anti-join + one aggregate over the distinct
+    * (source, token) table, the single winning row decided driver-side
+    * (one row per round — the kCore count-loop pattern), covered set
+    * barriered per round so lineage stays flat. All counts exact;
+    * ties break by source name on both engines.
+    *
+    * @return per round: (round, source, gain, covered_total)
+    */
+  def greedyCoverage(documents: DataFrame, rounds: Int = 3): DataFrame =
+    greedyCoverageFrom(hashedGrams(documents), rounds)
+
+  /** [[greedyCoverage]] over an already-hashed gram stream (the
+    * [[hashedGrams]] memoization seam shared with q102/q147/q157).
+    * Char-8-grams are the covering universe — word vocabularies in
+    * templated corpora collapse to near-identical sets (the first pick
+    * covered 100% in this corpus), while gram sets overlap partially
+    * (q157's intersection report is exactly that evidence), so the
+    * greedy trajectory stays informative.
+    */
+  def greedyCoverageFrom(sh: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = sh.sparkSession
+    val st = sh.select(col("source"), col("g").as("t"))
+      .distinct().transform(graft.barrier)
+    var covered: DataFrame = null
+    var picked = Seq.empty[String]
+    var out = Seq.empty[(Int, String, Long, Long)]
+    for (i <- 1 to rounds) {
+      val fresh =
+        if (covered == null) st
+        else st.join(covered, Seq("t"), "left_anti")
+      val gains = fresh
+        .where(!col("source").isInCollection(picked ++ Seq(" ")))
+        .groupBy("source").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source")).limit(1).collect()
+      if (gains.nonEmpty) {
+        val win = gains.head.getAs[String]("source")
+        val gain = gains.head.getAs[Long]("gain")
+        picked :+= win
+        covered = (if (covered == null)
+            st.where(col("source") === win).select("t")
+          else covered.unionAll(
+            st.where(col("source") === win).select("t")))
+          .distinct().transform(graft.barrier)
+        out :+= ((i, win, gain, covered.count()))
+      }
+    }
+    import spark.implicits._
+    out.toDF("round", "source", "gain", "covered_total")
+      .select(col("round").cast("long").as("round"), col("source"),
+        col("gain"), col("covered_total"))
+  }
+
   /** Vocabulary richness (q176) — how much vocabulary remains UNSEEN:
     * per source, the Chao1 species-richness estimate
     * D + F₁²/(2F₂) (Chao 1984) and the Good–Turing unseen-probability

@@ -206,6 +206,25 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("greedyCoverage: marginal gains, name-break ties, running union") {
+    import spark.implicits._
+    // A:{1,2,3,4} B:{3,4,5,9} C:{5,6}: round1 A(4); round2 tie B/C at 2
+    // fresh -> B by name; round3 C adds {6}
+    val sh = Seq(
+      ("a", "1"), ("a", "2"), ("a", "3"), ("a", "4"),
+      ("b", "3"), ("b", "4"), ("b", "5"), ("b", "9"),
+      ("c", "5"), ("c", "6")).toDF("source", "g")
+      .withColumn("h", org.apache.spark.sql.functions.lit(0L))
+    val r = Corpus.greedyCoverageFrom(sh).collect()
+      .map(x => x.getAs[Long]("round") ->
+        (x.getAs[String]("source"), x.getAs[Long]("gain"),
+          x.getAs[Long]("covered_total"))).toMap
+    assert(r === Map(
+      1L -> (("a", 4L, 4L)),
+      2L -> (("b", 2L, 6L)),
+      3L -> (("c", 1L, 7L))))
+  }
+
   test("postingsCompression: dense postings compress to ~1 byte per gap") {
     import spark.implicits._
     // token "a" in docs 1..5 (dense: gaps 2,1,1,1,1 -> 5 varint bytes vs
