@@ -716,6 +716,10 @@ object SparkEntry {
     // memoized hashed-gram stream
     "q185_greedy_coverage" -> ((s, dir) =>
       Corpus.greedyCoverageFrom(hllGrams(s, dir))),
+    // quantile normalization of doc length onto the corpus distribution
+    // (distributed global rank, per-source rank windows, exact integers)
+    "q186_quantile_normalize" -> ((s, dir) =>
+      Corpus.quantileNormalize(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3015,6 +3019,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, source, gain,
         |  (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM p3""".stripMargin,
+    // same integer rank arithmetic; the global order statistic is
+    // tie-insensitive, so row_number's arbitrary tie order is safe
+    "q186_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM d),
+        |tot AS (SELECT count(*) AS n FROM d),
+        |g AS (
+        |  SELECT n_chars AS gv,
+        |    row_number() OVER (ORDER BY n_chars) AS gpos
+        |  FROM d)
+        |SELECT s.doc_id, s.source, s.n_chars,
+        |  CAST(s.rn AS BIGINT) AS rank_in_source,
+        |  g.gv AS norm_chars
+        |FROM s CROSS JOIN tot
+        |JOIN g ON g.gpos = (s.rn * tot.n + s.n_s - 1) // s.n_s""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -541,6 +541,45 @@ object Corpus {
           - lit(C) / col("s_union").cast("double")).as("est_inter"))
   }
 
+  /** Quantile normalization (q186) — the batch-effect remover: map each
+    * document's length onto the CORPUS length distribution at the same
+    * within-source rank fraction, so per-source scale quirks vanish
+    * while the global shape is preserved exactly (the bioinformatics
+    * microarray technique, applied to corpus features). After it, every
+    * source's normalized column is a subsample of the same global
+    * order statistics — drift detectors like q172 read ~0 on it.
+    *
+    * Exactness: target = the global order statistic at position
+    * ⌈rn·N/n_s⌉ — pure integer rank arithmetic, and the value at a
+    * position is tie-insensitive (any stable sort yields the same
+    * multiset position → value mapping on both engines).
+    *
+    * Scale shape: per-source rank windows partition by source; the
+    * GLOBAL rank uses [[graft.streaming.Replay.indexed]] — a range-
+    * partitioned sort + per-partition zipWithIndex offsets, NOT a
+    * single-partition row_number — and the position lookup is a keyed
+    * equi-join.
+    *
+    * @return (doc_id, source, n_chars, rank_in_source, norm_chars)
+    */
+  def quantileNormalize(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .transform(graft.barrier) // read by the ranks and the global index
+    val tot = d.agg(count(lit(1)).as("n"))
+    val s = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("source")))
+    val g = graft.streaming.Replay.indexed(d.select(col("n_chars").as("gv")), "gv")
+      .select((col("__idx") + 1).as("gpos"), col("gv"))
+    s.crossJoin(broadcast(tot))
+      .withColumn("gpos", expr("(rn * n + n_s - 1) div n_s"))
+      .join(g, "gpos")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rn").as("rank_in_source"), col("gv").as("norm_chars"))
+  }
+
   /** Greedy set-cover source selection (q185) — the data-curation
     * question "which k sources buy the most vocabulary?": the classic
     * (1−1/e)-approximate greedy — each round picks the source with the

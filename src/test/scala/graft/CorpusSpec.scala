@@ -206,6 +206,29 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("s_scaled") <= 256L * (1L << 40)))
   }
 
+  test("quantileNormalize: rank mapping is monotone and hits exact order stats") {
+    import spark.implicits._
+    // source a: lengths 1,2 (n_s=2); source b: 10,20,30 (n_s=3); N=5
+    // global sorted: [1,2,10,20,30]
+    // a: rn1 -> pos ceil(5/2)=3 -> 10; rn2 -> pos 5 -> 30
+    // b: rn1 -> ceil(5/3)=2 -> 2; rn2 -> ceil(10/3)=4 -> 20; rn3 -> 5 -> 30
+    val docs = Seq(
+      (1L, "x", "a", 1L), (2L, "xx", "a", 2L),
+      (3L, "y", "b", 10L), (4L, "yy", "b", 20L), (5L, "yyy", "b", 30L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = Corpus.quantileNormalize(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("norm_chars")).toMap
+    assert(r === Map(1L -> 10L, 2L -> 30L, 3L -> 2L, 4L -> 20L, 5L -> 30L))
+    // real corpus: within each source the mapping is monotone in rank
+    val real = Corpus.quantileNormalize(
+      graft.Tables.documents(spark, TestSpark.sf)).collect()
+    real.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank_in_source"))
+        .map(_.getAs[Long]("norm_chars"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("greedyCoverage: marginal gains, name-break ties, running union") {
     import spark.implicits._
     // A:{1,2,3,4} B:{3,4,5,9} C:{5,6}: round1 A(4); round2 tie B/C at 2
