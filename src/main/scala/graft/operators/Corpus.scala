@@ -577,7 +577,7 @@ object Corpus {
       .withColumn("gpos", expr("(rn * n + n_s - 1) div n_s"))
       .join(g, "gpos")
       .select(col("doc_id"), col("source"), col("n_chars"),
-        col("rn").as("rank_in_source"), col("gv").as("norm_chars"))
+        col("rn").cast("long").as("rank_in_source"), col("gv").as("norm_chars"))
   }
 
   /** Greedy set-cover source selection (q185) — the data-curation
