@@ -720,6 +720,10 @@ object SparkEntry {
     // (distributed global rank, per-source rank windows, exact integers)
     "q186_quantile_normalize" -> ((s, dir) =>
       Corpus.quantileNormalize(Tables.documents(s, dir))),
+    // consistent-hash ring reshard 4 -> 5 shards: observed movement vs
+    // the 1/(n+1) theory and the mod-hash disaster baseline
+    "q187_reshard_report" -> ((s, dir) =>
+      graft.sources.ZOrder.reshardReport(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3038,6 +3042,50 @@ object SparkEntry {
         |  g.gv AS norm_chars
         |FROM s CROSS JOIN tot
         |JOIN g ON g.gpos = (s.rn * tot.n + s.n_s - 1) // s.n_s""".stripMargin,
+    // same md5 ring, same pos*64+shard integer argmin, same wrap and
+    // movement flags
+    "q187_reshard_report" ->
+      s"""WITH r4 AS (
+        |  SELECT s.s AS shard,
+        |    ${md5Prefix32Sql("'node:' || CAST(s.s AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)")}
+        |      * 64 + s.s AS key,
+        |    ${md5Prefix32Sql("'node:' || CAST(s.s AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)")}
+        |      AS pos
+        |  FROM (SELECT unnest(range(0, 4)) AS s) s
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS v) v),
+        |r5 AS (
+        |  SELECT s.s AS shard,
+        |    ${md5Prefix32Sql("'node:' || CAST(s.s AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)")}
+        |      * 64 + s.s AS key,
+        |    ${md5Prefix32Sql("'node:' || CAST(s.s AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)")}
+        |      AS pos
+        |  FROM (SELECT unnest(range(0, 5)) AS s) s
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS v) v),
+        |d AS (
+        |  SELECT doc_id,
+        |    ${md5Prefix32Sql("'doc:' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT d.doc_id, d.h,
+        |    COALESCE(min(CASE WHEN r4.pos >= d.h THEN r4.key END),
+        |      min(r4.key)) % 64 AS shard_before
+        |  FROM d CROSS JOIN r4 GROUP BY 1, 2),
+        |a AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(min(CASE WHEN r5.pos >= d.h THEN r5.key END),
+        |      min(r5.key)) % 64 AS shard_after
+        |  FROM d CROSS JOIN r5 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(sum(CASE WHEN shard_before <> shard_after THEN 1 END), 0)
+        |    AS BIGINT) AS moved,
+        |  CAST(COALESCE(sum(CASE WHEN shard_before <> shard_after THEN 1 END), 0)
+        |    AS BIGINT) * 1000000 // count(*) AS moved_ppm,
+        |  CAST(200000 AS BIGINT) AS ch_theory_ppm,
+        |  CAST(COALESCE(sum(CASE WHEN b.h % 4 <> b.h % 5 THEN 1 END), 0)
+        |    AS BIGINT) AS mod_moved,
+        |  CAST(COALESCE(sum(CASE WHEN b.h % 4 <> b.h % 5 THEN 1 END), 0)
+        |    AS BIGINT) * 1000000 // count(*) AS mod_moved_ppm
+        |FROM b JOIN a USING (doc_id)""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

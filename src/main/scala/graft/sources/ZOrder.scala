@@ -152,6 +152,70 @@ object ZOrder {
           .as("read_amplification"))
   }
 
+  /** Consistent-hashing reshard report (q187) — the data-movement
+    * question behind every scale-out: assign documents to shards via a
+    * hash ring (16 virtual nodes per shard), then measure how much data
+    * MOVES when the fleet grows from `nodes` to `nodes+1`. The whole
+    * point of consistent hashing is that only ~1/(n+1) of keys move
+    * (vs ~n/(n+1) under mod-hashing); the report carries the observed
+    * fraction next to both theoretical baselines, so the ring
+    * configuration is graded the way q83 grades ANN recall.
+    *
+    * Mechanics: ring position of vnode (s, v) and of each doc are the
+    * same md5₃₂; a doc belongs to the vnode with the smallest position
+    * ≥ its hash (wrapping to the global min) — computed as one
+    * conditional min over the BROADCAST ring (nodes·16 rows), no sort,
+    * no window. All integer; the two assignments and the movement flag
+    * are exact on both engines.
+    *
+    * @return one row: (n_docs, moved, moved_ppm, ch_theory_ppm,
+    *         mod_moved, mod_moved_ppm)
+    */
+  def reshardReport(documents: DataFrame, nodes: Int = 4,
+      vnodes: Int = 16): DataFrame = {
+    def ring(n: Int) = (0 until n).flatMap(s => (0 until vnodes).map(v => (s, v)))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val docs = documents.select(col("doc_id"),
+        graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("doc:"), col("doc_id").cast("string"))).as("h"))
+      .transform(graft.barrier)
+    // flatten ring to (shard, pos) rows and pick, per doc, the owner =
+    // shard of min pos >= h, else shard of the global min pos (wrap).
+    // argmin is encoded as one BIGINT key pos·64 + shard so both engines
+    // break pos ties identically with a plain integer min
+    def owners(n: Int, outCol: String) = {
+      val r = ring(n).toDF("shard", "vnode")
+        .select(col("shard").cast("long").as("shard"),
+          graft.functions.TextAnalysis.md5Prefix32(
+            concat(lit("node:"), col("shard").cast("string"), lit(":"),
+              col("vnode").cast("string"))).as("pos"))
+        .select(col("shard"), (col("pos") * 64 + col("shard")).as("key"),
+          col("pos"))
+      docs.crossJoin(broadcast(r))
+        .groupBy("doc_id", "h")
+        .agg(
+          min(when(col("pos") >= col("h"), col("key"))).as("succ"),
+          min(col("key")).as("wrap"))
+        .select(col("doc_id"), col("h"),
+          (coalesce(col("succ"), col("wrap")) % 64).as(outCol))
+    }
+    val before = owners(nodes, "shard_before")
+    val after = owners(nodes + 1, "shard_after")
+    before.join(after, Seq("doc_id", "h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("shard_before") =!= col("shard_after"), 1L).otherwise(0L))
+          .as("moved"),
+        sum(when(col("h") % nodes =!= col("h") % (nodes + 1), 1L).otherwise(0L))
+          .as("mod_moved"))
+      .select(col("n_docs"),
+        col("moved"), expr("moved * 1000000 div n_docs").as("moved_ppm"),
+        lit(1000000L / (nodes + 1)).as("ch_theory_ppm"),
+        col("mod_moved"),
+        expr("mod_moved * 1000000 div n_docs").as("mod_moved_ppm"))
+  }
+
   /** Compaction planner (q162) — the small-files problem's answer:
     * collapse per-(source, hash-bucket) segments into `bins` target
     * files by running-total assignment — segments in size-descending

@@ -119,6 +119,27 @@ class FormatsSpec extends AnyFunSuite {
       < hashedMonth.getAs[Double]("read_amplification") / 3)
   }
 
+  test("reshardReport: ring movement tracks 1/(n+1); mod-hash moves most keys") {
+    import graft.sources.ZOrder
+    val r = ZOrder.reshardReport(
+      graft.Tables.documents(spark, TestSpark.sf)).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (n, moved, movedPpm) = (row.getAs[Long]("n_docs"),
+      row.getAs[Long]("moved"), row.getAs[Long]("moved_ppm"))
+    assert(moved <= n && movedPpm === moved * 1000000L / n)
+    assert(row.getAs[Long]("ch_theory_ppm") === 200000L)
+    // consistent hashing: movement in the neighborhood of 1/5; mod-hash:
+    // most keys move (theory 4/5). Wide bands — this grades the
+    // MECHANISM, not sampling luck on a small corpus
+    assert(movedPpm > 50000L && movedPpm < 400000L,
+      s"ring movement $movedPpm ppm implausibly far from 1/(n+1)")
+    assert(row.getAs[Long]("mod_moved_ppm") > 600000L,
+      "mod-hash must move the large majority of keys")
+    assert(movedPpm < row.getAs[Long]("mod_moved_ppm"),
+      "consistent hashing must beat mod-hashing")
+  }
+
   test("compactionPlan: bins conserve bytes, stay near target, pack deterministically") {
     import graft.sources.ZOrder
     val docs = graft.Tables.documents(spark, TestSpark.sf)
