@@ -724,6 +724,10 @@ object SparkEntry {
     // the 1/(n+1) theory and the mod-hash disaster baseline
     "q187_reshard_report" -> ((s, dir) =>
       graft.sources.ZOrder.reshardReport(Tables.documents(s, dir))),
+    // MMR diverse retrieval: one distributed relevance pass into a
+    // 64-candidate pool, then 5 greedy diversity rounds over it
+    "q188_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3086,6 +3090,9 @@ object SparkEntry {
         |  CAST(COALESCE(sum(CASE WHEN b.h % 4 <> b.h % 5 THEN 1 END), 0)
         |    AS BIGINT) * 1000000 // count(*) AS mod_moved_ppm
         |FROM b JOIN a USING (doc_id)""".stripMargin,
+    // same pool, same unrolled greedy, same 0.5-weighted score and
+    // (score DESC, vec_id) picks
+    "q188_mmr_select" -> s"WITH ${mmrOracle(5)}",
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->
@@ -4429,6 +4436,45 @@ object SparkEntry {
   /** ANSI twin of [[Similarity.cosine]]: left-fold double dot product /
     * norms, identical operand order → bit-identical doubles.
     */
+  /** Unrolled MMR greedy (twin of [[Similarity.mmrSelect]]): the same
+    * 64-candidate pool, then `k` selection rounds as MATERIALIZED CTEs
+    * — each scores 0.5·rel − 0.5·max-sim-to-selected with the shared
+    * [[cosineSql]] and picks by (score DESC, vec_id).
+    */
+  private def mmrOracle(k: Int): String = {
+    val pool =
+      s"""pool AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |    ${cosineSql("e.embedding", "q.q_emb")} AS rel
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT 64)""".stripMargin
+    val s1 =
+      """s1 AS MATERIALIZED (
+        |  SELECT vec_id, rel, 0.5 * rel - 0.5 * 0.0 AS score
+        |  FROM pool ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      val prior = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      val selEmb = (1 until i).map(j =>
+        s"SELECT e.embedding FROM pool e JOIN s$j ON e.vec_id = s$j.vec_id")
+        .mkString(" UNION ALL ")
+      s"""m$i AS (
+         |  SELECT p.vec_id, p.rel,
+         |    max(${cosineSql("p.embedding", "s.embedding")}) AS ms
+         |  FROM pool p CROSS JOIN ($selEmb) s
+         |  WHERE p.vec_id NOT IN ($prior)
+         |  GROUP BY 1, 2),
+         |s$i AS MATERIALIZED (
+         |  SELECT vec_id, rel, 0.5 * rel - 0.5 * ms AS score
+         |  FROM m$i ORDER BY 0.5 * rel - 0.5 * ms DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val unions = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, vec_id, rel, score FROM s$i")
+      .mkString("\nUNION ALL\n")
+    (Seq(pool, s1) ++ rounds).mkString(",\n") + "\n" + unions
+  }
+
   private def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"

@@ -389,6 +389,61 @@ object Similarity {
         col("tk").getItem(0).getField("score").as("best_sim"))
   }
 
+  /** Maximal Marginal Relevance selection (q188; Carbonell & Goldstein
+    * 1998) — diverse retrieval: greedily pick `k` vectors maximizing
+    * λ·rel(q,v) − (1−λ)·max_{s∈S} sim(v,s), so each pick is relevant
+    * to the query AND far from what's already selected — the
+    * dedup-at-selection-time every RAG retriever and few-shot sampler
+    * runs on top of raw ANN results.
+    *
+    * Scale shape — the two-stage form a cluster runs: ONE distributed
+    * pass scores relevance and keeps a `poolSize` candidate pool
+    * (TakeOrderedAndProject; the corpus is touched exactly once), and
+    * the greedy rounds then operate on the barriered pool — k tiny
+    * jobs, each a broadcast of ≤k selected vectors against ≤poolSize
+    * candidates. Determinism: the shared codegen'd cosine (q37/q41
+    * oracle parity), fixed λ·rel − (1−λ)·maxsim arithmetic, ties by
+    * vec_id.
+    *
+    * @return (round, vec_id, rel, score) — one row per greedy pick
+    */
+  def mmrSelect(embeddings: DataFrame, k: Int = 5, poolSize: Int = 64,
+      lambda: Double = 0.5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val q = embeddings.where(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb"))
+    val pool = embeddings.where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosine(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("embedding"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(poolSize)
+      .transform(graft.barrier) // every greedy round re-reads it
+    var picked = Seq.empty[(Long, Long, Double, Double)] // (round, id, rel, score)
+    for (i <- 1 to k) {
+      val cands = pool.where(!col("vec_id").isInCollection(picked.map(_._2) :+ -1L))
+      val scored =
+        if (picked.isEmpty) cands.withColumn("maxsim", lit(0.0))
+        else {
+          val sel = pool.where(col("vec_id").isInCollection(picked.map(_._2)))
+            .select(col("embedding").as("s_emb"))
+          cands.crossJoin(broadcast(sel))
+            .groupBy("vec_id", "rel")
+            .agg(max(cosine(col("embedding"), col("s_emb"))).as("maxsim"))
+        }
+      val best = scored
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1).collect()
+      if (best.nonEmpty) {
+        val b = best.head
+        picked :+= ((i.toLong, b.getAs[Long]("vec_id"),
+          b.getAs[Double]("rel"), b.getAs[Double]("score")))
+      }
+    }
+    import spark.implicits._
+    picked.toDF("round", "vec_id", "rel", "score")
+  }
+
   /** Per-label embedding outliers (q170) — the mislabeled-example /
     * contamination detector: for each label, the `topK` vectors farthest
     * from their label centroid. The quality-control counterpart to the

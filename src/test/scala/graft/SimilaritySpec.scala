@@ -190,6 +190,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(updated.agg(sum($"n_members")).as[Long].head() === emb.count())
   }
 
+  test("mmrSelect: relevance first, then diversity penalizes the near-duplicate") {
+    // query 0 = (1,0). 1=(1,0): rel 1. 2=(0,1): rel 0. 3=(3,4): rel 0.6.
+    // round1: 1 (score 0.5). round2: all scores 0 (unit-circle maxsim to
+    // the query direction equals rel) -> lowest id 2. round3: only 3
+    // left, maxsim = cos((3,4),(0,1)) = 0.8 -> score 0.3 - 0.4 = -0.1
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0), (3L, Array(3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.mmrSelect(emb, k = 3).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(x => (x.getAs[Long]("round"), x.getAs[Long]("vec_id"),
+        x.getAs[Double]("rel"), x.getAs[Double]("score")))
+    assert(r.map(_._2).toSeq === Seq(1L, 2L, 3L))
+    assert(r(0)._3 === 1.0 && r(0)._4 === 0.5)
+    assert(r(1)._3 === 0.0 && r(1)._4 === 0.0)
+    assert(math.abs(r(2)._3 - 0.6) < 1e-12)
+    assert(math.abs(r(2)._4 - (-0.1)) < 1e-12)
+    // real corpus: 5 distinct picks, scores non-increasing is NOT
+    // guaranteed by MMR, but every pick must come from the pool and be
+    // unique
+    val real = Similarity.mmrSelect(Tables.embeddings(spark, TestSpark.sf))
+      .collect()
+    assert(real.length === 5)
+    assert(real.map(_.getAs[Long]("vec_id")).distinct.length === 5)
+  }
+
   test("embeddingOutliers: exact distance numerators rank the far vector first") {
     // label 0: (0,0), (0,0), (3,0) -> centroid (1,0); v3's numerator is
     // (3e6*3 - 3e6)^2 = 3.6e13, the twins' (0*3 - 3e6)^2 = 9e12 each
