@@ -728,6 +728,10 @@ object SparkEntry {
     // 64-candidate pool, then 5 greedy diversity rounds over it
     "q188_mmr_select" -> ((s, dir) =>
       Similarity.mmrSelect(Tables.embeddings(s, dir))),
+    // contrastive pair mining: adjacent-chunk positives + hash-drawn
+    // cross-doc negatives (the embedding-training dataset builder)
+    "q189_contrastive_pairs" -> ((s, dir) =>
+      TrainingMix.contrastivePairs(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3093,6 +3097,40 @@ object SparkEntry {
     // same pool, same unrolled greedy, same 0.5-weighted score and
     // (score DESC, vec_id) picks
     "q188_mmr_select" -> s"WITH ${mmrOracle(5)}",
+    // q74's chunk CTE, the same adjacency pairing, the same md5 draw
+    // mod doc-space with self-collisions dropped, chunk-0 resolution
+    "q189_contrastive_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |nc AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    CASE WHEN len(t) <= 64 THEN 1
+         |         ELSE CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) + 1 END AS nchunk
+         |  FROM toks),
+         |ch AS (
+         |  SELECT doc_id, chunk_id,
+         |    ${md5Prefix32Sql("array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ')")} AS chunk_hash
+         |  FROM (SELECT doc_id, t, unnest(range(0, nchunk)) AS chunk_id FROM nc)),
+         |anchors AS (
+         |  SELECT a.doc_id, a.chunk_id, a.chunk_hash AS anchor_hash,
+         |    p.chunk_id AS pos_chunk_id, p.chunk_hash AS pos_hash
+         |  FROM ch a JOIN ch p
+         |    ON p.doc_id = a.doc_id AND p.chunk_id = a.chunk_id + 1),
+         |md AS (SELECT max(doc_id) AS max_doc FROM documents),
+         |z AS (SELECT doc_id AS neg_doc_id, chunk_hash AS neg_hash
+         |  FROM ch WHERE chunk_id = 0),
+         |draws AS (
+         |  SELECT anchors.*, d.draw,
+         |    ${md5Prefix32Sql("'ctr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) || ':' || CAST(d.draw AS VARCHAR)")}
+         |      % (md.max_doc + 1) AS neg_doc_id
+         |  FROM anchors CROSS JOIN md
+         |  CROSS JOIN (SELECT unnest(range(1, 3)) AS draw) d)
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, anchor_hash,
+         |  CAST(pos_chunk_id AS INTEGER) AS pos_chunk_id, pos_hash,
+         |  CAST(draw AS BIGINT) AS draw, neg_doc_id, z.neg_hash
+         |FROM draws JOIN z USING (neg_doc_id)
+         |WHERE neg_doc_id <> doc_id""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -285,6 +285,54 @@ object TrainingMix {
         graft.functions.TextAnalysis.md5Prefix32(col("chunk")).as("chunk_hash"))
   }
 
+  /** Contrastive pair mining (q189) — the dataset builder behind
+    * embedding-model training (SimCSE/contriever-style): for every
+    * chunk with a successor, emit (anchor, positive = the next
+    * overlapping chunk of the SAME doc, negatives = hash-drawn chunks
+    * of OTHER docs). Positives share stride overlap (semantically
+    * near); negatives are the q148 idiom pointed at documents — drawn
+    * by md5 mod doc-space, collision-with-self dropped, resolved to
+    * each victim doc's chunk 0 so every draw lands on a real chunk.
+    *
+    * Scale shape: one [[chunkDocuments]] pass (barriered — anchors,
+    * positives, and the negative lookup all read it), the positive
+    * pairing a keyed self-join on (doc, chunk+1), the negative
+    * resolution one keyed join against the |docs|-row chunk-0 table.
+    * Draw volume is anchors·nNeg, never docs×docs.
+    *
+    * @return (doc_id, chunk_id, anchor_hash, pos_chunk_id, pos_hash,
+    *         draw, neg_doc_id, neg_hash)
+    */
+  def contrastivePairs(documents: DataFrame, nNeg: Int = 2): DataFrame = {
+    val ch = chunkDocuments(documents).transform(graft.barrier)
+    val anchors = ch.as("a").join(
+        ch.select(col("doc_id"), col("chunk_id").as("pos_chunk_id"),
+          col("chunk_hash").as("pos_hash")).as("p"),
+        col("a.doc_id") === col("p.doc_id") &&
+          col("a.chunk_id") + 1 === col("pos_chunk_id"))
+      .select(col("a.doc_id").as("doc_id"), col("a.chunk_id").as("chunk_id"),
+        col("a.chunk_hash").as("anchor_hash"), col("pos_chunk_id"),
+        col("pos_hash"))
+    val maxDoc = documents.agg(max(col("doc_id")).as("max_doc"))
+    val zeroChunks = ch.where(col("chunk_id") === 0)
+      .select(col("doc_id").as("neg_doc_id"), col("chunk_hash").as("neg_hash"))
+    anchors.crossJoin(broadcast(maxDoc))
+      .select(col("doc_id"), col("chunk_id"), col("anchor_hash"),
+        col("pos_chunk_id"), col("pos_hash"),
+        explode(sequence(lit(1L), lit(nNeg.toLong))).as("draw"),
+        col("max_doc"))
+      .withColumn("neg_doc_id",
+        graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("ctr:"), col("doc_id").cast("string"), lit(":"),
+            col("chunk_id").cast("string"), lit(":"),
+            col("draw").cast("string"))) % (col("max_doc") + 1))
+      .where(col("neg_doc_id") =!= col("doc_id"))
+      .join(zeroChunks, "neg_doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("anchor_hash"),
+        col("pos_chunk_id"), col("pos_hash"), col("draw"),
+        col("neg_doc_id"), col("neg_hash"))
+  }
+
   /** PPS (probability-proportional-to-size) sample + Horvitz–Thompson
     * total estimate (q152) — the weighted ingest-sampling primitive: a
     * document of `n_chars` is kept with probability n_chars/max_chars

@@ -244,4 +244,30 @@ class TrainingMixSpec extends AnyFunSuite {
     val r2 = TrainingMix.ppsSample(docs).collect().head
     assert(r1.toSeq === r2.toSeq, "md5 draws must be reproducible")
   }
+
+  test("contrastivePairs: adjacent positives, cross-doc negatives, no self hits") {
+    // two docs of 100 tokens -> 2 chunks each (64-token window, stride
+    // 48) -> exactly one anchor per doc, <= 2 negative draws per anchor
+    val words = (1 to 100).map(i => s"w$i").mkString(" ")
+    val other = (1 to 100).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, words, "en", "a", 100L), (2L, other, "en", "b", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TrainingMix.contrastivePairs(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Int]("pos_chunk_id") === x.getAs[Int]("chunk_id") + 1)
+      assert(x.getAs[Long]("neg_doc_id") !== x.getAs[Long]("doc_id"),
+        "a negative must never come from the anchor's own document")
+      assert(x.getAs[Long]("anchor_hash") !== x.getAs[Long]("pos_hash"),
+        "overlapping but distinct chunks hash differently")
+    }
+    // draws are deterministic
+    val again = TrainingMix.contrastivePairs(docs).collect().map(_.toString).sorted
+    assert(again.toSeq === r.map(_.toString).sorted.toSeq)
+    // real corpus: every anchor row resolves a real victim chunk hash
+    val real = TrainingMix.contrastivePairs(
+      graft.Tables.documents(spark, TestSpark.sf)).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(x => x.getAs[Long]("draw") >= 1L && x.getAs[Long]("draw") <= 2L))
+  }
 }
