@@ -403,6 +403,27 @@ class PlanSpec extends AnyFunSuite {
       s"q177 has an unpartitioned cross join:\n$plan")
   }
 
+  test("q186/q187/q189: no single-partition windows, ring broadcast, keyed negatives") {
+    // quantile normalization: the per-source rank window hash-partitions;
+    // the global rank is the RDD zipWithIndex path (range partitioning),
+    // never an unpartitioned window
+    val qn = planString(SparkEntry.queries("q186_quantile_normalize")(spark, TestSpark.sf))
+    assert(qn.contains("Exchange hashpartitioning(source"),
+      s"q186 lost its per-source rank partitioning:\n$qn")
+    // reshard: the ring is tiny and must broadcast over the doc scan
+    val rs = planString(SparkEntry.queries("q187_reshard_report")(spark, TestSpark.sf))
+    assert(rs.contains("BroadcastNestedLoopJoin") || rs.contains("BroadcastHashJoin"),
+      s"q187 ring failed to broadcast:\n$rs")
+    // the before/after assignment join is the one legitimate wide join;
+    // the two 64-row ring joins must NOT appear as shuffles
+    val smj = "SortMergeJoin".r.findAllIn(rs).length
+    assert(smj <= 1, s"q187 shuffled the corpus against the 64-row ring:\n$rs")
+    // contrastive pairs: positives and negative resolution stay keyed
+    val cp = planString(SparkEntry.queries("q189_contrastive_pairs")(spark, TestSpark.sf))
+    assert(!cp.contains("CartesianProduct"),
+      s"q189 has an unpartitioned cross join:\n$cp")
+  }
+
   test("q164/q166 windows are calendar-bounded; q165 broadcasts the model") {
     // churn hazard: corpus-wide work is one per-user aggregate; the
     // ordered scan runs over the |days| death table
