@@ -732,6 +732,10 @@ object SparkEntry {
     // cross-doc negatives (the embedding-training dataset builder)
     "q189_contrastive_pairs" -> ((s, dir) =>
       TrainingMix.contrastivePairs(Tables.documents(s, dir))),
+    // U-shaped 40/20/40 multi-touch attribution (exact ppm credits) —
+    // the position-based model beside q97's last-touch
+    "q190_position_attribution" -> ((s, dir) =>
+      TimeWindows.positionAttribution(Tables.events(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3131,6 +3135,33 @@ object SparkEntry {
          |  CAST(draw AS BIGINT) AS draw, neg_doc_id, z.neg_hash
          |FROM draws JOIN z USING (neg_doc_id)
          |WHERE neg_doc_id <> doc_id""".stripMargin,
+    // same running click count / first / last over the q97 order, same
+    // integer ppm credit schedule
+    "q190_position_attribution" ->
+      """WITH ce AS (
+        |  SELECT event_id, ts, user_id, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT event_id, user_id, event_type,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_clicks,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        |  FROM ce)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CAST(n_clicks AS BIGINT) AS n_clicks, first_click_id, last_click_id,
+        |  CASE WHEN n_clicks = 1 THEN 1000000
+        |       WHEN n_clicks = 2 THEN 500000 ELSE 400000 END AS first_ppm,
+        |  CASE WHEN n_clicks = 1 THEN 1000000
+        |       WHEN n_clicks = 2 THEN 500000 ELSE 400000 END AS last_ppm,
+        |  CASE WHEN n_clicks <= 2 THEN 0
+        |       ELSE 200000 // (n_clicks - 2) END AS mid_ppm
+        |FROM r WHERE event_type = 'purchase' AND n_clicks >= 1""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -694,6 +694,51 @@ object TimeWindows {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** Position-based multi-touch attribution (q190) — the U-shaped
+    * 40/20/40 model beside q97's last-touch: every purchase credits its
+    * prior clicks 40% to the first touch, 40% to the last, and the
+    * middle touches share the remaining 20%. Credits are exact integer
+    * ppm — ⌊200000/(n−2)⌋ per middle touch (the floor remainder is the
+    * unassigned residue, visible in the row); n = 1 → 10⁶, n = 2 →
+    * 500000 each — so the model is auditable and hash-stable.
+    *
+    * Scale shape: one user-keyed window identifies each purchase's
+    * prior-click count and its first/last click ids (running count +
+    * running first/last over the same (ts, event_id) order q97 uses) —
+    * a single shuffle, no purchase×click pair fan-out at all.
+    *
+    * @return per purchase with ≥1 prior click: (purchase_id, user_id,
+    *         n_clicks, first_click_id, last_click_id, first_ppm,
+    *         last_ppm, mid_ppm)
+    */
+  def positionAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isClick = col("event_type") === "click"
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .where(col("event_type").isin("click", "purchase"))
+      // purchase rows are not clicks, so the running click count at a
+      // purchase row counts exactly the clicks strictly before it
+      .withColumn("n_clicks", sum(when(isClick, 1L).otherwise(0L)).over(w))
+      .withColumn("first_click_id",
+        first(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_id",
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("n_clicks") >= 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("n_clicks"), col("first_click_id"), col("last_click_id"),
+        when(col("n_clicks") === 1, lit(1000000L))
+          .when(col("n_clicks") === 2, lit(500000L))
+          .otherwise(lit(400000L)).as("first_ppm"),
+        when(col("n_clicks") === 1, lit(1000000L))
+          .when(col("n_clicks") === 2, lit(500000L))
+          .otherwise(lit(400000L)).as("last_ppm"),
+        when(col("n_clicks") <= 2, lit(0L))
+          .otherwise(expr("200000 div (n_clicks - 2)")).as("mid_ppm"))
+  }
+
   /** Exponentially-decayed leaderboard (q180) — the production form of
     * "trending": recent activity counts more, with a 7-day half-life,
     * so a burst last week outranks steady noise last month. q89 ranks

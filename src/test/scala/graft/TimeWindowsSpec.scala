@@ -369,6 +369,26 @@ class TimeWindowsSpec extends AnyFunSuite {
   private def dayTs(day: Int, min: Int = 0): Timestamp =
     new Timestamp((day.toLong * 1440 + min) * 60000L)
 
+  test("positionAttribution: U-shaped credits with exact middle shares") {
+    // u1: 3 clicks then purchase (40/40/20 split, one middle at 200000);
+    // u2: 1 click then purchase (full credit); u3: clickless purchase
+    // excluded
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 1.0, ""), (2L, ts(1), 1L, "click", 1.0, ""),
+      (3L, ts(2), 1L, "click", 1.0, ""), (4L, ts(3), 1L, "purchase", 1.0, ""),
+      (5L, ts(0), 2L, "click", 1.0, ""), (6L, ts(1), 2L, "purchase", 1.0, ""),
+      (7L, ts(0), 3L, "purchase", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.positionAttribution(events).collect()
+      .map(x => x.getAs[Long]("purchase_id") ->
+        (x.getAs[Long]("n_clicks"), x.getAs[Long]("first_click_id"),
+          x.getAs[Long]("last_click_id"), x.getAs[Long]("first_ppm"),
+          x.getAs[Long]("last_ppm"), x.getAs[Long]("mid_ppm"))).toMap
+    assert(r.keySet === Set(4L, 6L))
+    assert(r(4L) === ((3L, 1L, 3L, 400000L, 400000L, 200000L)))
+    assert(r(6L) === ((1L, 5L, 5L, 1000000L, 1000000L, 0L)))
+  }
+
   test("decayedLeaderboard: half-life weights rank recency over volume") {
     import graft.operators.DecayWeights
     val w = DecayWeights.ppm
