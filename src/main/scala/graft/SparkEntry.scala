@@ -736,6 +736,15 @@ object SparkEntry {
     // the position-based model beside q97's last-touch
     "q190_position_attribution" -> ((s, dir) =>
       TimeWindows.positionAttribution(Tables.events(s, dir))),
+    // TPC-H Q17 shape: correlated avg-quantity subquery decorrelated to
+    // a broadcast brand-stats join; exact integer threshold compare
+    "q192_small_qty_revenue" -> ((s, dir) =>
+      Relational.smallQuantityRevenue(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair collapsed into one
+    // per-order window pass; per-supplier waiting-order counts, top-20
+    "q193_waiting_suppliers" -> ((s, dir) =>
+      Relational.waitingSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3162,6 +3171,52 @@ object SparkEntry {
         |  CASE WHEN n_clicks <= 2 THEN 0
         |       ELSE 200000 // (n_clicks - 2) END AS mid_ppm
         |FROM r WHERE event_type = 'purchase' AND n_clicks >= 1""".stripMargin,
+    // same brand slice, same integer cross-multiplied 0.2*avg threshold,
+    // same DECIMAL money sum; avg_yearly is the one shared division
+    "q192_small_qty_revenue" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+        |bl AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+        |  FROM lineitem JOIN bp ON l_partkey = p_partkey),
+        |st AS (
+        |  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(q) AS BIGINT) AS sumq
+        |  FROM bl GROUP BY 1)
+        |SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly
+        |FROM bl JOIN st ON l_partkey = pk AND q * 5 * cnt < sumq""".stripMargin,
+    // same per-(order, supplier) late flag, same order-keyed window
+    // counts, same (numwait DESC, s_suppkey) top-20 total order
+    "q193_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS ship_day
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT o_orderkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS order_day
+        |  FROM orders),
+        |ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN ship_day - order_day > 120 THEN 1 ELSE 0 END) AS supp_late
+        |  FROM li JOIN o ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, supp_late,
+        |      count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |      sum(supp_late) OVER (PARTITION BY l_orderkey) AS n_late_supp
+        |    FROM ps)
+        |  WHERE supp_late = 1 AND n_supp >= 2 AND n_late_supp = 1),
+        |agg AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait FROM fl GROUP BY 1)
+        |SELECT s_suppkey, s_name, numwait FROM (
+        |  SELECT s.s_suppkey, s.s_name, a.numwait,
+        |    row_number() OVER (ORDER BY a.numwait DESC, s.s_suppkey) AS rn
+        |  FROM agg a JOIN supplier s ON a.l_suppkey = s.s_suppkey)
+        |WHERE rn <= 20""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

@@ -1186,6 +1186,91 @@ object Relational {
     }.reduce(_ unionAll _)
   }
 
+  /** TPC-H Q17 shape — "small-quantity-order revenue": revenue lost to
+    * line items whose quantity is below 20% of their part's average order
+    * quantity, restricted to one brand. The classic correlated scalar
+    * subquery (`l_quantity < 0.2 * (SELECT avg(l_quantity) ...)`),
+    * decorrelated Spark-first:
+    *
+    *  - the brand's part keys broadcast-SEMI-filter lineitem '''before'''
+    *    the per-part average is computed — the aggregate runs over the
+    *    brand's ~1/|brands| slice, never the full fact table;
+    *  - the per-part (cnt, sumq) stats table is |brand parts| rows and
+    *    broadcasts back, so the fact table is never shuffled at all —
+    *    the only exchange in the plan is the tiny stats partial agg;
+    *  - the threshold compare is exact integer cross-multiplication
+    *    (`l_quantity` is integral in this corpus): qty·5·cnt < sumq
+    *    avoids the float 0.2·avg entirely.
+    *
+    * Revenue is an exact DECIMAL sum (the q10 money rule); avg_yearly is
+    * that sum's one IEEE division by 7.0. At 100 TB the two lineitem
+    * scans (stats + probe) each prune to three columns and the broadcast
+    * side stays |parts of one brand| — this is the plan a 1000-executor
+    * cluster wants.
+    */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+      brand: String = "Brand#4"): DataFrame = {
+    val brandParts = part.where(col("p_brand") === brand).select(col("p_partkey"))
+    val brandLines = lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice"))
+    val stats = brandLines.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("q")).as("sumq"))
+    brandLines
+      .join(broadcast(stats), col("l_partkey") === col("pk"))
+      .where(col("q") * lit(5L) * col("cnt") < col("sumq"))
+      .agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice")).as("revenue"),
+        (moneySum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21 shape — "suppliers who kept orders waiting": for each
+    * supplier, how many multi-supplier orders did ONLY they ship late
+    * on (late = shipped more than `lateDays` days after the order date;
+    * this corpus has no receipt/commit dates, so lateness is defined
+    * against `o_orderdate`).
+    *
+    * Q21's EXISTS / NOT EXISTS pair over lineitem collapses into ONE
+    * per-order pass: aggregate to (order, supplier, late?) rows, then a
+    * window over the order key counts suppliers and late suppliers in
+    * the same exchange — no second shuffle, no self-joins. A qualifying
+    * row is `late ∧ n_supp ≥ 2 ∧ n_late_supp = 1`. The per-supplier
+    * count then shuffles |suppliers| rows, the name join broadcasts the
+    * supplier dim, and the top-k is a TakeOrderedAndProject heap.
+    *
+    * All-integer arithmetic (epoch-day subtraction, flag sums); ties on
+    * the waiting count break by supplier key — the ExactTopK total-order
+    * convention.
+    */
+  def waitingSuppliers(supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, lateDays: Int = 120, k: Int = 20): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("ship_day"))
+    val o = orders.select(col("o_orderkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("order_day"))
+    val perSupp = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("ship_day") - col("order_day") > lateDays, 1L)
+        .otherwise(0L)).as("supp_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum(col("supp_late")).over(w))
+      .where(col("supp_late") === 1L && col("n_supp") >= 2L &&
+        col("n_late_supp") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
   private def statCols: Seq[Column] = {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")

@@ -517,4 +517,43 @@ class RelationalSpec extends AnyFunSuite {
     }.toSet
     assert(real === brute, "grid prune must be lossless")
   }
+
+  test("smallQuantityRevenue: only lines below 20% of their part's avg count") {
+    val part = Seq((1L, "Brand#4"), (2L, "Brand#4"), (3L, "Other"))
+      .toDF("p_partkey", "p_brand")
+    // part 1: quantities 1,10,10,10 → avg 7.75, 20% = 1.55 → only q=1 hits
+    // part 2: 5,5 → 20% of avg is 1 → nothing strictly below via 5·cnt·q < sumq
+    // part 3: wrong brand, excluded even though its quantity is tiny
+    val li = Seq(
+      (1L, 1.0, 100.50), (1L, 10.0, 10.0), (1L, 10.0, 10.0), (1L, 10.0, 10.0),
+      (2L, 5.0, 50.0), (2L, 5.0, 50.0),
+      (3L, 1.0, 999.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val r = Relational.smallQuantityRevenue(part, li).collect().head
+    assert(r.getAs[Long]("n_parts") === 1L)
+    assert(r.getAs[Long]("n_lines") === 1L)
+    assert(r.getAs[Double]("revenue") === 100.50)
+    assert(r.getAs[Double]("avg_yearly") === 100.50 / 7.0)
+  }
+
+  test("waitingSuppliers: only the sole late supplier of a shared order scores") {
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val supplier = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("s_suppkey", "s_name")
+    val orders = Seq(10L, 11L, 12L, 13L, 14L)
+      .map(k => (k, t("2020-01-01"))).toDF("o_orderkey", "o_orderdate")
+    val late = t("2020-06-01")  // 152 days
+    val ok = t("2020-02-01")    //  31 days
+    val li = Seq(
+      (10L, 1L, late), (10L, 2L, ok),   // order 10: only supplier 1 late → counts
+      (11L, 1L, late), (11L, 2L, late), // both late → nobody counts
+      (12L, 1L, late),                  // single-supplier order → excluded
+      (13L, 1L, ok), (13L, 2L, ok),     // nobody late
+      (14L, 2L, late), (14L, 3L, ok))   // only supplier 2 late → counts
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val r = Relational.waitingSuppliers(supplier, orders, li)
+      .collect().map(x => x.getAs[Long]("s_suppkey") ->
+        (x.getAs[String]("s_name"), x.getAs[Long]("numwait"))).toMap
+    assert(r === Map(1L -> ("alpha", 1L), 2L -> ("beta", 1L)))
+  }
 }
