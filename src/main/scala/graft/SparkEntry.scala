@@ -745,6 +745,14 @@ object SparkEntry {
     "q193_waiting_suppliers" -> ((s, dir) =>
       Relational.waitingSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // MASE-style forecast skill: seasonal-naive (lag-7) vs naive (lag-1)
+    // absolute error on daily volumes, one shared denominator
+    "q195_forecast_skill" -> ((s, dir) =>
+      TimeWindows.forecastSkill(Tables.events(s, dir))),
+    // stratified k-fold assignment by hash + per-(stratum, fold) balance
+    // report in exact ppm deviation from the ideal split
+    "q199_kfold_assign" -> ((s, dir) =>
+      TrainingMix.kfoldAssignment(Tables.documents(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3217,6 +3225,43 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY a.numwait DESC, s.s_suppkey) AS rn
         |  FROM agg a JOIN supplier s ON a.l_suppkey = s.s_suppkey)
         |WHERE rn <= 20""".stripMargin,
+    // same observed-day lag convention, same both-lags-present filter,
+    // same single division of exact BIGINT error sums
+    "q195_forecast_skill" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, cnt,
+        |    lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day_num) AS lag1,
+        |    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day_num) AS lag7
+        |  FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(cnt - lag1)) AS BIGINT) AS naive_abs_err,
+        |  CAST(sum(abs(cnt - lag7)) AS BIGINT) AS seasonal_abs_err,
+        |  CASE WHEN sum(abs(cnt - lag1)) = 0 THEN NULL
+        |       ELSE CAST(sum(abs(cnt - lag7)) AS DOUBLE)
+        |         / CAST(sum(abs(cnt - lag1)) AS DOUBLE) END AS skill
+        |FROM lagged WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+    // same md5 fold draw, same exact ppm deviation integer division
+    "q199_kfold_assign" ->
+      s"""WITH f AS (
+         |  SELECT lang,
+         |    ${md5Prefix32Sql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold
+         |  FROM documents),
+         |per AS (
+         |  SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM f GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang, fold, n_docs,
+         |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS n_stratum
+         |  FROM per)
+         |SELECT lang, fold, n_docs, n_stratum,
+         |  CAST(abs(5 * n_docs - n_stratum) * 1000000 // n_stratum AS BIGINT)
+         |    AS dev_ppm
+         |FROM tot""".stripMargin,
     // exact-integer TVD per QI class vs the corpus margin; HUGEINT
     // products mirror the Spark side's DECIMAL(38,0)
     "q149_t_closeness" ->

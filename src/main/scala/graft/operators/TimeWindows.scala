@@ -897,6 +897,48 @@ object TimeWindows {
       .select(col("event_type"), col("day_num"), col("cnt"),
         col("cusum_pos"), col("cusum_neg"), col("flag_up"), col("flag_down"))
   }
+
+  /** Forecast skill report (MASE-style): per event type, how much better
+    * does the seasonal-naive predictor (count of the same weekday last
+    * week, lag-7 over observed days) track daily volume than the plain
+    * naive predictor (yesterday's count, lag-1)? The standard baseline
+    * grade run before shipping any real forecaster.
+    *
+    * Only days where BOTH lags exist score, so the two mean absolute
+    * errors share one denominator and the skill ratio reduces to the
+    * single division seasonal_abs_err / naive_abs_err of two exact
+    * BIGINT sums (NULL when the naive error is zero). skill < 1 means
+    * weekly seasonality is real; ≥ 1 means last week is no better than
+    * yesterday.
+    *
+    * Lags are over *observed* days per type (the [[dailyCounts]] grid),
+    * the same convention as q132's EWMA and q144's trend. The windows
+    * order |days| metadata rows per type — never event rows.
+    *
+    * @return (event_type, n_days, naive_abs_err, seasonal_abs_err, skill)
+    */
+  def forecastSkill(events: DataFrame): DataFrame =
+    forecastSkillFromDaily(dailyCounts(events))
+
+  /** The grading stage of [[forecastSkill]] over an already-maintained
+    * daily table (the q103/q144/q150/q161/q166 twin seam).
+    */
+  def forecastSkillFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+    daily
+      .withColumn("lag1", lag(col("cnt"), 1).over(w))
+      .withColumn("lag7", lag(col("cnt"), 7).over(w))
+      .where(col("lag1").isNotNull && col("lag7").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cnt") - col("lag1"))).as("naive_abs_err"),
+        sum(abs(col("cnt") - col("lag7"))).as("seasonal_abs_err"))
+      .withColumn("skill",
+        when(col("naive_abs_err") === 0L, lit(null).cast("double"))
+          .otherwise(col("seasonal_abs_err").cast("double")
+            / col("naive_abs_err").cast("double")))
+  }
 }
 
 /** [[TimeWindows.decayedLeaderboard]]'s half-life weight table — the

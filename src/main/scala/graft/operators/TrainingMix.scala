@@ -381,4 +381,33 @@ object TrainingMix {
           - col("exact_tokens").cast("double"))
           / col("exact_tokens").cast("double")).as("rel_err"))
   }
+
+  /** Stratified k-fold assignment + balance report: every document lands
+    * in fold `md5("fold:" doc_id) mod k`, and the report grades how even
+    * the folds came out within each language stratum — the
+    * cross-validation splitter plus the sanity check that hash
+    * assignment didn't skew any (stratum, fold) cell.
+    *
+    * The assignment is a pure map (reproducible on any engine, stable
+    * under corpus growth for existing ids — the property random shuffles
+    * lack); the report is one (lang, fold) count aggregate plus a
+    * |langs|·k-row window for the stratum totals. dev_ppm is the exact
+    * integer ⌊|k·n_fold − n_stratum|·10⁶ / n_stratum⌋ — deviation from
+    * the ideal equal split in parts-per-million.
+    *
+    * @return (lang, fold, n_docs, n_stratum, dev_ppm)
+    */
+  def kfoldAssignment(documents: DataFrame, k: Int = 5): DataFrame = {
+    val fold = graft.functions.TextAnalysis
+      .md5Prefix32(concat(lit("fold:"), col("doc_id"))) % k
+    val per = documents.select(col("lang"), fold.as("fold"))
+      .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("lang")
+    per
+      .withColumn("n_stratum", sum(col("n_docs")).over(w))
+      .withColumn("dev_ppm",
+        expr(s"abs($k * n_docs - n_stratum) * 1000000 div n_stratum"))
+      .select(col("lang"), col("fold"), col("n_docs"), col("n_stratum"),
+        col("dev_ppm"))
+  }
 }

@@ -462,4 +462,19 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r(1L) === ((0L, 9L, false, false)))
     assert(r(2L) === ((18L, 0L, true, false)))
   }
+
+  test("forecastSkillFromDaily: hand-numbered lags, shared denominator, NULL on zero naive") {
+    val daily =
+      ((0 to 9).map(d => ("c", d.toLong, Seq(10L,11L,12L,13L,14L,15L,16L,20L,21L,22L)(d))) ++
+       (0 to 9).map(d => ("flat", d.toLong, 5L)))
+        .toDF("event_type", "day_num", "cnt")
+    val r = TimeWindows.forecastSkillFromDaily(daily).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_days"), x.getAs[Long]("naive_abs_err"),
+          x.getAs[Long]("seasonal_abs_err"), Option(x.get(x.fieldIndex("skill"))))).toMap
+    // days 7..9 score: naive |20-16|+|21-20|+|22-21| = 6; seasonal 10+10+10 = 30
+    assert(r("c") === ((3L, 6L, 30L, Some(5.0))))
+    // constant series: both errors zero, skill NULL (not 0/0)
+    assert(r("flat") === ((3L, 0L, 0L, None)))
+  }
 }

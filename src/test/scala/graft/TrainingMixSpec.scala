@@ -270,4 +270,21 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(real.nonEmpty)
     assert(real.forall(x => x.getAs[Long]("draw") >= 1L && x.getAs[Long]("draw") <= 2L))
   }
+
+  test("kfoldAssignment: folds in range, strata add up, ppm identity holds") {
+    val docs = (0L until 40L).map(i => (i, if (i < 25) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rows = TrainingMix.kfoldAssignment(docs).collect()
+    assert(rows.forall(x => x.getAs[Long]("fold") >= 0L && x.getAs[Long]("fold") < 5L))
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang("en").map(_.getAs[Long]("n_docs")).sum === 25L)
+    assert(byLang("de").map(_.getAs[Long]("n_docs")).sum === 15L)
+    rows.foreach { x =>
+      val (n, tot) = (x.getAs[Long]("n_docs"), x.getAs[Long]("n_stratum"))
+      assert(x.getAs[Long]("dev_ppm") === math.abs(5 * n - tot) * 1000000L / tot)
+    }
+    // deterministic: the same ids land in the same folds on a re-run
+    val again = TrainingMix.kfoldAssignment(docs).collect().toSet
+    assert(again === rows.toSet)
+  }
 }
