@@ -745,6 +745,10 @@ object SparkEntry {
     "q193_waiting_suppliers" -> ((s, dir) =>
       Relational.waitingSuppliers(Tables.supplier(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // Slope One predictions over the memoized pair seam — the deviation-
+    // based recommender beside q107/q108's cosine itemKNN
+    "q191_slope_one" -> ((s, dir) =>
+      Reco.slopeOnePredictions(cfDeduped(s, dir), cfPairs(s, dir))),
     // MASE-style forecast skill: seasonal-naive (lag-7) vs naive (lag-1)
     // absolute error on daily volumes, one shared denominator
     "q195_forecast_skill" -> ((s, dir) =>
@@ -3225,6 +3229,31 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY a.numwait DESC, s.s_suppkey) AS rn
         |  FROM agg a JOIN supplier s ON a.l_suppkey = s.s_suppkey)
         |WHERE rn <= 20""".stripMargin,
+    // q107's CTE chain with the dsum deviation column; pb-side mirror
+    // negates it, exact integer num/den, NOT EXISTS anti, (pred DESC,
+    // item) ExactTopK mirror — the q108 oracle pattern
+    "q191_slope_one" ->
+      s"""WITH $itemCfCtes,
+        |mir2 AS (
+        |  SELECT pa AS item, pb AS base, dsum AS dev, support AS c FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, -dsum, support FROM pairs),
+        |sc2 AS (
+        |  SELECT r.userId, m.item,
+        |    CAST(sum(m.dev + r.rv * m.c) AS BIGINT) AS num,
+        |    CAST(sum(m.c) AS BIGINT) AS den
+        |  FROM r JOIN mir2 m ON r.productId = m.base
+        |  GROUP BY 1, 2),
+        |cand2 AS (
+        |  SELECT sc2.* FROM sc2
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc2.userId AND r.productId = sc2.item)),
+        |predt2 AS (
+        |  SELECT userId, item, num, den,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand2)
+        |SELECT userId, item, num, den, pred FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |  FROM predt2) WHERE rn <= 3""".stripMargin,
     // same observed-day lag convention, same both-lags-present filter,
     // same single division of exact BIGINT error sums
     "q195_forecast_skill" ->
@@ -4441,7 +4470,8 @@ object SparkEntry {
        |pairs AS (
        |  SELECT a.productId AS pa, b.productId AS pb,
        |    CAST(sum(a.rv * b.rv) AS BIGINT) AS dot,
-       |    CAST(count(*) AS BIGINT) AS support
+       |    CAST(count(*) AS BIGINT) AS support,
+       |    CAST(sum(a.rv - b.rv) AS BIGINT) AS dsum
        |  FROM r a JOIN r b ON a.userId = b.userId AND a.productId < b.productId
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
        |mir AS (

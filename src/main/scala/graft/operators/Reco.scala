@@ -267,7 +267,10 @@ object Reco {
     r.as("a").hint("shuffle_hash").join(r.as("b").hint("shuffle_hash"),
         col("a.userId") === col("b.userId") && col("a.productId") < col("b.productId"))
       .groupBy(col("a.productId").as("pa"), col("b.productId").as("pb"))
-      .agg(sum(col("a.rv") * col("b.rv")).as("dot"), count(lit(1)).as("support"))
+      .agg(sum(col("a.rv") * col("b.rv")).as("dot"), count(lit(1)).as("support"),
+        // co-rater rating-difference sum Σ(r_pa − r_pb): the Slope One
+        // deviation numerator (q191) rides the same fan-out for free
+        sum(col("a.rv") - col("b.rv")).as("dsum"))
       .where(col("support") >= minSupport)
       .transform(graft.barrier)
 
@@ -352,6 +355,57 @@ object Reco {
         Seq("userId", "item"), "left_anti")
       .withColumn("pred", col("num").cast("double") / col("den").cast("double"))
       .transform(graft.barrier) // top-k + detail join-back
+    val topAgg = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("pred")),
+        org.apache.spark.sql.graft.shim.expression(col("item")),
+        top).toAggregateExpression())
+    val winners = scores.groupBy(col("userId")).agg(topAgg.as("rec"))
+      .select(col("userId"), explode(col("rec")).as("e"))
+      .select(col("userId"), col("e.payload").as("item"))
+    scores.join(broadcast(winners), Seq("userId", "item"), "left_semi")
+      .select("userId", "item", "num", "den", "pred")
+  }
+
+  /** Slope One predictions (q191) — the other classic item-based
+    * recommender beside the cosine itemKNN (q107/q108): for each unrated
+    * item t reachable from a user's rated items, predict
+    *
+    *   pred(u, t) = Σ_b [ dev(t,b) + r(u,b)·c(t,b) ] / Σ_b c(t,b)
+    *
+    * over rated base items b co-rated with t, where dev(t,b) =
+    * Σ_coraters (r_t − r_b) is the pair's rating-difference sum and
+    * c(t,b) its co-rater support — i.e. the support-weighted average of
+    * "the user's base rating plus how much higher t usually scores than
+    * b". Ratings are integers, so num/den are exact order-invariant
+    * BIGINT aggregates and pred is one IEEE division (the q108 rule).
+    *
+    * Inputs are the session-memoized seams: `deduped` from
+    * [[dedupedRatings]] and `pairs` from [[itemPairs]] (whose `dsum`
+    * column is exactly dev(pa,pb); the pb-side mirror negates it). The
+    * scoring join fans each rating row out to its item's pair partners —
+    * the same Σdeg fan-out every consumer of the pair table pays, keyed
+    * (shuffle-hash) on the base item, never corpus². Top-`top` per user
+    * via the ExactTopK heap, ties by item id.
+    *
+    * @return (userId, item, num, den, pred), ≤ `top` rows per user
+    */
+  def slopeOnePredictions(deduped: DataFrame, pairs: DataFrame,
+      top: Int = 3): DataFrame = {
+    val mir = pairs
+      .select(col("pa").as("item"), col("pb").as("base"),
+        col("dsum").as("dev"), col("support").as("c"))
+      .unionAll(pairs.select(col("pb").as("item"), col("pa").as("base"),
+        (-col("dsum")).as("dev"), col("support").as("c")))
+    val scores = deduped.hint("shuffle_hash")
+      .join(mir.hint("shuffle_hash"), col("productId") === col("base"))
+      .groupBy(col("userId"), col("item"))
+      .agg(sum(col("dev") + col("rv") * col("c")).as("num"),
+        sum(col("c")).as("den"))
+      .join(deduped.select(col("userId"), col("productId").as("item")),
+        Seq("userId", "item"), "left_anti")
+      .withColumn("pred", col("num").cast("double") / col("den").cast("double"))
+      .transform(graft.barrier) // read twice: top-k pass + detail join-back
     val topAgg = org.apache.spark.sql.graft.shim.column(
       org.apache.spark.sql.graft.ExactTopK(
         org.apache.spark.sql.graft.shim.expression(col("pred")),

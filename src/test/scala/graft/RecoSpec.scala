@@ -285,4 +285,31 @@ class RecoSpec extends AnyFunSuite {
       assert(vNew > 0.0)
     }
   }
+
+  test("slopeOnePredictions: hand-derived deviations, supports, and top picks") {
+    // u1: A=5 B=3 | u2: A=4 B=2 C=1 | u3: B=4 C=2   (ids A=1 B=2 C=3)
+    val ratings = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 3.0),
+      (2L, 1L, 4.0), (2L, 2L, 2.0), (2L, 3L, 1.0),
+      (3L, 2L, 4.0), (3L, 3L, 2.0))
+      .toDF("userId", "productId", "rating")
+    val deduped = Reco.dedupedRatings(ratings)
+    val pairs = Reco.itemPairs(deduped)
+    // pair (A,B): co-raters u1,u2 -> dsum = (5-3)+(4-2) = 4, support 2
+    // pair (B,C): co-raters u2,u3 -> dsum = (2-1)+(4-2) = 3, support 2
+    // pair (A,C): support 1 -> dropped by minSupport
+    val pm = pairs.collect()
+      .map(x => (x.getAs[Long]("pa"), x.getAs[Long]("pb")) ->
+        (x.getAs[Long]("dsum"), x.getAs[Long]("support"))).toMap
+    assert(pm === Map((1L, 2L) -> ((4L, 2L)), (2L, 3L) -> ((3L, 2L))))
+    val out = Reco.slopeOnePredictions(deduped, pairs).collect()
+      .map(x => (x.getAs[Long]("userId"), x.getAs[Long]("item")) ->
+        (x.getAs[Long]("num"), x.getAs[Long]("den"), x.getAs[Double]("pred"))).toMap
+    // u1 -> C via base B: dev(C,B) = -3, num = -3 + 3*2 = 3, den 2, pred 1.5
+    // u3 -> A via base B: dev(A,B) = +4, num = 4 + 4*2 = 12, den 2, pred 6.0
+    // u2 rated everything -> no rows
+    assert(out === Map(
+      (1L, 3L) -> ((3L, 2L, 1.5)),
+      (3L, 1L) -> ((12L, 2L, 6.0))))
+  }
 }
