@@ -757,6 +757,14 @@ object SparkEntry {
     // report in exact ppm deviation from the ideal split
     "q199_kfold_assign" -> ((s, dir) =>
       TrainingMix.kfoldAssignment(Tables.documents(s, dir))),
+    // KMV bottom-k distinct sketch per source over the memoized gram
+    // stream, graded against the exact distinct count (q102 pattern)
+    "q194_kmv_sketch" -> ((s, dir) =>
+      Sketches.kmvCardinality(hllGrams(s, dir))),
+    // Bloom filter built over purchasers, probed with non-purchasers —
+    // observed FPR in exact ppm (measure-the-mechanism, q187 pattern)
+    "q196_bloom_fpr" -> ((s, dir) =>
+      Sketches.bloomFprReport(Tables.events(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3274,6 +3282,74 @@ object SparkEntry {
         |         / CAST(sum(abs(cnt - lag1)) AS DOUBLE) END AS skill
         |FROM lagged WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+    // same gram hash stream, bottom-64 DISTINCT hashes per source, the
+    // same (k-1)·2^32/h_k estimate and exact-side grading division
+    "q194_kmv_sketch" ->
+      s"""WITH sh AS (
+        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
+        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS g
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT source, g, ${md5Prefix32Sql("g")} AS h FROM sh),
+        |dh AS (SELECT DISTINCT source, h FROM hashed),
+        |rn AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |  FROM dh),
+        |sk AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(max(h) AS BIGINT) AS h_k
+        |  FROM rn WHERE r <= 64 GROUP BY 1),
+        |ex AS (
+        |  SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS exact_grams
+        |  FROM hashed GROUP BY 1),
+        |est AS (
+        |  SELECT source, CAST(64 AS BIGINT) AS k, n_kept, h_k,
+        |    CASE WHEN n_kept < 64 THEN n_kept
+        |         ELSE CAST(270582939648 // h_k AS BIGINT) END AS est,
+        |    exact_grams
+        |  FROM sk JOIN ex USING (source))
+        |SELECT source, k, n_kept, h_k, est, exact_grams,
+        |  CAST(abs(est - exact_grams) * 1000000 // exact_grams AS BIGINT)
+        |    AS err_ppm
+        |FROM est""".stripMargin,
+    // same member/probe split, same kh md5 bit draws, same 63-bit word
+    // bit_or filter, all-bits-set false-positive test, exact ppm
+    "q196_bloom_fpr" ->
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS is_member
+        |  FROM events GROUP BY 1),
+        |mpos AS (
+        |  SELECT DISTINCT
+        |    ${md5Prefix32Sql("'bf:' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 8192 AS pos
+        |  FROM u CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+        |  WHERE is_member = 1),
+        |words AS (
+        |  SELECT pos // 63 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+        |  FROM mpos GROUP BY 1),
+        |ppos AS (
+        |  SELECT user_id,
+        |    ${md5Prefix32Sql("'bf:' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 8192 AS pos
+        |  FROM u CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+        |  WHERE is_member = 0),
+        |probe AS (
+        |  SELECT p.user_id,
+        |    min(CASE WHEN (w.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INTEGER))) <> 0
+        |             THEN 1 ELSE 0 END) AS all_hit
+        |  FROM ppos p LEFT JOIN words w ON w.word = p.pos // 63
+        |  GROUP BY 1),
+        |pa AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |    CAST(sum(all_hit) AS BIGINT) AS n_false_pos
+        |  FROM probe),
+        |ma AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_members FROM u WHERE is_member = 1),
+        |wa AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set FROM words)
+        |SELECT CAST(8192 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+        |  n_members, bits_set, n_probes, n_false_pos,
+        |  CAST(n_false_pos * 1000000 // n_probes AS BIGINT) AS fpr_ppm
+        |FROM pa CROSS JOIN ma CROSS JOIN wa""".stripMargin,
     // same md5 fold draw, same exact ppm deviation integer division
     "q199_kfold_assign" ->
       s"""WITH f AS (

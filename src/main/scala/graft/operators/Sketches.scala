@@ -195,4 +195,95 @@ object Sketches {
       .agg(count(lit(1)).as("n_words"),
         sum(expr("bit_count(bits)")).as("distinct_users"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per source (q194) —
+    * the third cardinality sketch beside HLL (q102/q147/q157) and the
+    * exact bitmap (q122), and the one whose state is just `k` hashes:
+    * keep the k smallest distinct 32-bit gram hashes; if the kth
+    * smallest is h_k, the estimate is (k−1)·2³² / h_k (Bar-Yossef et al.
+    * 2002). Mergeable by min-merging the kept sets, exact below k.
+    *
+    * The kept set comes from the ExactTopK heap over the DISTINCT
+    * (source, h) stream (score −h — duplicates of one h would fill the
+    * heap with copies and bias h_k down, so the distinct pass is load-
+    * bearing), giving bounded per-partition state like every sketch
+    * here. The estimate is one exact BIGINT division ((k−1)·2³² < 2³⁸);
+    * the graded row carries the exact distinct GRAM count next to it
+    * (the q102 pattern), so err_ppm includes 32-bit hash-collision noise
+    * — that honesty is the point of the report card.
+    *
+    * @param sh the hashed-gram stream from [[Corpus.hashedGrams]]
+    *           (source, g, h) — the session-memoized seam
+    * @return (source, k, n_kept, h_k, est, exact_grams, err_ppm)
+    */
+  def kmvCardinality(sh: DataFrame, k: Int = 64): DataFrame = {
+    val minK = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression((-col("h")).cast("double")),
+        org.apache.spark.sql.graft.shim.expression(col("h")),
+        k).toAggregateExpression())
+    val sk = sh.select(col("source"), col("h")).distinct()
+      .groupBy("source")
+      .agg(minK.as("mins"))
+      .select(col("source"),
+        expr("CAST(size(mins) AS BIGINT)").as("n_kept"),
+        expr("array_max(transform(mins, x -> x.payload))").as("h_k"))
+    val ex = sh.groupBy("source").agg(count_distinct(col("g")).as("exact_grams"))
+    sk.join(ex, "source")
+      .withColumn("est",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L} div h_k AS BIGINT)")))
+      .select(col("source"), lit(k.toLong).as("k"), col("n_kept"), col("h_k"),
+        col("est"), col("exact_grams"),
+        expr("abs(est - exact_grams) * 1000000 div exact_grams").as("err_ppm"))
+  }
+
+  /** Bloom-filter false-positive report card (q196) — build an m-bit
+    * filter over the users who purchased, probe it with the users who
+    * did not, and grade the observed false-positive rate: the
+    * measure-the-mechanism pattern (q83 ANN recall, q85 LSH quality,
+    * q187 reshard movement) applied to the filter every shuffle-pruning
+    * join (q58) leans on.
+    *
+    * The filter itself is the q122 bitmap shape: each member key sets
+    * `kh` md5-derived bit positions, positions collapse to 63-bit words
+    * with a map-combinable `bit_or`, and the whole filter is ⌈m/63⌉
+    * rows — BROADCAST back to the probe side, so probing is a map-side
+    * lookup join at any corpus size. A probe is a false positive iff
+    * ALL `kh` of its bits are set (min over hit flags). Pure integer
+    * arithmetic end to end.
+    *
+    * @return one row (m_bits, k_hashes, n_members, bits_set, n_probes,
+    *         n_false_pos, fpr_ppm)
+    */
+  def bloomFprReport(events: DataFrame, m: Int = 8192, kh: Int = 3): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("is_member"))
+      .transform(graft.barrier) // read twice: member build + probe side
+    def positions(c: Column) = array((0 until kh).map(j =>
+      TextAnalysis.md5Prefix32(concat(lit(s"bf:$j:"), c.cast("string"))) % m): _*)
+    val words = users.where(col("is_member") === 1L)
+      .select(explode(positions(col("user_id"))).as("pos"))
+      .select(expr("pos div 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("bit"))
+      .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
+    val probeAgg = users.where(col("is_member") === 0L)
+      .select(col("user_id"), explode(positions(col("user_id"))).as("pos"))
+      .select(col("user_id"), expr("pos div 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("bit"))
+      .join(broadcast(words), Seq("word"), "left")
+      .withColumn("hit",
+        when(col("bits").isNotNull &&
+          (col("bits").bitwiseAND(col("bit")) =!= 0L), 1L).otherwise(0L))
+      .groupBy("user_id").agg(min(col("hit")).as("all_hit"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("all_hit")).as("n_false_pos"))
+    val memberAgg = users.where(col("is_member") === 1L)
+      .agg(count(lit(1)).as("n_members"))
+    val wordAgg = words.agg(sum(expr("bit_count(bits)")).as("bits_set"))
+    probeAgg.crossJoin(broadcast(memberAgg)).crossJoin(broadcast(wordAgg))
+      .select(lit(m.toLong).as("m_bits"), lit(kh.toLong).as("k_hashes"),
+        col("n_members"), col("bits_set"), col("n_probes"), col("n_false_pos"),
+        expr("n_false_pos * 1000000 div n_probes").as("fpr_ppm"))
+  }
 }

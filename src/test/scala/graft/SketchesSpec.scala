@@ -147,4 +147,46 @@ class SketchesSpec extends AnyFunSuite {
       .agg(sum("n")).as[Long].collect().head
     assert(bitmap === exact)
   }
+
+  test("kmvCardinality: h_k is the 64th smallest distinct hash; sub-k sources are exact") {
+    val docs = (
+      (0L until 30L).map(i => (i, "alpha", s"alpha document number $i with plenty of shared text to gram over")) ++
+      Seq((100L, "tiny", "abcdefgh")))  // exactly one 8-gram -> n_kept = 1
+      .toDF("doc_id", "source", "text")
+    val sh = graft.operators.Corpus.hashedGrams(docs)
+    val r = Sketches.kmvCardinality(sh).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // independent path: sort the distinct hashes and take the 64th
+    val alphaH = sh.where($"source" === "alpha").select("h").distinct()
+      .as[Long].collect().sorted
+    assert(r("alpha").getAs[Long]("n_kept") === math.min(64, alphaH.length).toLong)
+    if (alphaH.length >= 64) {
+      assert(r("alpha").getAs[Long]("h_k") === alphaH(63))
+      assert(r("alpha").getAs[Long]("est") === 63L * 4294967296L / alphaH(63))
+    }
+    val tiny = r("tiny")
+    assert(tiny.getAs[Long]("n_kept") === 1L)
+    assert(tiny.getAs[Long]("est") === 1L)
+    assert(tiny.getAs[Long]("exact_grams") === 1L)
+    assert(tiny.getAs[Long]("err_ppm") === 0L)
+  }
+
+  test("bloomFprReport: counts partition the users and the ppm identity holds") {
+    import java.sql.Timestamp
+    val events = (
+      (0L until 20L).map(u => (u, "purchase", new Timestamp(1000L + u))) ++
+      (0L until 20L).map(u => (u, "view", new Timestamp(2000L + u))) ++   // members also view
+      (20L until 50L).map(u => (u, "view", new Timestamp(3000L + u))))
+      .toDF("user_id", "event_type", "ts")
+    // small filter (m=64) so the load factor is high and FPs are plausible
+    val r = Sketches.bloomFprReport(events, m = 64, kh = 2).collect().head
+    assert(r.getAs[Long]("m_bits") === 64L)
+    assert(r.getAs[Long]("n_members") === 20L)
+    assert(r.getAs[Long]("n_probes") === 30L)
+    val bits = r.getAs[Long]("bits_set")
+    assert(bits >= 1L && bits <= math.min(64L, 2L * 20L))
+    val fp = r.getAs[Long]("n_false_pos")
+    assert(fp >= 0L && fp <= 30L)
+    assert(r.getAs[Long]("fpr_ppm") === fp * 1000000L / 30L)
+  }
 }
