@@ -757,6 +757,15 @@ object SparkEntry {
     // report in exact ppm deviation from the ideal split
     "q199_kfold_assign" -> ((s, dir) =>
       TrainingMix.kfoldAssignment(Tables.documents(s, dir))),
+    // TF-IDF keyword search with integer-log2 idf — exact BIGINT scores,
+    // broadcast term stats, TakeOrderedAndProject heap
+    "q197_tfidf_search" -> ((s, dir) =>
+      Corpus.tfidfSearch(Tables.documents(s, dir),
+        Seq("dup", "spark", "window", "batch"))),
+    // Newman modularity per LP community — exact integer numerators
+    // 4m·e_c − d_c² over the memoized labels + pair seams
+    "q198_modularity" -> ((s, dir) =>
+      plans.GraphOps.modularity(communityLabels(s, dir), coPairs(s, dir))),
     // KMV bottom-k distinct sketch per source over the memoized gram
     // stream, graded against the exact distinct count (q102 pattern)
     "q194_kmv_sketch" -> ((s, dir) =>
@@ -3282,6 +3291,50 @@ object SparkEntry {
         |         / CAST(sum(abs(cnt - lag1)) AS DOUBLE) END AS skill
         |FROM lagged WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+    // same tokenizer, same IN-list term filter, same integer-log2 idf via
+    // binary length, same (score DESC, doc_id) top-20 total order
+    "q197_tfidf_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |qt AS (
+        |  SELECT doc_id, tok FROM toks
+        |  WHERE tok IN ('dup', 'spark', 'window', 'batch')),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT tok,
+        |    CAST(length(bin((SELECT n_docs FROM n) // count(*))) AS BIGINT) AS idf2
+        |  FROM tf GROUP BY tok),
+        |sc AS (
+        |  SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |    CAST(sum(tf.tf * idf.idf2) AS BIGINT) AS score
+        |  FROM tf JOIN idf USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_terms_matched, score FROM (
+        |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+        |WHERE rn <= 20""".stripMargin,
+    // q06's unrolled LP chain, then the same exact-integer modularity
+    // numerators over the canonical pair list
+    "q198_modularity" ->
+      s"""$graphPrefix,
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs)
+        |  GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        |intra AS (
+        |  SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM pairs p JOIN l5 la ON la.id = p.src JOIN l5 lb ON lb.id = p.dst
+        |  WHERE la.label = lb.label GROUP BY 1),
+        |dc AS (
+        |  SELECT l.label, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(d.deg) AS BIGINT) AS d_c
+        |  FROM l5 l JOIN deg d ON d.id = l.id GROUP BY 1)
+        |SELECT dc.label, n_members, CAST(COALESCE(e_c, 0) AS BIGINT) AS e_c,
+        |  d_c, mm.m,
+        |  CAST(4 * mm.m * COALESCE(e_c, 0) - d_c * d_c AS BIGINT) AS q_num
+        |FROM dc LEFT JOIN intra USING (label) CROSS JOIN mm""".stripMargin,
     // same gram hash stream, bottom-64 DISTINCT hashes per source, the
     // same (k-1)·2^32/h_k estimate and exact-side grading division
     "q194_kmv_sketch" ->

@@ -905,4 +905,39 @@ object Corpus {
       .select(col("source"), col("p"), col("exact_v"), col("est_v"),
         (col("est_v") - col("exact_v")).as("err"))
   }
+
+  /** TF-IDF keyword search (q197) — rank documents for a fixed term set
+    * with an exact-integer scoring function: score = Σ_t tf(t, d)·idf2(t)
+    * where idf2 = bitlen(N ÷ df(t)) is the integer log₂ of the inverse
+    * document frequency (the q182 power-of-two trick — no float log, so
+    * the score is an exact BIGINT and hash-reproducible anywhere).
+    *
+    * Plan shape for 100 TB: the token explode filters to the query terms
+    * BEFORE any shuffle (only matching tokens survive the scan), tf is a
+    * map-combinable (doc, term) count, df reduces to |terms| rows joined
+    * back as a broadcast, and the final ranking is a
+    * TakeOrderedAndProject heap — never a global sort.
+    *
+    * @return (doc_id, n_terms_matched, score), top `k` by (score DESC,
+    *         doc_id)
+    */
+  def tfidfSearch(documents: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = documents
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok").isin(terms: _*))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"),
+        length(conv(expr("n_docs div df"), 10, 2)).cast("long").as("idf2"))
+    tf.join(broadcast(idf), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("tf") * col("idf2")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

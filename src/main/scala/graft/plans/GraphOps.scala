@@ -458,4 +458,48 @@ object GraphOps {
       .limit(topK)
       .select(col("p").as("productId"), col("a1"), col("a2"))
   }
+
+  /** Community modularity report (q198) — the quality grade for the label-
+    * propagation partition the flagship recommender keys on (q06):
+    * Newman's Q = Σ_c [ e_c/m − (d_c/2m)² ] measures how much denser the
+    * communities are than a random graph with the same degrees. Shipping
+    * Q per community as the exact integer numerator
+    *
+    *   q_num(c) = 4m·e_c − d_c²     (so Q = Σ_c q_num / 4m²)
+    *
+    * keeps everything order-invariant BIGINT — no float accumulates
+    * across communities (on graphs past ~10⁹ edges, swap the two product
+    * columns to DECIMAL(38,0); the shape is unchanged).
+    *
+    * Plan: e_c is one count over the canonical pair list with both label
+    * lookups BROADCAST (the label table is |vertices| rows — the small
+    * side by construction); d_c reuses the same degree aggregate LP
+    * itself needs; the result is |communities| rows plus a broadcast
+    * 1-row m.
+    *
+    * @param labels (id, label) from [[LabelPropagation.run]]
+    * @param pairs  canonical undirected edges (src < dst) from
+    *               [[graft.operators.Reco.coRatingPairs]]
+    * @return (label, n_members, e_c, d_c, m, q_num)
+    */
+  def modularity(labels: DataFrame, pairs: DataFrame): DataFrame = {
+    val la = labels.select(col("id").as("src"), col("label").as("la"))
+    val lb = labels.select(col("id").as("dst"), col("label").as("lb"))
+    val mTot = pairs.agg(count(lit(1)).as("m"))
+    val intra = pairs
+      .join(broadcast(la), "src").join(broadcast(lb), "dst")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+    val deg = pairs.select(col("src").as("id"))
+      .unionAll(pairs.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    labels.join(deg, "id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("d_c"))
+      .join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(mTot))
+      .select(col("label"), col("n_members"), col("e_c"), col("d_c"), col("m"),
+        (lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c")).as("q_num"))
+  }
 }

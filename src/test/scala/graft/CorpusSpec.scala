@@ -433,4 +433,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(est > exact * 0.5 && est < exact * 1.5,
       s"merged estimate $est far from exact $exact")
   }
+
+  test("tfidfSearch: hand-computed integer-log2 idf weighting and ranking") {
+    val docs = Seq(
+      (1L, "dup dup spark"),      // 2*idf(dup) + 1*idf(spark)
+      (2L, "spark spark spark"),  // 3*idf(spark)
+      (3L, "window"),             // 1*idf(window)
+      (4L, "other text entirely"))
+      .toDF("doc_id", "text")
+    // N=4: df(dup)=1 -> idf2=len(bin(4))=3; df(spark)=2 -> len(bin(2))=2;
+    // df(window)=1 -> 3
+    val r = Corpus.tfidfSearch(docs, Seq("dup", "spark", "window")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_terms_matched"), x.getAs[Long]("score")))
+    assert(r.toSeq === Seq(
+      1L -> ((2L, 8L)),   // 2*3 + 1*2
+      2L -> ((1L, 6L)),   // 3*2
+      3L -> ((1L, 3L))))  // 1*3 ; doc 4 matches nothing and is absent
+  }
 }

@@ -197,4 +197,21 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(r === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("modularity: two triangles, a bridge, and a leaf community by hand") {
+    val pairs = Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L),(1L,7L))
+      .toDF("src", "dst")
+    val labels = Seq((1L,1L),(2L,1L),(3L,1L),(4L,2L),(5L,2L),(6L,2L),(7L,3L))
+      .toDF("id", "label")
+    val r = graft.plans.GraphOps.modularity(labels, pairs).collect()
+      .map(x => x.getAs[Long]("label") ->
+        (x.getAs[Long]("n_members"), x.getAs[Long]("e_c"), x.getAs[Long]("d_c"),
+          x.getAs[Long]("m"), x.getAs[Long]("q_num"))).toMap
+    // m=8; A: d=8, e=3 -> 96-64=32 ; B: d=7, e=3 -> 96-49=47 ;
+    // C: singleton leaf, e=0, d=1 -> -1
+    assert(r === Map(
+      1L -> ((3L, 3L, 8L, 8L, 32L)),
+      2L -> ((3L, 3L, 7L, 8L, 47L)),
+      3L -> ((1L, 0L, 1L, 8L, -1L))))
+  }
 }
