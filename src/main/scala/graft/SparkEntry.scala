@@ -757,6 +757,22 @@ object SparkEntry {
     // report in exact ppm deviation from the ideal split
     "q199_kfold_assign" -> ((s, dir) =>
       TrainingMix.kfoldAssignment(Tables.documents(s, dir))),
+    // kNN label-consistency audit: IVF cell self-join, ExactTopK
+    // neighbors, broadcast label lookups — the label-noise detector
+    "q200_knn_label_consistency" -> ((s, dir) =>
+      Similarity.knnLabelConsistency(Tables.embeddings(s, dir))),
+    // hit-rate@5 holdout eval: md5 80/20 split, itemKNN retrained on
+    // train only, exact ppm hit rate — the ranking-metric report
+    "q201_hitrate_eval" -> ((s, dir) =>
+      Reco.hitRateEval(cfDeduped(s, dir))),
+    // per-source Spearman rank correlation of n_chars vs token count —
+    // exact BIGINT d² sums, per-source windows only
+    "q202_spearman" -> ((s, dir) =>
+      Corpus.spearmanRanks(Tables.documents(s, dir))),
+    // edge-embeddedness histogram over the co-rating graph — local
+    // bridges at 0, wedge-join candidates, exact counts
+    "q203_edge_embeddedness" -> ((s, dir) =>
+      plans.GraphOps.edgeEmbeddedness(coPairs(s, dir))),
     // TF-IDF keyword search with integer-log2 idf — exact BIGINT scores,
     // broadcast term stats, TakeOrderedAndProject heap
     "q197_tfidf_search" -> ((s, dir) =>
@@ -3291,6 +3307,121 @@ object SparkEntry {
         |         / CAST(sum(abs(cnt - lag1)) AS DOUBLE) END AS skill
         |FROM lagged WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+    // same stride centroids, same rn<=2 probe assignment, same DISTINCT
+    // cell candidates, (sim DESC, b_id) top-5, broadcast label lookups
+    "q200_knn_label_consistency" ->
+      s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.c_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |sims AS (
+        |  SELECT c.a_id, c.b_id, ${cosineSql("ea.embedding", "eb.embedding")} AS sim
+        |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+        |              JOIN embeddings eb ON eb.vec_id = c.b_id),
+        |top AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id,
+        |      row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        |    FROM sims) WHERE rn <= 5)
+        |SELECT t.a_id AS vec_id, la.label, CAST(count(*) AS BIGINT) AS n_neighbors,
+        |  CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same,
+        |  CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS consistency_ppm
+        |FROM top t JOIN embeddings la ON la.vec_id = t.a_id
+        |           JOIN embeddings lb ON lb.vec_id = t.b_id
+        |GROUP BY 1, 2""".stripMargin,
+    // the q107/q108 chain rebuilt over the TRAIN split only (same md5
+    // draw), top-5 per user, EXISTS hit probe, exact ppm
+    "q201_hitrate_eval" ->
+      s"""WITH ${itemCfChainFrom(
+        s"""$ratingsCte,
+           |r0 AS (
+           |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
+           |  FROM ratings GROUP BY 1, 2),
+           |rs AS (
+           |  SELECT userId, productId, rv,
+           |    ${md5Prefix32Sql("'hit:' || CAST(userId AS VARCHAR) || ':' || CAST(productId AS VARCHAR)")} % 5 = 0 AS is_test
+           |  FROM r0),
+           |r AS (SELECT userId, productId, rv FROM rs WHERE NOT is_test)""".stripMargin)},
+        |nb AS (
+        |  SELECT item, neighbor, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |sc AS (
+        |  SELECT r.userId, nb.item,
+        |    CAST(sum(nb.w * r.rv) AS BIGINT) AS num, CAST(sum(nb.w) AS BIGINT) AS den
+        |  FROM r JOIN nb ON r.productId = nb.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nb.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item, num, den,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand),
+        |topk AS (
+        |  SELECT userId, item FROM (
+        |    SELECT userId, item,
+        |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |    FROM predt) WHERE rn <= 5),
+        |test AS (SELECT userId, productId AS item FROM rs WHERE is_test),
+        |hits AS (
+        |  SELECT t.* FROM test t
+        |  WHERE EXISTS (SELECT 1 FROM topk k WHERE k.userId = t.userId AND k.item = t.item)),
+        |ta AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(count(DISTINCT userId) AS BIGINT) AS n_test_users FROM test),
+        |ha AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits)
+        |SELECT CAST(5 AS BIGINT) AS k, n_test_users, n_test, n_hits,
+        |  CAST(n_hits * 1000000 // n_test AS BIGINT) AS hit_rate_ppm
+        |FROM ta CROSS JOIN ha""".stripMargin,
+    // same (metric, doc_id) tie-broken per-source ranks, exact d² sums,
+    // the same fixed IEEE rho expression
+    "q202_spearman" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r1,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS r2
+        |  FROM t),
+        |ag AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+        |  FROM rk GROUP BY 1)
+        |SELECT source, n_docs, sum_d2,
+        |  CASE WHEN n_docs > 1 THEN
+        |    1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+        |      / (CAST(n_docs AS DOUBLE) * CAST(n_docs * n_docs - 1 AS DOUBLE))
+        |  ELSE NULL END AS rho
+        |FROM ag""".stripMargin,
+    // same undirected wedge candidates, LEFT join keeps local bridges at
+    // embeddedness 0, exact histogram
+    "q203_edge_embeddedness" ->
+      s"""WITH $ratingsCte,
+        |$goodCte,
+        |$pairsCte,
+        |und AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |cn AS (
+        |  SELECT u1.dst AS x, u2.dst AS y, CAST(count(*) AS BIGINT) AS cn
+        |  FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
+        |  GROUP BY 1, 2),
+        |emb AS (
+        |  SELECT COALESCE(cn.cn, 0) AS embeddedness
+        |  FROM pairs p LEFT JOIN cn ON cn.x = p.src AND cn.y = p.dst)
+        |SELECT embeddedness, CAST(count(*) AS BIGINT) AS n_edges
+        |FROM emb GROUP BY 1""".stripMargin,
     // same tokenizer, same IN-list term filter, same integer-log2 idf via
     // binary length, same (score DESC, doc_id) top-20 total order
     "q197_tfidf_search" ->
@@ -4589,11 +4720,13 @@ object SparkEntry {
     * mirrored, cosine-scored neighbor candidates. Mirrors
     * [[graft.operators.Reco.itemNeighbors]] up to its ExactTopK cut.
     */
-  private def itemCfCtes: String =
-    s"""$ratingsCte,
-       |r AS (
-       |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
-       |  FROM ratings GROUP BY 1, 2),
+  /** The q107 scoring chain (norms/pairs/mir/scored) over whatever CTE
+    * block defines `r` (userId, productId, rv) — parameterized so q201's
+    * holdout evaluation can run the identical chain over the TRAIN split
+    * only (its `rDef` filters by the md5 draw before `r`).
+    */
+  private def itemCfChainFrom(rDef: String): String =
+    s"""$rDef,
        |norms AS (
        |  SELECT productId, CAST(sum(rv * rv) AS BIGINT) AS s2 FROM r GROUP BY 1),
        |pairs AS (
@@ -4612,6 +4745,12 @@ object SparkEntry {
        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 * nb.s2 AS DOUBLE)) AS cos
        |  FROM mir JOIN norms na ON na.productId = item
        |           JOIN norms nb ON nb.productId = neighbor)""".stripMargin
+
+  private def itemCfCtes: String = itemCfChainFrom(
+    s"""$ratingsCte,
+       |r AS (
+       |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
+       |  FROM ratings GROUP BY 1, 2)""".stripMargin)
 
   private def ngramJaccardOracle: String =
     s"""WITH toks AS (

@@ -940,4 +940,36 @@ object Corpus {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Spearman rank correlation of two per-document size metrics within
+    * each source (q202) — does character length predict token count, per
+    * corpus slice? The monotone-association screen run before trusting
+    * one cheap metric as a proxy for another.
+    *
+    * Ranks are per-source windows over (metric, doc_id) — the doc_id
+    * tiebreak makes both rankings total orders, so Σd² is an exact
+    * BIGINT on any engine (documented delta vs average-rank ties), and
+    * ρ = 1 − 6Σd²/(n(n²−1)) is one fixed IEEE expression over exact
+    * integers. Sources partition the windows — no global sort anywhere.
+    *
+    * @return (source, n_docs, sum_d2, rho)
+    */
+  def spearmanRanks(documents: DataFrame): DataFrame = {
+    val t = documents.select(col("source"), col("doc_id"), col("n_chars"),
+      size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val w2 = Window.partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))
+    t.withColumn("r1", row_number().over(w1))
+      .withColumn("r2", row_number().over(w2))
+      .withColumn("d", (col("r1") - col("r2")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("rho",
+        when(col("n_docs") > 1L,
+          lit(1.0) - (lit(6.0) * col("sum_d2").cast("double"))
+            / (col("n_docs").cast("double")
+              * (col("n_docs") * col("n_docs") - 1L).cast("double")))
+          .otherwise(lit(null).cast("double")))
+  }
 }

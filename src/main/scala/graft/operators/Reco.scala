@@ -557,6 +557,46 @@ object Reco {
         col("mean_pred_micro") - col("mean_actual_micro"))
   }
 
+  /** Hit-rate@k holdout evaluation of the itemKNN recommender (q201) —
+    * the ranking-metric companion to q175's calibration curve: hold out a
+    * hash-drawn 20% of (user, item) ratings, retrain the ENTIRE q107/q108
+    * pipeline on the remaining 80% (pair fan-out, cosine neighbors,
+    * prediction scoring — no leakage: the held-out pairs never touch the
+    * model), and measure how often a held-out item appears in its user's
+    * top-k predictions. This is the offline number a recommender ships
+    * or doesn't ship on.
+    *
+    * The split is the q175 md5 idiom with its own salt ("hit:"), so both
+    * engines draw the identical holdout; the retrained chain reuses the
+    * [[itemPairs]]/[[itemNeighborsFromPairs]]/[[cfPredictionsFrom]]
+    * operators verbatim over the train frame (the train pair join is the
+    * one real cost — ~0.8² of the full fan-out, paid once). The metric
+    * row is exact integers and one floor division to ppm.
+    *
+    * @return one row (k, n_test_users, n_test, n_hits, hit_rate_ppm)
+    */
+  def hitRateEval(deduped: DataFrame, k: Int = 5, minSupport: Long = 2,
+      testMod: Int = 5): DataFrame = {
+    val r = deduped.withColumn("is_test",
+        graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("hit:"), col("userId").cast("string"), lit(":"),
+            col("productId").cast("string"))) % testMod === 0)
+      .transform(graft.barrier) // read by the train chain and the test probe
+    val train = r.where(!col("is_test")).select("userId", "productId", "rv")
+    val test = r.where(col("is_test"))
+      .select(col("userId"), col("productId").as("item"))
+    val preds = cfPredictionsFrom(train,
+      itemNeighborsFromPairs(train, itemPairs(train, minSupport), k), top = k)
+    val hits = test.join(preds.select("userId", "item"),
+      Seq("userId", "item"), "left_semi")
+    val t = test.agg(count(lit(1)).as("n_test"),
+      count_distinct(col("userId")).as("n_test_users"))
+    val h = hits.agg(count(lit(1)).as("n_hits"))
+    t.crossJoin(broadcast(h))
+      .select(lit(k.toLong).as("k"), col("n_test_users"), col("n_test"),
+        col("n_hits"), expr("n_hits * 1000000 div n_test").as("hit_rate_ppm"))
+  }
+
   /** One rank-1 ALS iteration (q158) — the matrix-factorization training
     * step the reference's recommendation pipeline would graduate to at
     * scale (item-item CF is its neighborhood form; ALS is its latent

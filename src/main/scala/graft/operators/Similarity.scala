@@ -489,4 +489,54 @@ object Similarity {
           / (col("n").cast("double") * col("n").cast("double") * lit(1e12)))
           .as("dist"))
   }
+
+  /** kNN label-consistency audit (q200) — the label-noise detector: for
+    * each vector, what fraction of its k nearest neighbors (cosine,
+    * within its IVF probe cells) share its label? Low consistency marks
+    * either a mislabeled vector or a vector sitting on a class boundary —
+    * the rows a training-data pipeline routes to re-annotation.
+    *
+    * Mechanics are the [[semanticContamination]] shape: every vector
+    * lands in its `nprobe` nearest coarse cells (broadcast centroids),
+    * candidates are the CELL equi-join of the assignment table with
+    * itself (never corpus²), duplicate candidate pairs from shared
+    * probes collapse, and the per-vector top-k is the ExactTopK heap
+    * (ties by neighbor id). Neighbor labels come from a BROADCAST
+    * (vec_id → label) lookup; consistency is the exact integer
+    * ⌊n_same·10⁶ / n_neighbors⌋.
+    *
+    * @return (vec_id, label, n_neighbors, n_same, consistency_ppm)
+    */
+  def knnLabelConsistency(embeddings: DataFrame, k: Int = 5,
+      centroidStride: Int = 37, nprobe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroidStride, nprobe)
+      .transform(graft.barrier) // both sides of the cell self-join
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val pairs = a.join(b, Seq("cell")).where(col("a_id") =!= col("b_id"))
+      .withColumn("sim", cosine(col("a_emb"), col("b_emb")))
+      .select("a_id", "b_id", "sim")
+      .dropDuplicates("a_id", "b_id")
+    val top = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("sim")),
+        org.apache.spark.sql.graft.shim.expression(col("b_id")),
+        k).toAggregateExpression())
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    pairs.groupBy(col("a_id")).agg(top.as("nb"))
+      .select(col("a_id"), explode(col("nb")).as("e"))
+      .select(col("a_id"), col("e.payload").as("b_id"))
+      .join(broadcast(labels.select(col("vec_id").as("a_id"),
+        col("label").as("a_label"))), "a_id")
+      .join(broadcast(labels.select(col("vec_id").as("b_id"),
+        col("label").as("b_label"))), "b_id")
+      .groupBy(col("a_id").as("vec_id"), col("a_label").as("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("a_label") === col("b_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("consistency_ppm",
+        expr("n_same * 1000000 div n_neighbors"))
+  }
 }

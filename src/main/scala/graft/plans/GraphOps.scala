@@ -459,6 +459,36 @@ object GraphOps {
       .select(col("p").as("productId"), col("a1"), col("a2"))
   }
 
+  /** Edge-embeddedness histogram (q203) — for every canonical edge, the
+    * number of common neighbors of its endpoints (= triangles through the
+    * edge), summarized as a histogram. Embeddedness 0 identifies LOCAL
+    * BRIDGES (Granovetter's weak ties — the edges whose removal
+    * lengthens their endpoints' connection), the structurally important
+    * complement of q90's closed triangles and q154's open ones.
+    *
+    * Each unordered neighbor pair of a center vertex c is one wedge
+    * candidate (the Σ C(deg,2) envelope shared with [[triangleCount]],
+    * subject to the same upstream degree-capping mitigations); candidates
+    * that are actual edges survive an equi-join back onto the canonical
+    * pair list, and a LEFT join keeps zero-embeddedness edges in the
+    * histogram. All counts exact.
+    *
+    * @param edges canonical pairs (src, dst) with src < dst
+    * @return (embeddedness, n_edges)
+    */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val u1 = und.select(col("src").as("c"), col("dst").as("x"))
+    val u2 = und.select(col("src").as("c"), col("dst").as("y"))
+    val common = u1.join(u2, "c").where(col("x") < col("y"))
+      .groupBy(col("x").as("src"), col("y").as("dst"))
+      .agg(count(lit(1)).as("cn"))
+    edges.join(common, Seq("src", "dst"), "left")
+      .withColumn("embeddedness", coalesce(col("cn"), lit(0L)))
+      .groupBy("embeddedness").agg(count(lit(1)).as("n_edges"))
+  }
+
   /** Community modularity report (q198) — the quality grade for the label-
     * propagation partition the flagship recommender keys on (q06):
     * Newman's Q = Σ_c [ e_c/m − (d_c/2m)² ] measures how much denser the

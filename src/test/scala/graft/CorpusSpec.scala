@@ -451,4 +451,19 @@ class CorpusSpec extends AnyFunSuite {
       2L -> ((1L, 6L)),   // 3*2
       3L -> ((1L, 3L))))  // 1*3 ; doc 4 matches nothing and is absent
   }
+
+  test("spearmanRanks: aligned ranks give rho 1, reversed give rho -1") {
+    val docs = Seq(
+      // source x: char rank == token rank -> sum_d2 = 0, rho = 1
+      (1L, "x", 10L, "a b"), (2L, "x", 20L, "a b c"), (3L, "x", 30L, "a b c d"),
+      // source y: char rank reverses token rank -> sum_d2 = 8, rho = -1
+      (4L, "y", 10L, "a b c d"), (5L, "y", 20L, "a b c"), (6L, "y", 30L, "a b"))
+      .toDF("doc_id", "source", "n_chars", "text")
+    val r = Corpus.spearmanRanks(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("sum_d2"),
+          x.getAs[Double]("rho"))).toMap
+    assert(r("x") === ((3L, 0L, 1.0)))
+    assert(r("y") === ((3L, 8L, -1.0)))
+  }
 }

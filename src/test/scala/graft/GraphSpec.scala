@@ -214,4 +214,11 @@ class GraphSpec extends AnyFunSuite {
       2L -> ((3L, 3L, 7L, 8L, 47L)),
       3L -> ((1L, 0L, 1L, 8L, -1L))))
   }
+
+  test("edgeEmbeddedness: triangle edges score 1, the pendant edge is a local bridge") {
+    val pairs = Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L)).toDF("src", "dst")
+    val r = graft.plans.GraphOps.edgeEmbeddedness(pairs).collect()
+      .map(x => x.getAs[Long]("embeddedness") -> x.getAs[Long]("n_edges")).toMap
+    assert(r === Map(1L -> 3L, 0L -> 1L))
+  }
 }

@@ -312,4 +312,18 @@ class RecoSpec extends AnyFunSuite {
       (1L, 3L) -> ((3L, 2L, 1.5)),
       (3L, 1L) -> ((12L, 2L, 6.0))))
   }
+
+  test("hitRateEval: sane metric row, and an all-test split can never hit") {
+    val deduped = Reco.dedupedRatings(graft.Tables.ratings(spark, TestSpark.sf))
+    val r = Reco.hitRateEval(deduped).collect().head
+    val (nTest, nHits) = (r.getAs[Long]("n_test"), r.getAs[Long]("n_hits"))
+    assert(nTest > 0L)
+    assert(nHits >= 0L && nHits <= nTest)
+    assert(r.getAs[Long]("hit_rate_ppm") === nHits * 1000000L / nTest)
+    assert(r.getAs[Long]("n_test_users") <= nTest)
+    // testMod=1 -> empty train -> the model cannot leak a single hit
+    val leak = Reco.hitRateEval(deduped, testMod = 1).collect().head
+    assert(leak.getAs[Long]("n_hits") === 0L)
+    assert(leak.getAs[Long]("n_test") > nTest)
+  }
 }

@@ -253,4 +253,21 @@ class SimilaritySpec extends AnyFunSuite {
     val pairsBest = out.map { case (t, _, _, s) => (t, s) }.toMap
     assert(pairsBest.values.forall(_ >= 0.4))
   }
+
+  test("knnLabelConsistency: two clean poles give 4-of-5 agreement everywhere") {
+    // pole A: ids 0..4 near [1, 0] (id 0 is a stride centroid), label 1;
+    // pole B: ids 37..41 near [0, 1] (id 37 is the other centroid), label 2.
+    // nprobe=2 with 2 cells -> every pair is a candidate; top-5 for any
+    // vector = its 4 pole-mates + 1 cross-pole vector.
+    val vecs = ((0 to 4).map(i => (i.toLong, Array(1.0f, 0.01f * i), 1)) ++
+      (37 to 41).map(i => (i.toLong, Array(0.01f * (i - 37), 1.0f), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelConsistency(vecs).collect()
+    assert(r.length === 10)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_neighbors") === 5L)
+      assert(x.getAs[Long]("n_same") === 4L)
+      assert(x.getAs[Long]("consistency_ppm") === 800000L)
+    }
+  }
 }
