@@ -738,6 +738,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(("view", 2L))._3 === true)
   }
 
+  test("streamed daily counts close through forecastSkillFromDaily to the batch report") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // counts 3,1,1,1,1,1,1,2,5 over days 0-8: scoring days 7 and 8 give
+    // naive |2-1|+|5-2| = 4 and seasonal |2-3|+|5-1| = 5 -> skill 1.25
+    val perDay = Seq(3, 1, 1, 1, 1, 1, 1, 2, 5)
+    val closed = perDay.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => SessEv((d * 100 + i).toLong, t(d, i), 1L, "view")) }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("skill_daily")
+      .option("checkpointLocation", tmp("skill-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(9000L, t(40, 0), 9L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("naive_abs_err"),
+          r.getAs[Long]("seasonal_abs_err"), r.getAs[Double]("skill"))).toMap
+    val streamed = key(graft.operators.TimeWindows.forecastSkillFromDaily(
+      spark.table("skill_daily").where($"day_num" < 40)))
+    val batch = key(graft.operators.TimeWindows.forecastSkill(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    assert(streamed("view") === ((2L, 4L, 5L, 1.25)))
+  }
+
   test("streaming checksum equals the batch table checksum on a closed input") {
     val rows = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "z"))
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
