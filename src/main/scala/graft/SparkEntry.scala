@@ -790,6 +790,18 @@ object SparkEntry {
     // observed FPR in exact ppm (measure-the-mechanism, q187 pattern)
     "q196_bloom_fpr" -> ((s, dir) =>
       Sketches.bloomFprReport(Tables.events(s, dir))),
+    // TPC-H Q13 shape: order-count histogram INCLUDING zero-order
+    // customers (left-outer + count-of-counts)
+    "q204_custdist" -> ((s, dir) =>
+      Relational.customerDistribution(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q11 shape: parts above 1.5x the average part revenue, share
+    // of total in exact ppm — HAVING vs a broadcast global scalar
+    "q205_part_revenue_share" -> ((s, dir) =>
+      Relational.partRevenueShare(Tables.lineitem(s, dir))),
+    // TPC-H Q22 shape: above-average balances with no RECENT order, per
+    // nation — broadcast scalar threshold + custkey anti join
+    "q206_idle_rich" -> ((s, dir) =>
+      Relational.idleRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3233,6 +3245,52 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
         |    AS avg_yearly
         |FROM bl JOIN st ON l_partkey = pk AND q * 5 * cnt < sumq""".stripMargin,
+    // same left-outer order counts with zero-order customers kept, same
+    // count-of-counts histogram
+    "q204_custdist" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |pc AS (
+        |  SELECT coalesce(n_orders, 0) AS c_count
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1""".stripMargin,
+    // same exact cent·percent revenue units, same integer cross-multiplied
+    // 2x-average threshold and ppm share
+    "q205_part_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+        |      AS DECIMAL(38,0)) AS revenue_e4
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(revenue_e4) AS DECIMAL(38,0)) AS total_e4,
+        |    CAST(count(*) AS BIGINT) AS n_parts FROM rev)
+        |SELECT l_partkey, CAST(revenue_e4 AS BIGINT) AS revenue_e4,
+        |  CAST(revenue_e4 AS BIGINT) * 1000000 // CAST(total_e4 AS BIGINT)
+        |    AS share_ppm
+        |FROM rev CROSS JOIN tot
+        |WHERE revenue_e4 * n_parts * 2 > total_e4 * 3""".stripMargin,
+    // same integer cross-multiplied positive-average threshold, same
+    // custkey anti join, same per-nation totals
+    "q206_idle_rich" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |pos AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |    CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM c WHERE bal_cents > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS total_cents
+        |FROM c CROSS JOIN pos
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 >= 11323)
+        |GROUP BY 1""".stripMargin,
     // same per-(order, supplier) late flag, same order-keyed window
     // counts, same (numwait DESC, s_suppkey) top-20 total order
     "q193_waiting_suppliers" ->

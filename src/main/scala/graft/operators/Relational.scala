@@ -1271,6 +1271,111 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q13 shape (q204) — customer order-count distribution: how many
+    * customers placed exactly k orders, INCLUDING the zero-order customers
+    * the reference's inner joins always drop (the left-outer + count-of-
+    * counts idiom; cf. the manual aggregation loop the reference builds
+    * for its one group-by at `batch/ProductReviewAggregation.java:43-47`).
+    *
+    * Scale shape: orders pre-aggregates to one row per customer (map-
+    * combined, one keyed shuffle over orders), the left join runs
+    * custkey-keyed against the customer dim on the SAME key (AQE
+    * co-partitions the two exchanges), and the final histogram aggregate
+    * ships |distinct order counts| rows — never a row per customer past
+    * the join. No driver materialization at any cardinality.
+    *
+    * @return (c_count, custdist) — exact BIGINTs
+    */
+  def customerDistribution(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    customer.select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q11 shape (q205) — parts whose revenue exceeds num/den × the
+    * corpus-average part revenue (default 3/2; this corpus's part revenue
+    * is near-uniform, max ≈ 1.8× mean, so Q11's classic 2× selects
+    * nothing — 1.5× keeps the top ~1%), with each survivor's share of
+    * total revenue in exact ppm. The Q11 HAVING-against-a-global-scalar
+    * form: the threshold compare is the integer cross-multiplication
+    * `revenue · n_parts · den > num · total` — no division, no float, and
+    * (unlike Q11's literal fraction) self-scaling: the predicate selects
+    * "heavy" parts at every corpus size.
+    *
+    * Revenue is exact end-to-end: cents = CAST(DECIMAL(18,2)·100),
+    * percent-off = CAST(DECIMAL(18,2)·100), per-row revenue in
+    * cent·percent units (10⁻⁴ dollars) is a pure BIGINT product, and the
+    * sums are DECIMAL(38,0) (the q103 overflow posture for 100-TB row
+    * counts).
+    *
+    * Scale shape: one map-combined per-part aggregate (the only wide
+    * shuffle), a 1-row total aggregated FROM the per-part rows (never a
+    * second scan), broadcast back via cross join; the ppm share is one
+    * integer division per surviving row.
+    *
+    * @return (l_partkey, revenue_e4, share_ppm) — revenue in 10⁻⁴ dollars
+    */
+  def partRevenueShare(lineitem: DataFrame, num: Int = 3, den: Int = 2): DataFrame = {
+    val rev = lineitem
+      .select(col("l_partkey"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev_e4").cast("decimal(38,0)")).as("revenue_e4"))
+    val tot = rev.agg(sum(col("revenue_e4")).as("total_e4"),
+      count(lit(1)).as("n_parts"))
+    rev.crossJoin(broadcast(tot))
+      .where(col("revenue_e4") * col("n_parts") * lit(den.toLong) >
+        col("total_e4") * lit(num.toLong))
+      // ppm share in pure BIGINT integral division: DuckDB's `//` on
+      // DECIMAL operands routes through DOUBLE and floors the rounded
+      // quotient (observed off-by-one at sf0.01) — BIGINT // BIGINT is
+      // exact in both engines
+      .select(col("l_partkey"), col("revenue_e4").cast("long").as("revenue_e4"),
+        expr("CAST(revenue_e4 AS BIGINT) * 1000000 div CAST(total_e4 AS BIGINT)")
+          .as("share_ppm"))
+  }
+
+  /** TPC-H Q22 shape (q206) — "idle rich" customers: balance above the
+    * positive-balance corpus average AND no order on or after epoch day
+    * `recentDay` (this corpus gives every customer SOME order, so Q22's
+    * "no orders ever" selects nothing; "gone quiet lately" is the
+    * churn-risk form of the same plan), reported per nation. The two
+    * classic subqueries become (a) a 1-row aggregate broadcast back with
+    * the division avoided entirely — the per-row threshold test is
+    * `bal_cents · n_pos > sum_cents` in exact BIGINTs — and (b) a
+    * custkey-keyed LEFT ANTI join against the date-filtered orders.
+    *
+    * Scale shape: the scalar aggregate is map-combined over the customer
+    * dim; the anti join is the only wide shuffle (orders filtered by a
+    * pushed-down date predicate and projected to the join key,
+    * semi-join-shaped so nothing multiplies); the final per-nation
+    * aggregate ships |nations| rows.
+    *
+    * @return (c_nationkey, n_cust, total_cents)
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      recentDay: Long = 11323L): DataFrame = {
+    val c = customer.select(col("c_custkey"), col("c_nationkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_cents"))
+    val pos = c.where(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+    val recent = orders.where(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          >= recentDay)
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(pos))
+      .where(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_cents"))
+  }
+
   private def statCols: Seq[Column] = {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")

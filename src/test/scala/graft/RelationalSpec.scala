@@ -556,4 +556,47 @@ class RelationalSpec extends AnyFunSuite {
         (x.getAs[String]("s_name"), x.getAs[Long]("numwait"))).toMap
     assert(r === Map(1L -> ("alpha", 1L), 2L -> ("beta", 1L)))
   }
+
+  test("customerDistribution keeps zero-order customers in the histogram") {
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val r = Relational.customerDistribution(customer, orders)
+      .collect().map(x => x.getAs[Long]("c_count") -> x.getAs[Long]("custdist"))
+      .toMap
+    // 3 and 4 placed nothing, 2 placed one, 1 placed two
+    assert(r === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("partRevenueShare: integer threshold keeps only above-1.5x-mean parts") {
+    // revenues: part 1 = 90.00, part 2 = 9.00 (10% off 10.00), part 3 = 1.00
+    // mean = 100/3; only part 1 clears 1.5x the mean
+    val li = Seq(
+      (1L, 90.0, 0.0),
+      (2L, 10.0, 0.10),
+      (3L, 1.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val r = Relational.partRevenueShare(li).collect()
+    assert(r.map(_.getAs[Long]("l_partkey")).toSeq === Seq(1L))
+    assert(r.head.getAs[Long]("revenue_e4") === 900000L) // 90.00 · 10⁴
+    assert(r.head.getAs[Long]("share_ppm") === 900000L)  // 90 of 100.00 total
+  }
+
+  test("idleRichCustomers: above positive-average balance AND no recent order") {
+    val customer = Seq(
+      (1L, 7, 100.0),  // rich, has a RECENT order → excluded
+      (2L, 7, 100.0),  // rich, only an old order → kept
+      (3L, 8, 10.0),   // below the positive average (72.50) → excluded
+      (4L, 8, -50.0),  // negative balance → excluded (and not in the average)
+      (5L, 8, 80.0))   // above average, orderless → kept
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq(
+      (10L, 1L, Timestamp.valueOf("2001-05-01 00:00:00")),  // after the cutoff
+      (11L, 2L, Timestamp.valueOf("1999-05-01 00:00:00")))  // before the cutoff
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = Relational.idleRichCustomers(customer, orders)
+      .collect().map(x => x.getAs[Int]("c_nationkey") ->
+        (x.getAs[Long]("n_cust"), x.getAs[Long]("total_cents"))).toMap
+    assert(r === Map(7 -> ((1L, 10000L)), 8 -> ((1L, 8000L))))
+  }
 }
