@@ -802,6 +802,24 @@ object SparkEntry {
     // nation — broadcast scalar threshold + custkey anti join
     "q206_idle_rich" -> ((s, dir) =>
       Relational.idleRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // unigram LM surprisal per document: integer-log2 bits/token — the
+    // model-based quality filter beside q34's heuristics
+    "q207_lm_surprisal" -> ((s, dir) =>
+      Corpus.lmSurprisal(Tables.documents(s, dir))),
+    // rank-sum (Mann-Whitney) AUC of item popularity predicting a good
+    // rating — exact tie-aware pair counting over the score histogram
+    "q208_auc_popularity" -> ((s, dir) => {
+      val r = Tables.ratings(s, dir)
+      val pop = r.groupBy(col("productId"))
+        .agg(count(lit(1)).as("score"))
+      Relational.aucRankSum(
+        r.join(pop, "productId")
+          .select(col("score"), (col("rating") > 3.0).as("is_pos")))
+    }),
+    // weekday seasonality index per event type: exact ppm mean-per-
+    // weekday vs overall mean, epoch-day % 7 bucketing
+    "q209_weekday_seasonality" -> ((s, dir) =>
+      TimeWindows.weekdaySeasonality(Tables.events(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3291,6 +3309,64 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 >= 11323)
         |GROUP BY 1""".stripMargin,
+    // same tokenization, same integer-log2 surprisal bits, same final
+    // milli floor division
+    "q207_lm_surprisal" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total FROM vocab),
+        |bits AS (
+        |  SELECT tok, CAST(len(bin(n_total // ct)) AS BIGINT) AS b
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * b) AS BIGINT) AS surprisal_bits,
+        |  CAST(sum(c * b) AS BIGINT) * 1000 // CAST(sum(c) AS BIGINT)
+        |    AS bits_per_token_milli
+        |FROM tf JOIN bits USING (tok) GROUP BY 1""".stripMargin,
+    // same score-histogram collapse, same doubled tie-aware pair count,
+    // same ppm floor
+    "q208_auc_popularity" ->
+      s"""WITH $ratingsCte,
+        |pop AS (
+        |  SELECT productId, CAST(count(*) AS BIGINT) AS score
+        |  FROM ratings GROUP BY 1),
+        |sc AS (
+        |  SELECT score,
+        |    CAST(sum(CASE WHEN rating > 3 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN rating > 3 THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |  FROM ratings JOIN pop USING (productId) GROUP BY 1),
+        |cum AS (
+        |  SELECT p, n,
+        |    coalesce(sum(n) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n
+        |  FROM sc)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * (2 * cum_n + n)) AS BIGINT) AS auc_num2,
+        |  CAST(sum(p * (2 * cum_n + n)) AS BIGINT) * 500000
+        |    // (CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT)) AS auc_ppm
+        |FROM cum""".stripMargin,
+    // same epoch-day % 7 buckets, same cross-multiplied ppm index
+    "q209_weekday_seasonality" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num
+        |  FROM events),
+        |tw AS (
+        |  SELECT event_type, day_num % 7 AS weekday,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT day_num) AS BIGINT) AS n_days
+        |  FROM d GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS type_events,
+        |    CAST(sum(n_days) AS BIGINT) AS type_days
+        |  FROM tw GROUP BY 1)
+        |SELECT tw.event_type, weekday, n_events, n_days,
+        |  n_events * type_days * 1000000 // (n_days * type_events) AS index_ppm
+        |FROM tw JOIN tt ON tw.event_type = tt.event_type""".stripMargin,
     // same per-(order, supplier) late flag, same order-keyed window
     // counts, same (numwait DESC, s_suppkey) top-20 total order
     "q193_waiting_suppliers" ->

@@ -972,4 +972,43 @@ object Corpus {
               * (col("n_docs") * col("n_docs") - 1L).cast("double")))
           .otherwise(lit(null).cast("double")))
   }
+  /** Unigram language-model surprisal per document (q207) — the
+    * model-based quality filter beside the heuristic score (q34) and the
+    * relevance ranker (q197): rare-token-dense documents score high
+    * bits/token (OCR noise, codes, exotic boilerplate), templated text
+    * scores low. The per-token "cost" is the integer-log2 surprisal
+    * bits = ⌊log₂(N/cₜ)⌋+1 (binary-string length of the integral
+    * N div cₜ — the q197 idf idiom), so every per-document sum is exact
+    * BIGINT arithmetic in any aggregation order and both engines agree
+    * bit-for-bit; the only division is the final per-document
+    * milli-bits-per-token floor.
+    *
+    * Scale shape: one token explode feeds a (doc, token) count, the
+    * vocabulary table aggregates FROM those counts (never a second
+    * scan), the corpus total aggregates from the vocabulary (1 row,
+    * broadcast back), and the scoring join is token-keyed — the
+    * vocabulary is never driver-materialized. At 100 TB the (doc, token)
+    * aggregate is the one wide shuffle; everything downstream is keyed
+    * on it.
+    *
+    * @return (doc_id, n_tokens, surprisal_bits, bits_per_token_milli)
+    */
+  def lmSurprisal(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val total = vocab.agg(sum(col("ct")).as("n_total"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        length(conv(expr("n_total div ct"), 10, 2)).cast("long").as("b"))
+    tf.join(bits, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("b")).as("surprisal_bits"))
+      .withColumn("bits_per_token_milli",
+        expr("surprisal_bits * 1000 div n_tokens"))
+  }
 }

@@ -1376,6 +1376,39 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_cents"))
   }
 
+  /** Rank-sum AUC (q208) — how well a numeric score separates positives
+    * from negatives, computed exactly via the Mann–Whitney U identity
+    * instead of any ROC-curve sweep: AUC = (pairs where a positive
+    * outscores a negative + half the ties) / (P·N). Everything is exact
+    * BIGINT — per-score-group positive/negative counts, a running
+    * negative count over the SCORE HISTOGRAM, the doubled pair count
+    * `p·(2·cum_n + n)` (doubling absorbs the half-credit ties), and one
+    * final ppm floor division.
+    *
+    * Scale shape: the input collapses to one row per DISTINCT score
+    * before any ordering (map-combined aggregate); the unpartitioned
+    * running-sum window then runs over the score histogram — bounded by
+    * the score's value range (popularity counts here: ≤ max item
+    * degree), never by the row count. The q121 lesson applied: global
+    * windows only over provably small tables, documented at the call.
+    *
+    * @param scored rows with a numeric `score` and boolean `is_pos`
+    * @return 1 row: (n_pos, n_neg, auc_num2, auc_ppm)
+    */
+  def aucRankSum(scored: DataFrame): DataFrame = {
+    val byScore = scored.groupBy(col("score").as("s"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("p") * (col("cum_n") * 2L + col("n"))).as("auc_num2"))
+      .withColumn("auc_ppm",
+        expr("auc_num2 * 500000 div (n_pos * n_neg)"))
+  }
+
   private def statCols: Seq[Column] = {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")

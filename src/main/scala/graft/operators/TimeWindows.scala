@@ -939,6 +939,40 @@ object TimeWindows {
           .otherwise(col("seasonal_abs_err").cast("double")
             / col("naive_abs_err").cast("double")))
   }
+  /** Weekday seasonality index per event type (q209) — the seasonal
+    * profile beside the trend (q144), EWMA (q132), autocorrelation
+    * (q150), and CUSUM (q166) views of the same daily volumes: for each
+    * (type, weekday), the mean events/day on that weekday relative to
+    * the type's overall mean events/day, in exact ppm. Weekday is the
+    * calendar-free `epoch_day % 7` (0 = Thursday — 1970-01-01), so both
+    * engines bucket identically with zero timezone machinery. The index
+    * is one integer cross-multiplied floor division
+    * `n_events · type_days · 10⁶ div (n_days · type_events)` — no float
+    * averages anywhere.
+    *
+    * Scale shape: one map-combined aggregate to ≤ |types|·7 rows (the
+    * distinct-day count rides the same shuffle), then a window
+    * partitioned BY TYPE over those rows for the per-type totals. Events
+    * never shuffle twice.
+    *
+    * @return (event_type, weekday, n_events, n_days, index_ppm)
+    */
+  def weekdaySeasonality(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = events.select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day_num"))
+    val tw = d
+      .groupBy(col("event_type"), (col("day_num") % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("day_num")).as("n_days"))
+    val w = Window.partitionBy("event_type")
+    tw.withColumn("type_events", sum(col("n_events")).over(w))
+      .withColumn("type_days", sum(col("n_days")).over(w))
+      .select(col("event_type"), col("weekday"), col("n_events"),
+        col("n_days"),
+        expr("n_events * type_days * 1000000 div (n_days * type_events)")
+          .as("index_ppm"))
+  }
 }
 
 /** [[TimeWindows.decayedLeaderboard]]'s half-life weight table — the

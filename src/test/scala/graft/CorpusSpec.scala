@@ -466,4 +466,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(r("x") === ((3L, 0L, 1.0)))
     assert(r("y") === ((3L, 8L, -1.0)))
   }
+
+  test("lmSurprisal: integer-log2 bits match the hand-built corpus LM") {
+    // corpus: a×3, b×1, c×1, N=5 → bits(a)=len(bin(5 div 3))=1,
+    // bits(b)=bits(c)=len(bin(5))=3
+    val docs = Seq((1L, "a a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val r = Corpus.lmSurprisal(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("surprisal_bits"),
+          x.getAs[Long]("bits_per_token_milli"))).toMap
+    assert(r(1L) === ((3L, 5L, 1666L))) // 2·1 + 1·3 bits over 3 tokens
+    assert(r(2L) === ((2L, 4L, 2000L))) // 1 + 3 bits over 2 tokens
+  }
 }

@@ -599,4 +599,19 @@ class RelationalSpec extends AnyFunSuite {
         (x.getAs[Long]("n_cust"), x.getAs[Long]("total_cents"))).toMap
     assert(r === Map(7 -> ((1L, 10000L)), 8 -> ((1L, 8000L))))
   }
+
+  test("aucRankSum: ties earn half credit, perfect separation scores 1") {
+    // pos@10 beats neg@5 fully, ties neg@10 → (1 + 0.5) / 2 = 0.75
+    val mixed = Seq((10L, true), (10L, false), (5L, false))
+      .toDF("score", "is_pos")
+    val m = Relational.aucRankSum(mixed).collect().head
+    assert(m.getAs[Long]("n_pos") === 1L)
+    assert(m.getAs[Long]("n_neg") === 2L)
+    assert(m.getAs[Long]("auc_num2") === 3L)
+    assert(m.getAs[Long]("auc_ppm") === 750000L)
+    val perfect = Seq((9L, true), (8L, true), (2L, false))
+      .toDF("score", "is_pos")
+    assert(Relational.aucRankSum(perfect).collect().head
+      .getAs[Long]("auc_ppm") === 1000000L)
+  }
 }

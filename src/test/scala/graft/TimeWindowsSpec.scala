@@ -477,4 +477,22 @@ class TimeWindowsSpec extends AnyFunSuite {
     // constant series: both errors zero, skill NULL (not 0/0)
     assert(r("flat") === ((3L, 0L, 0L, None)))
   }
+
+  test("weekdaySeasonality: ppm index is the cross-multiplied day-rate ratio") {
+    // epoch day 0 (weekday 0) carries two events, day 1 (weekday 1) one;
+    // type mean = 3 events / 2 days
+    def at(day: Int, sec: Int) =
+      new Timestamp(day * 86400000L + sec * 1000L)
+    val events = Seq(
+      (1L, at(0, 10), 1L, "view", 0.0, ""),
+      (2L, at(0, 20), 2L, "view", 0.0, ""),
+      (3L, at(1, 10), 1L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.TimeWindows.weekdaySeasonality(events).collect()
+      .map(x => x.getAs[Long]("weekday") ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("n_days"),
+          x.getAs[Long]("index_ppm"))).toMap
+    assert(r(0L) === ((2L, 1L, 1333333L))) // 2/1 vs 3/2 → 4/3
+    assert(r(1L) === ((1L, 1L, 666666L)))  // 1/1 vs 3/2 → 2/3
+  }
 }
