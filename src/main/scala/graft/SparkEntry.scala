@@ -802,6 +802,10 @@ object SparkEntry {
     // nation — broadcast scalar threshold + custkey anti join
     "q206_idle_rich" -> ((s, dir) =>
       Relational.idleRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // per-doc character entropy (floor-log2 proxy, exact integers) —
+    // the compressibility quality signal
+    "q211_char_entropy" -> ((s, dir) =>
+      graft.functions.TextAnalysis.charEntropy(Tables.documents(s, dir))),
     // unigram LM surprisal per document: integer-log2 bits/token — the
     // model-based quality filter beside q34's heuristics
     "q207_lm_surprisal" -> ((s, dir) =>
@@ -1061,6 +1065,11 @@ object SparkEntry {
     // ASCII dimensions) + per-channel pixel sums, pure byte expressions
     "q87_ppm_decode" -> ((s, dir) =>
       Multimodal.decodePpm(Multimodal.synthesizePpm(Tables.documents(s, dir)))),
+    // perceptual dHash over the REAL P6 bytes: 4x4 nearest-neighbor luma
+    // grid -> 12 horizontal + 12 vertical gradient bits — the image-side
+    // near-dup signature beside MinHash/SimHash
+    "q210_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDhash(Multimodal.synthesizePpm(Tables.documents(s, dir)))),
     // REAL audio featurization: amplitude histogram over the decoded PCM
     // sample bytes (one row per doc × bin, map-side only)
     "q92_wav_features" -> ((s, dir) =>
@@ -2186,6 +2195,26 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, w * h), i -> b[i * 3 + 3])) AS BIGINT) AS b_sum,
         |  CAST(list_sum(b) AS DOUBLE) / (w * h * 3) AS mean_luma
         |FROM px""".stripMargin,
+    // same 4x4 nearest-neighbor grid and gradient bits, pixels re-derived
+    // from the q87 synthesis formula (the byte parse is spec-pinned)
+    "q210_image_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, 16), t ->
+        |      (doc_id*17 + (3*((t//4)*h//4*w + (t%4)*w//4))*11) % 256
+        |      + (doc_id*17 + (3*((t//4)*h//4*w + (t%4)*w//4) + 1)*11) % 256
+        |      + (doc_id*17 + (3*((t//4)*h//4*w + (t%4)*w//4) + 2)*11) % 256) AS gl
+        |  FROM d)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(range(0, 12), x ->
+        |    CASE WHEN gl[(x//3)*4 + (x%3) + 2] > gl[(x//3)*4 + (x%3) + 1]
+        |    THEN 1 << CAST(x AS INT) ELSE 0 END)) AS BIGINT) AS dhash_h,
+        |  CAST(list_sum(list_transform(range(0, 12), x ->
+        |    CASE WHEN gl[(x//4+1)*4 + (x%4) + 1] > gl[(x//4)*4 + (x%4) + 1]
+        |    THEN 1 << CAST(x AS INT) ELSE 0 END)) AS BIGINT) AS dhash_v
+        |FROM g""".stripMargin,
     // recomputes every statistic from the synthesis formula (w/h from
     // doc_id, per-channel mods); top_row_sum is image row y = 0
     "q155_bmp_decode" ->
@@ -3309,6 +3338,22 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 >= 11323)
         |GROUP BY 1""".stripMargin,
+    // same char split, same floor-log2 entropy numerator, same milli floor
+    "q211_char_entropy" ->
+      """WITH cc AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents)
+        |  WHERE ch <> '' GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |    CAST(sum(c * (len(bin(c)) - 1)) AS BIGINT) AS sum_c_log
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars_counted, n_distinct_chars, sum_c_log,
+        |  (n_chars_counted * (len(bin(n_chars_counted)) - 1) - sum_c_log)
+        |    * 1000 // n_chars_counted AS entropy_milli_bits
+        |FROM ag""".stripMargin,
     // same tokenization, same integer-log2 surprisal bits, same final
     // milli floor division
     "q207_lm_surprisal" ->

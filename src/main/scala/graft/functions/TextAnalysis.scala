@@ -450,4 +450,37 @@ object TextAnalysis {
         col("s.survivors").as("survivors"),
         (col("s.docs_in") - col("s.survivors")).as("dropped"))
   }
+
+  /** Per-document character entropy (q211) — the compressibility proxy
+    * beside the class shares (q94) and repeat concentration (q153):
+    * low-entropy documents are padding/templates/run-length junk, very
+    * high entropy is random noise or minified blobs. Computed as the
+    * floor-log₂ proxy H ≈ ⌊log₂ n⌋ − (1/n)·Σ c·⌊log₂ c⌋ so every
+    * aggregate term is exact BIGINT (binary-string-length log₂ — the
+    * q197 idiom) and both engines agree bit-for-bit; the true float
+    * entropy lies within 1 bit of the proxy, which is plenty for a
+    * ranking/filter signal and is the price of cross-engine exactness.
+    *
+    * Scale shape: the char explode is the one wide stage (Σ n_chars
+    * rows, same as the gram pipelines), map-combined into per-(doc,
+    * char) counts; everything after runs on ≤ |alphabet| rows per doc.
+    *
+    * @return (doc_id, n_chars_counted, n_distinct_chars, sum_c_log,
+    *         entropy_milli_bits)
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val cc = documents
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    cc.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars_counted"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * (length(conv(col("c"), 10, 2)) - 1).cast("long"))
+          .as("sum_c_log"))
+      .withColumn("entropy_milli_bits",
+        expr("""(n_chars_counted * (length(conv(n_chars_counted, 10, 2)) - 1)
+                - sum_c_log) * 1000 div n_chars_counted"""))
+  }
 }

@@ -539,4 +539,52 @@ object Multimodal {
       when(col("valid_magic") === 1, chanSum(2)).otherwise(0L).as("r_sum"),
       when(col("valid_magic") === 1, topRowSum).otherwise(0L).as("top_row_sum"))
   }
+
+  /** Perceptual difference-hash (dHash, q210) over REAL P6 bytes — the
+    * image-side near-duplicate signature completing the dedup bridge:
+    * text gets MinHash/SimHash, images get a gradient hash. The
+    * grayscale image is nearest-neighbor-sampled onto a fixed 4×4 luma
+    * grid (grid cell (i,j) reads the decoded pixel at row ⌊i·h/4⌋, col
+    * ⌊j·w/4⌋ — resolution-independent, so re-encoded/rescaled copies of
+    * the same picture collide), then hashed as 12 horizontal
+    * gradient bits (g(i,j+1) > g(i,j), bit i·3+j) and 12 vertical ones
+    * (g(i+1,j) > g(i,j), bit i·4+j). All byte slicing is real binary
+    * parsing (the q87 header machinery); the DuckDB oracle re-derives
+    * the same pixels from the synthesizer's generative formula — the
+    * q168 grading pattern.
+    *
+    * Scale shape: pure map-side per-row expressions (header parse + 48
+    * byte probes per image regardless of image size); the hash is a
+    * codegen'd higher-order fold, no UDF, no shuffle.
+    *
+    * @return (doc_id, width, height, dhash_h, dhash_v)
+    */
+  def imageDhash(media: DataFrame): DataFrame = {
+    val head = col("payload").substr(lit(1), lit(16)).cast("string")
+    val wS = regexp_extract(head, "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n", 1)
+    val hS = regexp_extract(head, "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n", 2)
+    val mS = regexp_extract(head, "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n", 3)
+    val parsed = media.select(col("doc_id"), col("payload"),
+      when(wS =!= "", 1L).otherwise(0L).as("valid_magic"),
+      when(wS =!= "", wS.cast("long")).otherwise(lit(1L)).as("width"),
+      when(hS =!= "", hS.cast("long")).otherwise(lit(1L)).as("height"),
+      (lit(3L) + length(wS) + 1 + length(hS) + 1 + length(mS) + 1).as("pix_off"))
+    // luma of grid cell (i, j) straight off the payload bytes
+    def lumaSql(i: String, j: String): String = {
+      val k = s"(((($i) * height div 4) * width + (($j) * width div 4)) * 3)"
+      def b(o: Int) =
+        s"CAST(conv(hex(substring(payload, CAST(pix_off + $k + $o AS INT), 1)), 16, 10) AS BIGINT)"
+      s"(${b(1)} + ${b(2)} + ${b(3)})"
+    }
+    def gradBits(n: Int, iOf: String, jOf: String, di: Int, dj: Int): Column =
+      expr(s"""aggregate(transform(sequence(0, ${n - 1}), idx ->
+        CASE WHEN ${lumaSql(s"($iOf) + $di", s"($jOf) + $dj")} > ${lumaSql(iOf, jOf)}
+        THEN shiftleft(CAST(1 AS BIGINT), idx) ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (a, v) -> a + v)""")
+    parsed.select(col("doc_id"), col("width"), col("height"),
+      when(col("valid_magic") === 1,
+        gradBits(12, "idx div 3", "idx % 3", 0, 1)).otherwise(0L).as("dhash_h"),
+      when(col("valid_magic") === 1,
+        gradBits(12, "idx div 4", "idx % 4", 1, 0)).otherwise(0L).as("dhash_v"))
+  }
 }

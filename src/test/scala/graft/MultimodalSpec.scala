@@ -316,4 +316,26 @@ class MultimodalSpec extends AnyFunSuite {
       .where(length(col("text").cast("binary")) =!= length(col("text"))).count()
     assert(nonAscii === 0L)
   }
+
+  test("imageDhash: gradient bits from a hand-built P6 ramp") {
+    // 4×4 image, channels (c·10, 0, 0) for column c: luma strictly
+    // increases left→right (all 12 horizontal bits set) and is constant
+    // down each column (no vertical bit set)
+    val ramp = "P6\n4 4\n255\n".getBytes("US-ASCII") ++
+      (0 until 16).flatMap(k => Seq((k % 4) * 10, 0, 0)).map(_.toByte)
+    // 4×1 image with luma 0,0,90,0: grid rows all sample the single
+    // pixel row → horizontal bits only where col 2 > col 1 / col 3 < col 2
+    val strip = "P6\n4 1\n255\n".getBytes("US-ASCII") ++
+      Seq(0, 0, 0, 0, 0, 0, 30, 30, 30, 0, 0, 0).map(_.toByte)
+    val bad = "X6\n4 1\n255\n".getBytes("US-ASCII")
+    val r = Multimodal.imageDhash(
+      Seq((1L, ramp), (2L, strip), (3L, bad)).toDF("doc_id", "payload"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("dhash_h"), x.getAs[Long]("dhash_v"))).toMap
+    assert(r(1L) === ((4095L, 0L))) // all 12 horizontal gradients rise
+    // per grid row: only j=1 (bit offset 1) has g(i,2) > g(i,1):
+    // bits 1, 4, 7, 10 → 2 + 16 + 128 + 1024
+    assert(r(2L) === ((1170L, 0L)))
+    assert(r(3L) === ((0L, 0L)))   // invalid magic → zero hash
+  }
 }

@@ -159,4 +159,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r("web") === ((4L, 2L, 6L, 0.5, 0.5)))
     assert(r("news") === ((3L, 3L, 0L, 0.0, 1.0)))
   }
+
+  test("charEntropy: floor-log2 proxy matches hand numbers, zero for runs") {
+    val docs = Seq((1L, "aaab"), (2L, "aaaa")).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_chars_counted"), x.getAs[Long]("n_distinct_chars"),
+          x.getAs[Long]("sum_c_log"), x.getAs[Long]("entropy_milli_bits")))
+      .toMap
+    // "aaab": n=4 (⌊log₂⌋=2), Σc·⌊log₂c⌋ = 3·1 + 1·0 = 3 → (8−3)·1000/4
+    assert(r(1L) === ((4L, 2L, 3L, 1250L)))
+    // a run is perfectly compressible: n·⌊log₂n⌋ − n·⌊log₂n⌋ = 0
+    assert(r(2L) === ((4L, 1L, 8L, 0L)))
+  }
 }
