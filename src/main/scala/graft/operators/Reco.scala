@@ -577,17 +577,44 @@ object Reco {
     */
   def hitRateEval(deduped: DataFrame, k: Int = 5, minSupport: Long = 2,
       testMod: Int = 5): DataFrame = {
-    val r = deduped.withColumn("is_test",
+    val split = holdoutSplit(deduped, testMod)
+    hitRateFromRanked(split, holdoutRankedPreds(split, k, minSupport), k)
+  }
+
+  /** The hash-drawn holdout split shared by every offline ranking metric
+    * (q201 hit rate, q212 MRR): flags the md5 "hit:"-salted 1/testMod of
+    * (user, item) ratings as test, barriered so the train chain and the
+    * test probes read one materialization.
+    */
+  def holdoutSplit(deduped: DataFrame, testMod: Int = 5): DataFrame =
+    deduped.withColumn("is_test",
         graft.functions.TextAnalysis.md5Prefix32(
           concat(lit("hit:"), col("userId").cast("string"), lit(":"),
             col("productId").cast("string"))) % testMod === 0)
-      .transform(graft.barrier) // read by the train chain and the test probe
-    val train = r.where(!col("is_test")).select("userId", "productId", "rv")
-    val test = r.where(col("is_test"))
-      .select(col("userId"), col("productId").as("item"))
+      .transform(graft.barrier)
+
+  /** The retrained-on-train top-k predictions with their per-user rank —
+    * the shared expensive stage of the holdout metrics: the whole
+    * q107/q108 chain over the train 80%, then one per-user window over
+    * ≤ k winner rows each (never the full candidate stream) to attach
+    * `rn`. Memoized session-wide by the SparkEntry seam so q201 and q212
+    * pay the pair fan-out once.
+    */
+  def holdoutRankedPreds(split: DataFrame, k: Int = 5,
+      minSupport: Long = 2): DataFrame = {
+    val train = split.where(!col("is_test")).select("userId", "productId", "rv")
     val preds = cfPredictionsFrom(train,
       itemNeighborsFromPairs(train, itemPairs(train, minSupport), k), top = k)
-    val hits = test.join(preds.select("userId", "item"),
+    val w = Window.partitionBy("userId").orderBy(desc("pred"), asc("item"))
+    preds.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** Hit-rate@k from the shared holdout stages (q201's metric). */
+  def hitRateFromRanked(split: DataFrame, ranked: DataFrame,
+      k: Int = 5): DataFrame = {
+    val test = split.where(col("is_test"))
+      .select(col("userId"), col("productId").as("item"))
+    val hits = test.join(ranked.select("userId", "item"),
       Seq("userId", "item"), "left_semi")
     val t = test.agg(count(lit(1)).as("n_test"),
       count_distinct(col("userId")).as("n_test_users"))
@@ -595,6 +622,35 @@ object Reco {
     t.crossJoin(broadcast(h))
       .select(lit(k.toLong).as("k"), col("n_test_users"), col("n_test"),
         col("n_hits"), expr("n_hits * 1000000 div n_test").as("hit_rate_ppm"))
+  }
+
+  /** Mean reciprocal rank @k (q212) — the position-sensitive companion to
+    * q201's hit rate over the SAME holdout and the SAME retrained
+    * predictions: for each test user, the reciprocal of the best rank at
+    * which any held-out item surfaces (1/1 is a perfect first slot, a
+    * miss contributes 0), averaged over all test users. Reciprocals are
+    * exact integer micro-units (⌊10⁶/rank⌋ — rank ≤ k keeps the floor
+    * loss below 10⁻⁵), so the sum is order-independent and the mean is
+    * one floor division.
+    *
+    * @return one row (k, n_test_users, n_hit_users, rr_micro_sum,
+    *         mrr_micro)
+    */
+  def mrrFromRanked(split: DataFrame, ranked: DataFrame,
+      k: Int = 5): DataFrame = {
+    val test = split.where(col("is_test"))
+      .select(col("userId"), col("productId").as("item"))
+    val firstHit = test.join(ranked.select("userId", "item", "rn"),
+        Seq("userId", "item"))
+      .groupBy(col("userId"))
+      .agg(min(col("rn")).as("first_rank"))
+    val t = test.agg(count_distinct(col("userId")).as("n_test_users"))
+    val ag = firstHit.agg(count(lit(1)).as("n_hit_users"),
+      coalesce(sum(expr("1000000 div first_rank")), lit(0L)).as("rr_micro_sum"))
+    t.crossJoin(broadcast(ag))
+      .select(lit(k.toLong).as("k"), col("n_test_users"), col("n_hit_users"),
+        col("rr_micro_sum"),
+        expr("rr_micro_sum div n_test_users").as("mrr_micro"))
   }
 
   /** One rank-1 ALS iteration (q158) — the matrix-factorization training

@@ -957,14 +957,19 @@ object TimeWindows {
     *
     * @return (event_type, weekday, n_events, n_days, index_ppm)
     */
-  def weekdaySeasonality(events: DataFrame): DataFrame = {
+  def weekdaySeasonality(events: DataFrame): DataFrame =
+    weekdaySeasonalityFromDaily(dailyCounts(events))
+
+  /** The grading stage of [[weekdaySeasonality]], factored over the
+    * shared per-(type, day) counts so the streaming twin
+    * (`RealTime.dailyCountsStream` → this) emits the identical report —
+    * the q103/q144/q161/q166/q195 twin seam.
+    */
+  def weekdaySeasonalityFromDaily(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = events.select(col("event_type"),
-      expr("unix_micros(ts) div 86400000000").as("day_num"))
-    val tw = d
+    val tw = daily
       .groupBy(col("event_type"), (col("day_num") % 7).as("weekday"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("day_num")).as("n_days"))
+      .agg(sum(col("cnt")).as("n_events"), count(lit(1)).as("n_days"))
     val w = Window.partitionBy("event_type")
     tw.withColumn("type_events", sum(col("n_events")).over(w))
       .withColumn("type_days", sum(col("n_days")).over(w))

@@ -326,4 +326,22 @@ class RecoSpec extends AnyFunSuite {
     assert(leak.getAs[Long]("n_hits") === 0L)
     assert(leak.getAs[Long]("n_test") > nTest)
   }
+
+  test("mrrFromRanked: best-rank reciprocals in micro units, misses score 0") {
+    // user 1 hits at rank 2 (500000), user 2 misses, user 3 at rank 1
+    val split = Seq(
+      (1L, 100L, 5L, true), (2L, 200L, 5L, true), (3L, 300L, 5L, true),
+      (1L, 101L, 4L, false)) // train row — must not affect the metric
+      .toDF("userId", "productId", "rv", "is_test")
+    val ranked = Seq(
+      (1L, 900L, 1L), (1L, 100L, 2L),
+      (2L, 900L, 1L),
+      (3L, 300L, 1L), (3L, 900L, 2L))
+      .toDF("userId", "item", "rn")
+    val m = Reco.mrrFromRanked(split, ranked).collect().head
+    assert(m.getAs[Long]("n_test_users") === 3L)
+    assert(m.getAs[Long]("n_hit_users") === 2L)
+    assert(m.getAs[Long]("rr_micro_sum") === 1500000L)
+    assert(m.getAs[Long]("mrr_micro") === 500000L)
+  }
 }

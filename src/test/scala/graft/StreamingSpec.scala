@@ -769,6 +769,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("view") === ((2L, 4L, 5L, 1.25)))
   }
 
+  test("streamed daily counts close through weekdaySeasonalityFromDaily") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // days 0,1,7 (weekdays 0,1,0): weekday 0 has 3 events over 2 days,
+    // weekday 1 has 1 event over 1 day; type mean = 4 events / 3 days
+    val closed = Seq(
+      SessEv(1L, t(0, 1), 1L, "view"), SessEv(2L, t(0, 2), 2L, "view"),
+      SessEv(3L, t(1, 1), 1L, "view"), SessEv(4L, t(7, 1), 1L, "view"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("season_daily")
+      .option("checkpointLocation", tmp("season-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(9000L, t(40, 0), 9L, "view")) // close the watermark
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("weekday")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_days"),
+          r.getAs[Long]("index_ppm"))).toMap
+    val streamed = key(graft.operators.TimeWindows.weekdaySeasonalityFromDaily(
+      spark.table("season_daily").where($"day_num" < 40)))
+    val batch = key(graft.operators.TimeWindows.weekdaySeasonality(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    assert(streamed(("view", 0L)) === ((3L, 2L, 1125000L))) // (3/2)/(4/3)
+    assert(streamed(("view", 1L)) === ((1L, 1L, 750000L)))  // (1/1)/(4/3)
+  }
+
   test("streaming checksum equals the batch table checksum on a closed input") {
     val rows = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "z"))
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
