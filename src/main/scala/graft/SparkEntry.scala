@@ -3469,11 +3469,15 @@ object SparkEntry {
         |  SELECT pa AS item, pb AS base, dsum AS dev, support AS c FROM pairs
         |  UNION ALL
         |  SELECT pb, pa, -dsum, support FROM pairs),
+        |mirp AS (
+        |  SELECT item, base, dev, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY c DESC, base) AS prn
+        |    FROM mir2) WHERE prn <= 8),
         |sc2 AS (
         |  SELECT r.userId, m.item,
         |    CAST(sum(m.dev + r.rv * m.c) AS BIGINT) AS num,
         |    CAST(sum(m.c) AS BIGINT) AS den
-        |  FROM r JOIN mir2 m ON r.productId = m.base
+        |  FROM r JOIN mirp m ON r.productId = m.base
         |  GROUP BY 1, 2),
         |cand2 AS (
         |  SELECT sc2.* FROM sc2

@@ -382,23 +382,35 @@ object Reco {
     *
     * Inputs are the session-memoized seams: `deduped` from
     * [[dedupedRatings]] and `pairs` from [[itemPairs]] (whose `dsum`
-    * column is exactly dev(pa,pb); the pb-side mirror negates it). The
-    * scoring join fans each rating row out to its item's pair partners —
-    * the same Σdeg fan-out every consumer of the pair table pays, keyed
-    * (shuffle-hash) on the base item, never corpus². Top-`top` per user
-    * via the ExactTopK heap, ties by item id.
+    * column is exactly dev(pa,pb); the pb-side mirror negates it).
+    *
+    * This is SUPPORT-PRUNED Slope One (the standard scale form): each
+    * item keeps only its `neighborsPerItem` highest-support deviations
+    * (ties by base id). Unpruned, the scoring join fans every rating row
+    * out to its item's FULL pair-partner list — Σ deg(base) rows, which
+    * measured 19–22 s at sf0.1 (the suite's worst query by 2.4×) and
+    * grows with the square of item popularity at 100 TB. Pruned, the
+    * deviation table is |items|·k rows (the q108 neighbor shape): it
+    * broadcasts, the rating stream never reshuffles to score, and the
+    * per-rating fan-out is a constant k. Accuracy-wise the low-support
+    * deviations the prune drops are exactly the noisy ones Slope One's
+    * support weighting already down-weights.
     *
     * @return (userId, item, num, den, pred), ≤ `top` rows per user
     */
   def slopeOnePredictions(deduped: DataFrame, pairs: DataFrame,
-      top: Int = 3): DataFrame = {
-    val mir = pairs
+      top: Int = 3, neighborsPerItem: Int = 8): DataFrame = {
+    val mirAll = pairs
       .select(col("pa").as("item"), col("pb").as("base"),
         col("dsum").as("dev"), col("support").as("c"))
       .unionAll(pairs.select(col("pb").as("item"), col("pa").as("base"),
         (-col("dsum")).as("dev"), col("support").as("c")))
-    val scores = deduped.hint("shuffle_hash")
-      .join(mir.hint("shuffle_hash"), col("productId") === col("base"))
+    val wp = Window.partitionBy("item").orderBy(desc("c"), asc("base"))
+    val mir = mirAll.withColumn("prn", row_number().over(wp))
+      .where(col("prn") <= neighborsPerItem).drop("prn")
+      .transform(graft.barrier) // the broadcast side, materialized once
+    val scores = deduped
+      .join(broadcast(mir), col("productId") === col("base"))
       .groupBy(col("userId"), col("item"))
       .agg(sum(col("dev") + col("rv") * col("c")).as("num"),
         sum(col("c")).as("den"))
