@@ -1327,6 +1327,7 @@ object Relational {
           .as("rev_e4"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("rev_e4").cast("decimal(38,0)")).as("revenue_e4"))
+      .transform(graft.barrier) // read twice: the 1-row total and the output
     val tot = rev.agg(sum(col("revenue_e4")).as("total_e4"),
       count(lit(1)).as("n_parts"))
     rev.crossJoin(broadcast(tot))
