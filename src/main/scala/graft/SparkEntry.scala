@@ -218,6 +218,9 @@ object SparkEntry {
     // density filter: fixed-round synchronous 3-core peeling over the
     // memoized co-rating pairs (survivors + their in-subgraph degree)
     "q151_kcore" -> ((s, dir) => plans.GraphOps.kCore(coPairs(s, dir))),
+    // 17-truss edge peel over the same pair seam: edges embedded in >= 15
+    // surviving triangles, fixed-round wedge-join contract (q151 form)
+    "q214_ktruss" -> ((s, dir) => plans.GraphOps.kTruss(coPairs(s, dir))),
     // synchronous BFS from the min-id seed over the co-rating closure:
     // per-layer reachability counts (fixed supersteps, unrollable twin)
     "q174_bfs_layers" -> ((s, dir) =>
@@ -843,6 +846,10 @@ object SparkEntry {
     // weekday vs overall mean, epoch-day % 7 bucketing
     "q209_weekday_seasonality" -> ((s, dir) =>
       TimeWindows.weekdaySeasonality(Tables.events(s, dir))),
+    // non-adjacent precedence mining: which event type precedes which,
+    // per user, via one min/max aggregate + a types²-bounded pair join
+    "q213_sequential_pairs" -> ((s, dir) =>
+      TimeWindows.sequentialPairs(Tables.events(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -1229,6 +1236,15 @@ object SparkEntry {
          |SELECT u AS id, CAST(count(*) AS BIGINT) AS core_deg FROM (
          |  SELECT u, v FROM e5 UNION ALL SELECT v, u FROM e5)
          |GROUP BY u""".stripMargin,
+    // unrolled 3-round 17-truss peel; final support recomputed on the
+    // surviving subgraph (left join keeps 0-support survivors)
+    "q214_ktruss" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |${kTrussCtes(17, 3)}
+         |SELECT e.u, e.v, coalesce(s.sup, 0) AS support
+         |FROM t3 e LEFT JOIN sup4 s ON e.u = s.u AND e.v = s.v""".stripMargin,
     // same seed, same unrolled frontier supersteps, same layer report
     "q174_bfs_layers" ->
       s"""WITH $ratingsCte,
@@ -3414,6 +3430,22 @@ object SparkEntry {
         |  CAST(sum(p * (2 * cum_n + n)) AS BIGINT) * 500000
         |    // (CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT)) AS auc_ppm
         |FROM cum""".stripMargin,
+    // same per-(user, type) min/max collapse, same strict-< precedence
+    "q213_sequential_pairs" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_users_both,
+        |  CAST(sum(CASE WHEN a.first_us < b.last_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_users_ab,
+        |  CAST(sum(CASE WHEN a.first_us < b.last_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS direction_ppm
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |GROUP BY 1, 2""".stripMargin,
     // same epoch-day % 7 buckets, same cross-multiplied ppm index
     "q209_weekday_seasonality" ->
       """WITH d AS (
@@ -5271,6 +5303,30 @@ object SparkEntry {
          |  JOIN s$i a ON e.u = a.u JOIN s$i b ON e.v = b.u)""".stripMargin
     }
     (init +: peels).mkString(",\n")
+  }
+
+  /** Unrolled fixed-round k-truss peel ending in CTE `t<rounds>`; the
+    * per-round support CTEs reuse the q90 wedge-join shape. MATERIALIZED
+    * for the same fan-out reason as [[kCoreCtes]].
+    */
+  private def kTrussCtes(k: Int, rounds: Int): String = {
+    val init = "t0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM pairs)"
+    def supSql(i: Int, of: Int): String =
+      s"""sup$i AS MATERIALIZED (
+         |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+         |  FROM t$of e
+         |  JOIN (SELECT u, v FROM t$of UNION ALL SELECT v, u FROM t$of) s1
+         |    ON s1.u = e.u
+         |  JOIN (SELECT u, v FROM t$of UNION ALL SELECT v, u FROM t$of) s2
+         |    ON s2.u = e.v AND s2.v = s1.v
+         |  GROUP BY 1, 2)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""${supSql(i, i - 1)},
+         |t$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM t${i - 1} e
+         |  JOIN sup$i s ON e.u = s.u AND e.v = s.v AND s.sup >= ${k - 2})""".stripMargin
+    }
+    ((init +: peels) :+ supSql(rounds + 1, rounds)).mkString(",\n")
   }
 
   /** Unrolled synchronous label propagation (fixed 5 supersteps, Gelly

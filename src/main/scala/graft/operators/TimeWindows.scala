@@ -957,6 +957,43 @@ object TimeWindows {
     *
     * @return (event_type, weekday, n_events, n_days, index_ppm)
     */
+  /** Sequential precedence pairs (q213) — the non-adjacent sequence-
+    * mining report beside the adjacent-only transition matrix (q100):
+    * for each ordered type pair (a, b), how many users ever did a
+    * BEFORE b (anywhere in their history, not just consecutively), next
+    * to how many users did both at all, and the ppm share — the
+    * directionality signal ("views precede purchases for 94% of users
+    * who do both") that funnel analysis (q82) reads per-step and
+    * PrefixSpan-style miners generalize.
+    *
+    * "Some a before some b" collapses to `min ts(a) < max ts(b)` — so
+    * the whole computation is one per-(user, type) min/max aggregate
+    * (map-combined, the only wide shuffle) and a per-user self-join
+    * bounded by |types|² rows per user, never by event count. Ties at
+    * the same microsecond do not count as precedence (strict <) —
+    * deterministic in both engines without composite tiebreaks.
+    *
+    * @return (type_a, type_b, n_users_both, n_users_ab, direction_ppm)
+    */
+  def sequentialPairs(events: DataFrame): DataFrame = {
+    val ut = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(expr("unix_micros(ts)")).as("first_us"),
+        max(expr("unix_micros(ts)")).as("last_us"))
+      .transform(graft.barrier) // both sides of the per-user pair join
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"),
+      col("first_us").as("fa"))
+    val b = ut.select(col("user_id").as("uid_b"),
+      col("event_type").as("type_b"), col("last_us").as("lb"))
+    a.join(b, col("user_id") === col("uid_b") &&
+        col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users_both"),
+        sum(when(col("fa") < col("lb"), 1L).otherwise(0L)).as("n_users_ab"))
+      .withColumn("direction_ppm",
+        expr("n_users_ab * 1000000 div n_users_both"))
+  }
+
   def weekdaySeasonality(events: DataFrame): DataFrame =
     weekdaySeasonalityFromDaily(dailyCounts(events))
 

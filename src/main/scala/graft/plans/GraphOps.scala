@@ -381,6 +381,63 @@ object GraphOps {
       .select(col("u").as("id"), col("core_deg"))
   }
 
+  /** k-truss peeling (q214) — the edge-strength sibling of the vertex
+    * k-core (q151): keep only edges embedded in ≥ k−2 triangles of the
+    * surviving subgraph, iterated to a (fixed-round) fixpoint. Trusses
+    * are the standard community-core primitive one notch stronger than
+    * cores — an edge survives only if its endpoints share enough
+    * mutual neighbors, so bridges and loose tendrils peel away even
+    * when both endpoints are individually well-connected.
+    *
+    * Contract form matches LP ×5 / k-core / BFS: a fixed `rounds`
+    * synchronous peel (the oracle is an unrollable MATERIALIZED-CTE
+    * chain; the Spark loop early-exits only at a fixpoint, where
+    * further rounds are no-ops). Per round: one wedge join (symmetric
+    * adjacency joined twice — the q90/q129 triangle shape, cost
+    * Σ wedges, every join an equi-hash), one per-edge support
+    * aggregate, one keyed semi-join, all behind barriers so lineage
+    * stays flat. The final report recomputes support on the surviving
+    * subgraph (an edge can survive the last peel and still lose
+    * support when its neighbors died with it — reported, not hidden).
+    *
+    * @param pairs canonical src < dst co-rating edges
+    * @return (u, v, support) for every surviving edge
+    */
+  def kTruss(pairs: DataFrame, k: Int = 17, rounds: Int = 3): DataFrame = {
+    def supportOf(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val s1 = sym.select(col("u").as("eu"), col("v").as("w1"))
+      val s2 = sym.select(col("u").as("ev"), col("v").as("w2"))
+      e.join(s1, col("u") === col("eu"))
+        .join(s2, col("v") === col("ev") && col("w1") === col("w2"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+    }
+    var e = pairs
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .transform(graft.barrier)
+    val minSup = (k - 2).toLong
+    var nEdges = e.count()
+    var round = 0
+    var done = nEdges == 0
+    while (!done && round < rounds) {
+      val keep = supportOf(e).where(col("sup") >= minSup)
+        .select(col("u").as("ku"), col("v").as("kv"))
+      val next = e.join(keep,
+          col("u") === col("ku") && col("v") === col("kv"), "left_semi")
+        .transform(graft.barrier)
+      val n2 = next.count()
+      done = n2 == nEdges || n2 == 0
+      e = next; nEdges = n2; round += 1
+    }
+    val fin = supportOf(e)
+      .select(col("u").as("su"), col("v").as("sv"), col("sup"))
+    e.join(fin, col("u") === col("su") && col("v") === col("sv"), "left_outer")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
   /** Synchronous BFS layers (q174) — single-source reachability by
     * frontier expansion from a canonical seed (the minimum vertex id),
     * reported as per-layer vertex counts: the reachability profile that

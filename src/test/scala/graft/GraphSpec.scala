@@ -221,4 +221,17 @@ class GraphSpec extends AnyFunSuite {
       .map(x => x.getAs[Long]("embeddedness") -> x.getAs[Long]("n_edges")).toMap
     assert(r === Map(1L -> 3L, 0L -> 1L))
   }
+
+  test("kTruss: the 4-clique survives a 4-truss; triangle and bridge peel") {
+    // 4-clique {1..4} (each edge in 2 triangles), a lone triangle {5,6,7}
+    // (each edge in 1), and a bridge 4-5 (in none)
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pairs = (clique ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (4L, 5L)))
+      .toDF("src", "dst")
+    val r = graft.plans.GraphOps.kTruss(pairs, k = 4, rounds = 3).collect()
+      .map(x => (x.getAs[Long]("u"), x.getAs[Long]("v")) ->
+        x.getAs[Long]("support")).toMap
+    assert(r.keySet === clique.toSet)
+    assert(r.values.forall(_ === 2L))
+  }
 }

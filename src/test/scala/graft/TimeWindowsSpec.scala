@@ -478,6 +478,27 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r("flat") === ((3L, 0L, 0L, None)))
   }
 
+  test("sequentialPairs: strict first-before-last precedence, both-users base") {
+    def at(sec: Int) = new Timestamp(sec * 1000L)
+    val events = Seq(
+      // user 1 interleaves: view(1), click(2), view(3) → precedence both ways
+      (1L, at(1), 1L, "view", 0.0, ""), (2L, at(2), 1L, "click", 0.0, ""),
+      (3L, at(3), 1L, "view", 0.0, ""),
+      // user 2: only view — contributes to no pair
+      (4L, at(5), 2L, "view", 0.0, ""),
+      // user 3: purchase(7) then view(8) — one direction only
+      (5L, at(7), 3L, "purchase", 0.0, ""), (6L, at(8), 3L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.TimeWindows.sequentialPairs(events).collect()
+      .map(x => (x.getAs[String]("type_a"), x.getAs[String]("type_b")) ->
+        (x.getAs[Long]("n_users_both"), x.getAs[Long]("n_users_ab"),
+          x.getAs[Long]("direction_ppm"))).toMap
+    assert(r(("view", "click")) === ((1L, 1L, 1000000L)))
+    assert(r(("click", "view")) === ((1L, 1L, 1000000L)))
+    assert(r(("purchase", "view")) === ((1L, 1L, 1000000L)))
+    assert(r(("view", "purchase")) === ((1L, 0L, 0L)))
+  }
+
   test("weekdaySeasonality: ppm index is the cross-multiplied day-rate ratio") {
     // epoch day 0 (weekday 0) carries two events, day 1 (weekday 1) one;
     // type mean = 3 events / 2 days
