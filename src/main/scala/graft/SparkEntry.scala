@@ -850,6 +850,14 @@ object SparkEntry {
     // per user, via one min/max aggregate + a types²-bounded pair join
     "q213_sequential_pairs" -> ((s, dir) =>
       TimeWindows.sequentialPairs(Tables.events(s, dir))),
+    // TPC-H Q2 shape: cheapest-balance supplier per part — dedup +
+    // broadcast dim + per-part argmin window
+    "q215_cheapest_shipper" -> ((s, dir) =>
+      Relational.cheapestShipper(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // Gini concentration of part revenue: tie-invariant global index via
+    // the range-partitioned zipWithIndex, exact decimal ppm ratio
+    "q216_gini_revenue" -> ((s, dir) =>
+      Relational.giniRevenue(Tables.lineitem(s, dir))),
     // t-closeness: per-QI-class sensitive-distribution distance (exact
     // integer TVD), completing the k-anonymity / l-diversity trio
     "q149_t_closeness" -> ((s, dir) =>
@@ -3430,6 +3438,42 @@ object SparkEntry {
         |  CAST(sum(p * (2 * cum_n + n)) AS BIGINT) * 500000
         |    // (CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT)) AS auc_ppm
         |FROM cum""".stripMargin,
+    // same distinct pair collapse, same (bal_cents, suppkey) argmin order
+    "q215_cheapest_shipper" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM supplier),
+        |j AS (
+        |  SELECT l_partkey, s_suppkey, bal_cents,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY bal_cents, s_suppkey) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_shippers
+        |  FROM ps JOIN s ON l_suppkey = s_suppkey)
+        |SELECT l_partkey, s_suppkey, bal_cents, n_shippers
+        |FROM j WHERE rn = 1""".stripMargin,
+    // same revenue units, same ascending index (tie-invariant), same
+    // exact ppm Gini ratio
+    "q216_gini_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |idx AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+        |  FROM rev)
+        |SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(x) AS BIGINT) AS total_e4,
+        |  CAST(sum(i * x) AS BIGINT) AS weighted_sum,
+        |  CAST((CAST(2 AS HUGEINT) * CAST(sum(i * x) AS HUGEINT)
+        |      - (CAST(count(*) AS HUGEINT) + 1) * CAST(sum(x) AS HUGEINT))
+        |    * 1000000
+        |    // (CAST(count(*) AS HUGEINT) * CAST(sum(x) AS HUGEINT))
+        |    AS BIGINT) AS gini_ppm
+        |FROM idx""".stripMargin,
     // same per-(user, type) min/max collapse, same strict-< precedence
     "q213_sequential_pairs" ->
       """WITH ut AS (

@@ -1410,6 +1410,68 @@ object Relational {
         expr("auc_num2 * 500000 div (n_pos * n_neg)"))
   }
 
+  /** TPC-H Q2 shape (q215) — the argmin join: for every part, the
+    * cheapest-balance supplier who ever shipped it (this corpus has no
+    * partsupp/supplycost, so supplier account balance stands in for the
+    * cost column; the plan shape — dedup, dim join, per-key argmin — is
+    * Q2's exactly). Ties break (bal_cents, s_suppkey) ascending, the
+    * total-order convention.
+    *
+    * Scale shape: lineitem collapses to distinct (part, supplier) pairs
+    * first (map-combined — the fact table never carries duplicate pairs
+    * into the join), the supplier dim broadcasts, and the argmin is a
+    * window PARTITIONED BY part over per-part candidate lists bounded by
+    * the supplier fan-in. No global sort anywhere.
+    *
+    * @return (l_partkey, s_suppkey, bal_cents, n_shippers)
+    */
+  def cheapestShipper(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val ps = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val s = supplier.select(col("s_suppkey"),
+      expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_cents"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("bal_cents"), col("s_suppkey"))
+    ps.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_shippers",
+        count(lit(1)).over(Window.partitionBy("l_partkey")))
+      .where(col("rn") === 1)
+      .select(col("l_partkey"), col("s_suppkey"), col("bal_cents"),
+        col("n_shippers"))
+  }
+
+  /** Gini concentration of part revenue (q216) — how unequal is revenue
+    * across the catalog, the Lorenz-curve scalar every assortment review
+    * starts from: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over revenues
+    * ascending. Revenue is the q205 exact cent·percent unit; the global
+    * ascending index comes from the range-partitioned sort +
+    * zipWithIndex indexer (the q186 path — never an unpartitioned
+    * row_number), and because Gini is TIE-INVARIANT (equal x values
+    * contribute the same Σ i·x under any permutation of their index
+    * block) the indexer's arbitrary tie order is harmless. The final
+    * ratio runs in DECIMAL(38,0) — the ppm numerator overflows BIGINT
+    * exactly when n·Σx nears 2⁶³.
+    *
+    * @return 1 row: (n_parts, total_e4, weighted_sum, gini_ppm)
+    */
+  def giniRevenue(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .select(col("l_partkey"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev_e4")).as("x"))
+    val idx = graft.streaming.Replay.indexed(rev.select(col("x")), "x")
+      .select((col("__idx") + 1).as("i"), col("x"))
+    idx.agg(count(lit(1)).as("n_parts"), sum(col("x")).as("total_e4"),
+        sum(col("i") * col("x")).as("weighted_sum"))
+      .select(col("n_parts"), col("total_e4"), col("weighted_sum"),
+        expr("""CAST(CAST(2 * weighted_sum - (n_parts + 1) * total_e4 AS DECIMAL(38,0))
+               * 1000000 div CAST(n_parts * total_e4 AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("gini_ppm"))
+  }
+
   private def statCols: Seq[Column] = {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")

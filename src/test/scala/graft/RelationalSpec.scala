@@ -600,6 +600,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(r === Map(7 -> ((1L, 10000L)), 8 -> ((1L, 8000L))))
   }
 
+  test("cheapestShipper: per-part argmin with suppkey tiebreak") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 10L), // part 1: suppliers 10, 20 (dup line)
+      (2L, 30L), (2L, 40L))            // part 2: equal balances → tie
+      .toDF("l_partkey", "l_suppkey")
+    val s = Seq((10L, 50.0), (20L, 10.0), (30L, 7.5), (40L, 7.5))
+      .toDF("s_suppkey", "s_acctbal")
+    val r = Relational.cheapestShipper(li, s).collect()
+      .map(x => x.getAs[Long]("l_partkey") ->
+        (x.getAs[Long]("s_suppkey"), x.getAs[Long]("bal_cents"),
+          x.getAs[Long]("n_shippers"))).toMap
+    assert(r(1L) === ((20L, 1000L, 2L)))
+    assert(r(2L) === ((30L, 750L, 2L))) // tie broken by the lower suppkey
+  }
+
+  test("giniRevenue: zero for equal parts, hand value for a 1:3 split") {
+    val equal = Seq((1L, 2.0, 0.0), (2L, 2.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    assert(Relational.giniRevenue(equal).collect().head
+      .getAs[Long]("gini_ppm") === 0L)
+    val skewed = Seq((1L, 1.0, 0.0), (2L, 3.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val g = Relational.giniRevenue(skewed).collect().head
+    assert(g.getAs[Long]("total_e4") === 40000L)
+    assert(g.getAs[Long]("weighted_sum") === 70000L) // 1·10000 + 2·30000
+    assert(g.getAs[Long]("gini_ppm") === 250000L)    // (140000−120000)/80000
+  }
+
   test("aucRankSum: ties earn half credit, perfect separation scores 1") {
     // pos@10 beats neg@5 fully, ties neg@10 → (1 + 0.5) / 2 = 0.75
     val mixed = Seq((10L, true), (10L, false), (5L, false))
