@@ -975,12 +975,20 @@ object TimeWindows {
     *
     * @return (type_a, type_b, n_users_both, n_users_ab, direction_ppm)
     */
-  def sequentialPairs(events: DataFrame): DataFrame = {
-    val ut = events
+  def sequentialPairs(events: DataFrame): DataFrame =
+    sequentialPairsFromExtremes(events
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(expr("unix_micros(ts)")).as("first_us"),
         max(expr("unix_micros(ts)")).as("last_us"))
-      .transform(graft.barrier) // both sides of the per-user pair join
+      .transform(graft.barrier)) // both sides of the per-user pair join
+
+  /** The grading stage of [[sequentialPairs]], factored over the
+    * per-(user, type) timestamp extremes so the streaming twin
+    * (`RealTime.userTypeExtremes`, a complete-mode min/max aggregate
+    * whose state is |users|·|types| rows) closes through the identical
+    * report — the dailyCounts twin-seam pattern.
+    */
+  def sequentialPairsFromExtremes(ut: DataFrame): DataFrame = {
     val a = ut.select(col("user_id"), col("event_type").as("type_a"),
       col("first_us").as("fa"))
     val b = ut.select(col("user_id").as("uid_b"),

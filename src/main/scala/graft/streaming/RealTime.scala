@@ -190,6 +190,20 @@ object RealTime {
       .select(col("event_type"),
         expr("unix_micros(w.start) div 86400000000").as("day_num"), col("cnt"))
 
+  /** Streaming twin of the per-(user, type) timestamp-extremes stage of
+    * [[graft.operators.TimeWindows.sequentialPairs]] (q213): a
+    * complete-mode min/max aggregate — state is one 2-long row per
+    * (user, type) pair, bounded by |users|·|types| regardless of event
+    * volume, and min/max never retract so late data folds in exactly.
+    * `TimeWindows.sequentialPairsFromExtremes` closes the precedence
+    * report over the maintained table (spec-asserted equal to batch on
+    * a closed input).
+    */
+  def userTypeExtremes(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(expr("unix_micros(ts)")).as("first_us"),
+        max(expr("unix_micros(ts)")).as("last_us"))
+
   /** Streaming twin of the daily-actives stage of
     * [[graft.operators.TimeWindows.userReach]] (q112): per-day distinct
     * active users as a watermarked dedup on (user, epoch-day) chained

@@ -801,6 +801,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(("view", 1L)) === ((1L, 1L, 750000L)))  // (1/1)/(4/3)
   }
 
+  test("streamed user-type extremes close through sequentialPairsFromExtremes") {
+    def at(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val closed = Seq(
+      SessEv(1L, at(1), 1L, "view"), SessEv(2L, at(2), 1L, "click"),
+      SessEv(3L, at(3), 1L, "view"),
+      SessEv(4L, at(7), 3L, "purchase"), SessEv(5L, at(8), 3L, "view"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.userTypeExtremes(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("seq_extremes")
+      .start()
+    // split across micro-batches: min/max must fold the second batch in
+    input.addData(closed.take(2): _*)
+    q.processAllAvailable()
+    input.addData(closed.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getAs[String]("type_a"), x.getAs[String]("type_b")) ->
+        (x.getAs[Long]("n_users_both"), x.getAs[Long]("n_users_ab"),
+          x.getAs[Long]("direction_ppm"))).toMap
+    val streamed = key(graft.operators.TimeWindows.sequentialPairsFromExtremes(
+      spark.table("seq_extremes")))
+    val batch = key(graft.operators.TimeWindows.sequentialPairs(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    // user 1's interleaving spans the batch split: view(1),click(2) | view(3)
+    assert(streamed(("click", "view")) === ((1L, 1L, 1000000L)))
+  }
+
   test("streaming checksum equals the batch table checksum on a closed input") {
     val rows = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]), (4L, "z"))
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
