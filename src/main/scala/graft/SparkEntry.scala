@@ -108,6 +108,14 @@ object SparkEntry {
       Reco.itemNeighborsFromPairs(cfDeduped(spark, dir), cfPairs(spark, dir)).cache()
     }
 
+  /** The full-corpus itemKNN predictions, memoized so q108 and q218's
+    * coverage audit pay the scoring join once per session.
+    */
+  private def cfPreds(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_preds") {
+      Reco.cfPredictionsFrom(cfDeduped(spark, dir), cfNeighbors(spark, dir)).cache()
+    }
+
   /** The offline-eval holdout stages, memoized so q201 (hit rate) and
     * q212 (MRR) pay the retrained pair fan-out once per session: the
     * md5 split is barriered, the ranked top-k prediction table is
@@ -828,6 +836,14 @@ object SparkEntry {
     // the compressibility quality signal
     "q211_char_entropy" -> ((s, dir) =>
       graft.functions.TextAnalysis.charEntropy(Tables.documents(s, dir))),
+    // class-based TF-IDF: each source's 5 most distinctive tokens by
+    // tf x integer-log2 source-idf — the cluster-profile report
+    "q217_source_keywords" -> ((s, dir) =>
+      Corpus.sourceKeywords(Tables.documents(s, dir))),
+    // BPE pieces per word and chars per piece, per language — the
+    // tokenizer-fertility accounting over the q53 decomposition
+    "q219_token_fertility" -> ((s, dir) =>
+      graft.functions.TextAnalysis.tokenFertility(Tables.documents(s, dir))),
     // unigram LM surprisal per document: integer-log2 bits/token — the
     // model-based quality filter beside q34's heuristics
     "q207_lm_surprisal" -> ((s, dir) =>
@@ -909,8 +925,11 @@ object SparkEntry {
     "q107_item_cf" -> ((s, dir) => cfNeighbors(s, dir)),
     // itemKNN inference: top-3 predicted-rating recs per user via
     // micro-unit-integer weighted neighbor scores
-    "q108_cf_predict" -> ((s, dir) =>
-      Reco.cfPredictionsFrom(cfDeduped(s, dir), cfNeighbors(s, dir))),
+    "q108_cf_predict" -> ((s, dir) => cfPreds(s, dir)),
+    // coverage + popularity-lift audit over the SAME memoized top-3
+    // predictions — the beyond-accuracy report beside q201/q212
+    "q218_rec_coverage" -> ((s, dir) =>
+      Reco.recCoverage(cfDeduped(s, dir), cfPreds(s, dir))),
     // 256-bucket histogram p50/p90/p99 per source, graded against the
     // exact order statistic (integer-only sketch-vs-truth report)
     "q109_hist_quantiles" -> ((s, dir) =>
@@ -3381,6 +3400,86 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 >= 11323)
         |GROUP BY 1""".stripMargin,
+    // same (source, token) counts, same integer-log2 source-idf weight,
+    // same (score DESC, tok) top-5 per source
+    "q217_source_keywords" ->
+      """WITH tf AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT source,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM tf),
+        |sc AS (
+        |  SELECT tf.source, tf.tok, tf.tf, df.df,
+        |    tf.tf * CAST(len(bin(n_sources // df.df)) AS BIGINT) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN s)
+        |SELECT source, tok, tf, df, score, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, tok) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin,
+    // same popularity counts, same 1-row coverage + cross-multiplied lift
+    "q218_rec_coverage" ->
+      s"""WITH $itemCfCtes,
+        |nb AS (
+        |  SELECT item, neighbor, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |sc AS (
+        |  SELECT r.userId, nb.item,
+        |    CAST(sum(nb.w * r.rv) AS BIGINT) AS num, CAST(sum(nb.w) AS BIGINT) AS den
+        |  FROM r JOIN nb ON r.productId = nb.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nb.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand),
+        |topk AS (
+        |  SELECT userId, item FROM (
+        |    SELECT userId, item,
+        |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |    FROM predt) WHERE rn <= 3),
+        |pop AS (
+        |  SELECT productId, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+        |cat AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS catalog_size,
+        |    CAST(sum(cnt) AS BIGINT) AS n_ratings FROM pop),
+        |ag AS (
+        |  SELECT CAST(count(DISTINCT userId) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_recs,
+        |    CAST(count(DISTINCT t.item) AS BIGINT) AS n_distinct_items,
+        |    CAST(sum(pop.cnt) AS BIGINT) AS rec_pop_sum
+        |  FROM topk t JOIN pop ON t.item = pop.productId)
+        |SELECT n_users, n_recs, n_distinct_items, catalog_size, n_ratings,
+        |  n_distinct_items * 1000000 // catalog_size AS coverage_ppm,
+        |  rec_pop_sum * catalog_size * 1000000 // (n_recs * n_ratings)
+        |    AS pop_lift_ppm
+        |FROM ag CROSS JOIN cat""".stripMargin,
+    // same word/digit/other decomposition as q53, same per-language sums
+    // and milli floors
+    "q219_token_fertility" ->
+      """WITH base AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS nw,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |        regexp_extract_all(text, '[A-Za-z]+'), w -> (length(w) + 3) // 4)), 0)
+        |      + len(regexp_extract_all(text, '[0-9]'))
+        |      + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS nb
+        |  FROM documents),
+        |ag AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(nw) AS BIGINT) AS total_words,
+        |    CAST(sum(nb) AS BIGINT) AS total_bpe
+        |  FROM base GROUP BY 1)
+        |SELECT lang, n_docs, total_chars, total_words, total_bpe,
+        |  total_bpe * 1000 // total_words AS fertility_milli,
+        |  total_chars * 1000 // total_bpe AS chars_per_token_milli
+        |FROM ag WHERE total_words > 0 AND total_bpe > 0""".stripMargin,
     // same char split, same floor-log2 entropy numerator, same milli floor
     "q211_char_entropy" ->
       """WITH cc AS (

@@ -483,4 +483,40 @@ object TextAnalysis {
         expr("""(n_chars_counted * (length(conv(n_chars_counted, 10, 2)) - 1)
                 - sum_c_log) * 1000 div n_chars_counted"""))
   }
+
+  /** Tokenizer fertility per language (q219) — the multilingual-mix
+    * accounting every tokenizer choice is judged on: BPE-ish pieces per
+    * whitespace word (fertility) and characters per piece, aggregated
+    * per language from the same word/digit/other decomposition as the
+    * per-document estimator ([[bpeTokenCounts]], q53). High fertility
+    * means the tokenizer fragments that language's words — the signal
+    * that drives vocabulary rebalancing. Exact BIGINT sums, two milli
+    * floor divisions per language row.
+    *
+    * Scale shape: pure map-side expressions into a ≤ |langs|-row
+    * aggregate; nothing shuffles but the per-language partials.
+    *
+    * @return (lang, n_docs, total_chars, total_words, total_bpe,
+    *         fertility_milli, chars_per_token_milli)
+    */
+  def tokenFertility(documents: DataFrame): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))
+    val nDigits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+    val nOther = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val bpePieces = aggregate(
+      transform(words, w => floor((length(w) + lit(3)) / lit(4)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    documents
+      .select(col("lang"), col("n_chars"),
+        size(words).cast("long").as("nw"),
+        (bpePieces + nDigits.cast("long") + nOther.cast("long")).as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("nw")).as("total_words"), sum(col("nb")).as("total_bpe"))
+      .where(col("total_words") > 0L && col("total_bpe") > 0L)
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("total_words"), col("total_bpe"),
+        expr("total_bpe * 1000 div total_words").as("fertility_milli"),
+        expr("total_chars * 1000 div total_bpe").as("chars_per_token_milli"))
+  }
 }

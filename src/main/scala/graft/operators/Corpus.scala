@@ -1011,4 +1011,40 @@ object Corpus {
       .withColumn("bits_per_token_milli",
         expr("surprisal_bits * 1000 div n_tokens"))
   }
+
+  /** Distinctive keywords per source (q217) — class-based TF-IDF (the
+    * BERTopic "what words characterize this cluster" report, with
+    * sources as the clusters): per (source, token) frequency weighted
+    * by the integer-log2 source-idf ⌊log2(S div df)⌋+1, top-k per
+    * source by (score DESC, token). Ubiquitous tokens (df = S) weight
+    * 1, source-exclusive tokens weight most — exact BIGINT scores, the
+    * q197 idf idiom turned from a search ranker into a profile report.
+    *
+    * Scale shape: one token explode into a map-combined (source,
+    * token) count (the wide shuffle), source-df aggregated FROM those
+    * counts, the source count is a broadcast 1-row aggregate, and the
+    * top-k runs per-source windows over each source's vocabulary.
+    *
+    * @return (source, tok, tf, df, score, rank), k rows per source
+    */
+  def sourceKeywords(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("source"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.barrier) // read by df, S, and the scoring pass
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val s = tf.agg(countDistinct(col("source")).as("n_sources"))
+    val w = Window.partitionBy("source").orderBy(desc("score"), asc("tok"))
+    tf.join(df_, "tok")
+      .crossJoin(broadcast(s))
+      .withColumn("score",
+        col("tf") * length(conv(expr("n_sources div df"), 10, 2)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("source"), col("tok"), col("tf"), col("df"), col("score"),
+        col("rank"))
+  }
 }

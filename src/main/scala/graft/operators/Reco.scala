@@ -621,6 +621,40 @@ object Reco {
     preds.withColumn("rn", row_number().over(w).cast("long"))
   }
 
+  /** Beyond-accuracy recommendation audit (q218) — the two numbers that
+    * catch a recommender gaming its accuracy metric: CATALOG COVERAGE
+    * (how much of the catalog ever gets recommended — low coverage means
+    * a popularity echo chamber) and POPULARITY LIFT (mean rating-count
+    * of recommended items vs the catalog mean, as a cross-multiplied
+    * exact ppm ratio — how biased toward already-popular items the
+    * top-k lists are). Both from one aggregate over the prediction
+    * table joined to per-item popularity.
+    *
+    * Scale shape: popularity is a map-combined per-item count;
+    * predictions join it item-keyed; the report is a 1-row aggregate
+    * cross-joined with the 1-row catalog totals.
+    *
+    * @param preds [[cfPredictionsFrom]] output (userId, item, ...)
+    * @return 1 row: (n_users, n_recs, n_distinct_items, catalog_size,
+    *         n_ratings, coverage_ppm, pop_lift_ppm)
+    */
+  def recCoverage(deduped: DataFrame, preds: DataFrame): DataFrame = {
+    val pop = deduped.groupBy(col("productId")).agg(count(lit(1)).as("cnt"))
+    val catalog = pop.agg(count(lit(1)).as("catalog_size"),
+      sum(col("cnt")).as("n_ratings"))
+    val ag = preds.join(pop, preds("item") === pop("productId"))
+      .agg(count_distinct(col("userId")).as("n_users"),
+        count(lit(1)).as("n_recs"),
+        count_distinct(col("item")).as("n_distinct_items"),
+        sum(col("cnt")).as("rec_pop_sum"))
+    ag.crossJoin(broadcast(catalog))
+      .select(col("n_users"), col("n_recs"), col("n_distinct_items"),
+        col("catalog_size"), col("n_ratings"),
+        expr("n_distinct_items * 1000000 div catalog_size").as("coverage_ppm"),
+        expr("rec_pop_sum * catalog_size * 1000000 div (n_recs * n_ratings)")
+          .as("pop_lift_ppm"))
+  }
+
   /** Hit-rate@k from the shared holdout stages (q201's metric). */
   def hitRateFromRanked(split: DataFrame, ranked: DataFrame,
       k: Int = 5): DataFrame = {

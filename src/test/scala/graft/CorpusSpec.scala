@@ -479,4 +479,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(r(1L) === ((3L, 5L, 1666L))) // 2·1 + 1·3 bits over 3 tokens
     assert(r(2L) === ((2L, 4L, 2000L))) // 1 + 3 bits over 2 tokens
   }
+
+  test("sourceKeywords: source-exclusive tokens outweigh shared ones") {
+    val docs = Seq((1L, "apple apple common", "A"), (2L, "banana common", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.sourceKeywords(docs, k = 2).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("tok")) ->
+        (x.getAs[Long]("score"), x.getAs[Long]("rank"))).toMap
+    // S=2: exclusive tokens weight len(bin(2))=2, shared weight len(bin(1))=1
+    assert(r(("A", "apple")) === ((4L, 1L)))  // tf 2 · 2
+    assert(r(("A", "common")) === ((1L, 2L)))
+    assert(r(("B", "banana")) === ((2L, 1L)))
+    assert(r(("B", "common")) === ((1L, 2L)))
+  }
 }

@@ -327,6 +327,20 @@ class RecoSpec extends AnyFunSuite {
     assert(leak.getAs[Long]("n_test") > nTest)
   }
 
+  test("recCoverage: coverage counts distinct items, lift vs catalog mean") {
+    // catalog {1,2,3} with counts 2,1,1; recs hit items 1 and 2
+    val deduped = Seq((1L, 1L, 5L), (2L, 1L, 4L), (1L, 2L, 3L), (2L, 3L, 2L))
+      .toDF("userId", "productId", "rv")
+    val preds = Seq((9L, 1L), (9L, 2L)).toDF("userId", "item")
+    val m = Reco.recCoverage(deduped, preds).collect().head
+    assert(m.getAs[Long]("catalog_size") === 3L)
+    assert(m.getAs[Long]("n_ratings") === 4L)
+    assert(m.getAs[Long]("n_distinct_items") === 2L)
+    assert(m.getAs[Long]("coverage_ppm") === 666666L)
+    // rec pop sum 2+1=3 over 2 recs vs catalog mean 4/3 → 9/8
+    assert(m.getAs[Long]("pop_lift_ppm") === 1125000L)
+  }
+
   test("mrrFromRanked: best-rank reciprocals in micro units, misses score 0") {
     // user 1 hits at rank 2 (500000), user 2 misses, user 3 at rank 1
     val split = Seq(

@@ -160,6 +160,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r("news") === ((3L, 3L, 0L, 0.0, 1.0)))
   }
 
+  test("tokenFertility: BPE pieces per word and chars per piece, by language") {
+    val docs = Seq(
+      (1L, "abcd ef", "en", 7L),        // 2 words → 1+1 pieces
+      (2L, "abcdefgh x9", "de", 11L))   // words [abcdefgh, x]: 2+1 pieces +1 digit
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val r = TextAnalysis.tokenFertility(docs).collect()
+      .map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("total_words"), x.getAs[Long]("total_bpe"),
+          x.getAs[Long]("fertility_milli"),
+          x.getAs[Long]("chars_per_token_milli"))).toMap
+    assert(r("en") === ((2L, 2L, 1000L, 3500L)))
+    assert(r("de") === ((2L, 4L, 2000L, 2750L)))
+  }
+
   test("charEntropy: floor-log2 proxy matches hand numbers, zero for runs") {
     val docs = Seq((1L, "aaab"), (2L, "aaaa")).toDF("doc_id", "text")
     val r = TextAnalysis.charEntropy(docs).collect()
