@@ -424,6 +424,40 @@ class PlanSpec extends AnyFunSuite {
       s"q189 has an unpartitioned cross join:\n$cp")
   }
 
+  test("q204-q219 batch: scalars broadcast, windows partition, no cartesians") {
+    // Q13: keyed left join + two aggregates — no broadcast-nested-loop,
+    // no cartesian anywhere
+    val cd = planString(SparkEntry.queries("q204_custdist")(spark, TestSpark.sf))
+    assert(!cd.contains("CartesianProduct") && !cd.contains("BroadcastNestedLoopJoin"),
+      s"q204 must stay keyed:\n$cd")
+    // Q11/Q22: the 1-row threshold scalars must broadcast over the scan
+    for (q <- Seq("q205_part_revenue_share", "q206_idle_rich")) {
+      val p = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q threshold scalar failed to broadcast:\n$p")
+    }
+    // Q2 argmin + c-TF-IDF top-k: the ranking window must be preceded by
+    // a per-key hash partition (the 1-row scalar aggregates legitimately
+    // collapse to SinglePartition elsewhere in these plans)
+    for ((q, key) <- Seq("q215_cheapest_shipper" -> "l_partkey",
+        "q217_source_keywords" -> "source")) {
+      val p = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(p.contains("Window ") && p.contains(s"Exchange hashpartitioning($key"),
+        s"$q ranking window lost its per-$key partitioning:\n$p")
+    }
+    // AUC: the only window input is the per-score histogram — the plan
+    // must aggregate BEFORE any sort (Window over the aggregate)
+    val auc = planString(SparkEntry.queries("q208_auc_popularity")(spark, TestSpark.sf))
+    assert(auc.indexOf("HashAggregate") >= 0 &&
+      auc.contains("Window"), s"q208 shape changed:\n$auc")
+    // LM surprisal: the scoring join is token-keyed (no cartesian), and
+    // the 1-row total broadcasts
+    val lm = planString(SparkEntry.queries("q207_lm_surprisal")(spark, TestSpark.sf))
+    assert(!lm.contains("CartesianProduct"), s"q207 has a cartesian:\n$lm")
+    assert(lm.contains("BroadcastNestedLoopJoin") || lm.contains("BroadcastHashJoin"),
+      s"q207 total failed to broadcast:\n$lm")
+  }
+
   test("q164/q166 windows are calendar-bounded; q165 broadcasts the model") {
     // churn hazard: corpus-wide work is one per-user aggregate; the
     // ordered scan runs over the |days| death table
