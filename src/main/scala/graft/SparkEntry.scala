@@ -840,6 +840,10 @@ object SparkEntry {
     // tf x integer-log2 source-idf — the cluster-profile report
     "q217_source_keywords" -> ((s, dir) =>
       Corpus.sourceKeywords(Tables.documents(s, dir))),
+    // top principal direction by 3-round integer power iteration over
+    // the milli-grid second-moment matrix, with the Rayleigh quotient
+    "q220_pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(Tables.embeddings(s, dir))),
     // BPE pieces per word and chars per piece, per language — the
     // tokenizer-fertility accounting over the q53 decomposition
     "q219_token_fertility" -> ((s, dir) =>
@@ -3400,6 +3404,37 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 >= 11323)
         |GROUP BY 1""".stripMargin,
+    // same milli grid, same unrolled 3 iterations with truncating
+    // renormalization (DuckDB // floors negatives — spelled as
+    // sign·(|w|·1000 // max) to match Spark's truncating div)
+    "q220_pca_power" -> {
+      def iter(i: Int): String =
+        s"""w$i AS MATERIALIZED (
+           |  SELECT m.i AS d, CAST(sum(m.mij * v${i - 1}.vi) AS BIGINT) AS wi
+           |  FROM m JOIN v${i - 1} ON m.j = v${i - 1}.d GROUP BY 1),
+           |v$i AS MATERIALIZED (
+           |  SELECT d, CAST(CASE WHEN wi < 0 THEN -((-wi) * 1000 // mx)
+           |    ELSE wi * 1000 // mx END AS BIGINT) AS vi
+           |  FROM w$i CROSS JOIN (SELECT max(abs(wi)) AS mx FROM w$i))""".stripMargin
+      s"""WITH x AS (
+        |  SELECT vec_id, t.i AS i,
+        |    CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS xi
+        |  FROM embeddings, range(64) t(i)),
+        |m AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS mij
+        |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT i AS d, CAST(1000 AS BIGINT) AS vi FROM m),
+        |${iter(1)},
+        |${iter(2)},
+        |${iter(3)},
+        |num AS (
+        |  SELECT CAST(sum(CAST(a.vi AS HUGEINT) * m.mij * b.vi) AS HUGEINT) AS num
+        |  FROM m JOIN v3 b ON m.j = b.d JOIN v3 a ON m.i = a.d),
+        |den AS (SELECT CAST(sum(vi * vi) AS BIGINT) AS den FROM v3)
+        |SELECT d AS dim, vi AS component_milli,
+        |  CAST(num * 1000 // CAST(den AS HUGEINT) AS BIGINT) AS lambda_milli
+        |FROM v3 CROSS JOIN num CROSS JOIN den""".stripMargin
+    },
     // same (source, token) counts, same integer-log2 source-idf weight,
     // same (score DESC, tok) top-5 per source
     "q217_source_keywords" ->

@@ -539,4 +539,61 @@ object Similarity {
       .withColumn("consistency_ppm",
         expr("n_same * 1000000 div n_neighbors"))
   }
+
+  /** Top principal direction by power iteration (q220) — the
+    * linear-algebra primitive under whitening, spectral hashing, and
+    * drift detection, run entirely in exact integer arithmetic so both
+    * engines agree bit-for-bit (the kmeansUpdateExact/ALS milli-grid
+    * posture): components quantize to the 10⁻³ grid, the uncentered
+    * second-moment matrix M = Σ x·xᵀ is a (dim², BIGINT) aggregate, and
+    * each iteration computes w = M·v then renormalizes to max|w| = 1000
+    * with TRUNCATING integer division (Spark's `div` truncates toward
+    * zero; the oracle spells the same semantics as sign·(|w|·1000 //
+    * max) because DuckDB's `//` floors negatives). The Rayleigh
+    * quotient ships as λ_milli from DECIMAL(38,0) numerators.
+    *
+    * Scale shape: the pair explode is |vectors|·dim² narrow rows into a
+    * map-combined dim²-row aggregate — the one wide stage; every
+    * iteration is arithmetic over the dim²-row matrix table joined to a
+    * dim-row vector (broadcast both ways). Barriers per iteration keep
+    * lineage flat, exactly like the LP/k-core loops.
+    *
+    * @return (dim, component_milli, lambda_milli) — dim rows, λ repeated
+    */
+  def pcaPower(embeddings: DataFrame, dims: Int = 64, iters: Int = 3): DataFrame = {
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000) AS BIGINT)").as("xi"))
+      .transform(graft.barrier) // both sides of the moment self-join
+    val xj = x.select(col("vec_id").as("vid2"), col("i").as("j"),
+      col("xi").as("xj"))
+    val m = x.join(xj, col("vec_id") === col("vid2"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("mij"))
+      .transform(graft.barrier) // read every iteration
+    var v = m.select(col("i")).distinct()
+      .select(col("i").as("vi_dim"), lit(1000L).as("vi"))
+      .transform(graft.barrier)
+    for (_ <- 1 to iters) {
+      val w = m.join(broadcast(v), col("j") === col("vi_dim"))
+        .groupBy(col("i"))
+        .agg(sum(col("mij") * col("vi")).as("wi"))
+      val mx = w.agg(max(abs(col("wi"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("vi_dim"),
+          expr("wi * 1000 div mx").as("vi"))
+        .transform(graft.barrier)
+    }
+    val lambda = m.join(broadcast(v), col("j") === col("vi_dim"))
+      .join(broadcast(v.select(col("vi_dim").as("d2"), col("vi").as("vi2"))),
+        col("i") === col("d2"))
+      .agg(sum((col("vi2") * col("mij")).cast("decimal(38,0)") * col("vi"))
+        .as("num"))
+      .crossJoin(v.agg(sum(col("vi") * col("vi")).as("den")))
+      .select(expr("CAST(num * 1000 div CAST(den AS DECIMAL(38,0)) AS BIGINT)")
+        .as("lambda_milli"))
+    v.select(col("vi_dim").as("dim"), col("vi").as("component_milli"))
+      .crossJoin(broadcast(lambda))
+  }
 }

@@ -190,6 +190,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(updated.agg(sum($"n_members")).as[Long].head() === emb.count())
   }
 
+  test("pcaPower: converges to the dominant axis with hand-checked integers") {
+    // M (milli²) = [[1e6, 0], [0, 1.8e7]] → iterates v: (1000,1000) →
+    // (55,1000) → (3,1000) → (0,1000); λ = 1.8e7·1000²/1000² in milli
+    val emb = Seq(
+      (0L, Array(0.0f, 3.0f), 0),
+      (1L, Array(0.0f, -3.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.pcaPower(emb, dims = 2).collect()
+      .map(x => x.getAs[Int]("dim") ->
+        (x.getAs[Long]("component_milli"), x.getAs[Long]("lambda_milli"))).toMap
+    assert(r(0) === ((0L, 18000000000L)))
+    assert(r(1) === ((1000L, 18000000000L)))
+  }
+
   test("mmrSelect: relevance first, then diversity penalizes the near-duplicate") {
     // query 0 = (1,0). 1=(1,0): rel 1. 2=(0,1): rel 0. 3=(3,4): rel 0.6.
     // round1: 1 (score 0.5). round2: all scores 0 (unit-circle maxsim to
