@@ -558,7 +558,15 @@ object TimeWindows {
     * @return (event_type, n_days, last_day, ewma)
     */
   def ewmaDailyVolume(events: DataFrame): DataFrame =
-    dailyCounts(events)
+    ewmaFromDaily(dailyCounts(events))
+
+  /** The grading stage of [[ewmaDailyVolume]], factored over the shared
+    * per-(type, day) counts so the streaming twin (`dailyCountsStream` →
+    * this) emits the identical smoothed baseline — the q103/q144/q161/
+    * q166/q195/q209 twin seam.
+    */
+  def ewmaFromDaily(daily: DataFrame): DataFrame =
+    daily
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("day_num"), col("cnt")))).as("days"))
       .select(col("event_type"),

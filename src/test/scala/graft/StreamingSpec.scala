@@ -801,6 +801,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(("view", 1L)) === ((1L, 1L, 750000L)))  // (1/1)/(4/3)
   }
 
+  test("streamed daily counts close through ewmaFromDaily to the batch baseline") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // counts 4, 2, 3 over days 0-2: s = 4 → 2+2 = 4 → 3+2 = 5
+    val perDay = Seq(4, 2, 3)
+    val closed = perDay.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => SessEv((d * 100 + i).toLong, t(d, i), 1L, "view")) }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_daily")
+      .option("checkpointLocation", tmp("ewma-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(9000L, t(40, 0), 9L, "view")) // close the watermark
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("last_day"),
+          r.getAs[Double]("ewma"))).toMap
+    val streamed = key(graft.operators.TimeWindows.ewmaFromDaily(
+      spark.table("ewma_daily").where($"day_num" < 40)))
+    val batch = key(graft.operators.TimeWindows.ewmaDailyVolume(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    assert(streamed("view") === ((3L, 2L, 5.0)))
+  }
+
   test("streamed user-type extremes close through sequentialPairsFromExtremes") {
     def at(sec: Int) = new java.sql.Timestamp(sec * 1000L)
     val closed = Seq(
