@@ -844,6 +844,10 @@ object SparkEntry {
     // the milli-grid second-moment matrix, with the Rayleigh quotient
     "q220_pca_power" -> ((s, dir) =>
       Similarity.pcaPower(Tables.embeddings(s, dir))),
+    // difference-in-differences across the cutover day, control arm
+    // netting out common shocks — exact micro-rate cells
+    "q221_diff_in_diff" -> ((s, dir) =>
+      Relational.diffInDiff(Tables.events(s, dir))),
     // BPE pieces per word and chars per piece, per language — the
     // tokenizer-fertility accounting over the q53 decomposition
     "q219_token_fertility" -> ((s, dir) =>
@@ -3404,6 +3408,37 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 >= 11323)
         |GROUP BY 1""".stripMargin,
+    // same q123 arm hash, same (user, day) units, same per-cell micro
+    // floors and integer DiD
+    "q221_diff_in_diff" ->
+      s"""WITH assigned AS (
+         |  SELECT user_id,
+         |    ${md5Prefix32Sql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+         |    event_type
+         |  FROM events),
+         |pu AS (
+         |  SELECT arm, CASE WHEN day_num >= 19738 THEN 1 ELSE 0 END AS post,
+         |    user_id, day_num,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |  FROM assigned GROUP BY 1, 2, 3, 4),
+         |cells AS (
+         |  SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(converted) AS BIGINT) AS c,
+         |    CAST(sum(converted) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+         |      AS rate_micro
+         |  FROM pu GROUP BY 1, 2)
+         |SELECT
+         |  cp.n AS n_c_pre, cp.c AS c_c_pre, cp.rate_micro AS rate_c_pre_micro,
+         |  co.n AS n_c_post, co.c AS c_c_post, co.rate_micro AS rate_c_post_micro,
+         |  tp.n AS n_t_pre, tp.c AS c_t_pre, tp.rate_micro AS rate_t_pre_micro,
+         |  tt.n AS n_t_post, tt.c AS c_t_post, tt.rate_micro AS rate_t_post_micro,
+         |  (tt.rate_micro - tp.rate_micro) - (co.rate_micro - cp.rate_micro)
+         |    AS did_micro
+         |FROM (SELECT * FROM cells WHERE arm = 0 AND post = 0) cp
+         |CROSS JOIN (SELECT * FROM cells WHERE arm = 0 AND post = 1) co
+         |CROSS JOIN (SELECT * FROM cells WHERE arm = 1 AND post = 0) tp
+         |CROSS JOIN (SELECT * FROM cells WHERE arm = 1 AND post = 1) tt""".stripMargin,
     // same milli grid, same unrolled 3 iterations with truncating
     // renormalization (DuckDB // floors negatives — spelled as
     // sign·(|w|·1000 // max) to match Spark's truncating div)

@@ -968,6 +968,53 @@ object Relational {
         .as("significant"))
   }
 
+  /** Difference-in-differences (q221) — the quasi-experimental estimate
+    * an A/B test (q123) cannot give you when assignment wasn't random
+    * over time: how much did the treatment arm's conversion rate move
+    * ACROSS a cutover day, net of the control arm's own movement
+    * (which absorbs seasonality and shocks common to both). Reuses the
+    * q123 md5 arm assignment so the two reports describe the same
+    * experiment; units are (user, day) with an any-conversion flag.
+    *
+    * Per-cell rates are exact micro-unit floors (c·10⁶ div n, each a
+    * single integer division), and the DiD estimate is the integer
+    * difference of those floors — floor-before-subtract is documented
+    * (the alternative, one rational with four denominators, grades
+    * identically only in DECIMAL; ±2 micro of floor error is far below
+    * any decision threshold at these counts).
+    *
+    * Scale shape: one map-combined (arm, period, user, day) dedup
+    * aggregate, one 4-row cell aggregate, then constant-size pivots.
+    *
+    * @return 1 row: per-cell (n, c, rate_micro) ×4 + did_micro
+    */
+  def diffInDiff(events: DataFrame, cutDay: Long = 19738L,
+      convType: String = "purchase"): DataFrame = {
+    val assigned = events.select(
+      (graft.functions.TextAnalysis.md5Prefix32(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2).as("arm"),
+      col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day_num"),
+      col("event_type"))
+    val perUnit = assigned
+      .withColumn("post", (col("day_num") >= cutDay).cast("int"))
+      .groupBy("arm", "post", "user_id", "day_num")
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("converted"))
+    val cells = perUnit.groupBy("arm", "post")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      .withColumn("rate_micro", expr("c * 1000000 div n"))
+    def cell(arm: Int, post: Int, suffix: String): DataFrame =
+      cells.where(col("arm") === arm && col("post") === post)
+        .select(col("n").as(s"n_$suffix"), col("c").as(s"c_$suffix"),
+          col("rate_micro").as(s"rate_${suffix}_micro"))
+    cell(0, 0, "c_pre").crossJoin(cell(0, 1, "c_post"))
+      .crossJoin(cell(1, 0, "t_pre")).crossJoin(cell(1, 1, "t_post"))
+      .withColumn("did_micro",
+        (col("rate_t_post_micro") - col("rate_t_pre_micro"))
+          - (col("rate_c_post_micro") - col("rate_c_pre_micro")))
+  }
+
   /** Robust outlier detection per event type via the Median Absolute
     * Deviation — the resistant complement to the z-score family (q99/q103):
     * one wild value moves a mean/stddev arbitrarily but moves a median

@@ -628,6 +628,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(g.getAs[Long]("gini_ppm") === 250000L)    // (140000−120000)/80000
   }
 
+  test("diffInDiff: treatment jump net of control drift, in exact micro") {
+    // resolve the md5 arms first so the fixture is deterministic
+    val arms = spark.range(1, 20).toDF("user_id")
+      .select(col("user_id"),
+        (graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("ab:"), col("user_id").cast("string"))) % 2).as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val uc = arms.collectFirst { case (u, 0L) => u }.get // control
+    val ut = arms.collectFirst { case (u, 1L) => u }.get // treatment
+    def at(day: Long) = new Timestamp(day * 86400000L)
+    val events = Seq(
+      (1L, at(19730), uc, "view", 0.0, ""),     // control pre: no conversion
+      (2L, at(19740), uc, "view", 0.0, ""),     // control post: no conversion
+      (3L, at(19730), ut, "view", 0.0, ""),     // treatment pre: no conversion
+      (4L, at(19740), ut, "purchase", 0.0, "")) // treatment post: converts
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Relational.diffInDiff(events).collect().head
+    assert(m.getAs[Long]("rate_t_post_micro") === 1000000L)
+    assert(m.getAs[Long]("rate_t_pre_micro") === 0L)
+    assert(m.getAs[Long]("rate_c_post_micro") === 0L)
+    assert(m.getAs[Long]("did_micro") === 1000000L)
+  }
+
   test("aucRankSum: ties earn half credit, perfect separation scores 1") {
     // pos@10 beats neg@5 fully, ties neg@10 → (1 + 0.5) / 2 = 0.75
     val mixed = Seq((10L, true), (10L, false), (5L, false))
