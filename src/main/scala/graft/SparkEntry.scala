@@ -848,6 +848,10 @@ object SparkEntry {
     // netting out common shocks — exact micro-rate cells
     "q221_diff_in_diff" -> ((s, dir) =>
       Relational.diffInDiff(Tables.events(s, dir))),
+    // per-shard source-distribution TVD vs the corpus — the
+    // shuffle-quality audit over the q79 shard hash
+    "q222_shard_balance" -> ((s, dir) =>
+      TrainingMix.shardBalance(Tables.documents(s, dir))),
     // BPE pieces per word and chars per piece, per language — the
     // tokenizer-fertility accounting over the q53 decomposition
     "q219_token_fertility" -> ((s, dir) =>
@@ -3408,6 +3412,31 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 >= 11323)
         |GROUP BY 1""".stripMargin,
+    // same q79 shard hash, same closed-form absent-source mass, same
+    // ppm floor of the exact TVD
+    "q222_shard_balance" ->
+      s"""WITH sc AS (
+         |  SELECT ${md5Prefix32Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 16
+         |      AS shard,
+         |    source, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ctot FROM sc GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ctot) AS BIGINT) AS n_total FROM st),
+         |sh AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_sh FROM sc GROUP BY 1),
+         |ag AS (
+         |  SELECT sc.shard,
+         |    CAST(sum(abs(sc.c * n_total - st.ctot * sh.n_sh)) AS BIGINT) AS sum_abs,
+         |    CAST(sum(st.ctot) AS BIGINT) AS c_present,
+         |    CAST(max(sh.n_sh) AS BIGINT) AS n_docs,
+         |    CAST(max(n_total) AS BIGINT) AS nt
+         |  FROM sc JOIN st ON sc.source = st.source
+         |  JOIN sh ON sc.shard = sh.shard CROSS JOIN tt
+         |  GROUP BY 1)
+         |SELECT shard, n_docs,
+         |  sum_abs + (nt - c_present) * n_docs AS tvd_num,
+         |  (sum_abs + (nt - c_present) * n_docs) * 1000000
+         |    // (2 * n_docs * nt) AS tvd_ppm
+         |FROM ag""".stripMargin,
     // same q123 arm hash, same (user, day) units, same per-cell micro
     // floors and integer DiD
     "q221_diff_in_diff" ->

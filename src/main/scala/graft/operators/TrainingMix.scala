@@ -410,4 +410,44 @@ object TrainingMix {
       .select(col("lang"), col("fold"), col("n_docs"), col("n_stratum"),
         col("dev_ppm"))
   }
+
+  /** Shard shuffle-quality audit (q222) — is every training shard a
+    * faithful miniature of the corpus? Per shard, the exact total-
+    * variation distance between the shard's source distribution and the
+    * corpus's (the q149 t-closeness integer posture applied to the q79
+    * shard hash): tvd_num = Σ_sources |c·N − C·n_sh| with the ABSENT
+    * sources' mass added in closed form ((N − ΣC_present)·n_sh — a
+    * missing source contributes its full corpus share), and the graded
+    * ratio one ppm floor of tvd_num / (2·n_sh·N). A bad shuffle (shards
+    * correlated with source) shows up as outlier TVD rows.
+    *
+    * Scale shape: one map-combined (shard, source) count, source totals
+    * aggregated FROM it and broadcast back, a per-shard window over
+    * ≤ |shards|·|sources| rows, one final shard aggregate.
+    *
+    * @return (shard, n_docs, tvd_num, tvd_ppm)
+    */
+  def shardBalance(documents: DataFrame, nShards: Int = 16): DataFrame = {
+    val shard = pmod(graft.functions.TextAnalysis.md5Prefix32(
+      concat(lit("shard:"), col("doc_id").cast("string"))), lit(nShards.toLong))
+    val sc = documents.groupBy(shard.as("shard"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.barrier) // source totals + the scoring pass
+    val srcTot = sc.groupBy(col("source")).agg(sum(col("c")).as("ctot"))
+    val tot = srcTot.agg(sum(col("ctot")).as("n_total"))
+    val w = Window.partitionBy("shard")
+    sc.join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_sh", sum(col("c")).over(w))
+      .groupBy(col("shard"))
+      .agg(max(col("n_sh")).as("n_docs"), max(col("n_total")).as("nt"),
+        sum(abs(col("c") * col("n_total") - col("ctot") * col("n_sh")))
+          .as("sum_abs"),
+        sum(col("ctot")).as("c_present"))
+      .select(col("shard"), col("n_docs"),
+        (col("sum_abs") + (col("nt") - col("c_present")) * col("n_docs"))
+          .as("tvd_num"), col("nt"))
+      .select(col("shard"), col("n_docs"), col("tvd_num"),
+        expr("tvd_num * 1000000 div (2 * n_docs * nt)").as("tvd_ppm"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, concat, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TrainingMix
@@ -286,5 +287,28 @@ class TrainingMixSpec extends AnyFunSuite {
     // deterministic: the same ids land in the same folds on a re-run
     val again = TrainingMix.kfoldAssignment(docs).collect().toSet
     assert(again === rows.toSet)
+  }
+
+  test("shardBalance: one shard is a perfect miniature; disjoint shards hit TVD 1/2") {
+    val docs = Seq((1L, "A", 10L), (2L, "B", 10L), (3L, "A", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    // nShards = 1: the single shard IS the corpus → TVD exactly 0
+    val one = TrainingMix.shardBalance(docs, nShards = 1).collect()
+    assert(one.length === 1 && one.head.getAs[Long]("tvd_num") === 0L)
+    // resolve the md5 shard of candidate ids, then give shard 0 only
+    // source A and shard 1 only source B → each shard's TVD is 1/2
+    val assign = spark.range(1, 60).toDF("doc_id")
+      .select(col("doc_id"), pmod(graft.functions.TextAnalysis.md5Prefix32(
+        concat(lit("shard:"), col("doc_id").cast("string"))), lit(2L)).as("sh"))
+      .as[(Long, Long)].collect()
+    val d0 = assign.collectFirst { case (d, 0L) => d }.get
+    val d1 = assign.collectFirst { case (d, 1L) => d }.get
+    val split = Seq((d0, "A", 10L), (d1, "B", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = TrainingMix.shardBalance(split, nShards = 2).collect()
+      .map(x => x.getAs[Long]("shard") ->
+        (x.getAs[Long]("tvd_num"), x.getAs[Long]("tvd_ppm"))).toMap
+    assert(r(0L) === ((2L, 500000L))) // (1,0) vs (1/2,1/2)
+    assert(r(1L) === ((2L, 500000L)))
   }
 }
