@@ -1135,6 +1135,10 @@ object SparkEntry {
     // near-dup signature beside MinHash/SimHash
     "q210_image_dhash" -> ((s, dir) =>
       Multimodal.imageDhash(Multimodal.synthesizePpm(Tables.documents(s, dir)))),
+    // frame-level ZCR + energy over the REAL PCM bytes — the first DSP
+    // features, one row per 16-sample frame
+    "q223_wav_zcr" -> ((s, dir) =>
+      Multimodal.wavZcr(Multimodal.synthesizeWav(Tables.documents(s, dir)))),
     // REAL audio featurization: amplitude histogram over the decoded PCM
     // sample bytes (one row per doc × bin, map-side only)
     "q92_wav_features" -> ((s, dir) =>
@@ -2269,6 +2273,23 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, w * h), i -> b[i * 3 + 3])) AS BIGINT) AS b_sum,
         |  CAST(list_sum(b) AS DOUBLE) / (w * h * 3) AS mean_luma
         |FROM px""".stripMargin,
+    // same 16-sample frames, crossings and energy re-derived from the
+    // q84 synthesis formula (the byte parse is spec-pinned)
+    "q223_wav_zcr" ->
+      """WITH d AS (SELECT doc_id, 32 + doc_id % 33 AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, t.i AS frame_idx, t.i * 16 AS st,
+        |    least(16, n - t.i * 16) AS flen
+        |  FROM d, range(4) t(i) WHERE t.i * 16 < n)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(flen AS BIGINT) AS n_in_frame,
+        |  CAST(coalesce(list_sum(list_transform(range(0, flen - 1), k ->
+        |    CASE WHEN ((doc_id*31 + (st+k)*7) % 256 >= 128)
+        |      <> ((doc_id*31 + (st+k+1)*7) % 256 >= 128)
+        |    THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+        |  CAST(list_sum(list_transform(range(0, flen), k ->
+        |    abs((doc_id*31 + (st+k)*7) % 256 - 128))) AS BIGINT) AS energy
+        |FROM f""".stripMargin,
     // same 4x4 nearest-neighbor grid and gradient bits, pixels re-derived
     // from the q87 synthesis formula (the byte parse is spec-pinned)
     "q210_image_dhash" ->

@@ -540,6 +540,61 @@ object Multimodal {
       when(col("valid_magic") === 1, topRowSum).otherwise(0L).as("top_row_sum"))
   }
 
+  /** Frame-level zero-crossing rate + energy (q223) over REAL PCM bytes —
+    * the first DSP features any audio pipeline computes (ZCR separates
+    * voiced/unvoiced/noise; energy gates silence), emitted one row per
+    * 16-sample frame so downstream windows see a time axis. 8-bit PCM
+    * centers at 128: a crossing is a sign flip of (s − 128) between
+    * consecutive samples WITHIN the frame; energy is Σ|s − 128|. The
+    * q84 header machinery validates the RIFF/data layout; byte probes
+    * are pure substr/hex/conv expressions (≤ 31 per frame row).
+    *
+    * Scale shape: explode to ≤ ⌈n/16⌉ frame rows per clip, everything
+    * else map-side — no shuffle at any corpus size.
+    *
+    * @return (doc_id, frame_idx, n_in_frame, zero_crossings, energy)
+    */
+  def wavZcr(media: DataFrame, frame: Int = 16): DataFrame = {
+    val p = col("payload")
+    def byteAt(pos: Column): Column =
+      conv(hex(p.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    def leUint(pos: Int, nBytes: Int): Column =
+      (0 until nBytes).map(k => byteAt(lit(pos + k)) * lit(1L << (8 * k))).reduce(_ + _)
+    val dataSize = leUint(41, 4)
+    val valid =
+      when(length(p) >= 45 &&
+        p.substr(lit(1), lit(4)).cast("string") === "RIFF" &&
+        p.substr(lit(9), lit(4)).cast("string") === "WAVE" &&
+        p.substr(lit(37), lit(4)).cast("string") === "data" &&
+        dataSize <= length(p) - 44 && dataSize > 0, 1L).otherwise(0L)
+    val parsed = media.select(col("doc_id"), p,
+        when(valid === 1, dataSize).otherwise(0L).as("data_size"))
+      .where(col("data_size") > 0)
+      .withColumn("n_frames",
+        expr(s"(data_size + ${frame - 1}) div $frame"))
+    def sgn(k: Column): Column = byteAt(lit(45L) + k) >= 128L
+    parsed
+      .select(col("doc_id"), p, col("data_size"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("start", col("frame_idx") * frame)
+      .withColumn("n_in_frame",
+        least(lit(frame.toLong), col("data_size") - col("start")))
+      .withColumn("zero_crossings",
+        when(col("n_in_frame") >= 2,
+          aggregate(
+            transform(sequence(lit(0L), col("n_in_frame") - 2), k =>
+              when(sgn(col("start") + k) =!= sgn(col("start") + k + 1), 1L)
+                .otherwise(0L)),
+            lit(0L), (a, v) => a + v)).otherwise(0L))
+      .withColumn("energy",
+        aggregate(
+          transform(sequence(lit(0L), col("n_in_frame") - 1), k =>
+            abs(byteAt(lit(45L) + col("start") + k) - 128L)),
+          lit(0L), (a, v) => a + v))
+      .select(col("doc_id"), col("frame_idx"), col("n_in_frame"),
+        col("zero_crossings"), col("energy"))
+  }
+
   /** Perceptual difference-hash (dHash, q210) over REAL P6 bytes — the
     * image-side near-duplicate signature completing the dedup bridge:
     * text gets MinHash/SimHash, images get a gradient hash. The

@@ -317,6 +317,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nonAscii === 0L)
   }
 
+  test("wavZcr: frame crossings and energy from a hand-built alternating PCM") {
+    // 20 samples alternating 200, 50 around the 128 center: every
+    // consecutive pair flips sign → 15 crossings in the full frame,
+    // 3 in the 4-sample tail; energy per pair = 72 + 78
+    val samples = Array.tabulate(20)(k => if (k % 2 == 0) 200 else 50)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+    samples.foreach(s => bb.put(s.toByte))
+    val r = Multimodal.wavZcr(Seq((7L, bb.array())).toDF("doc_id", "payload"))
+      .collect().map(x => x.getAs[Long]("frame_idx") ->
+        (x.getAs[Long]("n_in_frame"), x.getAs[Long]("zero_crossings"),
+          x.getAs[Long]("energy"))).toMap
+    assert(r(0L) === ((16L, 15L, 8 * 72L + 8 * 78L)))
+    assert(r(1L) === ((4L, 3L, 2 * 72L + 2 * 78L)))
+  }
+
   test("imageDhash: gradient bits from a hand-built P6 ramp") {
     // 4×4 image, channels (c·10, 0, 0) for column c: luma strictly
     // increases left→right (all 12 horizontal bits set) and is constant
