@@ -840,6 +840,11 @@ object SparkEntry {
     // tf x integer-log2 source-idf — the cluster-profile report
     "q217_source_keywords" -> ((s, dir) =>
       Corpus.sourceKeywords(Tables.documents(s, dir))),
+    // BM25 ranking with cleared-denominator exact integers — tf
+    // saturation + length normalization beside q197's raw TF-IDF
+    "q224_bm25_search" -> ((s, dir) =>
+      Corpus.bm25Search(Tables.documents(s, dir),
+        Seq("dup", "spark", "window", "batch"))),
     // top principal direction by 3-round integer power iteration over
     // the milli-grid second-moment matrix, with the Rayleigh quotient
     "q220_pca_power" -> ((s, dir) =>
@@ -3520,6 +3525,33 @@ object SparkEntry {
         |  CAST(num * 1000 // CAST(den AS HUGEINT) AS BIGINT) AS lambda_milli
         |FROM v3 CROSS JOIN num CROSS JOIN den""".stripMargin
     },
+    // same cleared-denominator integer BM25, same micro floors, same
+    // (score DESC, doc_id) top-20
+    "q224_bm25_search" ->
+      """WITH stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, n_chars AS dl,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('dup', 'spark', 'window', 'batch')
+        |  GROUP BY 1, 2, 3),
+        |idf AS (
+        |  SELECT tok, CAST(len(bin(n_docs // df)) AS BIGINT) AS idf2
+        |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |  CROSS JOIN stats),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |    CAST(sum(idf2 * (22 * tf.tf * total_dl * 1000000
+        |      // (10 * tf.tf * total_dl + 3 * total_dl + 9 * dl * n_docs)))
+        |      AS BIGINT) AS score_micro
+        |  FROM tf JOIN idf ON tf.tok = idf.tok CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, n_terms_matched, score_micro FROM sc
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
     // same (source, token) counts, same integer-log2 source-idf weight,
     // same (score DESC, tok) top-5 per source
     "q217_source_keywords" ->

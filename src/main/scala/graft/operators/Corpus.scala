@@ -1012,6 +1012,54 @@ object Corpus {
         expr("surprisal_bits * 1000 div n_tokens"))
   }
 
+  /** BM25 keyword search (q224) — the ranking function production
+    * retrieval actually ships (tf saturation + length normalization,
+    * which raw TF-IDF q197 lacks), made cross-engine EXACT by clearing
+    * denominators instead of evaluating floats: with k1 = 6/5, b = 3/4,
+    * the per-term score
+    *
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * multiplies through by 10·total_dl (avgdl = total_dl/n_docs) into
+    * the integer ratio 22·tf·total_dl / (10·tf·total_dl + 3·total_dl +
+    * 9·dl·n_docs), floored to micro units per term and weighted by the
+    * integer-log2 idf — every aggregate is BIGINT, the only rounding is
+    * one documented micro floor per (doc, term).
+    *
+    * Scale shape: the q197 plan exactly — token explode filtered to the
+    * query terms (predicate inside the scan projection), map-combined
+    * (doc, term) counts, broadcast idf + corpus-stats tables, top-k
+    * heap.
+    *
+    * @return (doc_id, n_terms_matched, score_micro) — top k by
+    *         (score DESC, doc_id)
+    */
+  def bm25Search(documents: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = documents
+      .select(col("doc_id"), col("n_chars"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok").isin(terms: _*))
+    val stats = documents.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_dl"))
+    val tf = toks.groupBy(col("doc_id"), col("n_chars").as("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        length(conv(expr("n_docs div df"), 10, 2)).cast("long").as("idf2"))
+    tf.join(broadcast(idf), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_micro",
+        expr("""idf2 * (22 * tf * total_dl * 1000000
+               div (10 * tf * total_dl + 3 * total_dl + 9 * dl * n_docs))"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("term_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Distinctive keywords per source (q217) — class-based TF-IDF (the
     * BERTopic "what words characterize this cluster" report, with
     * sources as the clusters): per (source, token) frequency weighted

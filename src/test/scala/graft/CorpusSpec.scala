@@ -480,6 +480,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(r(2L) === ((2L, 4L, 2000L))) // 1 + 3 bits over 2 tokens
   }
 
+  test("bm25Search: cleared-denominator scores match hand numbers, tf saturates") {
+    val docs = Seq((1L, "x x", "A", 3L), (2L, "x y", "A", 3L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = Corpus.bm25Search(docs, Seq("x")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("score_micro")).toMap
+    // n_docs 2, total_dl 6, idf2 = len(bin(1)) = 1
+    // doc1 tf=2: 22·2·6e6/(120+18+54) = 1375000; doc2 tf=1: 132e6/132 = 1e6
+    assert(r === Map(1L -> 1375000L, 2L -> 1000000L))
+    // saturation: doubling tf earned 1.375x, not 2x
+  }
+
   test("sourceKeywords: source-exclusive tokens outweigh shared ones") {
     val docs = Seq((1L, "apple apple common", "A"), (2L, "banana common", "B"))
       .toDF("doc_id", "text", "source")
