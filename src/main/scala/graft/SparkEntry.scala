@@ -1104,6 +1104,10 @@ object SparkEntry {
     // training (even) vector inside cosine 0.4 in a shared IVF cell
     "q98_semantic_contamination" -> ((s, dir) =>
       Similarity.semanticContamination(Tables.embeddings(s, dir))),
+    // ANN tuning curve: recall@5 at nprobe 1/2/4 against one barriered
+    // brute truth — the latency/recall trade-off sweep beside q83
+    "q225_ann_tuning" -> ((s, dir) =>
+      Similarity.annTuning(simQueries(s, dir), Tables.embeddings(s, dir))),
     // ANN quality report card: recall@k (and rank drift) of the q41 IVF
     // result against the q37 brute-force ground truth
     "q83_ann_recall" -> ((s, dir) =>
@@ -2216,6 +2220,28 @@ object SparkEntry {
          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (nq.n_queries * ks.k) AS recall,
          |  COALESCE(h.mre, CAST(0 AS DOUBLE)) AS mean_rank_err
          |FROM ks LEFT JOIN h ON ks.k = h.k CROSS JOIN nq""".stripMargin,
+    // same brute truth, same q41 cell join per probe width, same ppm floor
+    "q225_ann_tuning" ->
+      s"""WITH brute AS ($bruteTopkOracle),
+         |nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM brute),
+         |i1 AS (${ivfTopkOracleN(1)}),
+         |i2 AS (${ivfTopkOracleN(2)}),
+         |i4 AS (${ivfTopkOracleN(4)}),
+         |h AS (
+         |  SELECT CAST(1 AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM i1 WHERE EXISTS (SELECT 1 FROM brute b
+         |    WHERE b.q_id = i1.q_id AND b.vec_id = i1.vec_id)
+         |  UNION ALL
+         |  SELECT 2, CAST(count(*) AS BIGINT) FROM i2
+         |  WHERE EXISTS (SELECT 1 FROM brute b
+         |    WHERE b.q_id = i2.q_id AND b.vec_id = i2.vec_id)
+         |  UNION ALL
+         |  SELECT 4, CAST(count(*) AS BIGINT) FROM i4
+         |  WHERE EXISTS (SELECT 1 FROM brute b
+         |    WHERE b.q_id = i4.q_id AND b.vec_id = i4.vec_id))
+         |SELECT nprobe, n_queries, n_hits,
+         |  n_hits * 1000000 // (n_queries * 5) AS recall_ppm
+         |FROM h CROSS JOIN nq""".stripMargin,
     "q42_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -5145,7 +5171,9 @@ object SparkEntry {
     * centroids, nprobe 4) — shared by the q41 oracle and the q83 recall
     * oracle.
     */
-  private def ivfTopkOracle: String =
+  private def ivfTopkOracle: String = ivfTopkOracleN(4)
+
+  private def ivfTopkOracleN(nprobe: Int): String =
     s"""WITH cents AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
        |assign AS (
@@ -5162,7 +5190,7 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY q.q_id
        |        ORDER BY ${cosineSql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS rn
        |    FROM q CROSS JOIN cents c)
-       |  WHERE rn <= 4),
+       |  WHERE rn <= $nprobe),
        |scored AS (
        |  SELECT p.q_id, a.vec_id, ${cosineSql("p.q_emb", "a.embedding")} AS sim
        |  FROM probes p JOIN assign a ON p.cell = a.cell

@@ -540,6 +540,35 @@ object Similarity {
         expr("n_same * 1000000 div n_neighbors"))
   }
 
+  /** ANN tuning curve (q225) — recall@k as a function of nprobe: the
+    * sweep an index operator actually runs before picking a latency/
+    * recall point (q83 grades ONE configuration; this grades the
+    * trade-off). Each probe width re-runs the IVF search against the
+    * SAME barriered brute-force truth; recall is an exact ppm floor.
+    *
+    * Scale shape: the truth table materializes once (n_queries·k rows);
+    * each sweep point is the q41 cell-join plan; the per-point report is
+    * a 1-row aggregate, unioned — |nprobes| rows total.
+    *
+    * @return (nprobe, n_queries, n_hits, recall_ppm)
+    */
+  def annTuning(queries: DataFrame, corpus: DataFrame,
+      nprobes: Seq[Int] = Seq(1, 2, 4), k: Int = 5): DataFrame = {
+    val ex = bruteForceTopK(queries, corpus, k).select(col("q_id"), col("vec_id"))
+      .transform(graft.barrier) // one truth, |nprobes| probes
+    val nq = ex.agg(count_distinct(col("q_id")).as("n_queries"))
+    nprobes.map { np =>
+      ivfTopK(queries, corpus, k, nprobe = np)
+        .select(col("q_id"), col("vec_id"))
+        .join(ex, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("n_queries"), col("n_hits"),
+        expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
+  }
+
   /** Top principal direction by power iteration (q220) — the
     * linear-algebra primitive under whitening, spectral hashing, and
     * drift detection, run entirely in exact integer arithmetic so both

@@ -190,6 +190,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(updated.agg(sum($"n_members")).as[Long].head() === emb.count())
   }
 
+  test("annTuning: recall is monotone in nprobe and exact at full probe width") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.where($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val r = Similarity.annTuning(queries, emb, nprobes = Seq(1, 2, 1000))
+      .collect().map(x => x.getAs[Long]("nprobe") -> x.getAs[Long]("recall_ppm"))
+      .toMap
+    // probing every cell IS brute force → recall exactly 1
+    assert(r(1000L) === 1000000L)
+    assert(r(1L) <= r(2L) && r(2L) <= r(1000L))
+  }
+
   test("pcaPower: converges to the dominant axis with hand-checked integers") {
     // M (milli²) = [[1e6, 0], [0, 1.8e7]] → iterates v: (1000,1000) →
     // (55,1000) → (3,1000) → (0,1000); λ = 1.8e7·1000²/1000² in milli
