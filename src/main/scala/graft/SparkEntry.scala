@@ -883,6 +883,10 @@ object SparkEntry {
     // per user, via one min/max aggregate + a types²-bounded pair join
     "q213_sequential_pairs" -> ((s, dir) =>
       TimeWindows.sequentialPairs(Tables.events(s, dir))),
+    // Theil-Sen robust trend: median of C(days,2) pairwise slopes per
+    // type — the resistant counterpart to q144's OLS
+    "q226_theil_sen" -> ((s, dir) =>
+      TimeWindows.theilSenTrend(Tables.events(s, dir))),
     // TPC-H Q2 shape: cheapest-balance supplier per part — dedup +
     // broadcast dim + per-part argmin window
     "q215_cheapest_shipper" -> ((s, dir) =>
@@ -3751,6 +3755,35 @@ object SparkEntry {
         |    // (CAST(count(*) AS HUGEINT) * CAST(sum(x) AS HUGEINT))
         |    AS BIGINT) AS gini_ppm
         |FROM idx""".stripMargin,
+    // same daily pairs, same IEEE slope divisions, same exact median
+    // order statistic with (d1, d2) tiebreaks
+    "q226_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type, a.day_num AS d1, b.day_num AS d2,
+        |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.day_num - a.day_num AS DOUBLE)
+        |      AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day_num < b.day_num),
+        |rk AS (
+        |  SELECT event_type, slope,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        |  FROM sl),
+        |med AS (
+        |  SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+        |    sum(slope) / count(*) AS median_slope
+        |  FROM rk WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |  GROUP BY 1),
+        |nd AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT med.event_type, n_days, n_pairs, median_slope
+        |FROM med JOIN nd ON med.event_type = nd.event_type""".stripMargin,
     // same per-(user, type) min/max collapse, same strict-< precedence
     "q213_sequential_pairs" ->
       """WITH ut AS (

@@ -1010,6 +1010,56 @@ object TimeWindows {
         expr("n_users_ab * 1000000 div n_users_both"))
   }
 
+  /** Theil–Sen robust trend per event type (q226) — the median of all
+    * pairwise day-over-day slopes: the resistant counterpart to q144's
+    * OLS line (one wild day moves OLS arbitrarily, moves a median of
+    * C(n,2) slopes almost not at all; the MAD-vs-z-score argument of
+    * q119 applied to trend). Each slope is ONE IEEE division of two
+    * exact integers — bit-identical on both engines — and the median is
+    * an exact order statistic (even counts average the two middles:
+    * add + halve, both IEEE-deterministic). Ranking ties break by
+    * (d1, d2), the total-order convention.
+    *
+    * Scale shape: the pair join is per-type over the DAILY table —
+    * C(|days|, 2) rows per type (the q103 stats bound), never
+    * event-cardinality; the rank window partitions per type.
+    *
+    * @return (event_type, n_days, n_pairs, median_slope)
+    */
+  def theilSenTrend(events: DataFrame): DataFrame =
+    theilSenFromDaily(dailyCounts(events))
+
+  /** The grading stage of [[theilSenTrend]] over the shared per-(type,
+    * day) counts — the dailyCounts twin seam.
+    */
+  def theilSenFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = daily.select(col("event_type"), col("day_num"), col("cnt"))
+      .transform(graft.barrier) // both sides of the pair join
+    val b = d.select(col("event_type").as("et2"), col("day_num").as("d2"),
+      col("cnt").as("c2"))
+    val slopes = d.join(b,
+        col("event_type") === col("et2") && col("day_num") < col("d2"))
+      .select(col("event_type"), col("day_num").as("d1"), col("d2"),
+        ((col("c2") - col("cnt")).cast("double")
+          / (col("d2") - col("day_num")).cast("double")).as("slope"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+    val nDays = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    ranked
+      .where(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("(np + 2) div 2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"),
+        (sum(col("slope")) / count(lit(1))).as("median_slope"))
+      .join(nDays, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("median_slope"))
+  }
+
   def weekdaySeasonality(events: DataFrame): DataFrame =
     weekdaySeasonalityFromDaily(dailyCounts(events))
 

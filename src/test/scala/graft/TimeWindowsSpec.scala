@@ -478,6 +478,20 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r("flat") === ((3L, 0L, 0L, None)))
   }
 
+  test("theilSen: the median slope fully rejects one wild day") {
+    // counts 1,2,3,4,100 over days 0-4: 6 of the 10 pairwise slopes are
+    // exactly 1; OLS would report ~20/day, Theil-Sen reports 1
+    def at(day: Int, i: Int) = new Timestamp((day * 86400L + i) * 1000L)
+    val counts = Seq(1, 2, 3, 4, 100)
+    val events = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => ((d * 1000 + i).toLong, at(d, i), 1L, "view", 0.0, "")) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.TimeWindows.theilSenTrend(events).collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Long]("n_pairs") === 10L)
+    assert(r.getAs[Double]("median_slope") === 1.0)
+  }
+
   test("sequentialPairs: strict first-before-last precedence, both-users base") {
     def at(sec: Int) = new Timestamp(sec * 1000L)
     val events = Seq(
