@@ -795,6 +795,14 @@ object SparkEntry {
     // the position-sensitive ranking metric beside q201
     "q212_mrr_eval" -> ((s, dir) =>
       Reco.mrrFromRanked(holdoutSplitDf(s, dir), holdoutRanked(s, dir))),
+    // split-conformal interval + achieved coverage on the shared
+    // holdout — the distribution-free uncertainty report card
+    "q228_conformal" -> ((s, dir) =>
+      Reco.conformalEval(holdoutSplitDf(s, dir))),
+    // randomized-response local-DP histogram: true vs observed vs
+    // debiased counts per type — the measure-the-mechanism report
+    "q229_randomized_response" -> ((s, dir) =>
+      Relational.randomizedResponse(Tables.events(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -1112,6 +1120,10 @@ object SparkEntry {
     // brute truth — the latency/recall trade-off sweep beside q83
     "q225_ann_tuning" -> ((s, dir) =>
       Similarity.annTuning(simQueries(s, dir), Tables.embeddings(s, dir))),
+    // sign-random-projection signatures: cosine-LSH bits over the micro
+    // grid with one-JVM ±1 plane literals; bucket sizes = near-dup sets
+    "q227_srp_signatures" -> ((s, dir) =>
+      Similarity.srpSignatures(Tables.embeddings(s, dir))),
     // ANN quality report card: recall@k (and rank drift) of the q41 IVF
     // result against the q37 brute-force ground truth
     "q83_ann_recall" -> ((s, dir) =>
@@ -2224,6 +2236,89 @@ object SparkEntry {
          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (nq.n_queries * ks.k) AS recall,
          |  COALESCE(h.mre, CAST(0 AS DOUBLE)) AS mean_rank_err
          |FROM ks LEFT JOIN h ON ks.k = h.k CROSS JOIN nq""".stripMargin,
+    // same split + second "conf:" hash, same item-mean model, same
+    // exact order-statistic quantile and coverage floors
+    "q228_conformal" ->
+      s"""WITH $ratingsCte,
+         |r0 AS (
+         |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
+         |  FROM ratings GROUP BY 1, 2),
+         |rs AS (
+         |  SELECT userId, productId, rv,
+         |    ${md5Prefix32Sql("'hit:' || CAST(userId AS VARCHAR) || ':' || CAST(productId AS VARCHAR)")} % 5 = 0 AS is_test
+         |  FROM r0),
+         |model AS (
+         |  SELECT productId,
+         |    CAST(sum(rv) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+         |      AS pred_micro
+         |  FROM rs WHERE NOT is_test GROUP BY 1),
+         |sc AS (
+         |  SELECT rs.userId, rs.productId, rs.rv,
+         |    ${md5Prefix32Sql("'conf:' || CAST(rs.userId AS VARCHAR) || ':' || CAST(rs.productId AS VARCHAR)")} % 2 = 0 AS is_cal,
+         |    abs(rs.rv * 1000000 - model.pred_micro) AS nc
+         |  FROM rs JOIN model ON rs.productId = model.productId
+         |  WHERE is_test),
+         |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM sc WHERE is_cal),
+         |qv AS (
+         |  SELECT CAST(nc AS BIGINT) AS q_micro FROM (
+         |    SELECT nc, row_number() OVER (ORDER BY nc) AS rn
+         |    FROM sc WHERE is_cal) CROSS JOIN cn
+         |  WHERE rn = least(((n_cal + 1) * 90 + 99) // 100, n_cal)),
+         |ev AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(sum(CASE WHEN nc <= q_micro THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_covered,
+         |    CAST(max(q_micro) AS BIGINT) AS q_micro
+         |  FROM sc CROSS JOIN qv WHERE NOT is_cal)
+         |SELECT n_cal, n_eval, q_micro, n_covered,
+         |  n_covered * 1000000 // n_eval AS coverage_ppm,
+         |  CAST(900000 AS BIGINT) AS target_ppm
+         |FROM ev CROSS JOIN cn""".stripMargin,
+    // same md5 flip/replacement draws, same sign-safe truncating
+    // debias division
+    "q229_randomized_response" ->
+      s"""WITH ty AS (
+         |  SELECT event_type,
+         |    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) - 1 AS t_idx
+         |  FROM (SELECT DISTINCT event_type FROM events)),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM ty),
+         |rep AS (
+         |  SELECT e.event_type,
+         |    CASE WHEN ${md5Prefix32Sql("'rr:' || CAST(event_id AS VARCHAR)")} % 4 = 0
+         |      THEN r.event_type ELSE e.event_type END AS reported
+         |  FROM events e CROSS JOIN kk
+         |  JOIN ty r ON ${md5Prefix32Sql("'rrv:' || CAST(event_id AS VARCHAR)")} % kk.kk = r.t_idx),
+         |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM rep GROUP BY 1),
+         |ob AS (SELECT reported, CAST(count(*) AS BIGINT) AS obs_cnt
+         |  FROM rep GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rep)
+         |SELECT tc.event_type, true_cnt, obs_cnt,
+         |  CAST(CASE WHEN 4 * obs_cnt * kk - nn < 0
+         |    THEN -((nn - 4 * obs_cnt * kk) // (3 * kk))
+         |    ELSE (4 * obs_cnt * kk - nn) // (3 * kk) END AS BIGINT) AS est_cnt,
+         |  CAST(CASE WHEN 4 * obs_cnt * kk - nn < 0
+         |    THEN -((nn - 4 * obs_cnt * kk) // (3 * kk))
+         |    ELSE (4 * obs_cnt * kk - nn) // (3 * kk) END AS BIGINT) - true_cnt
+         |    AS err
+         |FROM tc JOIN ob ON tc.event_type = ob.reported
+         |CROSS JOIN nn CROSS JOIN kk""".stripMargin,
+    // same one-JVM plane literals, same micro-grid integer dots, same
+    // window bucket sizes
+    "q227_srp_signatures" -> {
+      val bitExprs = graft.operators.SrpPlanes.signs(64).zipWithIndex
+        .map { case (signs, p) =>
+          val lst = signs.mkString("[", ", ", "]")
+          s"CASE WHEN list_sum(list_transform(range(0, 64), d -> " +
+            s"CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000000) AS BIGINT)" +
+            s" * ($lst)[d+1])) >= 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString("\n        + ")
+      s"""WITH s AS (
+         |  SELECT vec_id, CAST($bitExprs AS BIGINT) AS sig FROM embeddings)
+         |SELECT vec_id, sig,
+         |  CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS n_same_sig
+         |FROM s""".stripMargin
+    },
     // same brute truth, same q41 cell join per probe width, same ppm floor
     "q225_ann_tuning" ->
       s"""WITH brute AS ($bruteTopkOracle),

@@ -655,6 +655,53 @@ object Reco {
           .as("pop_lift_ppm"))
   }
 
+  /** Split-conformal prediction interval + coverage (q228) — the
+    * distribution-free uncertainty wrapper every deployed regressor
+    * needs: fit item means on the train 80%, take nonconformity
+    * |rating − prediction| on a CALIBRATION half of the holdout, set
+    * the interval half-width q to the ⌈(n+1)(1−α)⌉-th smallest score,
+    * and report the achieved coverage on the untouched EVAL half —
+    * conformal theory guarantees ≥ 1−α, and the report card checks it.
+    * All micro-unit integers; the quantile is an exact order statistic
+    * picked through the range-partitioned zipWithIndex indexer (q186/
+    * q216 — never a single-partition sort), tie order irrelevant to the
+    * k-th VALUE.
+    *
+    * @return 1 row: (n_cal, n_eval, q_micro, n_covered, coverage_ppm,
+    *         target_ppm)
+    */
+  def conformalEval(split: DataFrame, alphaPct: Int = 10): DataFrame = {
+    val train = split.where(!col("is_test"))
+    val model = train.groupBy(col("productId"))
+      .agg(expr("sum(rv) * 1000000 div count(1)").as("pred_micro"))
+    val scored = split.where(col("is_test"))
+      .withColumn("is_cal",
+        graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("conf:"), col("userId").cast("string"), lit(":"),
+            col("productId").cast("string"))) % 2 === 0)
+      .join(model, "productId") // items unseen in train have no prediction
+      .withColumn("nc", abs(col("rv") * lit(1000000L) - col("pred_micro")))
+      .transform(graft.barrier) // calibration rank + eval probe
+    val cal = scored.where(col("is_cal"))
+    val calN = cal.agg(count(lit(1)).as("n_cal"))
+    val qv = graft.streaming.Replay.indexed(cal.select(col("nc")), "nc")
+      .crossJoin(broadcast(calN))
+      .where(col("__idx") ===
+        least(expr(s"((n_cal + 1) * ${100 - alphaPct} + 99) div 100"),
+          col("n_cal")) - 1)
+      .select(col("nc").as("q_micro"))
+    val ev = scored.where(!col("is_cal"))
+    ev.crossJoin(broadcast(qv))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nc") <= col("q_micro"), 1L).otherwise(0L))
+          .as("n_covered"),
+        max(col("q_micro")).as("q_micro"))
+      .crossJoin(broadcast(calN))
+      .select(col("n_cal"), col("n_eval"), col("q_micro"), col("n_covered"),
+        expr("n_covered * 1000000 div n_eval").as("coverage_ppm"),
+        lit((100 - alphaPct).toLong * 10000L).as("target_ppm"))
+  }
+
   /** Hit-rate@k from the shared holdout stages (q201's metric). */
   def hitRateFromRanked(split: DataFrame, ranked: DataFrame,
       k: Int = 5): DataFrame = {

@@ -1015,6 +1015,57 @@ object Relational {
           - (col("rate_c_post_micro") - col("rate_c_pre_micro")))
   }
 
+  /** Randomized-response frequency estimation (q229) — LOCAL
+    * differential privacy: each event reports its true type with
+    * probability 3/4 and a hash-drawn uniform type otherwise, and the
+    * collector unbiases the noisy histogram with
+    * ĉ_t = (4·obs_t·K − N)/(3K). The measure-the-mechanism report
+    * (q83/q93/q187 pattern) ships the true count, the observed noisy
+    * count, the debiased estimate, and the error — completing the
+    * privacy family (k-anon q115, l-div q142, t-close q149, central DP
+    * q161) with its local-DP member. Flip and replacement draws are the
+    * md5 idiom, so both engines perturb identically; the only division
+    * is one truncating integer div per type (spelled sign-safely in the
+    * oracle because DuckDB's // floors negatives).
+    *
+    * Scale shape: the type table (K rows) broadcasts twice; the
+    * perturbation is map-side; two map-combined count aggregates.
+    *
+    * @return (event_type, true_cnt, obs_cnt, est_cnt, err)
+    */
+  def randomizedResponse(events: DataFrame): DataFrame = {
+    val types = events.select(col("event_type")).distinct()
+      // |types| rows — the one unpartitioned window, driver-sized
+      .withColumn("t_idx",
+        row_number().over(Window.orderBy("event_type")).cast("long") - 1)
+      .transform(graft.barrier)
+    val k = types.agg(count(lit(1)).as("kk"))
+    val reported = events.select(col("event_id"), col("event_type"))
+      .crossJoin(broadcast(k))
+      .withColumn("flip",
+        graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("rr:"), col("event_id").cast("string"))) % 4 === 0)
+      .withColumn("r_idx",
+        graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("rrv:"), col("event_id").cast("string"))) % col("kk"))
+      .join(broadcast(types.select(col("t_idx"),
+        col("event_type").as("rand_type"))), col("r_idx") === col("t_idx"))
+      .select(col("event_type"),
+        when(col("flip"), col("rand_type")).otherwise(col("event_type"))
+          .as("reported"))
+      .transform(graft.barrier) // true counts + observed counts + N
+    val trueC = reported.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val obs = reported.groupBy(col("reported").as("rt"))
+      .agg(count(lit(1)).as("obs_cnt"))
+    val n = reported.agg(count(lit(1)).as("nn"))
+    trueC.join(obs, col("event_type") === col("rt"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(k))
+      .select(col("event_type"), col("true_cnt"), col("obs_cnt"),
+        expr("(4 * obs_cnt * kk - nn) div (3 * kk)").as("est_cnt"))
+      .withColumn("err", col("est_cnt") - col("true_cnt"))
+  }
+
   /** Robust outlier detection per event type via the Median Absolute
     * Deviation — the resistant complement to the z-score family (q99/q103):
     * one wild value moves a mean/stddev arbitrarily but moves a median

@@ -540,6 +540,38 @@ object Similarity {
         expr("n_same * 1000000 div n_neighbors"))
   }
 
+  /** Sign-random-projection signatures (q227) — SimHash for EMBEDDINGS:
+    * each of 16 md5-derived ±1 hyperplanes contributes one sign bit of
+    * the micro-quantized dot product, so near-parallel vectors collide
+    * on most bits (the cosine-LSH family complementing the token
+    * SimHash q40 and the IVF index q41). The plane matrix is the
+    * one-JVM-literal trick ([[SrpPlanes]] — a pure md5 function of
+    * (plane, dim), embedded as identical literals in both engines'
+    * plans), and every dot is an exact BIGINT sum over the 10⁻⁶ grid —
+    * no float addition order anywhere. Ships each vector's signature
+    * plus its collision-bucket size (n_same_sig > 1 = near-dup
+    * candidate set).
+    *
+    * Scale shape: signatures are pure map-side folds (16 × dim
+    * multiply-adds per row); the bucket size is one window over the
+    * signature hash — |distinct signatures| ≤ 2¹⁶ partitions.
+    *
+    * @return (vec_id, sig, n_same_sig)
+    */
+  def srpSignatures(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val sigExpr = SrpPlanes.signs(dims).zipWithIndex.map { case (signs, p) =>
+      val arr = array(signs.map(s => lit(s.toLong)): _*)
+      val dot = aggregate(
+        zip_with(col("embedding"), arr, (x, s) =>
+          floor(x.cast("double") * lit(1000000.0)).cast("long") * s),
+        lit(0L), (a, v) => a + v)
+      when(dot >= 0L, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("sig")
+    embeddings.select(col("vec_id"), sigExpr.as("sig"))
+      .withColumn("n_same_sig", count(lit(1)).over(w))
+  }
+
   /** ANN tuning curve (q225) — recall@k as a function of nprobe: the
     * sweep an index operator actually runs before picking a latency/
     * recall point (q83 grades ONE configuration; this grades the
@@ -625,4 +657,20 @@ object Similarity {
     v.select(col("vi_dim").as("dim"), col("vi").as("component_milli"))
       .crossJoin(broadcast(lambda))
   }
+}
+
+/** [[Similarity.srpSignatures]]' ±1 hyperplane matrix — a pure md5
+  * function of (plane, dim) computed once per JVM and embedded as
+  * identical literals in both engines' plans (the DpNoise/BenfordExpected
+  * one-JVM trick; no RNG, no Date).
+  */
+object SrpPlanes {
+  def signs(dims: Int, planes: Int = 16): Seq[Seq[Int]] =
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"srp:$p:$d".getBytes("UTF-8"))
+        if ((md(0) & 1) == 0) 1 else -1
+      }
+    }
 }

@@ -327,6 +327,19 @@ class RecoSpec extends AnyFunSuite {
     assert(leak.getAs[Long]("n_test") > nTest)
   }
 
+  test("conformalEval: zero nonconformity gives q=0 and full coverage") {
+    // every test rating equals its item's train mean → nc ≡ 0 everywhere,
+    // so the calibration quantile is 0 and eval coverage is exactly 1
+    val split = ((1L to 40L).map(u => (u, 100L, 4L, false)) ++  // train: mean 4
+      (41L to 80L).map(u => (u, 100L, 4L, true)))               // test: rv = mean
+      .toDF("userId", "productId", "rv", "is_test")
+    val m = Reco.conformalEval(split).collect().head
+    assert(m.getAs[Long]("q_micro") === 0L)
+    assert(m.getAs[Long]("coverage_ppm") === 1000000L)
+    assert(m.getAs[Long]("n_cal") + m.getAs[Long]("n_eval") === 40L)
+    assert(m.getAs[Long]("target_ppm") === 900000L)
+  }
+
   test("recCoverage: coverage counts distinct items, lift vs catalog mean") {
     // catalog {1,2,3} with counts 2,1,1; recs hit items 1 and 2
     val deduped = Seq((1L, 1L, 5L), (2L, 1L, 4L), (1L, 2L, 3L), (2L, 3L, 2L))

@@ -628,6 +628,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(g.getAs[Long]("gini_ppm") === 250000L)    // (140000−120000)/80000
   }
 
+  test("randomizedResponse: mass is conserved and a no-flip sample reports truth") {
+    // resolve event ids whose "rr:" draw does NOT flip (3/4 of ids)
+    val noflip = spark.range(1, 100).toDF("event_id")
+      .select(col("event_id"),
+        (graft.functions.TextAnalysis.md5Prefix32(
+          concat(lit("rr:"), col("event_id").cast("string"))) % 4 =!= 0).as("nf"))
+      .as[(Long, Boolean)].collect().filter(_._2).map(_._1).take(6)
+    def at(i: Int) = new Timestamp(1000L * i)
+    val events = noflip.zipWithIndex.map { case (id, i) =>
+      (id, at(i), 1L, if (i % 2 == 0) "view" else "click", 0.0, "") }
+      .toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.randomizedResponse(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("true_cnt"), x.getAs[Long]("obs_cnt"),
+          x.getAs[Long]("est_cnt"))).toMap
+    // nobody flipped → observed equals truth per type
+    assert(r("view")._1 === 3L && r("view")._2 === 3L)
+    assert(r("click")._1 === 3L && r("click")._2 === 3L)
+    // debias formula recomputed by hand: (4·3·2 − 6)/(3·2) = 3
+    assert(r("view")._3 === 3L && r("click")._3 === 3L)
+  }
+
   test("diffInDiff: treatment jump net of control drift, in exact micro") {
     // resolve the md5 arms first so the fixture is deterministic
     val arms = spark.range(1, 20).toDF("user_id")

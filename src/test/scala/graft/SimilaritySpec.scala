@@ -190,6 +190,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(updated.agg(sum($"n_members")).as[Long].head() === emb.count())
   }
 
+  test("srpSignatures: duplicates collide, a negated vector flips every bit") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.5f), 0),
+      (1L, Array(1.0f, 0.5f), 0),   // exact duplicate → same bucket
+      (2L, Array(-1.0f, -0.5f), 0)) // negation → complementary signature
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.srpSignatures(emb, dims = 2).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Long]("sig"), x.getAs[Long]("n_same_sig"))).toMap
+    assert(r(0L)._1 === r(1L)._1 && r(0L)._2 === 2L)
+    assert((r(0L)._1 ^ r(2L)._1) === 65535L) // all 16 bits flip
+    assert(r(2L)._2 === 1L)
+  }
+
   test("annTuning: recall is monotone in nprobe and exact at full probe width") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val queries = emb.where($"vec_id" % 25 === 0)
