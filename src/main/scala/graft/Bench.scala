@@ -132,6 +132,18 @@ object Bench {
     val total = best.map(_._2).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // The driver records only the last ~2000 chars of stdout and parses a
+    // JSON line out of that window. At 227 queries the full-map line above
+    // outgrew the window (BENCH_r09: head of the line cut mid-object →
+    // parsed:null), and the map only grows. So a COMPACT summary line —
+    // same contract fields, `queries` bounded to the 10 slowest — prints
+    // LAST: it always fits the tail window whole, whichever line the
+    // driver's scan picks up. The full per-query map stays one line up
+    // and in bench_last.json / bench_samples.json.
+    val top10 = best.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${best.size},"queries":$top10,"sf":"$sfDir"}""")
     // Full audit record — every raw sample per pass plus the retried list —
     // goes to a sidecar file where line length doesn't matter.
     val samplesJson = samples

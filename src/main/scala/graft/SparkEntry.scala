@@ -2799,7 +2799,8 @@ object SparkEntry {
         |  FROM neg) WHERE rn <= 5""".stripMargin,
     // same hash-seeded v0, the same floored micro-unit user solve, and
     // HUGEINT item sums mirroring the Spark side's DECIMAL(38,0); the
-    // reported float spends the identical multiply-then-divide
+    // output is the identical BIGINT micro-unit floor (no HUGEINT /
+    // DECIMAL / float column ever surfaces — fetch-path-proof)
     "q158_als_step" ->
       s"""WITH $ratingsCte,
         |ded AS (
@@ -2817,9 +2818,7 @@ object SparkEntry {
         |  FROM ded d JOIN uf u ON u.userId = d.userId
         |  GROUP BY 1, 2)
         |SELECT productId, CAST(v0 AS BIGINT) AS v0,
-        |  CAST(num2 AS DECIMAL(38,0)) AS num2,
-        |  CAST(den2 AS DECIMAL(38,0)) AS den2,
-        |  CAST(num2 AS DOUBLE) * 1000000.0 / CAST(den2 AS DOUBLE) AS v_new
+        |  CAST(num2 * 1000000 // den2 AS BIGINT) AS v_new_micro
         |FROM it""".stripMargin,
     // the declarative skyline: a distinct point survives iff its y beats
     // the running max-y in (x DESC, y DESC) order — the Spark side's grid
@@ -2838,7 +2837,9 @@ object SparkEntry {
         |SELECT x AS price_cents, y AS day_num, n_rows
         |FROM w WHERE my IS NULL OR y > my""".stripMargin,
     // the same three path-count rounds in HUGEINT, the same (a2, id)
-    // top-20 tiebreak; `good` is already the distinct bipartite edge list
+    // top-20 tiebreak; `good` is already the distinct bipartite edge
+    // list. Outputs cast to BIGINT: HUGEINT/DECIMAL output columns hash
+    // differently across DuckDB fetch paths
     "q160_hits" ->
       s"""WITH $ratingsCte,
         |$goodCte,
@@ -2852,8 +2853,8 @@ object SparkEntry {
         |  SELECT g.productId AS p, sum(h1.h1) AS a2
         |  FROM good g JOIN h1 ON h1.u = g.userId GROUP BY 1)
         |SELECT a2.p AS productId,
-        |  CAST(a1.a1 AS DECIMAL(38,0)) AS a1,
-        |  CAST(a2.a2 AS DECIMAL(38,0)) AS a2
+        |  CAST(a1.a1 AS BIGINT) AS a1,
+        |  CAST(a2.a2 AS BIGINT) AS a2
         |FROM a2 JOIN a1 ON a1.p = a2.p
         |ORDER BY a2.a2 DESC, a2.p LIMIT 20""".stripMargin,
     // the identical 30-entry threshold table (one JVM computed it for
@@ -2882,9 +2883,10 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(seg_bytes) AS BIGINT) AS total FROM segs),
         |packed AS (
         |  SELECT seg_bytes, (total + 7) // 8 AS target,
-        |    sum(seg_bytes) OVER (ORDER BY seg_bytes DESC, source, bucket) AS cum
+        |    CAST(sum(seg_bytes) OVER (ORDER BY seg_bytes DESC, source, bucket)
+        |      AS BIGINT) AS cum
         |  FROM segs CROSS JOIN tot)
-        |SELECT (cum - 1) // target AS bin,
+        |SELECT CAST((cum - 1) // target AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_segments,
         |  CAST(sum(seg_bytes) AS BIGINT) AS bin_bytes, target,
         |  CAST(sum(seg_bytes) AS BIGINT) * 1000000 // target AS fill_ppm
@@ -2915,12 +2917,13 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(deaths) AS BIGINT) AS n_users FROM dd),
         |scan AS (
         |  SELECT dday, deaths,
-        |    n_users - COALESCE(sum(deaths) OVER (ORDER BY dday
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+        |    CAST(n_users - COALESCE(sum(deaths) OVER (ORDER BY dday
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_at_risk
         |  FROM dd CROSS JOIN tot),
         |h AS (
         |  SELECT dday, deaths, n_at_risk,
-        |    deaths * 1000000000 // n_at_risk AS h_term_nano
+        |    CAST(deaths * 1000000000 // n_at_risk AS BIGINT) AS h_term_nano
         |  FROM scan)
         |SELECT dday AS day_num, deaths, n_at_risk, h_term_nano,
         |  CAST(sum(h_term_nano) OVER (ORDER BY dday
@@ -3034,9 +3037,7 @@ object SparkEntry {
         |  FROM ex JOIN cent ON cent.label = ex.label AND cent.dim = ex.dim
         |  GROUP BY 1, 2, 3)
         |SELECT label, vec_id, n AS n_members,
-        |  CAST(dist_num AS DECIMAL(38,0)) AS dist_num,
-        |  CAST(dist_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12)
-        |    AS dist
+        |  CAST(dist_num // (CAST(n AS HUGEINT) * n * 1000) AS BIGINT) AS dist_nano
         |FROM (SELECT *, row_number() OVER (PARTITION BY label
         |    ORDER BY dist_num DESC, vec_id) AS rn FROM dist)
         |WHERE rn <= 5""".stripMargin,
@@ -3058,10 +3059,10 @@ object SparkEntry {
         |  FROM cells JOIN rw USING (event_type) JOIN cl USING (weekday)
         |  CROSS JOIN tt)
         |SELECT event_type, weekday, obs, r, c, n,
-        |  CAST(dev AS DECIMAL(38,0)) AS dev,
-        |  CAST(dev * dev AS DOUBLE)
-        |    / CAST(CAST(r AS HUGEINT) * c * n AS DOUBLE) AS contrib,
-        |  dev * dev > 9 * CAST(r AS HUGEINT) * c * n AS flagged
+        |  CAST(dev * dev * 1000000000
+        |    // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS contrib_nano,
+        |  CAST(CASE WHEN dev * dev > 9 * CAST(r AS HUGEINT) * c * n
+        |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM g""".stripMargin,
     // same (source, value) grid, same scaled CDF-difference integers,
     // same max/sum-by-gap aggregates and single divisions
@@ -3092,13 +3093,10 @@ object SparkEntry {
         |      - CAST(cg - cs AS HUGEINT) * n_s) AS diff, gap
         |  FROM cum)
         |SELECT source, n_s, n - n_s AS n_rest,
-        |  CAST(max(diff) AS DECIMAL(38,0)) AS d_num,
-        |  CAST(CAST(n_s AS HUGEINT) * (n - n_s) AS DECIMAL(38,0)) AS d_den,
-        |  CAST(max(diff) AS DOUBLE)
-        |    / CAST(CAST(n_s AS HUGEINT) * (n - n_s) AS DOUBLE) AS d,
-        |  CAST(sum(diff * gap) AS DECIMAL(38,0)) AS w1_num,
-        |  CAST(sum(diff * gap) AS DOUBLE)
-        |    / CAST(CAST(n_s AS HUGEINT) * (n - n_s) AS DOUBLE) AS w1
+        |  CAST(max(diff) * 1000000
+        |    // (CAST(n_s AS HUGEINT) * (n - n_s)) AS BIGINT) AS d_ppm,
+        |  CAST(sum(diff * gap) * 1000000
+        |    // (CAST(n_s AS HUGEINT) * (n - n_s)) AS BIGINT) AS w1_micro
         |FROM d GROUP BY 1, 2, n""".stripMargin,
     // q107's pair CTE, user-population margins, the same exact-product
     // lift division and (lift DESC, pa, pb) top-20
@@ -3493,12 +3491,12 @@ object SparkEntry {
         |  FROM ce)
         |SELECT event_id AS purchase_id, user_id,
         |  CAST(n_clicks AS BIGINT) AS n_clicks, first_click_id, last_click_id,
-        |  CASE WHEN n_clicks = 1 THEN 1000000
-        |       WHEN n_clicks = 2 THEN 500000 ELSE 400000 END AS first_ppm,
-        |  CASE WHEN n_clicks = 1 THEN 1000000
-        |       WHEN n_clicks = 2 THEN 500000 ELSE 400000 END AS last_ppm,
-        |  CASE WHEN n_clicks <= 2 THEN 0
-        |       ELSE 200000 // (n_clicks - 2) END AS mid_ppm
+        |  CAST(CASE WHEN n_clicks = 1 THEN 1000000
+        |       WHEN n_clicks = 2 THEN 500000 ELSE 400000 END AS BIGINT) AS first_ppm,
+        |  CAST(CASE WHEN n_clicks = 1 THEN 1000000
+        |       WHEN n_clicks = 2 THEN 500000 ELSE 400000 END AS BIGINT) AS last_ppm,
+        |  CAST(CASE WHEN n_clicks <= 2 THEN 0
+        |       ELSE 200000 // (n_clicks - 2) END AS BIGINT) AS mid_ppm
         |FROM r WHERE event_type = 'purchase' AND n_clicks >= 1""".stripMargin,
     // same brand slice, same integer cross-multiplied 0.2*avg threshold,
     // same DECIMAL money sum; avg_yearly is the one shared division
@@ -3670,8 +3668,10 @@ object SparkEntry {
         |  CROSS JOIN stats),
         |sc AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
-        |    CAST(sum(idf2 * (22 * tf.tf * total_dl * 1000000
-        |      // (10 * tf.tf * total_dl + 3 * total_dl + 9 * dl * n_docs)))
+        |    CAST(sum(idf2 * (CAST(22 AS HUGEINT) * tf.tf * total_dl * 1000000
+        |      // (CAST(10 AS HUGEINT) * tf.tf * total_dl
+        |          + CAST(3 AS HUGEINT) * total_dl
+        |          + CAST(9 AS HUGEINT) * dl * n_docs)))
         |      AS BIGINT) AS score_micro
         |  FROM tf JOIN idf ON tf.tok = idf.tok CROSS JOIN stats
         |  GROUP BY 1)
@@ -3843,8 +3843,8 @@ object SparkEntry {
         |  FROM rev)
         |SELECT CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(sum(x) AS BIGINT) AS total_e4,
-        |  CAST(sum(i * x) AS BIGINT) AS weighted_sum,
-        |  CAST((CAST(2 AS HUGEINT) * CAST(sum(i * x) AS HUGEINT)
+        |  CAST(sum(CAST(i AS HUGEINT) * x) AS BIGINT) AS weighted_sum,
+        |  CAST((CAST(2 AS HUGEINT) * sum(CAST(i AS HUGEINT) * x)
         |      - (CAST(count(*) AS HUGEINT) + 1) * CAST(sum(x) AS HUGEINT))
         |    * 1000000
         |    // (CAST(count(*) AS HUGEINT) * CAST(sum(x) AS HUGEINT))
@@ -5348,17 +5348,22 @@ object SparkEntry {
       s"sum(CAST($c AS HUGEINT) * $c) AS ss_$c" }
     val crosses = cols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
       s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" }
+    // all-integer surface (the Spark twin's 2^30-shift algebra): sign of
+    // the exact covariance numerator plus the shifted-exact r^2 in ppm —
+    // no HUGEINT/DECIMAL/float output column survives to the fetch path
     val pairs = cols.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
       s"""SELECT '$a' AS x_col, '$b' AS y_col, CAST(n AS BIGINT) AS n,
-         |  CAST(CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b AS DECIMAL(38,0)) AS num,
-         |  CAST(CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a AS DECIMAL(38,0)) AS den_x,
-         |  CAST(CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b AS DECIMAL(38,0)) AS den_y,
-         |  CASE WHEN CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a > 0
-         |        AND CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b > 0
-         |    THEN CAST(CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
-         |      / (sqrt(CAST(CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a AS DOUBLE))
-         |         * sqrt(CAST(CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b AS DOUBLE)))
-         |  END AS r
+         |  CAST(CASE WHEN CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b > 0 THEN 1
+         |            WHEN CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b < 0 THEN -1
+         |            ELSE 0 END AS BIGINT) AS sign,
+         |  CAST(CASE WHEN (CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a) // 1073741824 > 0
+         |        AND (CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b) // 1073741824 > 0
+         |    THEN (abs(CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b) // 1073741824)
+         |       * (abs(CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b) // 1073741824)
+         |       * 1000000
+         |      // (((CAST(n AS HUGEINT) * ss_$a - s_$a * s_$a) // 1073741824)
+         |         * ((CAST(n AS HUGEINT) * ss_$b - s_$b * s_$b) // 1073741824))
+         |  END AS BIGINT) AS r2_ppm
          |FROM m""".stripMargin }
     s"""WITH f AS (SELECT $feats FROM lineitem),
        |m AS (SELECT count(*) AS n, ${(sums ++ squares ++ crosses).mkString(", ")}

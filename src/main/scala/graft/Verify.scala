@@ -2,8 +2,49 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also emits verify_hashes.json — a CANONICAL content hash per query
+  * (columns sorted by name, rows sorted, explicit NULL/NaN/−0.0/decimal
+  * rendering) — so a driver-side hash disagreement can be root-caused
+  * against a representation-free fingerprint: if two engines' canonical
+  * hashes agree but a fetch-path hash does not, the divergence is in the
+  * fetch path's value representation (e.g. HUGEINT/DECIMAL→float64
+  * conversions), not in the data.
+  */
 object Verify {
+  /** Representation-pinning render: the SAME digits for a value whether
+    * it arrived as int64, decimal128, or float — NULL → ␀ sentinel,
+    * NaN → "NaN", −0.0 → "0.0", decimals in plain (non-scientific)
+    * trailing-zero-free form, arrays element-rendered in brackets.
+    */
+  private def canon(v: Any): String = v match {
+    case null => "␀"
+    case d: Double =>
+      if (d.isNaN) "NaN" else if (d == 0.0) "0.0" else d.toString
+    case f: Float =>
+      val d = f.toDouble
+      if (d.isNaN) "NaN" else if (d == 0.0) "0.0" else d.toString
+    case b: java.math.BigDecimal =>
+      val s = b.stripTrailingZeros
+      (if (s.signum == 0) java.math.BigDecimal.ZERO else s).toPlainString
+    case a: scala.collection.Seq[_] =>
+      a.map(canon).mkString("[", ",", "]")
+    case a: Array[_] => a.map(x => canon(x)).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  private def contentHash(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => (0 until r.length).map(i => canon(r.get(i))).mkString("\u0001"))
+      .sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update('\n'.toByte) }
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // optional 3rd arg: comma-separated query-name filter (local iteration)
@@ -21,12 +62,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val hashes = scala.collection.mutable.LinkedHashMap[String, (Long, String)]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // hash from the parquet just written (what the driver reads),
+        // not the live plan — one computation, same bytes
+        hashes(name) = contentHash(spark.read.parquet(s"$outDir/$name"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -45,6 +91,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val hj = hashes
+      .map { case (k, (n, h)) => s"${q(k)}: {\"rows\": $n, \"sha256\": ${q(h)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_hashes.json"), hj)
     spark.stop()
   }
 }

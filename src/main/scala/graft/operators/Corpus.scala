@@ -619,7 +619,7 @@ object Corpus {
         if (covered == null) st
         else st.join(covered, Seq("t"), "left_anti")
       val gains = fresh
-        .where(!col("source").isInCollection(picked ++ Seq(" ")))
+        .where(!col("source").isInCollection(picked ++ Seq("\u0000")))
         .groupBy("source").agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("source")).limit(1).collect()
       if (gains.nonEmpty) {
@@ -691,15 +691,18 @@ object Corpus {
     * each jump value, the CDF difference scales to diff = cs·(N−n_s) −
     * (cg−cs)·n_s — an exact DECIMAL integer. D = max|diff| and
     * W1_num = Σ|diff|·gap are exact aggregates over it; each statistic
-    * spends exactly one division into a double.
+    * surfaces as an exact scaled-integer floor over the shared
+    * denominator n_s·(N−n_s): d_ppm = ⌊D·10⁶/den⌋ ≤ 10⁶ and w1_micro =
+    * ⌊W1_num·10⁶/den⌋ ≤ max(v)·10⁶ — both BIGINT at any corpus size.
+    * The DECIMAL numerators stay internal (raw DECIMAL / float output
+    * columns hash differently across DuckDB fetch paths).
     *
     * Scale shape: one map-combined (source, value) count is the only
     * corpus-wide work; the evaluation grid is |sources| × |distinct
     * values| (value-domain-bounded metadata — document lengths, not
     * documents), with per-source windows over it.
     *
-    * @return per source: (source, n_s, n_rest, d_num, d_den, d,
-    *         w1_num, w1)
+    * @return per source: (source, n_s, n_rest, d_ppm, w1_micro)
     */
   def ksDrift(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -725,15 +728,10 @@ object Corpus {
       .agg(max(col("diff")).as("d_num"),
         sum(col("diff") * dec(col("gap"))).as("w1_num"))
       .select(col("source"), col("n_s"), (col("n") - col("n_s")).as("n_rest"),
-        col("d_num"),
-        (dec(col("n_s")) * (dec(col("n")) - dec(col("n_s")))).as("d_den"),
-        (col("d_num").cast("double")
-          / (dec(col("n_s")) * (dec(col("n")) - dec(col("n_s")))).cast("double"))
-          .as("d"),
-        col("w1_num"),
-        (col("w1_num").cast("double")
-          / (dec(col("n_s")) * (dec(col("n")) - dec(col("n_s")))).cast("double"))
-          .as("w1"))
+        expr("(d_num * 1000000) div " +
+          "(cast(n_s as decimal(38,0)) * (n - n_s))").as("d_ppm"),
+        expr("(w1_num * 1000000) div " +
+          "(cast(n_s as decimal(38,0)) * (n - n_s))").as("w1_micro"))
   }
 
   /** Posting-list compression report (q178) — the storage half of the
@@ -1023,8 +1021,13 @@ object Corpus {
     * multiplies through by 10·total_dl (avgdl = total_dl/n_docs) into
     * the integer ratio 22·tf·total_dl / (10·tf·total_dl + 3·total_dl +
     * 9·dl·n_docs), floored to micro units per term and weighted by the
-    * integer-log2 idf — every aggregate is BIGINT, the only rounding is
-    * one documented micro floor per (doc, term).
+    * integer-log2 idf — the only rounding is one documented micro floor
+    * per (doc, term). The cleared-denominator products carry corpus-WIDE
+    * total_dl, so they run in DECIMAL(38,0) (mirroring the oracle's
+    * HUGEINT): in BIGINT, 22·tf·total_dl·10⁶ wraps once total chars pass
+    * ~4·10¹¹ — a few hundred GB of text, far below the design envelope
+    * (the r09 ADVICE finding). The floored quotient is ≤ 2.2·10⁶, so the
+    * surfaced score stays BIGINT.
     *
     * Scale shape: the q197 plan exactly — token explode filtered to the
     * query terms (predicate inside the scan projection), map-combined
@@ -1051,8 +1054,10 @@ object Corpus {
     tf.join(broadcast(idf), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("term_micro",
-        expr("""idf2 * (22 * tf * total_dl * 1000000
-               div (10 * tf * total_dl + 3 * total_dl + 9 * dl * n_docs))"""))
+        expr("""idf2 * (CAST(22 AS DECIMAL(38,0)) * tf * total_dl * 1000000
+               div (CAST(10 AS DECIMAL(38,0)) * tf * total_dl
+                    + CAST(3 AS DECIMAL(38,0)) * total_dl
+                    + CAST(9 AS DECIMAL(38,0)) * dl * n_docs))"""))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("term_micro")).as("score_micro"))

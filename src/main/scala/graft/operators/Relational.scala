@@ -494,14 +494,27 @@ object Relational {
     * of exact integer moments: every Σx, Σx², Σxy is a DECIMAL(38,0)
     * aggregate over cents-scaled integers (the q46/q143 determinism
     * argument — built-in `corr` sums doubles in partition order and
-    * never hash-matches), and each of the 6 pair rows spends a fixed
-    * multiply/sqrt/divide sequence on the exact moments.
+    * never hash-matches).
+    *
+    * The surfaced statistic is all-integer: sign(num) and r²·10⁶ from
+    * the exact moments, with every factor down-shifted by a FIXED 2³⁰
+    * before the squaring so num_s²·10⁶ and den_s·den_s stay inside
+    * DECIMAL(38,0) (|num|, den ≤ n·max|x|² ≈ 4·10²⁵ at sf0.1 → shifted
+    * ≤ 4·10¹⁶; the identical shifted integers floor identically on both
+    * engines, so the ppm value is deterministic to the last digit —
+    * unlike a float r whose sqrt/rounding varies by engine version).
+    * |num| is taken BEFORE the shift: floor-vs-truncate division
+    * semantics differ on negatives across engines, abs makes them agree.
+    * Validity envelope: |num| < 2³⁰·1.8·10¹⁵ ≈ 2·10²⁴ per 38-digit
+    * headroom — past that (≳10¹² rows at these magnitudes) raise the
+    * shift in both plans.
     *
     * Scale shape: one map-combined moment aggregate (constant-width
     * state), then constant-size row construction — the matrix costs
     * one scan regardless of width·rows.
     *
-    * @return per pair: (x_col, y_col, n, num, den_x, den_y, r)
+    * @return per pair: (x_col, y_col, n, sign ∈ {-1,0,1}, r2_ppm;
+    *         r2_ppm NULL when either variance underflows the shift)
     */
   def corrMatrix(lineitem: DataFrame): DataFrame = {
     val cols = Seq(
@@ -525,12 +538,17 @@ object Relational {
         (dec(col("n")) * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).as("den_x"),
         (dec(col("n")) * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).as("den_y"))
     }
-    // zero-variance columns have no defined correlation: NULL, not a
+    // zero/underflowed variance has no defined correlation: NULL, not a
     // division error (ANSI) or engine-specific inf/NaN
     pairRows.reduce(_ unionAll _)
-      .withColumn("r", when(col("den_x") > 0 && col("den_y") > 0,
-        col("num").cast("double")
-          / (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double")))))
+      .withColumn("ns", expr("abs(num) div 1073741824"))
+      .withColumn("dxs", expr("den_x div 1073741824"))
+      .withColumn("dys", expr("den_y div 1073741824"))
+      .select(col("x_col"), col("y_col"), col("n"),
+        signum(col("num")).cast("long").as("sign"),
+        when(col("dxs") > 0 && col("dys") > 0,
+          expr("(cast(ns as decimal(38,0)) * ns * 1000000) div " +
+            "(cast(dxs as decimal(38,0)) * dys)")).as("r2_ppm"))
   }
 
   /** Poisson-bootstrap confidence intervals (q177) — the distributed
@@ -607,22 +625,23 @@ object Relational {
     * of weekday? The contingency-table companion to [[benfordAudit]]:
     * per cell, the observed count against the independence expectation
     * E = r·c/N, with the deviation kept exact — dev = obs·N − r·c (a
-    * DECIMAL(38,0) integer) — and the cell flagged when the squared
-    * standardized residual exceeds 3σ: dev² > 9·r·c·N, a pure integer
-    * compare. The per-cell χ² contribution dev²/(r·c·N) ships as one
-    * fixed double division (no cross-cell float sum, so no
-    * order-dependence; consumers sum contributions over the ≤ |types|·7
-    * cells themselves).
+    * DECIMAL(38,0) integer, internal only) — and the cell flagged when
+    * the squared standardized residual exceeds 3σ: dev² > 9·r·c·N, a
+    * pure integer compare. The per-cell χ² contribution dev²/(r·c·N)
+    * ships as the exact nano-unit floor ⌊dev²·10⁹/(r·c·N)⌋ — a BIGINT
+    * (contribution ≤ N, so the nano value fits int64 through ~10⁹-row
+    * tables), never a float and never a raw DECIMAL output column
+    * (either hashes differently across DuckDB fetch paths).
     *
-    * Bound note: dev² reaches (obs·N)² — exact through DECIMAL(38,0) up
-    * to ~10¹⁹-row tables (the q149 narrow-seam argument); beyond that,
-    * pre-scale counts (e.g. to per-million) before the audit.
+    * Bound note: dev²·10⁹ reaches (obs·N)²·10⁹ — exact through
+    * DECIMAL(38,0) up to ~10⁷-row tables; beyond that, pre-scale counts
+    * (e.g. to per-million) before the audit.
     *
     * Scale shape: one map-combined cell aggregate; margins are tiny
     * broadcast aggregates of the cell table itself.
     *
-    * @return per cell: (event_type, weekday, obs, r, c, n, dev,
-    *         contrib, flagged)
+    * @return per cell: (event_type, weekday, obs, r, c, n,
+    *         contrib_nano, flagged ∈ {0,1})
     */
   def independenceAudit(events: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -639,12 +658,14 @@ object Relational {
       .join(broadcast(cols), "weekday")
       .crossJoin(broadcast(tot))
       .withColumn("dev", dec(col("obs")) * dec(col("n")) - dec(col("r")) * dec(col("c")))
-      .withColumn("contrib", (col("dev") * col("dev")).cast("double")
-        / (dec(col("r")) * dec(col("c")) * dec(col("n"))).cast("double"))
-      .withColumn("flagged", col("dev") * col("dev")
-        > dec(lit(9)) * dec(col("r")) * dec(col("c")) * dec(col("n")))
+      .withColumn("contrib_nano",
+        expr("(dev * dev * 1000000000) div " +
+          "(cast(r as decimal(38,0)) * c * n)"))
+      .withColumn("flagged", when(col("dev") * col("dev")
+        > dec(lit(9)) * dec(col("r")) * dec(col("c")) * dec(col("n")),
+        lit(1L)).otherwise(lit(0L)))
       .select(col("event_type"), col("weekday"), col("obs"), col("r"),
-        col("c"), col("n"), col("dev"), col("contrib"), col("flagged"))
+        col("c"), col("n"), col("contrib_nano"), col("flagged"))
   }
 
   /** Benford first-digit audit (q163) — the classic fraud / synthetic-
@@ -1546,13 +1567,18 @@ object Relational {
     * zipWithIndex indexer (the q186 path — never an unpartitioned
     * row_number), and because Gini is TIE-INVARIANT (equal x values
     * contribute the same Σ i·x under any permutation of their index
-    * block) the indexer's arbitrary tie order is harmless. The final
-    * ratio runs in DECIMAL(38,0) — the ppm numerator overflows BIGINT
-    * exactly when n·Σx nears 2⁶³.
+    * block) the indexer's arbitrary tie order is harmless. The whole
+    * ratio — INCLUDING Σi·x and both products — runs in DECIMAL(38,0):
+    * i·x per-row products and n·Σx cross 2⁶³ at ~10⁷ parts of real
+    * revenue, and a BIGINT intermediate would silently wrap (non-ANSI)
+    * exactly where the oracle's HUGEINT stays exact (the r09 ADVICE
+    * finding). DECIMAL first, multiply after — same order of operations
+    * as the oracle.
     *
     * @return 1 row: (n_parts, total_e4, weighted_sum, gini_ppm)
     */
   def giniRevenue(lineitem: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val rev = lineitem
       .select(col("l_partkey"),
         (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
@@ -1563,11 +1589,18 @@ object Relational {
     val idx = graft.streaming.Replay.indexed(rev.select(col("x")), "x")
       .select((col("__idx") + 1).as("i"), col("x"))
     idx.agg(count(lit(1)).as("n_parts"), sum(col("x")).as("total_e4"),
-        sum(col("i") * col("x")).as("weighted_sum"))
-      .select(col("n_parts"), col("total_e4"), col("weighted_sum"),
-        expr("""CAST(CAST(2 * weighted_sum - (n_parts + 1) * total_e4 AS DECIMAL(38,0))
-               * 1000000 div CAST(n_parts * total_e4 AS DECIMAL(38,0)) AS BIGINT)""")
-          .as("gini_ppm"))
+        sum(dec(col("i")) * dec(col("x"))).as("weighted_sum"))
+      .select(col("n_parts"), col("total_e4"),
+        // surfaced as BIGINT (the fetch-path-portable type); the decimal
+        // carry is internal to the ratio below
+        col("weighted_sum").cast("long").as("weighted_sum"),
+        // `div` (IntegralDivide), NOT decimal `/`: the latter rounds at
+        // the result scale where both engines must FLOOR identically
+        expr("""CAST((CAST(2 AS DECIMAL(38,0)) * weighted_sum
+               - CAST(n_parts + 1 AS DECIMAL(38,0)) * CAST(total_e4 AS DECIMAL(38,0)))
+               * 1000000
+               div (CAST(n_parts AS DECIMAL(38,0)) * CAST(total_e4 AS DECIMAL(38,0)))
+               AS BIGINT)""").as("gini_ppm"))
   }
 
   private def statCols: Seq[Column] = {

@@ -456,14 +456,18 @@ object Similarity {
     * centroid s/n scales to Σ_d (m·n − s)² / n² — the numerator is an
     * exact DECIMAL(38,0) both engines sum identically, the ranking
     * needs only the numerator (n is constant within a label), and the
-    * reported float distance spends one division at the end.
+    * surfaced distance is the exact nano-unit floor ⌊dist·10⁹⌋ =
+    * ⌊dist_num / (n²·10³)⌋ — a BIGINT (dist ≤ 4 for unit vectors, so
+    * dist_nano ≤ 4·10⁹ at any corpus size). The raw DECIMAL numerator
+    * stays internal: DECIMAL output columns hash differently across
+    * DuckDB fetch paths.
     *
     * Scale shape: one exploded map-combined aggregate builds the
     * |labels|·dims centroid table (broadcast back); the distance pass
     * re-aggregates per vector; the per-label ranking window partitions
     * by label. Nothing exceeds corpus·dims narrow rows.
     *
-    * @return (label, vec_id, n_members, dist_num, dist) — topK rows per
+    * @return (label, vec_id, n_members, dist_nano) — topK rows per
     *         label, farthest first by (dist_num DESC, vec_id)
     */
   def embeddingOutliers(embeddings: DataFrame, topK: Int = 5): DataFrame = {
@@ -484,10 +488,8 @@ object Similarity {
         .orderBy(col("dist_num").desc, col("vec_id"))))
       .where(col("rn") <= topK)
       .select(col("label"), col("vec_id"), col("n").as("n_members"),
-        col("dist_num"),
-        (col("dist_num").cast("double")
-          / (col("n").cast("double") * col("n").cast("double") * lit(1e12)))
-          .as("dist"))
+        expr("dist_num div (cast(n as decimal(38,0)) * n * 1000)")
+          .as("dist_nano"))
   }
 
   /** kNN label-consistency audit (q200) — the label-noise detector: for
@@ -637,9 +639,12 @@ object Similarity {
       .select(col("i").as("vi_dim"), lit(1000L).as("vi"))
       .transform(graft.barrier)
     for (_ <- 1 to iters) {
+      // decimal BEFORE the product (the oracle's HUGEINT-first order):
+      // mij ~ n·10⁶ on the milli grid, so mij·vi wraps BIGINT around
+      // ~10¹⁰ vectors while DuckDB errors — decimal keeps both exact
       val w = m.join(broadcast(v), col("j") === col("vi_dim"))
         .groupBy(col("i"))
-        .agg(sum(col("mij") * col("vi")).as("wi"))
+        .agg(sum(col("mij").cast("decimal(38,0)") * col("vi")).as("wi"))
       val mx = w.agg(max(abs(col("wi"))).as("mx"))
       v = w.crossJoin(broadcast(mx))
         .select(col("i").as("vi_dim"),
@@ -649,7 +654,7 @@ object Similarity {
     val lambda = m.join(broadcast(v), col("j") === col("vi_dim"))
       .join(broadcast(v.select(col("vi_dim").as("d2"), col("vi").as("vi2"))),
         col("i") === col("d2"))
-      .agg(sum((col("vi2") * col("mij")).cast("decimal(38,0)") * col("vi"))
+      .agg(sum(col("vi2").cast("decimal(38,0)") * col("mij") * col("vi"))
         .as("num"))
       .crossJoin(v.agg(sum(col("vi") * col("vi")).as("den")))
       .select(expr("CAST(num * 1000 div CAST(den AS DECIMAL(38,0)) AS BIGINT)")

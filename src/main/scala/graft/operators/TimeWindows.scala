@@ -947,24 +947,6 @@ object TimeWindows {
           .otherwise(col("seasonal_abs_err").cast("double")
             / col("naive_abs_err").cast("double")))
   }
-  /** Weekday seasonality index per event type (q209) — the seasonal
-    * profile beside the trend (q144), EWMA (q132), autocorrelation
-    * (q150), and CUSUM (q166) views of the same daily volumes: for each
-    * (type, weekday), the mean events/day on that weekday relative to
-    * the type's overall mean events/day, in exact ppm. Weekday is the
-    * calendar-free `epoch_day % 7` (0 = Thursday — 1970-01-01), so both
-    * engines bucket identically with zero timezone machinery. The index
-    * is one integer cross-multiplied floor division
-    * `n_events · type_days · 10⁶ div (n_days · type_events)` — no float
-    * averages anywhere.
-    *
-    * Scale shape: one map-combined aggregate to ≤ |types|·7 rows (the
-    * distinct-day count rides the same shuffle), then a window
-    * partitioned BY TYPE over those rows for the per-type totals. Events
-    * never shuffle twice.
-    *
-    * @return (event_type, weekday, n_events, n_days, index_ppm)
-    */
   /** Sequential precedence pairs (q213) — the non-adjacent sequence-
     * mining report beside the adjacent-only transition matrix (q100):
     * for each ordered type pair (a, b), how many users ever did a
@@ -1060,6 +1042,24 @@ object TimeWindows {
         col("median_slope"))
   }
 
+  /** Weekday seasonality index per event type (q209) — the seasonal
+    * profile beside the trend (q144), EWMA (q132), autocorrelation
+    * (q150), and CUSUM (q166) views of the same daily volumes: for each
+    * (type, weekday), the mean events/day on that weekday relative to
+    * the type's overall mean events/day, in exact ppm. Weekday is the
+    * calendar-free `epoch_day % 7` (0 = Thursday — 1970-01-01), so both
+    * engines bucket identically with zero timezone machinery. The index
+    * is one integer cross-multiplied floor division
+    * `n_events · type_days · 10⁶ div (n_days · type_events)` — no float
+    * averages anywhere.
+    *
+    * Scale shape: one map-combined aggregate to ≤ |types|·7 rows (the
+    * distinct-day count rides the same shuffle), then a window
+    * partitioned BY TYPE over those rows for the per-type totals. Events
+    * never shuffle twice.
+    *
+    * @return (event_type, weekday, n_events, n_days, index_ppm)
+    */
   def weekdaySeasonality(events: DataFrame): DataFrame =
     weekdaySeasonalityFromDaily(dailyCounts(events))
 

@@ -493,7 +493,11 @@ object GraphOps {
     * the integers are exact path counts, order-invariant under any
     * shuffle (the [[pageRank]] determinism argument without even a floor
     * division). Sums go DECIMAL(38,0): a₂ ≤ deg·max(h₁) ≤ deg²·max(deg)
-    * crosses 2⁶³ on web-scale degree distributions.
+    * crosses 2⁶³ on web-scale degree distributions. The OUTPUT casts
+    * back to BIGINT — raw DECIMAL output columns hash differently across
+    * DuckDB fetch paths (decimal→float64 vs exact), and the surfaced
+    * top-20 counts fit int64 far past this corpus; past 2⁶³ paths,
+    * surface a fixed down-scale instead.
     *
     * Scale shape: two keyed join+aggregate rounds over the edge list
     * (the per-iteration minimum of any HITS implementation — |E| rows
@@ -513,7 +517,8 @@ object GraphOps {
     a2.join(a1, "p")
       .orderBy(col("a2").desc, col("p"))
       .limit(topK)
-      .select(col("p").as("productId"), col("a1"), col("a2"))
+      .select(col("p").as("productId"), col("a1").cast("long").as("a1"),
+        col("a2").cast("long").as("a2"))
   }
 
   /** Edge-embeddedness histogram (q203) — for every canonical edge, the

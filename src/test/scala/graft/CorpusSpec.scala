@@ -305,19 +305,18 @@ class CorpusSpec extends AnyFunSuite {
       .selectExpr("doc_id", "text", "source", "CAST(length(text) AS BIGINT) AS n_chars")
     val r = Corpus.ksDrift(docs).collect()
       .map(x => x.getAs[String]("source") ->
-        (x.getAs[java.math.BigDecimal]("d_num").longValueExact,
-          x.getAs[Double]("d"),
-          x.getAs[java.math.BigDecimal]("w1_num").longValueExact,
-          x.getAs[Double]("w1"))).toMap
-    assert(r("a") === ((4L, 1.0, 8L, 2.0)))
-    assert(r("b") === ((4L, 1.0, 8L, 2.0)))
+        (x.getAs[Long]("d_ppm"), x.getAs[Long]("w1_micro"))).toMap
+    // D = 1 -> 1e6 ppm exactly; W1 = 2 -> 2e6 micro exactly
+    assert(r("a") === ((1000000L, 2000000L)))
+    assert(r("b") === ((1000000L, 2000000L)))
     // real corpus: D in (0, 1], W1 >= 0, one row per source
     val real = Corpus.ksDrift(graft.Tables.documents(spark, TestSpark.sf)).collect()
     assert(real.length === graft.Tables.documents(spark, TestSpark.sf)
       .select("source").distinct().count().toInt)
     real.foreach { x =>
-      assert(x.getAs[Double]("d") > 0.0 && x.getAs[Double]("d") <= 1.0)
-      assert(x.getAs[Double]("w1") >= 0.0)
+      val d = x.getAs[Long]("d_ppm")
+      assert(d > 0L && d <= 1000000L)
+      assert(x.getAs[Long]("w1_micro") >= 0L)
     }
   }
 

@@ -184,8 +184,7 @@ class GraphSpec extends AnyFunSuite {
     val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("userId", "productId")
     val r = GraphOps.hits(e).collect()
       .map(x => x.getAs[Long]("productId") ->
-        (x.getAs[java.math.BigDecimal]("a1").longValueExact,
-          x.getAs[java.math.BigDecimal]("a2").longValueExact)).toMap
+        (x.getAs[Long]("a1"), x.getAs[Long]("a2"))).toMap
     assert(r === Map(10L -> ((2L, 5L)), 20L -> ((1L, 3L))))
   }
 

