@@ -95,13 +95,20 @@ object SparkEntry {
       Reco.dedupedRatings(Tables.ratings(spark, dir)).cache()
     }
 
-  /** The co-rated pair table (the family's Σdeg² fan-out), memoized so
-    * q107/q108's neighbor build and q173's lift ranking pay it once.
+  /** The co-rated pair table WITH its train-split twin from one combined
+    * fan-out (the family's Σdeg² cost, paid once for q107/q108/q173/q191
+    * AND the q201/q212 holdout retrain — [[Reco.itemPairsWithHoldout]]).
+    */
+  private def cfPairsAll(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_pairs_all") {
+      Reco.itemPairsWithHoldout(holdoutSplitDf(spark, dir))
+    }
+
+  /** The full-corpus pair view of [[cfPairsAll]] — bit-identical to the
+    * old standalone `Reco.itemPairs(cfDeduped)` frame (spec-proven).
     */
   private def cfPairs(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "cf_pairs") {
-      Reco.itemPairs(cfDeduped(spark, dir))
-    }
+    cfPairsAll(spark, dir).select("pa", "pb", "dot", "support", "dsum")
 
   private def cfNeighbors(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "cf_neighbors") {
@@ -128,7 +135,8 @@ object SparkEntry {
 
   private def holdoutRanked(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "holdout_ranked") {
-      Reco.holdoutRankedPreds(holdoutSplitDf(spark, dir)).cache()
+      Reco.holdoutRankedPredsFromPairs(holdoutSplitDf(spark, dir),
+        cfPairsAll(spark, dir)).cache()
     }
 
   /** The corpus 8-gram explode+hash is the dominant cost of BOTH HLL

@@ -274,6 +274,43 @@ object Reco {
       .where(col("support") >= minSupport)
       .transform(graft.barrier)
 
+  /** [[itemPairs]] and its TRAIN-SPLIT twin from ONE fan-out — the q201
+    * holdout retrain was the suite's single largest cost because it
+    * re-ran the Σdeg² pair self-join over the 80% train slice after the
+    * full corpus already paid it. A pair's train aggregates are just the
+    * conditional sums over the SAME joined co-rater stream (the pair
+    * survives in train iff BOTH endpoint ratings are train rows), so the
+    * expensive stage — streaming the per-user pair fan-out — happens
+    * once, and three extra `sum(when both_train …)` columns ride it for
+    * map-side-combine cost. The full-table columns are bit-identical to
+    * [[itemPairs]]; `{dot,support,dsum}_train` filtered to
+    * `support_train ≥ minSupport` are bit-identical to
+    * `itemPairs(train)` — both facts spec-proven.
+    *
+    * @param split [[holdoutSplit]] output: (userId, productId, rv,
+    *              is_test), barriered
+    * @return (pa, pb, dot, support, dsum, dot_train, support_train,
+    *         dsum_train), support ≥ minSupport, barriered
+    */
+  def itemPairsWithHoldout(split: DataFrame, minSupport: Long = 2): DataFrame = {
+    val bothTrain = !col("a.is_test") && !col("b.is_test")
+    split.as("a").hint("shuffle_hash").join(split.as("b").hint("shuffle_hash"),
+        col("a.userId") === col("b.userId") && col("a.productId") < col("b.productId"))
+      .groupBy(col("a.productId").as("pa"), col("b.productId").as("pb"))
+      .agg(sum(col("a.rv") * col("b.rv")).as("dot"),
+        count(lit(1)).as("support"),
+        sum(col("a.rv") - col("b.rv")).as("dsum"),
+        sum(when(bothTrain, col("a.rv") * col("b.rv")).otherwise(0L))
+          .as("dot_train"),
+        sum(when(bothTrain, 1L).otherwise(0L)).as("support_train"),
+        sum(when(bothTrain, col("a.rv") - col("b.rv")).otherwise(0L))
+          .as("dsum_train"))
+      // support_train ≤ support, so this keeps every pair either
+      // consumer family wants
+      .where(col("support") >= minSupport)
+      .transform(graft.barrier)
+  }
+
   private def itemNeighborsFromDeduped(r: DataFrame, k: Int,
       minSupport: Long): DataFrame =
     itemNeighborsFromPairs(r, itemPairs(r, minSupport), k)
@@ -611,10 +648,28 @@ object Reco {
     * pay the pair fan-out once.
     */
   def holdoutRankedPreds(split: DataFrame, k: Int = 5,
-      minSupport: Long = 2): DataFrame = {
+      minSupport: Long = 2): DataFrame =
+    holdoutRankedPredsFromPairs(split,
+      itemPairs(split.where(!col("is_test"))
+        .select("userId", "productId", "rv"), minSupport)
+        .select(col("pa"), col("pb"), col("dot").as("dot_train"),
+          col("support").as("support_train"), col("dsum").as("dsum_train")),
+      k, minSupport)
+
+  /** [[holdoutRankedPreds]] over a precomputed train-pair frame — the
+    * [[itemPairsWithHoldout]] seam: SparkEntry derives
+    * `{dot,support,dsum}_train` from the session's ONE combined fan-out
+    * instead of re-running the self-join on the 80% slice.
+    */
+  def holdoutRankedPredsFromPairs(split: DataFrame, trainPairs: DataFrame,
+      k: Int = 5, minSupport: Long = 2): DataFrame = {
     val train = split.where(!col("is_test")).select("userId", "productId", "rv")
+    val pairs = trainPairs
+      .select(col("pa"), col("pb"), col("dot_train").as("dot"),
+        col("support_train").as("support"), col("dsum_train").as("dsum"))
+      .where(col("support") >= minSupport)
     val preds = cfPredictionsFrom(train,
-      itemNeighborsFromPairs(train, itemPairs(train, minSupport), k), top = k)
+      itemNeighborsFromPairs(train, pairs, k), top = k)
     val w = Window.partitionBy("userId").orderBy(desc("pred"), asc("item"))
     preds.withColumn("rn", row_number().over(w).cast("long"))
   }

@@ -370,4 +370,39 @@ class RecoSpec extends AnyFunSuite {
     assert(m.getAs[Long]("rr_micro_sum") === 1500000L)
     assert(m.getAs[Long]("mrr_micro") === 500000L)
   }
+
+  test("itemPairsWithHoldout: one fan-out reproduces both pair tables exactly") {
+    // the combined frame's full columns must equal itemPairs(deduped)
+    // and its *_train columns (filtered to support_train >= 2) must
+    // equal itemPairs(train) — the q201 seam's correctness contract
+    val ratings = graft.Tables.ratings(spark, TestSpark.sf)
+    val deduped = Reco.dedupedRatings(ratings)
+    val split = Reco.holdoutSplit(deduped)
+    val combined = Reco.itemPairsWithHoldout(split).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) -> r).toMap
+
+    val full = Reco.itemPairs(deduped).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
+        (r.getAs[Long]("dot"), r.getAs[Long]("support"), r.getAs[Long]("dsum")))
+      .toMap
+    assert(combined.keySet === full.keySet)
+    full.foreach { case (k, (d, s, ds)) =>
+      val c = combined(k)
+      assert((c.getAs[Long]("dot"), c.getAs[Long]("support"),
+        c.getAs[Long]("dsum")) === ((d, s, ds)), s"full mismatch at $k")
+    }
+
+    val train = Reco.itemPairs(
+      split.where(!col("is_test")).select("userId", "productId", "rv"))
+      .collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
+        (r.getAs[Long]("dot"), r.getAs[Long]("support"), r.getAs[Long]("dsum")))
+      .toMap
+    val combinedTrain = combined.collect {
+      case (k, c) if c.getAs[Long]("support_train") >= 2L =>
+        k -> (c.getAs[Long]("dot_train"), c.getAs[Long]("support_train"),
+          c.getAs[Long]("dsum_train"))
+    }
+    assert(combinedTrain === train)
+  }
 }
