@@ -811,6 +811,46 @@ object SparkEntry {
     // debiased counts per type — the measure-the-mechanism report
     "q229_randomized_response" -> ((s, dir) =>
       Relational.randomizedResponse(Tables.events(s, dir))),
+    // TPC-H Q4 shape: quarter-window orders with >=1 late line via one
+    // orderkey-keyed LEFT SEMI (EXISTS decorrelated), per-priority count
+    "q230_order_priority" -> ((s, dir) =>
+      Relational.orderPriorityCheck(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q12 shape: fact-dim equi-join + two-level conditional count,
+    // exact ppm late share per priority
+    "q231_late_by_priority" -> ((s, dir) =>
+      Relational.lateLinesByPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q14 shape: one month's PROMO revenue share in exact e4
+    // units, broadcast part dim, one ppm floor
+    "q232_promo_share" -> ((s, dir) =>
+      Relational.promoRevenueShare(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q19 shape: disjunctive bracket predicates as a residual on
+    // one equi-join (never a nested loop), exact e4 revenue
+    "q233_bracket_revenue" -> ((s, dir) =>
+      Relational.bracketRevenue(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // community conductance: cut/min(vol, 2m-vol) per LP community in
+    // exact ppm — the Cheeger grade beside q198's modularity
+    "q234_conductance" -> ((s, dir) =>
+      plans.GraphOps.conductance(communityLabels(s, dir), coPairs(s, dir))),
+    // inter-label centroid gap matrix on the micro grid — exact decimal
+    // numerators, label-pair join over the metadata-sized centroid table
+    "q235_centroid_gaps" -> ((s, dir) =>
+      Similarity.centroidGaps(Tables.embeddings(s, dir))),
+    // exact Mann-Whitney U (doubled midranks) per source vs rest — the
+    // rank-based drift test beside q172's KS, same count grid
+    "q236_mann_whitney" -> ((s, dir) =>
+      Relational.mannWhitneyDrift(Tables.documents(s, dir))),
+    // Kendall concordance counts between type volumes over day pairs —
+    // calendar-bounded metadata self-join, exact integers
+    "q237_kendall" -> ((s, dir) =>
+      TimeWindows.kendallConcordance(Tables.events(s, dir))),
+    // log2-bucket degree histogram of the co-rating graph — the skew
+    // gate for every per-vertex fan-out, pure map-combined aggregates
+    "q238_degree_histogram" -> ((s, dir) =>
+      plans.GraphOps.degreeHistogram(coPairs(s, dir))),
+    // intra-list diversity of the top-k recommendations: exact cos^2 ppm
+    // from the memoized pair table — the echo-chamber audit beside q218
+    "q239_intra_list_diversity" -> ((s, dir) =>
+      Reco.intraListDiversity(cfDeduped(s, dir), cfPreds(s, dir), cfPairs(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -2311,6 +2351,232 @@ object SparkEntry {
          |    AS err
          |FROM tc JOIN ob ON tc.event_type = ob.reported
          |CROSS JOIN nn CROSS JOIN kk""".stripMargin,
+    // same quarter window, same +30-day lateness EXISTS, same counts
+    "q230_order_priority" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS o_day
+        |  FROM orders
+        |  WHERE epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 >= 9862
+        |    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 < 9952)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM o WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+        |        > o.o_day + 30)
+        |GROUP BY 1""".stripMargin,
+    // same join, same +60-day cutoff, same conditional count + ppm floor
+    "q231_late_by_priority" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS o_day
+        |  FROM orders),
+        |l AS (
+        |  SELECT l_orderkey,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS ship_day
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(COALESCE(sum(CASE WHEN ship_day > o_day + 60 THEN 1 END), 0)
+        |      AS BIGINT) AS n_late
+        |  FROM l JOIN o ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT o_orderpriority, n_lines, n_late,
+        |  n_late * 1000000 // n_lines AS late_ppm FROM g""".stripMargin,
+    // same month window, same e4 revenue units, same PROMO flag + ppm
+    "q232_promo_share" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS rev_e4
+        |  FROM lineitem
+        |  WHERE epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+        |        BETWEEN 9862 AND 9892),
+        |j AS (
+        |  SELECT rev_e4, p_type = 'PROMO' AS is_promo
+        |  FROM li JOIN part ON l_partkey = p_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(sum(CASE WHEN is_promo THEN rev_e4 END), 0) AS BIGINT)
+        |    AS promo_e4,
+        |  CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+        |  CAST(COALESCE(sum(CASE WHEN is_promo THEN rev_e4 END), 0) AS BIGINT)
+        |    * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS promo_ppm
+        |FROM j""".stripMargin,
+    // same three brackets, same OR residual on the one equi-join, same
+    // e4 revenue and per-bracket memberships
+    "q233_bracket_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS rev_e4
+        |  FROM lineitem),
+        |j AS (
+        |  SELECT qty, rev_e4,
+        |    (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |      AND qty BETWEEN 1 AND 20) AS b1,
+        |    (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |      AND qty BETWEEN 10 AND 35) AS b2,
+        |    (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+        |      AND qty BETWEEN 25 AND 50) AS b3
+        |  FROM li JOIN part ON l_partkey = p_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(sum(CASE WHEN b1 THEN 1 END), 0) AS BIGINT) AS b1_lines,
+        |  CAST(COALESCE(sum(CASE WHEN b2 THEN 1 END), 0) AS BIGINT) AS b2_lines,
+        |  CAST(COALESCE(sum(CASE WHEN b3 THEN 1 END), 0) AS BIGINT) AS b3_lines,
+        |  CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+        |FROM j WHERE b1 OR b2 OR b3""".stripMargin,
+    // same LP labels (l5), same two-sided cut count, same degree volume
+    // and least() denominator, exact ppm
+    "q234_conductance" ->
+      s"""$graphPrefix,
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs)
+        |  GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        |tg AS (
+        |  SELECT la.label AS la, lb.label AS lb
+        |  FROM pairs p JOIN l5 la ON la.id = p.src JOIN l5 lb ON lb.id = p.dst),
+        |cut AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS cut FROM (
+        |    SELECT la AS label FROM tg WHERE la <> lb
+        |    UNION ALL SELECT lb FROM tg WHERE la <> lb)
+        |  GROUP BY 1),
+        |vol AS (
+        |  SELECT l.label, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(d.deg) AS BIGINT) AS vol
+        |  FROM l5 l JOIN deg d ON d.id = l.id GROUP BY 1)
+        |SELECT vol.label, n_members, vol,
+        |  CAST(COALESCE(cut, 0) AS BIGINT) AS cut, mm.m,
+        |  CAST(CASE WHEN least(vol, 2 * mm.m - vol) > 0
+        |    THEN COALESCE(cut, 0) * 1000000 // least(vol, 2 * mm.m - vol)
+        |    ELSE 0 END AS BIGINT) AS conductance_ppm
+        |FROM vol LEFT JOIN cut USING (label) CROSS JOIN mm""".stripMargin,
+    // same micro grid, same HUGEINT cross-centroid numerators, same
+    // nano floor
+    "q235_centroid_gaps" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS m
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim, CAST(sum(m) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |g AS (
+        |  SELECT a.label AS label_a, b.label AS label_b, a.n AS na, b.n AS nb,
+        |    sum((CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)
+        |      * (CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)) AS num
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT label_a, label_b, na AS n_a, nb AS n_b,
+        |  CAST(num // (CAST(na AS HUGEINT) * na * nb * nb * 1000) AS BIGINT)
+        |    AS gap_nano
+        |FROM g""".stripMargin,
+    // same count grid, same doubled midranks, same u2 and AUC ppm floor
+    "q236_mann_whitney" ->
+      """WITH vc AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM vc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM srcs),
+        |gv AS (SELECT v, CAST(sum(c) AS BIGINT) AS g FROM vc GROUP BY 1),
+        |rk AS (
+        |  SELECT v, g, CAST(COALESCE(sum(g) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS below
+        |  FROM gv),
+        |r2t AS (
+        |  SELECT source, sum(CAST(c AS HUGEINT) * (2 * below + g + 1)) AS r2
+        |  FROM vc JOIN rk USING (v) GROUP BY 1)
+        |SELECT s.source, s.n_s, tot.n - s.n_s AS n_rest,
+        |  CAST(r2 - CAST(s.n_s AS HUGEINT) * (s.n_s + 1) AS BIGINT) AS u2,
+        |  CAST((r2 - CAST(s.n_s AS HUGEINT) * (s.n_s + 1)) * 500000
+        |    // (CAST(s.n_s AS HUGEINT) * (tot.n - s.n_s)) AS BIGINT) AS auc_ppm
+        |FROM r2t s2 JOIN srcs s ON s2.source = s.source CROSS JOIN tot""".stripMargin,
+    // same daily counts, same day-pair grid, same sign/tie conditionals
+    "q237_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day_num,
+        |    a.cnt AS x, b.cnt AS y
+        |  FROM daily a JOIN daily b
+        |    ON a.day_num = b.day_num AND a.event_type < b.event_type),
+        |p AS (
+        |  SELECT u.type_a, u.type_b, u.x AS x1, u.y AS y1, w.x AS x2, w.y AS y2
+        |  FROM xy u JOIN xy w ON u.type_a = w.type_a AND u.type_b = w.type_b
+        |    AND u.day_num < w.day_num)
+        |SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_day_pairs,
+        |  CAST(COALESCE(sum(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 END), 0)
+        |    AS BIGINT) AS concordant,
+        |  CAST(COALESCE(sum(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 END), 0)
+        |    AS BIGINT) AS discordant,
+        |  CAST(COALESCE(sum(CASE WHEN x1 = x2 THEN 1 END), 0) AS BIGINT) AS tie_a,
+        |  CAST(COALESCE(sum(CASE WHEN y1 = y2 THEN 1 END), 0) AS BIGINT) AS tie_b
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    // same degree aggregate, same binary-length log2 buckets
+    "q238_degree_histogram" ->
+      s"""WITH $ratingsCte,
+        |$goodCte,
+        |$pairsCte,
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs)
+        |  GROUP BY 1)
+        |SELECT CAST(len(bin(deg)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vertices,
+        |  CAST(min(deg) AS BIGINT) AS min_deg,
+        |  CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1""".stripMargin,
+    // q218's prediction chain verbatim, then the rec-pair self-join,
+    // pair-table cos^2 lookup, and the 1-row diversity report
+    "q239_intra_list_diversity" ->
+      s"""WITH $itemCfCtes,
+        |nb AS (
+        |  SELECT item, neighbor, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |sc AS (
+        |  SELECT r.userId, nb.item,
+        |    CAST(sum(nb.w * r.rv) AS BIGINT) AS num, CAST(sum(nb.w) AS BIGINT) AS den
+        |  FROM r JOIN nb ON r.productId = nb.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nb.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand),
+        |topk AS (
+        |  SELECT userId, item FROM (
+        |    SELECT userId, item,
+        |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |    FROM predt) WHERE rn <= 3),
+        |rp AS (
+        |  SELECT a.userId, a.item AS item, b.item AS item2
+        |  FROM topk a JOIN topk b ON a.userId = b.userId AND a.item < b.item),
+        |jj AS (
+        |  SELECT rp.userId, p.dot, na.s2 AS s2a, nb2.s2 AS s2b
+        |  FROM rp
+        |  LEFT JOIN pairs p ON p.pa = rp.item AND p.pb = rp.item2
+        |  JOIN norms na ON na.productId = rp.item
+        |  JOIN norms nb2 ON nb2.productId = rp.item2)
+        |SELECT CAST(count(DISTINCT userId) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_rec_pairs,
+        |  CAST(COALESCE(sum(CASE WHEN dot IS NOT NULL THEN 1 END), 0) AS BIGINT)
+        |    AS n_corated_pairs,
+        |  CAST(COALESCE(sum(COALESCE(CAST(dot AS HUGEINT) * dot * 1000000
+        |      // (CAST(s2a AS HUGEINT) * s2b), 0)), 0)
+        |    // count(*) AS BIGINT) AS mean_cos2_ppm
+        |FROM jj""".stripMargin,
     // same one-JVM plane literals, same micro-grid integer dots, same
     // window bucket sizes
     "q227_srp_signatures" -> {

@@ -708,6 +708,57 @@ object Reco {
           .as("pop_lift_ppm"))
   }
 
+  /** Intra-list diversity audit (q239) — the echo-chamber check beside
+    * q218's coverage/lift: how SIMILAR to each other are the items
+    * inside one user's top-k list? A recommender that fills every list
+    * with three variants of the same thing scores high on accuracy and
+    * useless in production. Per user-list item pair (i < j), similarity
+    * is the exact integer cos² ppm from the memoized pair table —
+    * cos²(i,j)·10⁶ = dot²·10⁶ div (s2ᵢ·s2ⱼ) (squares avoid the sqrt
+    * both engines would round; pairs with no co-raters are genuinely
+    * cos 0 and score 0) — and the report is the mean over all rec-list
+    * pairs plus how many had any co-rater at all.
+    *
+    * Scale shape: the rec-pair generator is a userId-keyed self-join of
+    * the ≤ top-per-user prediction table (≤ C(top,2) pairs per user —
+    * constant fan-out); the pair lookup is one LEFT equi-join against
+    * the session pair table; norms broadcast (|items| rows). 1-row
+    * report.
+    *
+    * @param deduped [[dedupedRatings]] output
+    * @param preds   [[cfPredictionsFrom]] output (userId, item, …)
+    * @param pairs   [[itemPairs]] output (pa, pb, dot, support, …)
+    * @return 1 row: (n_users, n_rec_pairs, n_corated_pairs,
+    *         mean_cos2_ppm)
+    */
+  def intraListDiversity(deduped: DataFrame, preds: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val norms = deduped.groupBy("productId")
+      .agg(sum(col("rv") * col("rv")).as("s2"))
+    val p = preds.select(col("userId"), col("item")).transform(graft.barrier)
+    val recPairs = p
+      .join(p.select(col("userId"), col("item").as("item2")), "userId")
+      .where(col("item") < col("item2"))
+    recPairs
+      .join(pairs.select(col("pa").as("item"), col("pb").as("item2"),
+        col("dot")), Seq("item", "item2"), "left")
+      .join(broadcast(norms.select(col("productId").as("item"),
+        col("s2").as("s2a"))), "item")
+      .join(broadcast(norms.select(col("productId").as("item2"),
+        col("s2").as("s2b"))), "item2")
+      .withColumn("cos2_ppm",
+        coalesce(expr("cast(cast(dot as decimal(38,0)) * dot * 1000000" +
+          " div (cast(s2a as decimal(38,0)) * s2b) as bigint)"), lit(0L)))
+      .agg(count_distinct(col("userId")).as("n_users"),
+        count(lit(1)).as("n_rec_pairs"),
+        sum(when(col("dot").isNotNull, 1L).otherwise(0L))
+          .as("n_corated_pairs"),
+        sum(col("cos2_ppm")).as("cos2_sum"))
+      .select(col("n_users"), col("n_rec_pairs"), col("n_corated_pairs"),
+        expr("cos2_sum div n_rec_pairs").as("mean_cos2_ppm"))
+  }
+
   /** Split-conformal prediction interval + coverage (q228) — the
     * distribution-free uncertainty wrapper every deployed regressor
     * needs: fit item means on the train 80%, take nonconformity

@@ -1603,6 +1603,171 @@ object Relational {
                AS BIGINT)""").as("gini_ppm"))
   }
 
+  /** TPC-H Q4 shape (q230) — order-priority checking: per priority, how
+    * many orders placed in one quarter had at least one LATE line (this
+    * corpus carries no l_commitdate/l_receiptdate, so "late" is
+    * shipdate > orderdate + 30 days — the same EXISTS-decorrelation
+    * exercise on the columns the generator provides). The correlated
+    * EXISTS plans as one LEFT SEMI equi-join on orderkey with the
+    * lateness residual — never a per-order subquery.
+    *
+    * Scale shape: the date cut pushes into the orders scan, the semi
+    * join is orderkey-keyed (the fact table's natural key), and the
+    * report is a ≤ |priorities|-row map-combined count.
+    *
+    * @return (o_orderpriority, order_count)
+    */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame,
+      fromDay: Long = 9862L, toDay: Long = 9952L,
+      lateDays: Long = 30L): DataFrame = {
+    val o = orders
+      .withColumn("o_day",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+      .where(col("o_day") >= fromDay && col("o_day") < toDay)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_day"))
+    val l = lineitem.select(col("l_orderkey"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+        .as("ship_day"))
+    o.join(l, col("l_orderkey") === col("o_orderkey")
+        && col("ship_day") > col("o_day") + lateDays, "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q12 shape (q231) — the two-level conditional count: per
+    * order priority, lines shipped very late (> 60 days after the
+    * order) vs lines shipped on time, plus the exact ppm late share
+    * (the corpus has no l_shipmode, so priority plays the grouping
+    * role — the plan shape is Q12's exactly: one fact-dim equi-join,
+    * conditional sums, no second pass).
+    *
+    * @return (o_orderpriority, n_lines, n_late, late_ppm)
+    */
+  def lateLinesByPriority(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Long = 60L): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("o_day"))
+    lineitem
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+          .as("ship_day"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ship_day") > col("o_day") + lateDays, 1L).otherwise(0L))
+          .as("n_late"))
+      .withColumn("late_ppm", expr("n_late * 1000000 div n_lines"))
+  }
+
+  /** TPC-H Q14 shape (q232) — promotion revenue share: of one month's
+    * lineitem revenue, what fraction came from PROMO-type parts. The
+    * part dim broadcasts; revenue is the exact cent·percent unit
+    * (q205's e4 grade) so the share is one integer ppm floor — Q14's
+    * `100 * sum(case …) / sum(…)` with the float division replaced by
+    * the suite's exact idiom.
+    *
+    * @return 1 row: (n_lines, promo_e4, total_e4, promo_ppm)
+    */
+  def promoRevenueShare(part: DataFrame, lineitem: DataFrame,
+      fromDay: Long = 9862L, toDay: Long = 9893L): DataFrame = {
+    val p = part.select(col("p_partkey"),
+      (col("p_type") === "PROMO").as("is_promo"))
+    lineitem
+      .where(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+        .between(fromDay, toDay - 1))
+      .select(col("l_partkey"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_promo"), col("rev_e4")).otherwise(0L)).as("promo_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .withColumn("promo_ppm", expr("promo_e4 * 1000000 div total_e4"))
+  }
+
+  /** TPC-H Q19 shape (q233) — disjunctive bracket revenue: the sum of
+    * discounted revenue over an OR of three (brand, size-range,
+    * quantity-range) brackets. Q19's point is the OPTIMIZER exercise:
+    * the common `l_partkey = p_partkey` conjunct must stay an equi-join
+    * with the disjunction as a residual filter (never a nested-loop
+    * over the OR), and the per-bracket predicates must not block
+    * pushdown of the join keys. Revenue in exact e4 units; bracket
+    * membership reported per bracket for auditability.
+    *
+    * @return 1 row: (n_lines, b1_lines, b2_lines, b3_lines, revenue_e4)
+    */
+  def bracketRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = lineitem.select(col("l_partkey"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+        (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+        .as("rev_e4"))
+    val b1 = col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+      col("qty").between(1, 20)
+    val b2 = col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+      col("qty").between(10, 35)
+    val b3 = col("p_brand") === "Brand#19" && col("p_size").between(20, 50) &&
+      col("qty").between(25, 50)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(b1 || b2 || b3)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(b1, 1L).otherwise(0L)).as("b1_lines"),
+        sum(when(b2, 1L).otherwise(0L)).as("b2_lines"),
+        sum(when(b3, 1L).otherwise(0L)).as("b3_lines"),
+        sum(col("rev_e4")).as("revenue_e4"))
+  }
+
+  /** Mann–Whitney U drift audit (q236) — per source, the exact
+    * rank-sum statistic of that source's document lengths against the
+    * rest of the corpus, the nonparametric "is this source's length
+    * distribution shifted?" test beside q172's KS/W1 distances. On the
+    * same (source, value) count grid as q172, with MIDRANKS kept
+    * integer by doubling: 2·midrank(v) = 2·(#values below v) + g_v + 1,
+    * so 2·R₁ = Σ_v c_v·(2·cum_below + g_v + 1) and 2·U₁ = 2·R₁ −
+    * n₁(n₁+1) are exact BIGINTs both engines aggregate identically.
+    * The normalized effect size (the AUC / common-language effect,
+    * U/(n₁·n₂)) ships as one ppm floor.
+    *
+    * Scale shape: the q172 argument verbatim — one map-combined
+    * (source, value) count is the corpus-wide work; the grid is
+    * |sources| × |distinct lengths| metadata with per-source windows.
+    *
+    * @return per source: (source, n_s, n_rest, u2, auc_ppm)
+    */
+  def mannWhitneyDrift(documents: DataFrame): DataFrame = {
+    val vc = documents.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .transform(graft.barrier) // grid + margins + globals
+    val srcs = vc.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val tot = srcs.agg(sum(col("n_s")).as("n"))
+    val gv = vc.groupBy("v").agg(sum(col("c")).as("g"))
+    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    // global rank scaffold: ≤ |distinct lengths| rows — metadata-sized,
+    // so the unpartitioned running sum is bounded (the q162 argument)
+    val ranks = gv
+      .withColumn("below", coalesce(sum(col("g")).over(wv), lit(0L)))
+      .select(col("v"), col("g"), col("below"))
+    vc.join(broadcast(ranks), "v")
+      .groupBy(col("source"))
+      // decimal-first (the gini/bm25 rule): c·below crosses 2⁶³ past
+      // ~2·10⁹ rows; the surfaced u2 ≤ 2·n_s·n_rest fits BIGINT through
+      // the same envelope and is documented exact within it
+      .agg(sum(col("c").cast("decimal(38,0)")
+        * (lit(2L) * col("below") + col("g") + 1L)).as("r2"))
+      .join(broadcast(srcs), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), (col("n") - col("n_s")).as("n_rest"),
+        (col("r2") - col("n_s").cast("decimal(38,0)") * (col("n_s") + 1L))
+          .cast("long").as("u2"))
+      // u2 = 2·U ∈ [0, 2·n_s·n_rest]; AUC ppm = u2·5·10⁵ / (n_s·n_rest)
+      .withColumn("auc_ppm",
+        expr("""CAST(CAST(u2 AS DECIMAL(38,0)) * 500000
+               div (CAST(n_s AS DECIMAL(38,0)) * n_rest) AS BIGINT)"""))
+  }
+
   private def statCols: Seq[Column] = {
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")

@@ -492,6 +492,57 @@ object Similarity {
           .as("dist_nano"))
   }
 
+  /** Inter-label centroid gap matrix (q235) — the class-separability
+    * report beside [[embeddingOutliers]]' within-class spread: for every
+    * label pair (a < b), the exact squared distance between the RATIONAL
+    * centroids on the micro grid. Small gaps mark near-duplicate label
+    * definitions (merge candidates) or systematic mislabeling; the
+    * pair (gap, outlier-spread) is the Fisher-style separability grade a
+    * training-data owner reads before trusting the label column.
+    *
+    * Exactness (the [[embeddingOutliers]] algebra cross-label): with
+    * per-(label, dim) sums s over n members, centroid_a − centroid_b at
+    * dim d scales to (s_a·n_b − s_b·n_a)/(n_a·n_b) micro-units, so
+    *
+    *   gap² = Σ_d (s_a·n_b − s_b·n_a)²  /  (n_a·n_b)²·10¹²
+    *
+    * has an exact DECIMAL(38,0) numerator; the surfaced gap_nano =
+    * ⌊gap²·10⁹⌋ = numerator div ((n_a·n_b)²·10³) is a small BIGINT
+    * (gap² ≤ 4 for unit vectors). Envelope: the numerator's 38 digits
+    * hold through ~10⁸ members per label; past that, average the
+    * per-dim sums to the micro grid first (divide s by n map-side) and
+    * the algebra carries unchanged at micro precision.
+    *
+    * Scale shape: ONE map-combined (label, dim) centroid aggregate
+    * (|labels|·dims rows — metadata), then a dim-keyed self-join of
+    * that tiny table with itself; nothing corpus-sized after the first
+    * aggregate.
+    *
+    * @return per label pair: (label_a, label_b, n_a, n_b, gap_nano)
+    */
+  def centroidGaps(embeddings: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cent = embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("m"))
+      .groupBy("label", "dim")
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+      .transform(graft.barrier) // both sides of the label-pair join
+    val a = cent.select(col("label").as("label_a"), col("dim"),
+      col("s").as("sa"), col("n").as("na"))
+    val b = cent.select(col("label").as("label_b"), col("dim"),
+      col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("dim")).where(col("label_a") < col("label_b"))
+      .withColumn("d", dec(col("sa")) * dec(col("nb")) - dec(col("sb")) * dec(col("na")))
+      .groupBy(col("label_a"), col("label_b"), col("na"), col("nb"))
+      .agg(sum(col("d") * col("d")).as("num"))
+      .select(col("label_a"), col("label_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("""num div (CAST(na AS DECIMAL(38,0)) * na * nb * nb * 1000)""")
+          .as("gap_nano"))
+  }
+
   /** kNN label-consistency audit (q200) — the label-noise detector: for
     * each vector, what fraction of its k nearest neighbors (cosine,
     * within its IVF probe cells) share its label? Low consistency marks

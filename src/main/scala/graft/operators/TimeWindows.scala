@@ -1042,6 +1042,57 @@ object TimeWindows {
         col("median_slope"))
   }
 
+  /** Kendall concordance between event-type volumes (q237) — do two
+    * event types move TOGETHER day over day? For every type pair
+    * (a < b), over the days both were observed: concordant day pairs
+    * ((x₁−x₂)(y₁−y₂) > 0), discordant, and ties on either side — the
+    * exact integer ingredients of Kendall's τ-b, shipped raw (the S =
+    * C − D numerator is the graded signal; τ itself needs a sqrt both
+    * engines would round). The rank-based companion to q150's
+    * autocorrelation and q226's Theil–Sen: robust to outlier days,
+    * sensitive only to direction.
+    *
+    * Scale shape: the day×day comparison runs over DAILY COUNT
+    * metadata — |days|² pairs per type pair, calendar-bounded (the
+    * q162/q164 argument), never event-count-bounded. One map-combined
+    * daily aggregate is the only corpus-wide work; the pair grid is a
+    * day-keyed self-join of the |types|·|days| table with itself.
+    *
+    * @return per type pair: (type_a, type_b, n_day_pairs, concordant,
+    *         discordant, tie_a, tie_b) — tie_a counts day pairs with
+    *         equal a-counts regardless of b (and symmetrically tie_b),
+    *         so C + D + ties ≥ n_day_pairs with both-tied pairs in both
+    */
+  def kendallConcordance(events: DataFrame): DataFrame =
+    kendallFromDaily(dailyCounts(events))
+
+  /** The grading stage of [[kendallConcordance]] over the shared
+    * per-(type, day) counts — the q103/q144/q209 streaming-twin seam.
+    */
+  def kendallFromDaily(daily: DataFrame): DataFrame = {
+    val d = daily.transform(graft.barrier) // four self-join sides
+    val a1 = d.select(col("event_type").as("type_a"), col("day_num"),
+      col("cnt").as("x1"))
+    val b1 = d.select(col("event_type").as("type_b"), col("day_num"),
+      col("cnt").as("y1"))
+    // per-day (x, y) grid for each type pair: join the two type streams
+    // on the day, then self-join day < day for the ordered day pairs
+    val xy = a1.join(b1, Seq("day_num")).where(col("type_a") < col("type_b"))
+      .transform(graft.barrier)
+    val xy2 = xy.select(col("type_a"), col("type_b"),
+      col("day_num").as("d2"), col("x1").as("x2"), col("y1").as("y2"))
+    xy.join(xy2, Seq("type_a", "type_b")).where(col("day_num") < col("d2"))
+      .select(col("type_a"), col("type_b"),
+        ((col("x1") - col("x2")) * (col("y1") - col("y2"))).as("prod"),
+        (col("x1") === col("x2")).as("ta"), (col("y1") === col("y2")).as("tb"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_day_pairs"),
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("ta"), 1L).otherwise(0L)).as("tie_a"),
+        sum(when(col("tb"), 1L).otherwise(0L)).as("tie_b"))
+  }
+
   /** Weekday seasonality index per event type (q209) — the seasonal
     * profile beside the trend (q144), EWMA (q132), autocorrelation
     * (q150), and CUSUM (q166) views of the same daily volumes: for each

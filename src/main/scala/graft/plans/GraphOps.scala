@@ -574,6 +574,75 @@ object GraphOps {
     *               [[graft.operators.Reco.coRatingPairs]]
     * @return (label, n_members, e_c, d_c, m, q_num)
     */
+  /** Community conductance (q234) — the cut-quality grade beside
+    * [[modularity]]'s density grade: per community, φ(c) = cut(c) /
+    * min(vol(c), 2m − vol(c)), where cut counts edges leaving the
+    * community and vol sums member degrees. Low conductance = a real
+    * cluster (few escape routes relative to internal mass); high = a
+    * label-propagation artifact. The standard spectral-partition metric
+    * (Cheeger), shipped as the exact ppm floor cut·10⁶ div min(vol,
+    * 2m−vol) — every term an exact integer count.
+    *
+    * Plan: both label lookups BROADCAST onto the canonical pair list
+    * (the [[modularity]] shape); cut edges contribute to BOTH endpoint
+    * communities via a two-sided union before the per-label count; vol
+    * reuses the degree aggregate. |communities| rows + a broadcast
+    * 1-row m.
+    *
+    * @param labels (id, label) from [[LabelPropagation.run]]
+    * @param pairs  canonical undirected edges (src < dst)
+    * @return (label, n_members, vol, cut, m, conductance_ppm)
+    */
+  def conductance(labels: DataFrame, pairs: DataFrame): DataFrame = {
+    val la = labels.select(col("id").as("src"), col("label").as("la"))
+    val lb = labels.select(col("id").as("dst"), col("label").as("lb"))
+    val tagged = pairs
+      .join(broadcast(la), "src").join(broadcast(lb), "dst")
+      .transform(graft.barrier) // read by m and both cut sides
+    val mTot = tagged.agg(count(lit(1)).as("m"))
+    val cut = tagged.where(col("la") =!= col("lb"))
+      .select(col("la").as("label"))
+      .unionAll(tagged.where(col("la") =!= col("lb"))
+        .select(col("lb").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("cut"))
+    val deg = pairs.select(col("src").as("id"))
+      .unionAll(pairs.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    labels.join(deg, "id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("vol"))
+      .join(cut, Seq("label"), "left")
+      .na.fill(0L, Seq("cut"))
+      .crossJoin(broadcast(mTot))
+      .select(col("label"), col("n_members"), col("vol"), col("cut"), col("m"),
+        when(least(col("vol"), lit(2L) * col("m") - col("vol")) > 0L,
+          expr("cut * 1000000 div least(vol, 2 * m - vol)"))
+          .otherwise(lit(0L)).as("conductance_ppm"))
+  }
+
+  /** Degree distribution histogram (q238) — the first diagnostic run on
+    * any production graph (the skew gate for every per-vertex fan-out
+    * in this file): vertices bucketed by ⌊log₂ deg⌋+1 (binary string
+    * length — the q102/q182 idiom, exact on both engines), with the
+    * per-bucket vertex count and min/max degree. A heavy power-law tail
+    * here is the signal to cap hot keys before the Σdeg² pair
+    * generators.
+    *
+    * Pure map-combined aggregates: degree from the edge-list explode,
+    * then a ≤ 64-row bucket aggregate. No joins, no windows.
+    *
+    * @param pairs canonical undirected edges (src < dst)
+    * @return (bucket, n_vertices, min_deg, max_deg)
+    */
+  def degreeHistogram(pairs: DataFrame): DataFrame =
+    pairs.select(col("src").as("id"))
+      .unionAll(pairs.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .withColumn("bucket", length(conv(col("deg"), 10, 2)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vertices"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+
   def modularity(labels: DataFrame, pairs: DataFrame): DataFrame = {
     val la = labels.select(col("id").as("src"), col("label").as("la"))
     val lb = labels.select(col("id").as("dst"), col("label").as("lb"))

@@ -233,4 +233,40 @@ class GraphSpec extends AnyFunSuite {
     assert(r.keySet === clique.toSet)
     assert(r.values.forall(_ === 2L))
   }
+
+  test("conductance: cross-community edges count to both sides, exact ppm") {
+    // two triangles {1,2,3} and {4,5,6} joined by one bridge 3-4
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("id", "label")
+    val r = GraphOps.conductance(labels, pairs).collect()
+      .map(x => x.getAs[Long]("label") -> x).toMap
+    // per community: vol = 2*3 + 1 = 7, cut = 1, m = 7,
+    // min(vol, 2m - vol) = min(7, 7) = 7 -> phi = 1e6/7 = 142857
+    for (l <- Seq(10L, 20L)) {
+      val c = r(l)
+      assert(c.getAs[Long]("n_members") === 3L)
+      assert(c.getAs[Long]("vol") === 7L)
+      assert(c.getAs[Long]("cut") === 1L)
+      assert(c.getAs[Long]("m") === 7L)
+      assert(c.getAs[Long]("conductance_ppm") === 142857L)
+    }
+    // one community covering everything: cut 0, phi 0
+    val one = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L),
+      (6L, 10L)).toDF("id", "label")
+    val r1 = GraphOps.conductance(one, pairs).collect()
+    assert(r1.length === 1 && r1.head.getAs[Long]("cut") === 0L
+      && r1.head.getAs[Long]("conductance_ppm") === 0L)
+  }
+
+  test("degreeHistogram: log2 buckets with exact min/max degrees") {
+    // star 1-{2,3,4,5}: deg(1) = 4 -> bucket 3; leaves deg 1 -> bucket 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val r = GraphOps.degreeHistogram(pairs).collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("n_vertices"), x.getAs[Long]("min_deg"),
+          x.getAs[Long]("max_deg"))).toMap
+    assert(r === Map(1L -> ((4L, 1L, 1L)), 3L -> ((1L, 4L, 4L))))
+  }
 }

@@ -405,4 +405,20 @@ class RecoSpec extends AnyFunSuite {
     }
     assert(combinedTrain === train)
   }
+
+  test("intraListDiversity: exact cos^2 ppm means over the rec-pair grid") {
+    // user 1 recommended items {10, 20}; pair (10, 20) has dot 6,
+    // s2(10) = 9, s2(20) = 4 -> cos^2 = 36/36 = 1 -> 1e6 ppm.
+    // user 2 recommended {10, 30}; (10, 30) not co-rated -> 0.
+    val deduped = Seq((7L, 10L, 3L), (8L, 20L, 2L), (9L, 30L, 5L))
+      .toDF("userId", "productId", "rv")
+    val preds = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L))
+      .toDF("userId", "item")
+    val pairs = Seq((10L, 20L, 6L, 2L)).toDF("pa", "pb", "dot", "support")
+    val m = Reco.intraListDiversity(deduped, preds, pairs).collect().head
+    assert(m.getAs[Long]("n_users") === 2L)
+    assert(m.getAs[Long]("n_rec_pairs") === 2L)
+    assert(m.getAs[Long]("n_corated_pairs") === 1L)
+    assert(m.getAs[Long]("mean_cos2_ppm") === 500000L) // (1e6 + 0) / 2
+  }
 }

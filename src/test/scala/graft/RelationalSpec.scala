@@ -700,4 +700,92 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.aucRankSum(perfect).collect().head
       .getAs[Long]("auc_ppm") === 1000000L)
   }
+
+  private def day(n: Long): Timestamp = new Timestamp(n * 86400000L)
+
+  test("orderPriorityCheck: only orders with a >30-day-late line count") {
+    val orders = Seq(
+      (1L, "HIGH", day(9870)),  // late line below
+      (2L, "HIGH", day(9871)),  // on-time line only
+      (3L, "LOW", day(9875)),   // late line below
+      (4L, "LOW", day(100)))    // outside the window, late line ignored
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, day(9910)), (2L, day(9880)), (3L, day(9999)), (4L, day(9999)))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = Relational.orderPriorityCheck(orders, li).collect()
+      .map(x => x.getAs[String]("o_orderpriority") ->
+        x.getAs[Long]("order_count")).toMap
+    assert(r === Map("HIGH" -> 1L, "LOW" -> 1L))
+  }
+
+  test("lateLinesByPriority: exact conditional count and ppm floor") {
+    val orders = Seq((1L, "HIGH", day(100)), (2L, "LOW", day(100)))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, day(200)), (1L, day(110)), (1L, day(120)), // 1 late of 3
+      (2L, day(161)))                                 // 1 late of 1
+      .toDF("l_orderkey", "l_shipdate")
+    val r = Relational.lateLinesByPriority(orders, li).collect()
+      .map(x => x.getAs[String]("o_orderpriority") ->
+        (x.getAs[Long]("n_lines"), x.getAs[Long]("n_late"),
+          x.getAs[Long]("late_ppm"))).toMap
+    assert(r("HIGH") === ((3L, 1L, 333333L)))
+    assert(r("LOW") === ((1L, 1L, 1000000L)))
+  }
+
+  test("promoRevenueShare: exact e4 units and ppm share in the window") {
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val li = Seq(
+      (1L, 10.0, 0.0, day(9862)),  // promo: 1000_00 cents*pct = 100000*100
+      (2L, 30.0, 0.0, day(9870)),  // standard
+      (1L, 99.0, 0.0, day(9893))) // outside window
+      .toDF("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val m = Relational.promoRevenueShare(part, li).collect().head
+    assert(m.getAs[Long]("n_lines") === 2L)
+    assert(m.getAs[Long]("promo_e4") === 100000L)
+    assert(m.getAs[Long]("total_e4") === 400000L)
+    assert(m.getAs[Long]("promo_ppm") === 250000L)
+  }
+
+  test("bracketRevenue: disjunctive brackets select and attribute exactly") {
+    val part = Seq(
+      (1L, "Brand#4", 10), (2L, "Brand#2", 20), (3L, "Brand#19", 30),
+      (4L, "Brand#4", 40)) // size outside b1
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.0),   // b1
+      (2L, 20.0, 200.0, 0.0),  // b2
+      (3L, 30.0, 300.0, 0.0),  // b3
+      (4L, 5.0, 999.0, 0.0),   // no bracket (size 40)
+      (1L, 45.0, 999.0, 0.0))  // qty outside b1
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val m = Relational.bracketRevenue(part, li).collect().head
+    assert(m.getAs[Long]("n_lines") === 3L)
+    assert((m.getAs[Long]("b1_lines"), m.getAs[Long]("b2_lines"),
+      m.getAs[Long]("b3_lines")) === ((1L, 1L, 1L)))
+    assert(m.getAs[Long]("revenue_e4") === (100_00L + 200_00L + 300_00L) * 100L)
+  }
+
+  test("mannWhitneyDrift: disjoint supports give AUC 0 or 1e6; midranks halve ties") {
+    // a: all length 1 (below), b: all length 3 (above)
+    val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "xxx", "b"), (4L, "xxx", "b"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val r = Relational.mannWhitneyDrift(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("u2"), x.getAs[Long]("auc_ppm"))).toMap
+    // source a: R1 = midranks {1.5,1.5} -> 2R1 = 6; 2U = 6 - 2*3 = 0
+    assert(r("a") === ((0L, 0L)))
+    // source b: R1 = {3.5,3.5} -> 2R1 = 14; 2U = 14 - 6 = 8 = 2*n1*n2
+    assert(r("b") === ((8L, 1000000L)))
+    // identical distributions: AUC = 1/2 exactly (all ties at one value)
+    val same = Seq((1L, "x", "a"), (2L, "x", "b")).toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val r2 = Relational.mannWhitneyDrift(same).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("auc_ppm")).toMap
+    assert(r2("a") === 500000L && r2("b") === 500000L)
+  }
 }

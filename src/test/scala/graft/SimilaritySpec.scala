@@ -308,4 +308,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(x.getAs[Long]("consistency_ppm") === 800000L)
     }
   }
+
+  test("centroidGaps: hand centroids give the exact nano gap") {
+    // label 0 centroid (1, 0); label 1 centroid (0, 2) -> gap^2 = 5
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(0.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidGaps(emb).collect()
+    assert(r.length === 1)
+    val g = r.head
+    assert(g.getAs[Int]("label_a") === 0 && g.getAs[Int]("label_b") === 1)
+    assert(g.getAs[Long]("n_a") === 2L && g.getAs[Long]("n_b") === 1L)
+    assert(g.getAs[Long]("gap_nano") === 5000000000L)
+    // real corpus: C(labels, 2) rows, all non-negative
+    val emb2 = Tables.embeddings(spark, TestSpark.sf)
+    val nl = emb2.select("label").distinct().count()
+    val real = Similarity.centroidGaps(emb2).collect()
+    assert(real.length === (nl * (nl - 1) / 2).toInt)
+    assert(real.forall(_.getAs[Long]("gap_nano") >= 0L))
+  }
 }

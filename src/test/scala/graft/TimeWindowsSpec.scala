@@ -530,4 +530,23 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r(0L) === ((2L, 1L, 1333333L))) // 2/1 vs 3/2 → 4/3
     assert(r(1L) === ((1L, 1L, 666666L)))  // 1/1 vs 3/2 → 2/3
   }
+
+  test("kendallFromDaily: monotone co-movement is all-concordant, ties counted") {
+    // days 0..2: a = 1,2,3 ; b = 10,20,30 (concordant); c = 5,5,1
+    val daily = Seq(
+      ("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L),
+      ("b", 0L, 10L), ("b", 1L, 20L), ("b", 2L, 30L),
+      ("c", 0L, 5L), ("c", 1L, 5L), ("c", 2L, 1L))
+      .toDF("event_type", "day_num", "cnt")
+    val r = TimeWindows.kendallFromDaily(daily).collect()
+      .map(x => (x.getAs[String]("type_a"), x.getAs[String]("type_b")) ->
+        (x.getAs[Long]("n_day_pairs"), x.getAs[Long]("concordant"),
+          x.getAs[Long]("discordant"), x.getAs[Long]("tie_a"),
+          x.getAs[Long]("tie_b"))).toMap
+    assert(r(("a", "b")) === ((3L, 3L, 0L, 0L, 0L)))
+    // a vs c: pairs (0,1): a up, c tied -> tie_b; (0,2): a up c down ->
+    // discordant; (1,2): a up c down -> discordant
+    assert(r(("a", "c")) === ((3L, 0L, 2L, 0L, 1L)))
+    assert(r(("b", "c")) === ((3L, 0L, 2L, 0L, 1L)))
+  }
 }
