@@ -504,4 +504,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!mk.contains("SortMergeJoin"),
       s"q165 shuffled the pair stream for the model join:\n$mk")
   }
+
+  test("q230-q233 TPC-H shapes: semi join for EXISTS, no nested loop on the OR") {
+    // Q4 shape: the EXISTS must decorrelate to one LEFT SEMI equi-join
+    val q4 = planString(SparkEntry.queries("q230_order_priority")(spark, TestSpark.sf))
+    assert(q4.contains("LeftSemi"), s"q230 lost the semi-join decorrelation:\n$q4")
+    assert(!q4.contains("NestedLoop") && !q4.contains("CartesianProduct"),
+      s"q230 degenerated to a per-order scan:\n$q4")
+    // Q19 shape: the disjunctive brackets stay a residual on the ONE
+    // partkey equi-join — never a nested loop over the OR
+    val q19 = planString(SparkEntry.queries("q233_bracket_revenue")(spark, TestSpark.sf))
+    assert(q19.contains("BroadcastHashJoin") || q19.contains("ShuffledHashJoin")
+      || q19.contains("SortMergeJoin"), s"q233 lost the equi-join:\n$q19")
+    assert(!q19.contains("NestedLoop") && !q19.contains("CartesianProduct"),
+      s"q233 OR brackets degenerated to a nested loop:\n$q19")
+    // Q12/Q14 shapes: single-pass conditional aggregates, no window
+    for (q <- Seq("q231_late_by_priority", "q232_promo_share")) {
+      val p = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(!p.contains("Window"), s"$q gained a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+  }
+
+  test("q235/q237 pair grids are metadata joins, never corpus-squared") {
+    // centroid gaps: the label-pair join runs over the (label, dim)
+    // centroid AGGREGATE — the plan must aggregate before the self-join
+    // (no join of two raw exploded corpus streams)
+    val p35 = planString(SparkEntry.queries("q235_centroid_gaps")(spark, TestSpark.sf))
+    assert(!p35.contains("CartesianProduct") && !p35.contains("NestedLoop"),
+      s"q235 label pairing degenerated:\n$p35")
+    // kendall: the day-pair grid joins the DAILY aggregate with itself
+    val p37 = planString(SparkEntry.queries("q237_kendall")(spark, TestSpark.sf))
+    assert(!p37.contains("CartesianProduct") && !p37.contains("NestedLoop"),
+      s"q237 day pairing degenerated:\n$p37")
+    // degree histogram: pure aggregates above the pair seam — no window,
+    // no quadratic join (the seam's own equi-join lineage may show
+    // through the cache and is fine)
+    val p38 = planString(SparkEntry.queries("q238_degree_histogram")(spark, TestSpark.sf))
+    assert(!p38.contains("Window"), s"q238 gained a window:\n$p38")
+    assert(!p38.contains("CartesianProduct") && !p38.contains("NestedLoop"),
+      s"q238 quadratic join:\n$p38")
+  }
 }

@@ -922,4 +922,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filterNot(p => p._1 >= 9L) === batch)
     assert(batch.exists(p => (p._1, p._2) == (0L, 3L) && p._3 == 1.0)) // exact dup
   }
+
+  test("streamed daily counts close through kendallFromDaily to the batch counts") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // view grows 1..4, click shrinks 4..1 over days 0-3 -> all discordant
+    val closed = (0 until 4).flatMap { d =>
+      (0 to d).map(i => SessEv((d * 100 + i).toLong, t(d, i), 1L, "view")) ++
+        (0 until (4 - d)).map(i => SessEv((d * 100 + 50 + i).toLong, t(d, 30 + i), 2L, "click"))
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kendall_daily")
+      .option("checkpointLocation", tmp("kendall-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    // late watermark-closing rows (day 40) flush the open day-3 windows
+    input.addData(SessEv(990L, t(40, 0), 9L, "view"))
+    q.processAllAvailable()
+    input.addData(SessEv(991L, t(40, 1), 9L, "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedDaily = spark.table("kendall_daily").where($"day_num" < 40)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("n_day_pairs"), r.getAs[Long]("concordant"),
+          r.getAs[Long]("discordant"), r.getAs[Long]("tie_a"),
+          r.getAs[Long]("tie_b"))).toMap
+    val streamed = key(graft.operators.TimeWindows.kendallFromDaily(streamedDaily))
+    val batch = key(graft.operators.TimeWindows.kendallConcordance(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(streamed === batch)
+    assert(streamed(("click", "view")) === ((6L, 0L, 6L, 0L, 0L)))
+  }
 }
