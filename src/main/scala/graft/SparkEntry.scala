@@ -851,6 +851,31 @@ object SparkEntry {
     // from the memoized pair table — the echo-chamber audit beside q218
     "q239_intra_list_diversity" -> ((s, dir) =>
       Reco.intraListDiversity(cfDeduped(s, dir), cfPreds(s, dir), cfPairs(s, dir))),
+    // TPC-H Q6 shape: three pushed range predicates, one exact e4 sum —
+    // the canonical pushdown benchmark
+    "q240_forecast_revenue" -> ((s, dir) =>
+      Relational.forecastRevenue(Tables.lineitem(s, dir))),
+    // TPC-H Q10 shape: returned-line revenue per customer, dim joined
+    // after the aggregate, top-20 heap
+    "q241_returned_revenue" -> ((s, dir) =>
+      Relational.returnedRevenue(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // TPC-H Q18 shape: per-order HAVING aggregate first, joins see only
+    // qualifying orders, top-20 by exact cents
+    "q242_big_orders" -> ((s, dir) =>
+      Relational.bigOrders(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // IVF-cell label purity: unsupervised cells vs the label column in
+    // exact ppm — the external clustering index on the q71 assignment
+    "q243_cell_purity" -> ((s, dir) =>
+      Similarity.cellPurity(Tables.embeddings(s, dir))),
+    // per-doc shared-window exposure ppm — the document-level
+    // boilerplate signal curation thresholds on (q72's corpus twin)
+    "q244_doc_span_share" -> ((s, dir) =>
+      Corpus.docSpanShare(Tables.documents(s, dir))),
+    // binary-segmentation changepoint per type: exact nano-scored split
+    // argmax over the daily-count metadata
+    "q245_binary_segmentation" -> ((s, dir) =>
+      TimeWindows.binarySegmentation(Tables.events(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -2535,6 +2560,123 @@ object SparkEntry {
         |  CAST(min(deg) AS BIGINT) AS min_deg,
         |  CAST(max(deg) AS BIGINT) AS max_deg
         |FROM deg GROUP BY 1""".stripMargin,
+    // same three range predicates, same e4 discount-revenue sum
+    "q240_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)), 0)
+        |    AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+        |      BETWEEN 9862 AND 10226
+        |  AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      BETWEEN 5 AND 7
+        |  AND l_quantity < 24.0""".stripMargin,
+    // same quarter window, same R-flag filter, same post-aggregate dim
+    // join and (lost DESC, custkey) top-20
+    "q241_returned_revenue" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |        BETWEEN 9862 AND 9951),
+        |lost AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+        |      AS BIGINT) AS lost_e4
+        |  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT c_custkey, c_nationkey, n_lines, lost_e4
+        |FROM lost JOIN customer ON o_custkey = c_custkey
+        |ORDER BY lost_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+    // same per-order HAVING aggregate, same cents, same top-20 tiebreak
+    "q242_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT o_orderkey, o_custkey, total_qty,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 20""".stripMargin,
+    // q71's stride-seeded assignment, label lookup, per-cell plurality
+    // with (cnt DESC, label) ties, exact ppm purity
+    "q243_cell_purity" ->
+      s"""WITH c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % 37 = 0),
+        |a AS (
+        |  SELECT e.vec_id, e.label, c.c_id,
+        |    ${cosineSql("e.embedding", "c.c_emb")} AS c_sim
+        |  FROM embeddings e CROSS JOIN c),
+        |asn AS (
+        |  SELECT vec_id, label, c_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY c_sim DESC, c_id) AS rn FROM a)
+        |  WHERE rn = 1),
+        |cl AS (
+        |  SELECT cell, label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM asn GROUP BY 1, 2),
+        |top AS (
+        |  SELECT cell, label, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS n_members,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY cnt DESC, label) AS rn
+        |  FROM cl)
+        |SELECT cell, n_members, label AS top_label, cnt AS top_count,
+        |  cnt * 1000000 // n_members AS purity_ppm
+        |FROM top WHERE rn = 1""".stripMargin,
+    // q72's window hashes kept per doc, occurrence-count join back,
+    // same >=2 shared rule and ppm floor
+    "q244_doc_span_share" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT)),
+        |      c -> ${md5Prefix32Sql("array_to_string(t[c*32+1 : c*32+32], ' ')")})) AS g
+        |  FROM toks),
+        |df AS (SELECT g, CAST(count(*) AS BIGINT) AS occ FROM w GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(sum(CASE WHEN occ >= 2 THEN 1 END), 0) AS BIGINT)
+        |    AS n_shared,
+        |  CAST(COALESCE(sum(CASE WHEN occ >= 2 THEN 1 END), 0) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS shared_ppm
+        |FROM w JOIN df USING (g) GROUP BY 1""".stripMargin,
+    // same prefix sums over ordered days, same cleared-denominator nano
+    // score, same (score DESC, day) argmax
+    "q245_binary_segmentation" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, day_num, cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_num)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day_num
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        |  FROM daily),
+        |sc AS (
+        |  SELECT *,
+        |    CAST((CAST(s1 AS HUGEINT) * (n - k) - CAST(s - s1 AS HUGEINT) * k)
+        |      * (CAST(s1 AS HUGEINT) * (n - k) - CAST(s - s1 AS HUGEINT) * k)
+        |      * 1000000000
+        |      // (CAST(k AS HUGEINT) * (n - k)) AS BIGINT) AS score_nano
+        |  FROM pre WHERE k < n)
+        |SELECT event_type, n AS n_days, day_num AS split_day,
+        |  k AS left_days, n - k AS right_days,
+        |  s1 AS left_sum, s - s1 AS right_sum, score_nano
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY score_nano DESC, day_num) AS rn FROM sc)
+        |WHERE rn = 1""".stripMargin,
     // q218's prediction chain verbatim, then the rec-pair self-join,
     // pair-table cos^2 lookup, and the 1-row diversity report
     "q239_intra_list_diversity" ->

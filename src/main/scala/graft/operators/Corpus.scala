@@ -98,6 +98,39 @@ object Corpus {
       .orderBy(desc("n_occurrences"), asc("gram"))
       .limit(k)
 
+  /** Per-document shared-span exposure (q244) — the document-level view
+    * of [[boilerplateWindows]]' corpus-level report: for each document,
+    * how many of its non-overlapping `w`-token windows also occur
+    * elsewhere in the corpus, and the exact ppm share. This is the
+    * per-doc signal a curation pipeline thresholds on ("drop documents
+    * that are >50% boilerplate") where q72 only says which spans repeat;
+    * the near-dedup window-removal passes of large-corpus training runs
+    * score exactly this before masking.
+    *
+    * One window explode (|tokens|/w rows per doc), a hash-keyed df
+    * aggregate over 8-byte window hashes, a hash-keyed join back, and a
+    * per-doc count — no pairwise document join anywhere. "Shared" means
+    * the window hash occurs ≥ 2 times corpus-wide (including twice in
+    * the SAME doc — self-repetition is boilerplate too).
+    *
+    * @return (doc_id, n_windows, n_shared, shared_ppm)
+    */
+  def docSpanShare(documents: DataFrame, w: Int = 32): DataFrame = {
+    val nWin = ceil(size(col("t")).cast("double") / w).cast("int")
+    val windows = transform(sequence(lit(0), nWin - 1),
+      c => array_join(slice(col("t"), c * w + 1, lit(w)), " "))
+    val dw = tokensBarrier(documents)
+      .select(col("doc_id"),
+        explode(TextAnalysis.md5Prefix32Array(windows)).as("g"))
+      .transform(graft.barrier) // read by the df aggregate and the join
+    val df_ = dw.groupBy("g").agg(count(lit(1)).as("occ"))
+    dw.join(df_, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("n_shared * 1000000 div n_windows"))
+  }
+
   /** Out-of-vocabulary rate per document — the vocabulary-coverage
     * quality signal an LLM data pipeline scores before tokenizer
     * training: how much of each document falls outside the corpus's own

@@ -1720,6 +1720,87 @@ object Relational {
         sum(col("rev_e4")).as("revenue_e4"))
   }
 
+  /** TPC-H Q6 shape (q240) — the forecast-revenue-change query: one
+    * tight scan with THREE pushable range predicates (ship-date year,
+    * discount band, quantity cap) and a single sum — the canonical
+    * filter-pushdown benchmark. Revenue here is Q6's
+    * Σ extendedprice·discount in exact cent·percent (e4) units; the
+    * plan must be scan → partial agg → 1-row exchange, nothing else.
+    *
+    * @return 1 row: (n_lines, revenue_e4)
+    */
+  def forecastRevenue(lineitem: DataFrame, fromDay: Long = 9862L,
+      toDay: Long = 10227L): DataFrame =
+    lineitem
+      .where(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+        .between(fromDay, toDay - 1))
+      .where(expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .between(5L, 7L))
+      .where(col("l_quantity") < 24.0)
+      .select((expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("rev_e4"))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(col("rev_e4")), lit(0L)).as("revenue_e4"))
+
+  /** TPC-H Q10 shape (q241) — returned-item reporting: the top-20
+    * customers by revenue lost to returns in one quarter. Fact-fact
+    * equi-join (lineitem⋈orders on the natural key), per-customer
+    * aggregate, customer dim joined AFTER the aggregate (|customers|
+    * rows, not |lineitem|), top-k heap. Exact e4 revenue.
+    *
+    * @return (c_custkey, c_nationkey, n_lines, lost_e4) — top 20 by
+    *         (lost_e4 DESC, c_custkey)
+    */
+  def returnedRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, fromDay: Long = 9862L, toDay: Long = 9952L,
+      k: Int = 20): DataFrame = {
+    val o = orders
+      .where(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .between(fromDay, toDay - 1))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lost = lineitem.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("lost_e4"))
+    lost.join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("lost_e4").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_nationkey"), col("n_lines"),
+        col("lost_e4"))
+  }
+
+  /** TPC-H Q18 shape (q242) — large-volume customers: orders whose
+    * total line quantity exceeds a threshold, with their customer and
+    * order facts, top-k by (order total DESC). The per-order HAVING
+    * aggregate runs FIRST (map-combined on the fact table's key), so
+    * the joins only ever see the tiny qualifying-order set. Quantity
+    * sums exact BIGINT; totalprice surfaces in exact cents.
+    *
+    * @return (o_orderkey, o_custkey, total_qty, total_cents) — top k by
+    *         (total_cents DESC, o_orderkey)
+    */
+  def bigOrders(orders: DataFrame, lineitem: DataFrame,
+      minQty: Long = 250L, k: Int = 20): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("total_cents"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("o_orderkey"), col("o_custkey"), col("total_qty"),
+        col("total_cents"))
+  }
+
   /** Mann–Whitney U drift audit (q236) — per source, the exact
     * rank-sum statistic of that source's document lengths against the
     * rest of the corpus, the nonparametric "is this source's length

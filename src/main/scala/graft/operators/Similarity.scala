@@ -492,6 +492,39 @@ object Similarity {
           .as("dist_nano"))
   }
 
+  /** IVF-cell label purity (q243) — how well do the UNSUPERVISED coarse
+    * cells agree with the supervised label column? Per cell: member
+    * count, the plurality label, its count, and purity = top_count/n in
+    * exact ppm. Low macro purity means the embedding geometry disagrees
+    * with the labels — either the labels are noisy (route to q170/q200's
+    * per-vector detectors) or the embeddings are stale. The clustering-
+    * evaluation standard (purity is the simplest external index), riding
+    * the same deterministic stride-seeded assignment as q71.
+    *
+    * Plan: the q71 assignment (broadcast centroids, ExactTopK argmax),
+    * a broadcast (vec_id → label) lookup, one (cell, label) count, and
+    * a per-cell plurality window over ≤ |labels| rows per cell. Ties
+    * break to the smallest label (total order on both engines).
+    *
+    * @return per cell: (cell, n_members, top_label, top_count,
+    *         purity_ppm)
+    */
+  def cellPurity(embeddings: DataFrame, centroidStride: Int = 37): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val cl = ivfAssign(embeddings, centroidStride, nprobe = 1)
+      .select(col("vec_id"), col("cell"))
+      .join(broadcast(labels), "vec_id")
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("cell").orderBy(desc("cnt"), asc("label"))
+    cl.withColumn("rn", row_number().over(w))
+      .withColumn("n_members", sum(col("cnt")).over(Window.partitionBy("cell")))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("n_members"),
+        col("label").as("top_label"), col("cnt").as("top_count"),
+        expr("cnt * 1000000 div n_members").as("purity_ppm"))
+  }
+
   /** Inter-label centroid gap matrix (q235) — the class-separability
     * report beside [[embeddingOutliers]]' within-class spread: for every
     * label pair (a < b), the exact squared distance between the RATIONAL

@@ -1042,6 +1042,67 @@ object TimeWindows {
         col("median_slope"))
   }
 
+  /** Binary-segmentation changepoint (q245) — per event type, the ONE
+    * split of the daily-count series that maximizes the between-segment
+    * contrast: split after ordered day k scores
+    *
+    *   score(k) = (S₁·(n−k) − (S−S₁)·k)² / (k·(n−k))
+    *
+    * (the squared mean-difference statistic with denominators cleared —
+    * the first step of binary segmentation, the classic changepoint
+    * method CUSUM (q166) approximates online). The EXACT rational score
+    * floors to nano units — score_nano = num·10⁹ div (k·(n−k)·S²-free
+    * form below) — so both engines pick the identical argmax; ties
+    * break to the earliest split day.
+    *
+    * Scoring detail: num = (S₁·(n−k) − (S−S₁)·k)² is DECIMAL(38,0)
+    * (S ≤ total events of the type); the surfaced score_nano =
+    * num·10⁹ div (k·(n−k)) is compared as an exact BIGINT across
+    * splits. The scale caveat: num·10⁹ holds 38 digits through ~10¹⁴
+    * events per type — past that, pre-scale counts.
+    *
+    * Scale shape: per-type prefix sums over DAILY metadata (the
+    * q164/q237 calendar-bounded argument); one type-partitioned window
+    * for the cumsum, one for the argmax rank.
+    *
+    * @return per type: (event_type, n_days, split_day, left_days,
+    *         right_days, left_sum, right_sum, score_nano)
+    */
+  def binarySegmentation(events: DataFrame): DataFrame =
+    binarySegmentationFromDaily(dailyCounts(events))
+
+  /** The grading stage of [[binarySegmentation]] over the shared daily
+    * counts — the q103/q144/q209/q237 streaming-twin seam.
+    */
+  def binarySegmentationFromDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val wOrd = Window.partitionBy("event_type").orderBy("day_num")
+    val wAll = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("s1", sum(col("cnt")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("cnt")).over(wAll))
+      .where(col("k") < col("n")) // a split needs a non-empty right side
+      .withColumn("d",
+        dec(col("s1")) * (dec(col("n")) - dec(col("k")))
+          - (dec(col("s")) - dec(col("s1"))) * dec(col("k")))
+      .withColumn("score_nano",
+        expr("""(d * d * 1000000000)
+               div (CAST(k AS DECIMAL(38,0)) * (n - k))"""))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(desc("score_nano"), asc("day_num"))))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day_num").as("split_day"),
+        col("k").as("left_days"), (col("n") - col("k")).as("right_days"),
+        col("s1").as("left_sum"), (col("s") - col("s1")).as("right_sum"),
+        col("score_nano"))
+  }
+
   /** Kendall concordance between event-type volumes (q237) — do two
     * event types move TOGETHER day over day? For every type pair
     * (a < b), over the days both were observed: concordant day pairs

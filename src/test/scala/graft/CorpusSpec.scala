@@ -502,4 +502,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(r(("B", "banana")) === ((2L, 1L)))
     assert(r(("B", "common")) === ((1L, 2L)))
   }
+
+  test("docSpanShare: repeated windows flag, unique ones do not") {
+    import spark.implicits._
+    // 32-token window A appears in docs 1 and 2; doc 3 is unique
+    val winA = (1 to 32).map(i => "a" + i).mkString(" ")
+    val winB = (1 to 32).map(i => "b" + i).mkString(" ")
+    val winC = (1 to 32).map(i => "c" + i).mkString(" ")
+    val docs = Seq(
+      (1L, winA + " " + winB, "s"), // windows {A, B}: A shared -> 1/2
+      (2L, winA, "s"),              // {A}: shared -> 1/1
+      (3L, winC, "s"))              // {C}: unique -> 0/1
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.docSpanShare(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_windows"), x.getAs[Long]("n_shared"),
+          x.getAs[Long]("shared_ppm"))).toMap
+    assert(r(1L) === ((2L, 1L, 500000L)))
+    assert(r(2L) === ((1L, 1L, 1000000L)))
+    assert(r(3L) === ((1L, 0L, 0L)))
+    // self-repetition counts as shared: one doc containing A twice
+    val selfRep = Seq((9L, winA + " " + winA, "s")).toDF("doc_id", "text", "source")
+    val s = Corpus.docSpanShare(selfRep).collect().head
+    assert(s.getAs[Long]("n_shared") === 2L)
+    assert(s.getAs[Long]("shared_ppm") === 1000000L)
+  }
 }

@@ -788,4 +788,46 @@ class RelationalSpec extends AnyFunSuite {
       .map(x => x.getAs[String]("source") -> x.getAs[Long]("auc_ppm")).toMap
     assert(r2("a") === 500000L && r2("b") === 500000L)
   }
+
+  test("forecastRevenue: only the in-band lines sum, in exact e4 units") {
+    val li = Seq(
+      (10.0, 100.0, 0.06, day(9900)),  // in: 1000000 e4... 10000c * 6pct
+      (30.0, 100.0, 0.06, day(9000)),  // out: date
+      (10.0, 100.0, 0.01, day(9900)),  // out: discount
+      (40.0, 100.0, 0.06, day(9900)))  // out: quantity
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    val m = Relational.forecastRevenue(li).collect().head
+    assert(m.getAs[Long]("n_lines") === 1L)
+    assert(m.getAs[Long]("revenue_e4") === 10000L * 6L)
+  }
+
+  test("returnedRevenue: R-lines only, window only, exact e4 per customer") {
+    val cust = Seq((1L, 5L), (2L, 6L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 1L, day(9900)), (200L, 2L, day(9000)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (100L, "R", 50.0, 0.0),  // counted: 5000c * 100 = 500000 e4
+      (100L, "N", 99.0, 0.0),  // wrong flag
+      (200L, "R", 99.0, 0.0))  // order outside window
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val r = Relational.returnedRevenue(cust, orders, li).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("c_custkey") === 1L)
+    assert(r.head.getAs[Long]("n_lines") === 1L)
+    assert(r.head.getAs[Long]("lost_e4") === 500000L)
+  }
+
+  test("bigOrders: the HAVING threshold gates, cents rank the winners") {
+    val orders = Seq((1L, 7L, 1000.0), (2L, 8L, 2000.0), (3L, 9L, 99.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Seq(
+      (1L, 200.0), (1L, 60.0),  // 260 > 250: qualifies
+      (2L, 251.0),              // qualifies
+      (3L, 250.0))              // 250 not > 250
+      .toDF("l_orderkey", "l_quantity")
+    val r = Relational.bigOrders(orders, li).collect()
+      .map(x => x.getAs[Long]("o_orderkey") ->
+        (x.getAs[Long]("total_qty"), x.getAs[Long]("total_cents")))
+    assert(r.toSeq === Seq(2L -> ((251L, 200000L)), 1L -> ((260L, 100000L))))
+  }
 }

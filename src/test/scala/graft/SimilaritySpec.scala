@@ -328,4 +328,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(real.length === (nl * (nl - 1) / 2).toInt)
     assert(real.forall(_.getAs[Long]("gap_nano") >= 0L))
   }
+
+  test("cellPurity: members partition across cells, purity exact and bounded") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val r = Similarity.cellPurity(emb).collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getAs[Long]("n_members")).sum === emb.count())
+    r.foreach { x =>
+      val (n, top, ppm) = (x.getAs[Long]("n_members"),
+        x.getAs[Long]("top_count"), x.getAs[Long]("purity_ppm"))
+      assert(top >= 1L && top <= n)
+      assert(ppm === top * 1000000L / n)
+    }
+    // determinism: identical report on a second run
+    val again = Similarity.cellPurity(emb).collect().map(_.toString).sorted
+    assert(again.toSeq === r.map(_.toString).sorted.toSeq)
+  }
 }

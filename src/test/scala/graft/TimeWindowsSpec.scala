@@ -549,4 +549,22 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r(("a", "c")) === ((3L, 0L, 2L, 0L, 1L)))
     assert(r(("b", "c")) === ((3L, 0L, 2L, 0L, 1L)))
   }
+
+  test("binarySegmentation: a clean level shift splits exactly at the step") {
+    // type a: days 0-3 at 2/day then days 4-7 at 10/day -> split after day 3
+    val rows = (0 until 4).flatMap(d => (0 until 2).map(i =>
+      ((d * 100 + i).toLong, dayTs(d, i), 1L, "a"))) ++
+      (4 until 8).flatMap(d => (0 until 10).map(i =>
+        ((d * 100 + i).toLong, dayTs(d, i), 1L, "a")))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val r = TimeWindows.binarySegmentation(events).collect()
+    assert(r.length === 1)
+    val m = r.head
+    assert(m.getAs[Long]("n_days") === 8L)
+    assert(m.getAs[Long]("split_day") === 3L)
+    assert(m.getAs[Long]("left_days") === 4L && m.getAs[Long]("right_days") === 4L)
+    assert(m.getAs[Long]("left_sum") === 8L && m.getAs[Long]("right_sum") === 40L)
+    // score at the true split: d = 8*4 - 40*4 = -128; 128^2*1e9/(4*4)
+    assert(m.getAs[Long]("score_nano") === 128L * 128L * 1000000000L / 16L)
+  }
 }
