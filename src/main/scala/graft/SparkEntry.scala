@@ -876,6 +876,24 @@ object SparkEntry {
     // argmax over the daily-count metadata
     "q245_binary_segmentation" -> ((s, dir) =>
       TimeWindows.binarySegmentation(Tables.events(s, dir))),
+    // average-hash over REAL P2 pixels: cross-multiplied mean bits, the
+    // global-structure image signature beside q210's gradients
+    "q246_image_ahash" -> ((s, dir) =>
+      graft.sources.Multimodal.imageAhash(
+        graft.sources.Multimodal.synthesizePgm(Tables.documents(s, dir)))),
+    // TPC-H Q7 shape: two-nation trade volume per ship-year, both dims
+    // broadcast before the fact-fact join
+    "q247_nation_trade" -> ((s, dir) =>
+      Relational.nationTrade(Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q15 shape: quarter revenue per supplier, max re-joined so
+    // ties all surface — exact e4 keeps the tie compare exact
+    "q248_top_supplier" -> ((s, dir) =>
+      Relational.topSupplier(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // Flesch-style readability in exact milli units (vowel-group
+    // syllable proxy, documented double floor)
+    "q249_readability" -> ((s, dir) =>
+      graft.functions.TextAnalysis.readability(Tables.documents(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -2677,6 +2695,80 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
         |    ORDER BY score_nano DESC, day_num) AS rn FROM sc)
         |WHERE rn = 1""".stripMargin,
+    // pixels re-derived from the q135 generative formula (Spark parses
+    // the real bytes); same cross-multiplied mean bits
+    "q246_image_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w * h AS n,
+        |    list_transform(range(0, w * h), k -> (doc_id * 13 + k * 7) % 256) AS b
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(b) AS BIGINT) AS px_sum,
+        |  CAST(list_sum(list_transform(range(0, n), k ->
+        |    CASE WHEN b[CAST(k + 1 AS INTEGER)] * n > list_sum(b)
+        |    THEN 1 << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ahash
+        |FROM px""".stripMargin,
+    // same nation-pair prune before the joins, same epoch-day//365
+    // year, same e4 revenue
+    "q247_nation_trade" ->
+      """WITH n AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |c AS (
+        |  SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer JOIN n ON c_nationkey = n_nationkey),
+        |s AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN n ON s_nationkey = n_nationkey),
+        |o AS (
+        |  SELECT o_orderkey, cust_nation
+        |  FROM orders JOIN c ON o_custkey = c_custkey)
+        |SELECT supp_nation, cust_nation,
+        |  (epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000) // 365
+        |    AS l_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+        |    AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN s ON l_suppkey = s_suppkey
+        |JOIN o ON l_orderkey = o_orderkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // same quarter revenue view, same exact-e4 max tie re-join
+    "q248_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+        |      AS BIGINT) AS total_e4
+        |  FROM lineitem
+        |  WHERE epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+        |        BETWEEN 9862 AND 9951
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_e4) AS mx FROM rev)
+        |SELECT s_suppkey, total_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |CROSS JOIN mx WHERE total_e4 = mx""".stripMargin,
+    // same sentence/word/vowel-group regex counts, same two milli floors
+    "q249_readability" ->
+      """SELECT doc_id,
+        |  CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  CAST(CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+        |    THEN 206835
+        |      - (1015 * len(regexp_extract_all(lower(text), '[a-z]+')))
+        |        // GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      - (84600 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+        |        // len(regexp_extract_all(lower(text), '[a-z]+'))
+        |    END AS BIGINT) AS fre_milli
+        |FROM documents""".stripMargin,
     // q218's prediction chain verbatim, then the rec-pair self-join,
     // pair-table cos^2 lookup, and the 1-row diversity report
     "q239_intra_list_diversity" ->

@@ -1801,6 +1801,72 @@ object Relational {
         col("total_cents"))
   }
 
+  /** TPC-H Q7 shape (q247) — volume shipping between two nations: line
+    * revenue where the SUPPLIER sits in one nation and the CUSTOMER in
+    * the other (both directions), per (supp_nation, cust_nation,
+    * ship-year). The join-order exercise: both nation-keyed dims
+    * broadcast onto their fact keys BEFORE the fact-fact join, and the
+    * nation-pair filter prunes early. Exact e4 revenue; the year from
+    * the epoch-day floor both engines share.
+    *
+    * @return (supp_nation, cust_nation, l_year, n_lines, revenue_e4)
+    */
+  def nationTrade(nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n = nation.select(col("n_nationkey"), col("n_name"))
+      .where(col("n_name").isin(nationA, nationB))
+    val c = customer.join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val s = supplier.join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = orders.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000) div 365")
+          .as("l_year"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("revenue_e4"))
+  }
+
+  /** TPC-H Q15 shape (q248) — top supplier(s) by one quarter's shipped
+    * revenue, INCLUDING ties (Q15's defining wrinkle: the view's max is
+    * re-joined, so equal-revenue suppliers all surface). The max is a
+    * broadcast 1-row aggregate over the |suppliers|-row revenue table;
+    * exact e4 revenue makes the tie compare exact where Q15's float
+    * view can plausibly diverge.
+    *
+    * @return (s_suppkey, total_e4) — every supplier at the max
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+      fromDay: Long = 9862L, toDay: Long = 9952L): DataFrame = {
+    val rev = lineitem
+      .where(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+        .between(fromDay, toDay - 1))
+      .select(col("l_suppkey"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_e4")).as("total_e4"))
+      .transform(graft.barrier) // read by the max and the tie filter
+    val mx = rev.agg(max(col("total_e4")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("total_e4") === col("mx"))
+      .join(supplier.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("total_e4"))
+  }
+
   /** Mann–Whitney U drift audit (q236) — per source, the exact
     * rank-sum statistic of that source's document lengths against the
     * rest of the corpus, the nonparametric "is this source's length

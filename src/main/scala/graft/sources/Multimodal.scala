@@ -595,6 +595,42 @@ object Multimodal {
         col("zero_crossings"), col("energy"))
   }
 
+  /** Perceptual average-hash (aHash, q246) over REAL P2 pixels — the
+    * second image near-dup signature beside [[imageDhash]]'s gradient
+    * bits: bit k is "pixel k brighter than the image mean", which
+    * catches global-structure duplicates dHash's local gradients can
+    * miss (and vice versa — production image dedup runs both). The
+    * mean compare is EXACT by cross-multiplication: bit k = px_k·n >
+    * Σpx (no float mean, no rounding), so the hash is deterministic on
+    * both engines; images here are ≤ 6×4, so the full-raster hash fits
+    * a BIGINT with room to spare (at a fixed 8×8 downsample grid the
+    * same expression caps at 64 bits — the production shape).
+    *
+    * Map-side only: the [[decodePgm]] tokenizer feeds a codegen'd
+    * higher-order fold; no UDF, no shuffle.
+    *
+    * @return (doc_id, n_pixels, px_sum, ahash)
+    */
+  def imageAhash(media: DataFrame): DataFrame = {
+    val s = col("payload").cast("string")
+    val hdr = "^P2\\s+(\\d+)\\s+(\\d+)\\s+(\\d+)\\s"
+    val toks = filter(split(regexp_replace(s, hdr, ""), "\\s+"), t => t =!= "")
+    val px = transform(toks, t => t.cast("long"))
+    media.select(col("doc_id"), px.as("px"))
+      // lambda-inlining stop (the package-doc barrier rationale): the
+      // per-bit fold reads px per ELEMENT, and CollapseProject would
+      // otherwise inline the tokenizer into every probe — O(pixels²)
+      .transform(graft.barrier)
+      .withColumn("n_pixels", size(col("px")).cast("long"))
+      .withColumn("px_sum", aggregate(col("px"), lit(0L), (a, v) => a + v))
+      .withColumn("ahash", expr(
+        """aggregate(transform(sequence(0, CAST(n_pixels - 1 AS INT)), k ->
+          CASE WHEN element_at(px, k + 1) * n_pixels > px_sum
+          THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (a, v) -> a + v)"""))
+      .select(col("doc_id"), col("n_pixels"), col("px_sum"), col("ahash"))
+  }
+
   /** Perceptual difference-hash (dHash, q210) over REAL P6 bytes — the
     * image-side near-duplicate signature completing the dedup bridge:
     * text gets MinHash/SimHash, images get a gradient hash. The

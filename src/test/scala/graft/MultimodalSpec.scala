@@ -361,4 +361,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(2L) === ((1170L, 0L)))
     assert(r(3L) === ((0L, 0L)))   // invalid magic → zero hash
   }
+
+  test("imageAhash: cross-multiplied mean bits on hand-built P2 bytes") {
+    import spark.implicits._
+    // pixels 10 10 10 100: sum 130, n 4 -> bit k iff px*4 > 130
+    val media = Seq((1L, "P2\n2 2\n255\n10 10 10 100\n".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val r = graft.sources.Multimodal.imageAhash(media).collect().head
+    assert(r.getAs[Long]("n_pixels") === 4L)
+    assert(r.getAs[Long]("px_sum") === 130L)
+    assert(r.getAs[Long]("ahash") === 8L) // only bit 3 (the 100)
+    // constant image: no pixel strictly exceeds the mean -> hash 0
+    val flat = Seq((2L, "P2\n2 1\n255\n7 7\n".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    assert(graft.sources.Multimodal.imageAhash(flat).collect()
+      .head.getAs[Long]("ahash") === 0L)
+    // real synthesized corpus: deterministic, hash fits the raster width
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val real = graft.sources.Multimodal.imageAhash(
+      graft.sources.Multimodal.synthesizePgm(docs)).collect()
+    assert(real.forall { x =>
+      x.getAs[Long]("ahash") >= 0L &&
+        x.getAs[Long]("ahash") < (1L << x.getAs[Long]("n_pixels").toInt)
+    })
+  }
 }

@@ -830,4 +830,39 @@ class RelationalSpec extends AnyFunSuite {
         (x.getAs[Long]("total_qty"), x.getAs[Long]("total_cents")))
     assert(r.toSeq === Seq(2L -> ((251L, 200000L)), 1L -> ((260L, 100000L))))
   }
+
+  test("nationTrade: only cross-pair flows count, per year, both directions") {
+    val nation = Seq((1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3"))
+      .toDF("n_nationkey", "n_name")
+    val cust = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((100L, 1), (200L, 2)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((1000L, 10L), (2000L, 20L), (3000L, 30L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (1000L, 200L, 10.0, 0.0, day(9862)),  // supp N2 -> cust N1: counts
+      (2000L, 100L, 20.0, 0.0, day(9862)),  // supp N1 -> cust N2: counts
+      (1000L, 100L, 99.0, 0.0, day(9862)),  // same nation: excluded
+      (3000L, 100L, 99.0, 0.0, day(9862)))  // cust N3: excluded
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val r = Relational.nationTrade(nation, cust, supp, orders, li).collect()
+      .map(x => (x.getAs[String]("supp_nation"), x.getAs[String]("cust_nation")) ->
+        (x.getAs[Long]("l_year"), x.getAs[Long]("n_lines"),
+          x.getAs[Long]("revenue_e4"))).toMap
+    assert(r.size === 2)
+    assert(r(("NATION_2", "NATION_1")) === ((27L, 1L, 100000L)))
+    assert(r(("NATION_1", "NATION_2")) === ((27L, 1L, 200000L)))
+  }
+
+  test("topSupplier: the exact-e4 max keeps every tied winner") {
+    val supp = Seq(1L, 2L, 3L).toDF("s_suppkey")
+    val li = Seq(
+      (1L, 50.0, 0.0, day(9900)), (1L, 50.0, 0.0, day(9901)), // 1: 100.00
+      (2L, 100.0, 0.0, day(9900)),                            // 2: 100.00 tie
+      (3L, 99.0, 0.0, day(9900)),                             // 3: below
+      (2L, 999.0, 0.0, day(100)))                             // outside window
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val r = Relational.topSupplier(supp, li).collect()
+      .map(x => x.getAs[Long]("s_suppkey") -> x.getAs[Long]("total_e4")).toMap
+    assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
 }

@@ -186,4 +186,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     // a run is perfectly compressible: n·⌊log₂n⌋ − n·⌊log₂n⌋ = 0
     assert(r(2L) === ((4L, 1L, 8L, 0L)))
   }
+
+  test("readability: hand counts, two documented floors, fragment floor of 1") {
+    import spark.implicits._
+    // "the cat sat. it ran!" -> 2 sentences, 5 words, vowel groups:
+    // e, a, a, i, a -> 5
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "xyz"), (3L, "!!!"))
+      .toDF("doc_id", "text")
+    val r = graft.functions.TextAnalysis.readability(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_sentences") === 2L)
+    assert(d1.getAs[Long]("n_words") === 5L)
+    assert(d1.getAs[Long]("n_syllables") === 5L)
+    // 206835 - (1015*5) div 2 - (84600*5) div 5 = 206835 - 2537 - 84600
+    assert(d1.getAs[Long]("fre_milli") === 206835L - 2537L - 84600L)
+    // no sentence punctuation: floor of 1 sentence; y counts as a vowel
+    val d2 = r(2L)
+    assert(d2.getAs[Long]("n_sentences") === 1L)
+    assert(d2.getAs[Long]("n_words") === 1L && d2.getAs[Long]("n_syllables") === 1L)
+    // no words at all: fre is NULL, not a division error
+    assert(r(3L).isNullAt(r(3L).fieldIndex("fre_milli")))
+  }
 }
