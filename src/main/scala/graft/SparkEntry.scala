@@ -894,6 +894,10 @@ object SparkEntry {
     // syllable proxy, documented double floor)
     "q249_readability" -> ((s, dir) =>
       graft.functions.TextAnalysis.readability(Tables.documents(s, dir))),
+    // weekday-deseasonalized anomaly flags: q103's cross-multiplied z²
+    // against the WEEKDAY population, so seasonality stops masking
+    "q250_seasonal_anomalies" -> ((s, dir) =>
+      TimeWindows.seasonalAnomalies(Tables.events(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -2752,6 +2756,26 @@ object SparkEntry {
         |SELECT s_suppkey, total_e4
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |CROSS JOIN mx WHERE total_e4 = mx""".stripMargin,
+    // same weekday populations, same integer cross-multiplied 2-sigma
+    // flag, singletons never flag
+    "q250_seasonal_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, day_num % 7 AS weekday FROM daily),
+        |m AS (
+        |  SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS n_w,
+        |    CAST(sum(cnt) AS BIGINT) AS s_w,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss_w
+        |  FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, d.day_num, d.weekday, d.cnt, m.n_w,
+        |  CAST(CASE WHEN m.n_w > 1
+        |    AND (d.cnt * m.n_w - m.s_w) * (d.cnt * m.n_w - m.s_w)
+        |        > 4 * (m.n_w * m.ss_w - m.s_w * m.s_w)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM d JOIN m ON d.event_type = m.event_type AND d.weekday = m.weekday""".stripMargin,
     // same sentence/word/vowel-group regex counts, same two milli floors
     "q249_readability" ->
       """SELECT doc_id,

@@ -1042,6 +1042,48 @@ object TimeWindows {
         col("median_slope"))
   }
 
+  /** Seasonally-adjusted volume anomalies (q250) — the production form
+    * of q103's daily z-flags: a Sunday is compared against SUNDAYS, not
+    * against the all-days mean, so weekly seasonality (q209 measures
+    * it) stops masking real anomalies and stops flagging ordinary
+    * weekend dips. Per (type, weekday) population with n days, sum S,
+    * and Σx², day x flags when its squared z-score exceeds 4 — in the
+    * exact cross-multiplied integer form of q103:
+    *
+    *   z² > 4  ⟺  (x·n − S)² > 4·(n·Σx² − S²)
+    *
+    * (both sides DECIMAL(38,0)-safe BIGINTs at calendar scale; no
+    * division, no float). Singleton weekday populations (n = 1) never
+    * flag — zero variance means no evidence, not infinite surprise.
+    *
+    * Scale shape: one map-combined daily aggregate, weekday moments as
+    * a broadcast ≤ |types|·7 join back — events shuffle once.
+    *
+    * @return per (type, day): (event_type, day_num, weekday, cnt, n_w,
+    *         flagged ∈ {0,1})
+    */
+  def seasonalAnomalies(events: DataFrame): DataFrame =
+    seasonalAnomaliesFromDaily(dailyCounts(events))
+
+  /** The grading stage of [[seasonalAnomalies]] — the dailyCountsStream
+    * twin seam (q103/q144/q209/q237/q245 pattern).
+    */
+  def seasonalAnomaliesFromDaily(daily: DataFrame): DataFrame = {
+    val d = daily.withColumn("weekday", col("day_num") % 7)
+      .transform(graft.barrier) // read by the moment aggregate and the flags
+    val moments = d.groupBy("event_type", "weekday")
+      .agg(count(lit(1)).as("n_w"), sum(col("cnt")).as("s_w"),
+        sum(col("cnt") * col("cnt")).as("ss_w"))
+    d.join(broadcast(moments), Seq("event_type", "weekday"))
+      .select(col("event_type"), col("day_num"), col("weekday"), col("cnt"),
+        col("n_w"),
+        when(col("n_w") > 1 &&
+          (col("cnt") * col("n_w") - col("s_w"))
+            * (col("cnt") * col("n_w") - col("s_w"))
+            > lit(4L) * (col("n_w") * col("ss_w") - col("s_w") * col("s_w")),
+          lit(1L)).otherwise(lit(0L)).as("flagged"))
+  }
+
   /** Binary-segmentation changepoint (q245) — per event type, the ONE
     * split of the daily-count series that maximizes the between-segment
     * contrast: split after ordered day k scores

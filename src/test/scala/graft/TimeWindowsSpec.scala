@@ -567,4 +567,35 @@ class TimeWindowsSpec extends AnyFunSuite {
     // score at the true split: d = 8*4 - 40*4 = -128; 128^2*1e9/(4*4)
     assert(m.getAs[Long]("score_nano") === 128L * 128L * 1000000000L / 16L)
   }
+
+  test("seasonalAnomalies: a weekend dip never flags, a weekday spike does") {
+    // type a: weekday-0 days {0,7,...,42} at 10 except day 42 at 100 — a
+    // point can only clear 2 sigma of a population that CONTAINS it when
+    // n >= 6 (max z^2 = n-1), hence seven Mondays. weekday-1 days {1,8}
+    // at 2 (steady low; the all-days mean would flag these as dips, the
+    // weekday population must not)
+    val rows =
+      Seq(0, 7, 14, 21, 28, 35).flatMap(d => (0 until 10).map(i =>
+        ((d * 100 + i).toLong, dayTs(d, i), 1L, "a"))) ++
+      (0 until 100).map(i => ((4200 + i).toLong, dayTs(42, i), 1L, "a")) ++
+      Seq(1, 8).flatMap(d => (0 until 2).map(i =>
+        ((d * 100 + i).toLong, dayTs(d, i), 1L, "a")))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val r = TimeWindows.seasonalAnomalies(events).collect()
+      .map(x => x.getAs[Long]("day_num") ->
+        (x.getAs[Long]("weekday"), x.getAs[Long]("cnt"), x.getAs[Long]("flagged")))
+      .toMap
+    assert(r(42L) === ((0L, 100L, 1L)), "the weekday spike must flag")
+    assert(r(0L)._3 === 0L && r(7L)._3 === 0L && r(14L)._3 === 0L)
+    assert(r(1L) === ((1L, 2L, 0L)), "steady weekday-1 days are normal")
+    assert(r(8L)._3 === 0L)
+  }
+
+  test("binarySegmentationFromDaily closes the streamed daily twin to batch") {
+    val daily = Seq(("a", 0L, 2L), ("a", 1L, 2L), ("a", 2L, 9L), ("a", 3L, 9L))
+      .toDF("event_type", "day_num", "cnt")
+    val r = TimeWindows.binarySegmentationFromDaily(daily).collect().head
+    assert(r.getAs[Long]("split_day") === 1L)
+    assert(r.getAs[Long]("left_sum") === 4L && r.getAs[Long]("right_sum") === 18L)
+  }
 }
