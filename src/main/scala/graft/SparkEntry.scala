@@ -898,6 +898,30 @@ object SparkEntry {
     // against the WEEKDAY population, so seasonality stops masking
     "q250_seasonal_anomalies" -> ((s, dir) =>
       TimeWindows.seasonalAnomalies(Tables.events(s, dir))),
+    // two-hop reach per vertex: distinct friends-of-friends audience —
+    // the neighborhood function's first step, wedge-join envelope
+    "q251_two_hop_reach" -> ((s, dir) =>
+      plans.GraphOps.twoHopReach(coPairs(s, dir))),
+    // TPC-H Q8 shape: national market share of a region's revenue per
+    // ship-year, deepest star in the suite, exact ppm share
+    "q252_market_share" -> ((s, dir) =>
+      Relational.marketShare(Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q16 shape: distinct supplier counts per (brand, size band)
+    // from the shipped pair reduction, one brand excluded
+    "q253_part_supplier_counts" -> ((s, dir) =>
+      Relational.partSupplierCounts(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q9 shape: name-contains pushdown into the part scan, star
+    // to supplier nation x ship-year, revenue-side profit proxy
+    "q254_product_profit" -> ((s, dir) =>
+      Relational.productProfit(Tables.nation(s, dir), Tables.supplier(s, dir),
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q20 shape: dominant-shipper-per-part semi-join chain with
+    // the half compare cross-multiplied exact, nation rollup
+    "q255_promotion_suppliers" -> ((s, dir) =>
+      Relational.promotionSuppliers(Tables.nation(s, dir), Tables.supplier(s, dir),
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -2756,6 +2780,113 @@ object SparkEntry {
         |SELECT s_suppkey, total_e4
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |CROSS JOIN mx WHERE total_e4 = mx""".stripMargin,
+    // same symmetric closure, same distinct one-or-two-hop union
+    "q251_two_hop_reach" ->
+      s"""WITH $ratingsCte,
+        |$goodCte,
+        |$pairsCte,
+        |und AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1),
+        |reach AS (
+        |  SELECT v AS id, CAST(count(*) AS BIGINT) AS reach2 FROM (
+        |    SELECT src AS v, dst AS u2 FROM und
+        |    UNION
+        |    SELECT a.src AS v, b.dst AS u2
+        |    FROM und a JOIN und b ON a.dst = b.src
+        |    WHERE a.src <> b.dst)
+        |  GROUP BY 1)
+        |SELECT deg.id, deg.deg, reach.reach2
+        |FROM deg JOIN reach ON deg.id = reach.id""".stripMargin,
+    // same region/nation prunes, same epoch-day//365 year, same e4
+    // sums and ppm floor
+    "q252_market_share" ->
+      """WITH rn AS (
+        |  SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |c AS (SELECT c_custkey FROM customer
+        |  JOIN rn ON c_nationkey = n_nationkey),
+        |o AS (SELECT o_orderkey FROM orders JOIN c ON o_custkey = c_custkey),
+        |sn AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1'),
+        |li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000) // 365
+        |      AS l_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS rev_e4
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_year,
+        |    CAST(COALESCE(sum(CASE WHEN sn.s_suppkey IS NOT NULL
+        |      THEN rev_e4 END), 0) AS BIGINT) AS nation_e4,
+        |    CAST(sum(rev_e4) AS BIGINT) AS total_e4
+        |  FROM li JOIN o ON l_orderkey = o_orderkey
+        |  LEFT JOIN sn ON l_suppkey = sn.s_suppkey
+        |  GROUP BY 1)
+        |SELECT l_year, nation_e4, total_e4,
+        |  nation_e4 * 1000000 // total_e4 AS share_ppm FROM g""".stripMargin,
+    // same distinct shipped-pair reduction, same brand exclusion and
+    // size-band floor, same distinct counts
+    "q253_part_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |p AS (
+        |  SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) // 10 AS size_band
+        |  FROM part WHERE p_brand <> 'Brand#13')
+        |SELECT p_brand, size_band,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        |FROM ps JOIN p ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+    // same name-contains prune, same supplier-nation x ship-year star,
+    // same revenue-side proxy in e4
+    "q254_product_profit" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        |  WHERE p_name LIKE '%widget%'),
+        |li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    (epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000) // 365
+        |      AS l_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS rev_e4
+        |  FROM lineitem)
+        |SELECT n_name, l_year, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(rev_e4) AS BIGINT) AS profit_e4
+        |FROM li
+        |JOIN p ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    // same name prune, same per-pair/per-part quantity aggregates, same
+    // 2x-average cross-multiplied dominance, same distinct nation rollup
+    "q255_promotion_suppliers" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        |  WHERE p_name LIKE '%cold%'),
+        |pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS pair_qty_e2
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT l_partkey AS pk, CAST(sum(pair_qty_e2) AS BIGINT)
+        |    AS part_qty_e2, CAST(count(*) AS BIGINT) AS n_suppliers_part
+        |  FROM pair GROUP BY 1),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM pair JOIN pt ON l_partkey = pk
+        |  WHERE pair_qty_e2 * n_suppliers_part > part_qty_e2 * 2)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+        |FROM dom
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     // same weekday populations, same integer cross-multiplied 2-sigma
     // flag, singletons never flag
     "q250_seasonal_anomalies" ->

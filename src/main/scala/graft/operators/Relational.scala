@@ -1867,6 +1867,154 @@ object Relational {
       .select(col("s_suppkey"), col("total_e4"))
   }
 
+  /** TPC-H Q8 shape (q252) — national market share: of the revenue
+    * flowing to customers in one REGION, what fraction is supplied by
+    * one NATION, per ship-year. The deepest star in the suite (region →
+    * nation → customer → orders → lineitem ← supplier → nation), with
+    * every dimension chain broadcast and the share as an exact ppm
+    * floor over e4 revenue — Q8's `sum(case …)/sum(…)` without the
+    * float division.
+    *
+    * @return per year: (l_year, nation_e4, total_e4, share_ppm)
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      regionName: String = "ASIA", nationName: String = "NATION_1")
+      : DataFrame = {
+    val rn = nation.join(broadcast(region.where(col("r_name") === regionName)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = customer.join(broadcast(rn),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val o = orders.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+    val sn = supplier.join(broadcast(nation
+        .where(col("n_name") === nationName).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), lit(1L).as("is_nation"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000) div 365")
+          .as("l_year"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("l_year"))
+      .agg(coalesce(sum(when(col("is_nation") === 1L, col("rev_e4"))), lit(0L))
+          .as("nation_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .withColumn("share_ppm", expr("nation_e4 * 1000000 div total_e4"))
+  }
+
+  /** TPC-H Q16 shape (q253) — supplier counts per part class: for each
+    * (brand, size band), how many DISTINCT suppliers have ever shipped
+    * such a part, excluding one brand (Q16's NOT-clause). This corpus
+    * has no partsupp table, so shipped (part, supplier) pairs from
+    * lineitem stand in for it — the plan shape is Q16's exactly:
+    * distinct pair reduction FIRST (map-combined on the fact key), the
+    * part dim broadcast after, count-distinct per class.
+    *
+    * @return (p_brand, size_band, n_parts, n_suppliers)
+    */
+  def partSupplierCounts(part: DataFrame, lineitem: DataFrame,
+      excludeBrand: String = "Brand#13"): DataFrame = {
+    val ps = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = part.where(col("p_brand") =!= excludeBrand)
+      .select(col("p_partkey"), col("p_brand"),
+        expr("CAST(p_size AS BIGINT) div 10").as("size_band"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("size_band"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_suppliers"))
+  }
+
+  /** TPC-H Q20 shape (q255) — promotion-stock suppliers: per nation, the
+    * suppliers who shipped MORE THAN TWICE the average supplier's share
+    * of some pattern-named part (this corpus has no partsupp/availqty,
+    * so Q20's "availqty > half the year's demand" becomes dominant-
+    * shipper-of-a-part — the same nested semi-join chain: part-name
+    * prune → correlated per-part quantity subquery → supplier semi-join
+    * → nation rollup). The 2×-average compare cross-multiplies exact:
+    * pair_qty·n_suppliers > 2·part_qty, all e2 — no float share. (A
+    * strict-majority cut was measured degenerate on this corpus: parts
+    * spread over 10–51 near-uniform suppliers, so no pair ever clears
+    * 50%; the relative-to-average cut keeps the identical plan with a
+    * non-trivial answer at every SF.)
+    *
+    * Scale shape: the name prune broadcasts into the fact scan FIRST, so
+    * both aggregates run on the 1/|patterns| slice; the per-pair and
+    * per-part aggregates share one shuffle (partkey prefix); the final
+    * rollup is |nations| rows. A supplier counts once per nation however
+    * many parts it dominates (count DISTINCT). Product bound:
+    * pair_qty_e2·n_suppliers wraps only past ~10¹⁵ qty-units·suppliers
+    * per part — swap to DECIMAL(38,0) beyond that, shape unchanged.
+    *
+    * @return per nation: (n_name, n_suppliers)
+    */
+  def promotionSuppliers(nation: DataFrame, supplier: DataFrame,
+      part: DataFrame, lineitem: DataFrame,
+      namePattern: String = "cold"): DataFrame = {
+    val p = part.where(col("p_name").contains(namePattern))
+      .select(col("p_partkey"))
+    val pairQty = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("qty_e2"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty_e2")).as("pair_qty_e2"))
+      .transform(graft.barrier) // read by the per-part total and the compare
+    val partQty = pairQty.groupBy(col("l_partkey"))
+      .agg(sum(col("pair_qty_e2")).as("part_qty_e2"),
+        count(lit(1)).as("n_suppliers_part"))
+    pairQty
+      .join(partQty.select(col("l_partkey").as("pk"), col("part_qty_e2"),
+        col("n_suppliers_part")), col("l_partkey") === col("pk"))
+      .where(col("pair_qty_e2") * col("n_suppliers_part")
+        > col("part_qty_e2") * 2L)
+      .select(col("l_suppkey")).distinct()
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"))
+  }
+
+  /** TPC-H Q9 shape (q254) — product-line profit per supplier nation ×
+    * ship-year, for parts whose name contains a pattern (Q9's
+    * `p_name LIKE '%green%'` — the contains-pushdown exercise: the
+    * substring filter must reach the part scan, and only the surviving
+    * keys join the fact table). This corpus has no partsupp/supplycost,
+    * so profit is the discounted-revenue side of Q9's expression —
+    * documented proxy, identical plan shape.
+    *
+    * @return (n_name, l_year, n_lines, profit_e4)
+    */
+  def productProfit(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      lineitem: DataFrame, namePattern: String = "widget"): DataFrame = {
+    val p = part.where(col("p_name").contains(namePattern))
+      .select(col("p_partkey"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000) div 365")
+          .as("l_year"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("profit_e4"))
+  }
+
   /** Mann–Whitney U drift audit (q236) — per source, the exact
     * rank-sum statistic of that source's document lengths against the
     * rest of the corpus, the nonparametric "is this source's length

@@ -551,29 +551,40 @@ object GraphOps {
       .groupBy("embeddedness").agg(count(lit(1)).as("n_edges"))
   }
 
-  /** Community modularity report (q198) — the quality grade for the label-
-    * propagation partition the flagship recommender keys on (q06):
-    * Newman's Q = Σ_c [ e_c/m − (d_c/2m)² ] measures how much denser the
-    * communities are than a random graph with the same degrees. Shipping
-    * Q per community as the exact integer numerator
+  /** Two-hop reach (q251) — per vertex, the number of DISTINCT vertices
+    * reachable in exactly ≤ 2 hops (excluding itself): the
+    * friends-of-friends audience size that ranks influence better than
+    * raw degree (a vertex bridging two dense pockets out-reaches a
+    * vertex inside one). The distinct-union semantics make this the
+    * first step of the neighborhood-function family (HyperBall computes
+    * the same thing with HLL registers at diameter depth).
     *
-    *   q_num(c) = 4m·e_c − d_c²     (so Q = Σ_c q_num / 4m²)
+    * Scale shape: the wedge explode is the Σdeg² envelope shared with
+    * [[triangleCount]]/[[edgeEmbeddedness]] (cap hot vertices upstream
+    * on power-law graphs — the q238 histogram is the gate); the
+    * distinct collapses map-side per (v, u2) before the count. Exact
+    * integers.
     *
-    * keeps everything order-invariant BIGINT — no float accumulates
-    * across communities (on graphs past ~10⁹ edges, swap the two product
-    * columns to DECIMAL(38,0); the shape is unchanged).
-    *
-    * Plan: e_c is one count over the canonical pair list with both label
-    * lookups BROADCAST (the label table is |vertices| rows — the small
-    * side by construction); d_c reuses the same degree aggregate LP
-    * itself needs; the result is |communities| rows plus a broadcast
-    * 1-row m.
-    *
-    * @param labels (id, label) from [[LabelPropagation.run]]
-    * @param pairs  canonical undirected edges (src < dst) from
-    *               [[graft.operators.Reco.coRatingPairs]]
-    * @return (label, n_members, e_c, d_c, m, q_num)
+    * @param pairs canonical undirected edges (src < dst)
+    * @return (id, deg, reach2) — reach2 ≥ deg always
     */
+  def twoHopReach(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("src"), col("dst"))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.barrier) // read by the hop join's both sides
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val hop2 = und.select(col("src").as("v"), col("dst").as("mid"))
+      .join(und.select(col("src").as("mid"), col("dst").as("u2")), "mid")
+      .select(col("v"), col("u2"))
+      .where(col("v") =!= col("u2"))
+    val reach = und.select(col("src").as("v"), col("dst").as("u2"))
+      .unionAll(hop2)
+      .distinct()
+      .groupBy(col("v").as("id")).agg(count(lit(1)).as("reach2"))
+    deg.join(reach, "id")
+      .select(col("id"), col("deg"), col("reach2"))
+  }
+
   /** Community conductance (q234) — the cut-quality grade beside
     * [[modularity]]'s density grade: per community, φ(c) = cut(c) /
     * min(vol(c), 2m − vol(c)), where cut counts edges leaving the
@@ -643,6 +654,29 @@ object GraphOps {
       .agg(count(lit(1)).as("n_vertices"),
         min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
 
+  /** Community modularity report (q198) — the quality grade for the label-
+    * propagation partition the flagship recommender keys on (q06):
+    * Newman's Q = Σ_c [ e_c/m − (d_c/2m)² ] measures how much denser the
+    * communities are than a random graph with the same degrees. Shipping
+    * Q per community as the exact integer numerator
+    *
+    *   q_num(c) = 4m·e_c − d_c²     (so Q = Σ_c q_num / 4m²)
+    *
+    * keeps everything order-invariant BIGINT — no float accumulates
+    * across communities (on graphs past ~10⁹ edges, swap the two product
+    * columns to DECIMAL(38,0); the shape is unchanged).
+    *
+    * Plan: e_c is one count over the canonical pair list with both label
+    * lookups BROADCAST (the label table is |vertices| rows — the small
+    * side by construction); d_c reuses the same degree aggregate LP
+    * itself needs; the result is |communities| rows plus a broadcast
+    * 1-row m.
+    *
+    * @param labels (id, label) from [[LabelPropagation.run]]
+    * @param pairs  canonical undirected edges (src < dst) from
+    *               [[graft.operators.Reco.coRatingPairs]]
+    * @return (label, n_members, e_c, d_c, m, q_num)
+    */
   def modularity(labels: DataFrame, pairs: DataFrame): DataFrame = {
     val la = labels.select(col("id").as("src"), col("label").as("la"))
     val lb = labels.select(col("id").as("dst"), col("label").as("lb"))

@@ -269,4 +269,22 @@ class GraphSpec extends AnyFunSuite {
           x.getAs[Long]("max_deg"))).toMap
     assert(r === Map(1L -> ((4L, 1L, 1L)), 3L -> ((1L, 4L, 4L))))
   }
+
+  test("twoHopReach: path, star, and triangle hand numbers") {
+    // path 1-2-3-4: reach2(1) = {2,3}, reach2(2) = {1,3,4}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.twoHopReach(path).collect()
+      .map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("deg"), x.getAs[Long]("reach2"))).toMap
+    assert(r(1L) === ((1L, 2L)))
+    assert(r(2L) === ((2L, 3L)))
+    assert(r(3L) === ((2L, 3L)))
+    assert(r(4L) === ((1L, 2L)))
+    // triangle: everyone reaches everyone, reach2 = 2 = deg (no double
+    // counting of the 2-hop route back through the third vertex)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val rt = GraphOps.twoHopReach(tri).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("reach2")).toMap
+    assert(rt === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

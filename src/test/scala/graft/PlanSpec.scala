@@ -545,4 +545,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p38.contains("CartesianProduct") && !p38.contains("NestedLoop"),
       s"q238 quadratic join:\n$p38")
   }
+
+  test("q251-q255 batch: stars broadcast their dims, hop join stays keyed") {
+    // Q8/Q9/Q20 stars and the two-hop wedge: every join must stay an
+    // equi-join (broadcast or shuffled) — a cartesian/nested-loop here
+    // is corpus-squared at 100 TB
+    for (q <- Seq("q251_two_hop_reach", "q252_market_share",
+        "q253_part_supplier_counts", "q254_product_profit",
+        "q255_promotion_suppliers")) {
+      val p = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q degenerated to a non-equi join:\n$p")
+      assert(!p.contains("Window"), s"$q gained a window:\n$p")
+    }
+    // the Q8/Q9 dimension chains must broadcast (region/nation/part
+    // prunes are tiny by construction — a shuffle join on them re-keys
+    // the fact table once per dim)
+    for (q <- Seq("q252_market_share", "q254_product_profit")) {
+      val p = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its dim broadcasts:\n$p")
+    }
+  }
 }

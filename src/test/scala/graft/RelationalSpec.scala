@@ -865,4 +865,80 @@ class RelationalSpec extends AnyFunSuite {
       .map(x => x.getAs[Long]("s_suppkey") -> x.getAs[Long]("total_e4")).toMap
     assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
   }
+
+  test("marketShare: the nation's slice of regional revenue, exact ppm") {
+    val region = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((1, "NATION_1", 0), (2, "NATION_2", 0), (3, "NATION_3", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust = Seq((10L, 1), (30L, 3)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((100L, 1), (200L, 2)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((1000L, 10L), (3000L, 30L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (1000L, 100L, 10.0, 0.0, day(9900)),  // ASIA cust, NATION_1 supp
+      (1000L, 200L, 30.0, 0.0, day(9900)),  // ASIA cust, other supp
+      (3000L, 100L, 99.0, 0.0, day(9900)))  // EUROPE cust: excluded
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val r = Relational.marketShare(region, nation, cust, supp, orders, li)
+      .collect()
+    assert(r.length === 1)
+    val m = r.head
+    assert(m.getAs[Long]("l_year") === 27L)
+    assert(m.getAs[Long]("nation_e4") === 100000L)
+    assert(m.getAs[Long]("total_e4") === 400000L)
+    assert(m.getAs[Long]("share_ppm") === 250000L)
+  }
+
+  test("promotionSuppliers: 2x-average shipper, distinct per nation") {
+    val nation = Seq((1, "NATION_1"), (2, "NATION_2"))
+      .toDF("n_nationkey", "n_name")
+    val supp = Seq((100L, 1), (200L, 1), (300L, 2))
+      .toDF("s_suppkey", "s_nationkey")
+    val part = Seq((1L, "cold widget"), (2L, "cold rod"), (3L, "blue rod"))
+      .toDF("p_partkey", "p_name")
+    val li = Seq(
+      // part 1: total 12 over 3 suppliers (avg 4) — supp 100 ships 9
+      // (> 2·avg = 8: dominant); supp 200 ships 2, supp 300 ships 1
+      (1L, 100L, 5.0), (1L, 100L, 4.0), (1L, 200L, 2.0), (1L, 300L, 1.0),
+      // part 2: 2 suppliers at 8 vs 4 (avg 6) — 8 < 12 = 2·avg: nobody
+      (2L, 100L, 8.0), (2L, 300L, 4.0),
+      // part 3: wrong name pattern → excluded even though 300 ships all
+      (3L, 300L, 9.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val r = Relational.promotionSuppliers(nation, supp, part, li).collect()
+      .map(x => x.getAs[String]("n_name") -> x.getAs[Long]("n_suppliers")).toMap
+    assert(r === Map("NATION_1" -> 1L))
+  }
+
+  test("productProfit: name-contains prune, nation-year rollup") {
+    val nation = Seq((1, "NATION_1")).toDF("n_nationkey", "n_name")
+    val supp = Seq((100L, 1)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq((1L, "cold widget"), (2L, "blue rod"))
+      .toDF("p_partkey", "p_name")
+    val li = Seq(
+      (1L, 100L, 10.0, 0.0, day(9900)),   // widget: counts
+      (1L, 100L, 20.0, 0.5, day(9900)),   // widget, 50% discount
+      (2L, 100L, 99.0, 0.0, day(9900)))   // rod: excluded
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val r = Relational.productProfit(nation, supp, part, li).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("n_name") === "NATION_1")
+    assert(r.head.getAs[Long]("l_year") === 27L)
+    assert(r.head.getAs[Long]("n_lines") === 2L)
+    // 10.00 → 1000e2·100 = 100000; 20.00 at 50% → 2000e2·50 = 100000
+    assert(r.head.getAs[Long]("profit_e4") === 200000L)
+  }
+
+  test("partSupplierCounts: distinct pairs, brand exclusion, size bands") {
+    val part = Seq((1L, "Brand#4", 5), (2L, "Brand#4", 15), (3L, "Brand#13", 5))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 100L), (1L, 100L), // duplicate shipped pair collapses
+      (1L, 200L), (2L, 100L),
+      (3L, 300L))             // excluded brand
+      .toDF("l_partkey", "l_suppkey")
+    val r = Relational.partSupplierCounts(part, li).collect()
+      .map(x => (x.getAs[String]("p_brand"), x.getAs[Long]("size_band")) ->
+        (x.getAs[Long]("n_parts"), x.getAs[Long]("n_suppliers"))).toMap
+    assert(r === Map(("Brand#4", 0L) -> ((1L, 2L)), ("Brand#4", 1L) -> ((1L, 1L))))
+  }
 }
