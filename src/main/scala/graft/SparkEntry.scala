@@ -922,6 +922,10 @@ object SparkEntry {
     "q255_promotion_suppliers" -> ((s, dir) =>
       Relational.promotionSuppliers(Tables.nation(s, dir), Tables.supplier(s, dir),
         Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // HyperBall-register two-hop reach beside q251's exact: constant
+    // HLL state per vertex, exact totals + in-query 5% L1 bound graded
+    "q256_approx_reach" -> ((s, dir) =>
+      plans.GraphOps.twoHopReachApprox(coPairs(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -2887,6 +2891,27 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+    // exact totals of the same one-or-two-hop distinct union; the HLL
+    // estimate has no cross-engine twin, so the bound column is graded
+    "q256_approx_reach" ->
+      s"""WITH $ratingsCte,
+        |$goodCte,
+        |$pairsCte,
+        |und AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |reach AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS reach2 FROM (
+        |    SELECT src AS v, dst AS u2 FROM und
+        |    UNION
+        |    SELECT a.src AS v, b.dst AS u2
+        |    FROM und a JOIN und b ON a.dst = b.src
+        |    WHERE a.src <> b.dst)
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+        |  CAST(sum(reach2) AS BIGINT) AS total_reach2,
+        |  true AS approx_ok
+        |FROM reach""".stripMargin,
     // same weekday populations, same integer cross-multiplied 2-sigma
     // flag, singletons never flag
     "q250_seasonal_anomalies" ->

@@ -585,6 +585,43 @@ object GraphOps {
       .select(col("id"), col("deg"), col("reach2"))
   }
 
+  /** Approximate two-hop reach (q256) — [[twoHopReach]] with HyperBall's
+    * actual scale move: the per-vertex DISTINCT neighbor set becomes a
+    * constant-size HLL register (`approx_count_distinct`, rsd 5%), so
+    * the aggregate state per vertex is O(registers) instead of
+    * O(reach) — at 100 TB the exact distinct's per-vertex hash sets are
+    * the memory wall, the registers are not (this is precisely why
+    * HyperBall/HyperANF exist: Boldi–Vigna, WWW'11). The wedge fan-out
+    * itself is unchanged — the win is the aggregation state.
+    *
+    * Graded the q24/q83 way: the estimate has no cross-engine twin, so
+    * the output carries the exact totals as graded truth plus an
+    * in-query sketch-accuracy bound — aggregate relative L1 error of
+    * the per-vertex estimates ≤ 5% (`approx_ok` must come back true;
+    * robust to one small-count vertex where a per-vertex bound is not).
+    *
+    * @param pairs canonical undirected edges (src < dst)
+    * @return 1 row: (n_vertices, total_reach2, approx_ok)
+    */
+  def twoHopReachApprox(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("src"), col("dst"))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.barrier) // read by the hop join's both sides
+    val hop2 = und.select(col("src").as("v"), col("dst").as("mid"))
+      .join(und.select(col("src").as("mid"), col("dst").as("u2")), "mid")
+      .select(col("v"), col("u2"))
+      .where(col("v") =!= col("u2"))
+    und.select(col("src").as("v"), col("dst").as("u2"))
+      .unionAll(hop2)
+      .groupBy(col("v"))
+      .agg(approx_count_distinct(col("u2"), 0.05).as("approx_reach"),
+        count_distinct(col("u2")).as("exact_reach"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(col("exact_reach")).as("total_reach2"),
+        (sum(abs(col("approx_reach") - col("exact_reach"))) * 100L
+          <= sum(col("exact_reach")) * 5L).as("approx_ok"))
+  }
+
   /** Community conductance (q234) — the cut-quality grade beside
     * [[modularity]]'s density grade: per community, φ(c) = cut(c) /
     * min(vol(c), 2m − vol(c)), where cut counts edges leaving the

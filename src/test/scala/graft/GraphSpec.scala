@@ -287,4 +287,15 @@ class GraphSpec extends AnyFunSuite {
       .map(x => x.getAs[Long]("id") -> x.getAs[Long]("reach2")).toMap
     assert(rt === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("twoHopReachApprox: exact totals carried, sketch bound holds") {
+    // path 1-2-3-4: reaches 2,3,3,2 → total 10 over 4 vertices; at these
+    // counts HLL++ runs sparse-exact, so the 5% L1 bound must hold
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.twoHopReachApprox(path).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_vertices") === 4L)
+    assert(r.head.getAs[Long]("total_reach2") === 10L)
+    assert(r.head.getAs[Boolean]("approx_ok"))
+  }
 }

@@ -552,7 +552,7 @@ class PlanSpec extends AnyFunSuite {
     // is corpus-squared at 100 TB
     for (q <- Seq("q251_two_hop_reach", "q252_market_share",
         "q253_part_supplier_counts", "q254_product_profit",
-        "q255_promotion_suppliers")) {
+        "q255_promotion_suppliers", "q256_approx_reach")) {
       val p = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
       assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
         s"$q degenerated to a non-equi join:\n$p")
