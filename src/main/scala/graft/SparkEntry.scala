@@ -926,6 +926,28 @@ object SparkEntry {
     // HLL state per vertex, exact totals + in-query 5% L1 bound graded
     "q256_approx_reach" -> ((s, dir) =>
       plans.GraphOps.twoHopReachApprox(coPairs(s, dir))),
+    // random walk with restart from a deterministic seed set — q96's
+    // exact integer-mass rounds with seeded teleport
+    "q257_personalized_pagerank" -> ((s, dir) =>
+      plans.GraphOps.personalizedPageRank(Reco.undirected(coPairs(s, dir)))
+        .select(col("v").as("user_id"), col("r").as("ppr_scaled"))),
+    // reciprocal-rank fusion of the BM25 and term-density runs —
+    // integer-floor 1e9/(60+rank) contributions, RRF-over-union
+    "q258_rrf_fusion" -> ((s, dir) =>
+      Corpus.rrfFusion(Tables.documents(s, dir),
+        Seq("dup", "spark", "window", "batch"))),
+    // degenerate-text detector: most-repeated word 3-gram share per doc
+    // in exact ppm — the multiset the shingle ops deliberately drop
+    "q259_repetition_score" -> ((s, dir) =>
+      Corpus.repetitionScore(Tables.documents(s, dir))),
+    // DSIR importance scores vs the en target slice — integer-log2
+    // likelihood-ratio weights, token-keyed join-back, no float logs
+    "q260_importance_weights" -> ((s, dir) =>
+      Corpus.importanceWeights(Tables.documents(s, dir))),
+    // hashing-trick doc vectors: zero-vocabulary sparse counts, the
+    // only fit-free vectorizer at corpus scale
+    "q261_hashed_vectorizer" -> ((s, dir) =>
+      Corpus.hashedVectorizer(Tables.documents(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -2912,6 +2934,111 @@ object SparkEntry {
         |  CAST(sum(reach2) AS BIGINT) AS total_reach2,
         |  true AS approx_ok
         |FROM reach""".stripMargin,
+    // same seeded teleport, same integer floor-division mass rounds
+    "q257_personalized_pagerank" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |$edgesCte,
+         |${personalizedPageRankCtes(3)}
+         |SELECT v AS user_id, r AS ppr_scaled FROM p3""".stripMargin,
+    // same two runs off the same tf table, same top-20 + rank windows,
+    // same integer-floor reciprocal contributions, NULL-rank = 0
+    "q258_rrf_fusion" ->
+      """WITH stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, n_chars AS dl,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('dup', 'spark', 'window', 'batch')
+        |  GROUP BY 1, 2, 3),
+        |idf AS (
+        |  SELECT tok, CAST(len(bin(n_docs // df)) AS BIGINT) AS idf2
+        |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |  CROSS JOIN stats),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(idf2 * (CAST(22 AS HUGEINT) * tf.tf * total_dl * 1000000
+        |      // (CAST(10 AS HUGEINT) * tf.tf * total_dl
+        |          + CAST(3 AS HUGEINT) * total_dl
+        |          + CAST(9 AS HUGEINT) * dl * n_docs)))
+        |      AS BIGINT) AS score_micro
+        |  FROM tf JOIN idf ON tf.tok = idf.tok CROSS JOIN stats
+        |  GROUP BY 1),
+        |bm AS (
+        |  SELECT doc_id, CAST(row_number() OVER
+        |      (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r_bm25
+        |  FROM (SELECT * FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20)),
+        |dn AS (
+        |  SELECT doc_id, CAST(row_number() OVER
+        |      (ORDER BY density_micro DESC, doc_id) AS BIGINT) AS r_density
+        |  FROM (SELECT doc_id, tf_sum * 1000000 // dl AS density_micro
+        |        FROM (SELECT doc_id, dl, CAST(sum(tf) AS BIGINT) AS tf_sum
+        |              FROM tf GROUP BY 1, 2)
+        |        ORDER BY density_micro DESC, doc_id LIMIT 20))
+        |SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id, r_bm25, r_density,
+        |  COALESCE(1000000000 // (60 + r_bm25), 0)
+        |    + COALESCE(1000000000 // (60 + r_density), 0) AS rrf_e9
+        |FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id""".stripMargin,
+    // same tokenization, same multiset 3-gram counts, same ppm floor
+    "q259_repetition_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_grams,
+        |    unnest(list_transform(range(0, len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |c AS (
+        |  SELECT doc_id, n_grams, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_grams, CAST(max(c) AS BIGINT) AS max_rep,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(c) * 1000000 // n_grams AS BIGINT) AS rep_ppm
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // same cross-multiplied integer-log2 ratio weights, same -64 cap,
+    // same token-keyed score join
+    "q260_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |cs AS (SELECT t, CAST(count(*) AS BIGINT) AS n_s FROM toks GROUP BY 1),
+        |ts AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM toks
+        |  WHERE lang = 'en' GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS big_n_s,
+        |    CAST(COALESCE(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT)
+        |      AS big_n_t
+        |  FROM toks),
+        |w AS (
+        |  SELECT cs.t,
+        |    CASE WHEN ts.n_t IS NULL THEN CAST(-64 AS BIGINT)
+        |    WHEN CAST(ts.n_t AS HUGEINT) * big_n_s
+        |         >= CAST(cs.n_s AS HUGEINT) * big_n_t
+        |    THEN CAST(len(bin(CAST(CAST(ts.n_t AS HUGEINT) * big_n_s
+        |      // (CAST(cs.n_s AS HUGEINT) * big_n_t) AS BIGINT))) AS BIGINT)
+        |    ELSE -CAST(len(bin(CAST(CAST(cs.n_s AS HUGEINT) * big_n_t
+        |      // (CAST(ts.n_t AS HUGEINT) * big_n_s) AS BIGINT))) AS BIGINT)
+        |    END AS w
+        |  FROM cs LEFT JOIN ts ON cs.t = ts.t CROSS JOIN tot)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(w.w) AS BIGINT) AS dsir_score
+        |FROM toks JOIN w ON toks.t = w.t
+        |GROUP BY 1, 2""".stripMargin,
+    // same md5-prefix32 dimension hash, same mod-64 buckets, same counts
+    "q261_hashed_vectorizer" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents)
+        |SELECT doc_id, ${md5Prefix32Sql("t")} % 64 AS dim,
+        |  CAST(count(*) AS BIGINT) AS weight
+        |FROM toks GROUP BY 1, 2""".stripMargin,
     // same weekday populations, same integer cross-multiplied 2-sigma
     // flag, singletons never flag
     "q250_seasonal_anomalies" ->
@@ -6520,6 +6647,33 @@ object SparkEntry {
          |  SELECT p.v, (1000000000000 * 15 // 100 // nn.n)
          |    + (85 * COALESCE(c.cs, 0) // 100) AS r
          |  FROM r${i - 1} p LEFT JOIN c$i c ON c.v = p.v CROSS JOIN nn
+         |)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** Seeded-teleport twin of [[pageRankCtes]] (q257): identical rounds,
+    * teleport mass only at v ≡ 0 mod 100, everything BIGINT floor math.
+    */
+  private def personalizedPageRankCtes(iters: Int): String = {
+    val init =
+      """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |ns AS (SELECT count(*) AS ns FROM deg WHERE src % 100 = 0),
+        |p0 AS (SELECT src AS v,
+        |  CASE WHEN src % 100 = 0 THEN 1000000000000 // ns ELSE 0 END AS r
+        |  FROM deg CROSS JOIN ns)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pc$i AS (
+         |  SELECT e.dst AS v, CAST(sum(r.r // d.deg) AS BIGINT) AS cs
+         |  FROM edges e JOIN deg d ON e.src = d.src JOIN p${i - 1} r ON r.v = e.src
+         |  GROUP BY 1
+         |),
+         |p$i AS (
+         |  SELECT p.v,
+         |    (CASE WHEN p.v % 100 = 0 THEN 1000000000000 * 15 // 100 // ns.ns
+         |      ELSE 0 END)
+         |    + (85 * COALESCE(c.cs, 0) // 100) AS r
+         |  FROM p${i - 1} p LEFT JOIN pc$i c ON c.v = p.v CROSS JOIN ns
          |)""".stripMargin
     }
     (init +: rounds).mkString(",\n")

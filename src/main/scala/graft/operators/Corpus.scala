@@ -1070,16 +1070,32 @@ object Corpus {
     * @return (doc_id, n_terms_matched, score_micro) — top k by
     *         (score DESC, doc_id)
     */
-  def bm25Search(documents: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+  def bm25Search(documents: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
+    bm25ScoresFrom(termTf(documents, terms), corpusStats(documents))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+
+  /** Shared (doc, term, tf) seam for the retrieval runs (q224/q258):
+    * token explode filtered to the query terms, map-combined counts.
+    */
+  private def termTf(documents: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val toks = documents
+    documents
       .select(col("doc_id"), col("n_chars"),
         explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
       .where(col("tok").isin(terms: _*))
-    val stats = documents.agg(count(lit(1)).as("n_docs"),
-      sum(col("n_chars")).as("total_dl"))
-    val tf = toks.groupBy(col("doc_id"), col("n_chars").as("dl"), col("tok"))
+      .groupBy(col("doc_id"), col("n_chars").as("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+  }
+
+  private def corpusStats(documents: DataFrame): DataFrame =
+    documents.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_dl"))
+
+  /** The q224 scoring expression over a prebuilt tf seam — see
+    * [[bm25Search]]'s docstring for the cleared-denominator derivation.
+    */
+  private def bm25ScoresFrom(tf: DataFrame, stats: DataFrame): DataFrame = {
     val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("tok"),
@@ -1094,8 +1110,160 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("term_micro")).as("score_micro"))
-      .orderBy(col("score_micro").desc, col("doc_id"))
-      .limit(k)
+  }
+
+  /** DSIR-style importance weights (q260) — per document, the hashed-
+    * n-gram importance score of Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS'23) at unigram granularity: how much more does
+    * this document look like the TARGET distribution (here the corpus's
+    * `targetLang` slice — the "high-quality reference" role) than like
+    * the corpus at large? score(d) = Σ_t tf_dt · w_t with the per-token
+    * weight the integer-log₂ likelihood ratio
+    *
+    *   w_t = ⌊log₂(p_T(t)/p_S(t))⌋±1  via  len(bin(a div b)) on the
+    *   cross-multiplied counts a = n_t^T·N_S, b = n_t^S·N_T
+    *
+    * (positive branch when a ≥ b, mirrored negative when a < b, −64 cap
+    * for tokens absent from the target) — the q197/q224 integer-log
+    * idiom, so both engines produce identical weights with no float
+    * log. The cross-multiplied products carry corpus-total token counts
+    * and run in DECIMAL(38,0) (BIGINT wraps once N_T·n_t^S passes 2⁶³ —
+    * ~10⁹·10⁹, inside the 100-TB envelope); the div quotient is
+    * ratio-sized and returns to BIGINT before conv.
+    *
+    * Scale shape: one token explode feeds the corpus counts, the target
+    * counts, and the per-doc scorer (barriered seam); the weight table
+    * is |vocab| rows joined back token-keyed (NOT force-broadcast —
+    * vocab scales with the corpus); totals are a broadcast 1-row
+    * aggregate.
+    *
+    * @return per doc: (doc_id, lang, n_toks, dsir_score)
+    */
+  def importanceWeights(documents: DataFrame, targetLang: String = "en")
+      : DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .transform(graft.barrier) // read by both count passes and the scorer
+    val corpusCounts = toks.groupBy(col("t")).agg(count(lit(1)).as("n_s"))
+    val targetCounts = toks.where(col("lang") === targetLang)
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val totals = broadcast(toks.agg(count(lit(1)).as("big_n_s"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("big_n_t")))
+    val weights = corpusCounts
+      .join(targetCounts, Seq("t"), "left")
+      .crossJoin(totals)
+      .select(col("t"), expr(
+        """CASE WHEN n_t IS NULL THEN CAST(-64 AS BIGINT)
+          |WHEN CAST(n_t AS DECIMAL(38,0)) * big_n_s
+          |     >= CAST(n_s AS DECIMAL(38,0)) * big_n_t
+          |THEN CAST(length(conv(CAST(CAST(n_t AS DECIMAL(38,0)) * big_n_s
+          |  div (CAST(n_s AS DECIMAL(38,0)) * big_n_t) AS BIGINT), 10, 2)) AS BIGINT)
+          |ELSE -CAST(length(conv(CAST(CAST(n_s AS DECIMAL(38,0)) * big_n_t
+          |  div (CAST(n_t AS DECIMAL(38,0)) * big_n_s) AS BIGINT), 10, 2)) AS BIGINT)
+          |END""".stripMargin).as("w"))
+    toks.join(weights, "t")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("dsir_score"))
+  }
+
+  /** Feature-hashing vectorizer (q261) — the hashing-trick document
+    * vectors (Weinberger et al., ICML'09; sklearn's HashingVectorizer):
+    * each token lands in dimension md5-prefix32(t) mod `dims`, so every
+    * document becomes a fixed-width sparse count vector with NO
+    * vocabulary table at all — the property that makes it the only
+    * vectorizer that needs zero global state at 100 TB (no fit pass, no
+    * dictionary broadcast, collisions documented as the accepted
+    * trade). Emitted in sparse (doc, dim, weight) triples — the layout
+    * the downstream cosine/IVF ops in [[graft.operators.Similarity]]
+    * consume.
+    *
+    * Scale shape: one token explode into a map-combined (doc, dim)
+    * count — no joins, no windows, no global state of any kind.
+    *
+    * @return (doc_id, dim, weight) — ≤ `dims` rows per document
+    */
+  def hashedVectorizer(documents: DataFrame, dims: Int = 64): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        pmod(TextAnalysis.md5Prefix32(col("t")), lit(dims.toLong)).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("weight"))
+
+  /** Repetition score (q259) — per document, the share of its word
+    * 3-grams claimed by the single most repeated 3-gram (ppm): the
+    * degenerate-text detector every LLM corpus filter runs — looping
+    * model output, boilerplate chains, and keyword-stuffed spam all
+    * light up here while healthy prose stays near 1/n_grams. Kept
+    * multiset-exact (no distinct on the gram stream — repetition IS the
+    * signal, the one transform every shingle op deliberately drops).
+    *
+    * Scale shape: per-doc gram explode bounded by document length, one
+    * map-combined (doc, gram) count, then a per-doc max aggregate —
+    * no joins, no windows, no cross-doc state. The gram lambda reads
+    * the barriered token attribute (the file-head interpreter rule).
+    *
+    * @return per doc with ≥ 3 tokens:
+    *         (doc_id, n_grams, max_rep, n_distinct, rep_ppm)
+    */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 3)
+      .transform(graft.barrier) // gram lambda reads a plain attribute
+    val grams = toks.select(col("doc_id"),
+        (size(col("t")) - 2).cast("long").as("n_grams"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+          .as("g"))
+    grams.groupBy(col("doc_id"), col("n_grams"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(max(col("c")).as("max_rep"), count(lit(1)).as("n_distinct"))
+      .withColumn("rep_ppm", expr("max_rep * 1000000 div n_grams"))
+  }
+
+  /** Reciprocal-rank fusion (q258) — the hybrid-retrieval combiner RAG
+    * stacks actually ship (Cormack et al., SIGIR'09): fuse two ranked
+    * runs over the same query by summing 1/(K + rank) per run, here the
+    * BM25 run (q224's scorer) and a term-density run (Σtf/dl — the
+    * length-biased lexical baseline BM25's normalization corrects, so
+    * the two runs genuinely disagree). Each contribution is the integer
+    * floor 10⁹ div (K + rank) — both engines floor identically, no float
+    * reciprocals — and a document missing from a run contributes 0
+    * (standard RRF-over-union semantics; its rank column stays NULL in
+    * the output as the honest record).
+    *
+    * Scale shape: one shared term-tf seam feeds both runs (one corpus
+    * explode, barriered); each run tops out in a TakeOrderedAndProject
+    * heap BEFORE its rank window, so the only windows run over ≤ k rows
+    * (metadata-bounded, the q217 convention); the fuse is a full outer
+    * join of two k-row tables.
+    *
+    * @return ≤ 2k rows: (doc_id, r_bm25, r_density, rrf_e9)
+    */
+  def rrfFusion(documents: DataFrame, terms: Seq[String],
+      k: Int = 20, rrfK: Long = 60L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termTf(documents, terms).transform(graft.barrier) // both runs read it
+    val stats = corpusStats(documents)
+    def ranked(run: DataFrame, scoreCol: String, rankName: String): DataFrame =
+      run.orderBy(col(scoreCol).desc, col("doc_id")).limit(k)
+        .withColumn(rankName, row_number()
+          .over(Window.orderBy(col(scoreCol).desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col(rankName))
+    val bm = ranked(bm25ScoresFrom(tf, stats), "score_micro", "r_bm25")
+    val dens = ranked(
+      tf.groupBy(col("doc_id"), col("dl")).agg(sum(col("tf")).as("tf_sum"))
+        .select(col("doc_id"), expr("tf_sum * 1000000 div dl").as("density_micro")),
+      "density_micro", "r_density")
+    bm.join(dens, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm25"), col("r_density"),
+        (coalesce(expr(s"1000000000 div ($rrfK + r_bm25)"), lit(0L))
+          + coalesce(expr(s"1000000000 div ($rrfK + r_density)"), lit(0L)))
+          .as("rrf_e9"))
   }
 
   /** Distinctive keywords per source (q217) — class-based TF-IDF (the

@@ -248,6 +248,52 @@ object GraphOps {
     r
   }
 
+  /** Personalized PageRank (q257) — [[pageRank]] with the teleport mass
+    * restricted to a seed set (vertices with id ≡ 0 mod `seedMod` — a
+    * deterministic stand-in for "this user's trusted accounts"): the
+    * standard seeded-recommendation / Sybil-detection primitive (random
+    * walk with restart). Same exact integer-mass recurrence as q96 —
+    * r ← [v∈S]·0.15·scale/|S| + 0.85·Σ r(u)/deg(u), every term a BIGINT
+    * floor division both engines compute identically — so mass never
+    * drifts with shuffle order. Non-seed-reachable vertices legitimately
+    * hold rank 0 (kept in the output: the zero set is part of the
+    * answer).
+    *
+    * Plan: identical to [[pageRank]] — bounded rounds behind barriers,
+    * two equi-shuffles per round (deg join + contribution aggregate),
+    * the seed scalar broadcast. Nothing new materializes beyond |V|+|E|.
+    *
+    * @param edges directed edge list (symmetrize upstream for undirected)
+    * @return (v, r) — r in parts of `scale`, including rank-0 vertices
+    */
+  def personalizedPageRank(edges: DataFrame, seedMod: Long = 100L,
+      iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select("src", "dst").transform(graft.barrier)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val verts = deg.select(col("src").as("v"))
+    val ns = broadcast(verts.where(col("v") % seedMod === 0L)
+      .agg(count(lit(1)).as("ns")))
+    var r = verts.crossJoin(ns)
+      .select(col("v"),
+        when(col("v") % seedMod === 0L, expr(s"$scale div ns"))
+          .otherwise(lit(0L)).as("r"))
+      .transform(graft.barrier)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(deg, "src")
+        .join(r.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), expr("r div deg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("cs"))
+      r = verts.join(contrib, Seq("v"), "left").crossJoin(ns)
+        .select(col("v"),
+          (when(col("v") % seedMod === 0L, expr(s"$scale * 15 div 100 div ns"))
+            .otherwise(lit(0L))
+            + expr("85 * coalesce(cs, CAST(0 AS BIGINT)) div 100")).as("r"))
+        .transform(graft.barrier)
+    }
+    r
+  }
+
   /** Degree assortativity (Newman 2002): do high-degree vertices attach
     * to high-degree vertices? Over the symmetrized edge list, with
     * x = deg(src), y = deg(dst) per directed edge, the Pearson

@@ -399,6 +399,41 @@ object RealTime {
       .drop("norm")
   }
 
+  /** Streaming repetition gate — q259's degenerate-text filter at
+    * ingestion time. A document's repetition score is BATCH-LOCAL by
+    * construction (all of a doc's 3-grams live in its own row), so the
+    * streaming form closes through the batch operator inside
+    * foreachBatch: each micro-batch runs
+    * [[graft.operators.Corpus.repetitionScore]] and lands the ADMITTED
+    * documents idempotently in a `batch_id` partition (the
+    * [[updateRatings]] exactly-once pattern — a replayed batch rewrites
+    * its partition instead of duplicating it). Zero cross-batch state,
+    * no watermark: the gate's answer for a document can never change,
+    * which is exactly what makes foreachBatch the right seam here
+    * rather than a stateful operator.
+    *
+    * Docs too short to form a 3-gram are admitted (they cannot loop).
+    *
+    * @param docs streaming frame with `doc_id` (long) and `text`
+    */
+  def repetitionGateStream(docs: DataFrame, outDir: String,
+      checkpointDir: String, maxRepPpm: Long = 500000L): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val flagged = graft.operators.Corpus.repetitionScore(batch)
+          .where(col("rep_ppm") > maxRepPpm).select(col("doc_id"))
+        batch.join(flagged, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream–stream interval join — the real-time twin of
     * [[graft.operators.TimeWindows.clickViewPairs]]: each arriving click
     * joins ALL of the same user's views from the preceding

@@ -490,6 +490,59 @@ class CorpusSpec extends AnyFunSuite {
     // saturation: doubling tf earned 1.375x, not 2x
   }
 
+  test("importanceWeights: target-like docs score high, off-target capped") {
+    val docs = Seq(
+      (1L, "en", "the cat"), (2L, "fr", "le chat"), (3L, "en", "the dog"))
+      .toDF("doc_id", "lang", "text")
+    // N_S = 6 tokens, N_T = 4 en tokens. Every en token: a = n_t·6 ≥
+    // b = n_s·4 → ratio floor 1 → w = len(bin(1)) = 1. fr tokens are
+    // absent from the target → the -64 cap.
+    val r = Corpus.importanceWeights(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_toks"), x.getAs[Long]("dsir_score"))).toMap
+    assert(r === Map(1L -> ((2L, 2L)), 2L -> ((2L, -128L)), 3L -> ((2L, 2L))))
+  }
+
+  test("hashedVectorizer: counts are conserved, dims stay in range") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val rows = Corpus.hashedVectorizer(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("dim"),
+        x.getAs[Long]("weight")))
+    assert(rows.map(_._3).sum === 4L)  // every token lands exactly once
+    assert(rows.filter(_._1 == 1L).map(_._3).max === 2L) // "a" twice, same dim
+    assert(rows.forall(r => r._2 >= 0L && r._2 < 64L))
+  }
+
+  test("repetitionScore: looping text lights up, varied text stays low") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 7 grams, "a b c" ×3 → 428571 ppm
+      (2L, "one two three four five"), // 3 grams, all distinct → 333333
+      (3L, "x y")) // < 3 tokens: dropped
+      .toDF("doc_id", "text")
+    val r = Corpus.repetitionScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("max_rep"),
+          x.getAs[Long]("n_distinct"), x.getAs[Long]("rep_ppm"))).toMap
+    assert(r === Map(1L -> ((7L, 3L, 3L, 428571L)),
+      2L -> ((3L, 1L, 3L, 333333L))))
+  }
+
+  test("rrfFusion: shared-seam runs agree on ranks, floors sum exactly") {
+    // terms a,b over 3 docs; density = Σtf·1e6/dl: d1 1e6, d2 1e5, d3 5e5
+    // → density top-2 = (d1, d3). BM25: d1 matches both terms with the
+    // shortest dl (top), d3 beats d2 on length normalization (same tf,
+    // same idf2=1, dl 2 vs 10) → bm25 top-2 = (d1, d3) too.
+    val docs = Seq((1L, "a a b", "A", 3L), (2L, "a", "A", 10L),
+      (3L, "b", "A", 2L)).toDF("doc_id", "text", "source", "n_chars")
+    val r = Corpus.rrfFusion(docs, Seq("a", "b"), k = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("r_bm25"), x.getAs[Long]("r_density"),
+          x.getAs[Long]("rrf_e9"))).toMap
+    // rank 1 both runs: 2·(1e9 div 61); rank 2 both: 2·(1e9 div 62)
+    assert(r === Map(1L -> ((1L, 1L, 32786884L)),
+      3L -> ((2L, 2L, 32258064L))))
+  }
+
   test("sourceKeywords: source-exclusive tokens outweigh shared ones") {
     val docs = Seq((1L, "apple apple common", "A"), (2L, "banana common", "B"))
       .toDF("doc_id", "text", "source")

@@ -288,6 +288,21 @@ class GraphSpec extends AnyFunSuite {
     assert(rt === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("personalizedPageRank: teleport mass stays near the seed") {
+    // undirected path 100-1-2 (vertex 100 is the only seed: 100 % 100 = 0).
+    // One iteration, scale 1e12, |S| = 1:
+    //   r0 = (100: 1e12, 1: 0, 2: 0)
+    //   contribs: 100→1: 1e12 (deg 1); 1→{100,2}: 0; 2→1: 0
+    //   r1(100) = 0.15·1e12 + 0            = 150000000000
+    //   r1(1)   = 0          + 0.85·1e12   = 850000000000
+    //   r1(2)   = 0                        = 0 (kept — zero set is the answer)
+    val edges = Seq((100L, 1L), (1L, 100L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = GraphOps.personalizedPageRank(edges, iters = 1).collect()
+      .map(x => x.getAs[Long]("v") -> x.getAs[Long]("r")).toMap
+    assert(r === Map(100L -> 150000000000L, 1L -> 850000000000L, 2L -> 0L))
+  }
+
   test("twoHopReachApprox: exact totals carried, sketch bound holds") {
     // path 1-2-3-4: reaches 2,3,3,2 → total 10 over 4 vertices; at these
     // counts HLL++ runs sparse-exact, so the 5% L1 bound must hold

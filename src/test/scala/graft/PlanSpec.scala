@@ -566,4 +566,23 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("BroadcastHashJoin"), s"$q lost its dim broadcasts:\n$p")
     }
   }
+
+  test("q257-q259 batch: no cartesians; retrieval windows stay k-bounded") {
+    // PPR/RRF/repetition: every real join equi-keyed (the 1-row scalar
+    // crossJoins plan as broadcast loops over one row — allowed; a
+    // CartesianProduct of two real tables is not)
+    for (q <- Seq("q257_personalized_pagerank", "q258_rrf_fusion",
+        "q259_repetition_score")) {
+      val p = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // repetition score is pure aggregate — no window may appear
+    val p59 = planString(SparkEntry.queries("q259_repetition_score")(spark, TestSpark.sf))
+    assert(!p59.contains("Window"), s"q259 gained a window:\n$p59")
+    // RRF's rank windows must sit ABOVE the top-k heaps: the plan keeps
+    // TakeOrderedAndProject under each window, never a global-sort rank
+    val p58 = planString(SparkEntry.queries("q258_rrf_fusion")(spark, TestSpark.sf))
+    assert(p58.contains("TakeOrderedAndProject"),
+      s"q258 lost the top-k heap under its rank window:\n$p58")
+  }
 }

@@ -609,6 +609,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted === Seq(2L)) // the quoting doc was dropped at ingestion
   }
 
+  test("streaming repetition gate drops the looping doc, admits prose and shorts") {
+    val in = tmp("rep-in")
+    val outDir = tmp("rep-out")
+    val ck = tmp("rep-ck")
+    Files.write(Paths.get(in, "batch-0.json"), Seq(
+      // "a b c" ×3 → 3/7 grams ≈ 428571 ppm < 500000 default... make it loop harder:
+      """{"doc_id": 1, "text": "spam spam spam spam spam spam spam spam"}""",
+      """{"doc_id": 2, "text": "each word here appears exactly once in order"}""",
+      """{"doc_id": 3, "text": "too short"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = RealTime.repetitionGateStream(
+      spark.readStream.schema(docsSchema).json(in), outDir, ck)
+    q.awaitTermination()
+    val admitted = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSeq.sorted
+    // doc 1: 6 grams all "spam spam spam" → 1e6 ppm, dropped; doc 3 has
+    // no 3-gram and must pass the gate untouched
+    assert(admitted === Seq(2L, 3L))
+    // the gate's verdicts equal the batch operator's on the same rows
+    val batch = spark.read.schema(docsSchema).json(in)
+    val batchFlagged = graft.operators.Corpus.repetitionScore(batch)
+      .where($"rep_ppm" > 500000L).select("doc_id").as[Long].collect().toSeq
+    assert(batchFlagged === Seq(1L))
+  }
+
   test("streamed daily counts close through volumeTrendFromDaily to the batch trend") {
     def t(day: Int, min: Int): java.sql.Timestamp =
       new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
