@@ -180,6 +180,16 @@ object SparkEntry {
         .transform(graft.barrier)
     }
 
+  /** Hashing-trick doc vectors (q261), memoized so q262's re-ranker
+    * reads the same |docs|·≤64-row table instead of re-exploding the
+    * corpus — on a cluster this is the persisted feature table.
+    */
+  private def hashedVectors(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "hashed_vectors") {
+      Corpus.hashedVectorizer(Tables.documents(spark, dir))
+        .transform(graft.barrier)
+    }
+
   /** Near-dup cluster labels (q45), memoized per session so q73's
     * weighting reuses the LSH/CC run instead of repeating it. The frame is
     * |docs| rows × 3 narrow columns — on a cluster this is the persisted
@@ -945,9 +955,20 @@ object SparkEntry {
     "q260_importance_weights" -> ((s, dir) =>
       Corpus.importanceWeights(Tables.documents(s, dir))),
     // hashing-trick doc vectors: zero-vocabulary sparse counts, the
-    // only fit-free vectorizer at corpus scale
-    "q261_hashed_vectorizer" -> ((s, dir) =>
-      Corpus.hashedVectorizer(Tables.documents(s, dir))),
+    // only fit-free vectorizer at corpus scale (memoized for q262)
+    "q261_hashed_vectorizer" -> ((s, dir) => hashedVectors(s, dir)),
+    // two-stage near-dup pipeline: MinHash recall -> hashed-vector
+    // cos^2 ppm re-rank, |pairs|x64-bounded dot join
+    "q262_rerank_candidates" -> ((s, dir) =>
+      Dedup.rerankCandidates(mhPairs(s, dir), hashedVectors(s, dir))),
+    // TPC-H refresh-function IVM proof: old - deletes + inserts vs the
+    // direct recompute, additive aggregates make it exact
+    "q263_incremental_revenue" -> ((s, dir) =>
+      Relational.incrementalRevenue(Tables.lineitem(s, dir))),
+    // lakehouse snapshot diff: one keyed full outer join over md5
+    // payload checksums -> added/removed/changed/unchanged
+    "q264_snapshot_diff" -> ((s, dir) =>
+      Relational.snapshotDiff(Tables.orders(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -3039,6 +3060,100 @@ object SparkEntry {
         |SELECT doc_id, ${md5Prefix32Sql("t")} % 64 AS dim,
         |  CAST(count(*) AS BIGINT) AS weight
         |FROM toks GROUP BY 1, 2""".stripMargin,
+    // same MinHash candidates, same hashed vectors, same cross-
+    // multiplied cos^2 ppm
+    "q262_rerank_candidates" ->
+      s"""WITH $minhashCtes,
+        |hv AS (
+        |  SELECT doc_id, ${md5Prefix32Sql("tk")} % 64 AS dim,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM (SELECT doc_id, unnest(t) AS tk FROM toks)
+        |  GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s2
+        |  FROM hv GROUP BY 1),
+        |dots AS (
+        |  SELECT p.a_id, p.b_id, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |  FROM mh_pairs p
+        |  JOIN hv a ON a.doc_id = p.a_id
+        |  JOIN hv b ON b.doc_id = p.b_id AND b.dim = a.dim
+        |  GROUP BY 1, 2)
+        |SELECT d.a_id, d.b_id, d.dot,
+        |  CAST(CAST(d.dot AS HUGEINT) * d.dot * 1000000
+        |    // (CAST(na.s2 AS HUGEINT) * nb.s2) AS BIGINT) AS cos2_ppm
+        |FROM dots d
+        |JOIN nrm na ON na.doc_id = d.a_id
+        |JOIN nrm nb ON nb.doc_id = d.b_id""".stripMargin,
+    // same delta slices, same old - del + ins identity, same direct
+    // recompute and equality flag
+    "q263_incremental_revenue" ->
+      """WITH l AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS rev_e4,
+        |    l_orderkey % 13 = 0 AS is_del,
+        |    l_orderkey % 13 <> 0 AND l_orderkey % 17 = 0 AS is_ins
+        |  FROM lineitem),
+        |o AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_old,
+        |  CAST(sum(rev_e4) AS BIGINT) AS rev_old FROM l
+        |  WHERE NOT is_ins GROUP BY 1),
+        |d AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_del,
+        |  CAST(sum(rev_e4) AS BIGINT) AS rev_del FROM l
+        |  WHERE is_del GROUP BY 1),
+        |i AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_ins,
+        |  CAST(sum(rev_e4) AS BIGINT) AS rev_ins FROM l
+        |  WHERE is_ins GROUP BY 1),
+        |dr AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_direct,
+        |  CAST(sum(rev_e4) AS BIGINT) AS rev_direct_e4 FROM l
+        |  WHERE NOT is_del GROUP BY 1)
+        |SELECT COALESCE(o.l_returnflag, d.l_returnflag, i.l_returnflag,
+        |    dr.l_returnflag) AS l_returnflag,
+        |  COALESCE(n_old, 0) - COALESCE(n_del, 0) + COALESCE(n_ins, 0)
+        |    AS n_maintained,
+        |  COALESCE(rev_old, 0) - COALESCE(rev_del, 0) + COALESCE(rev_ins, 0)
+        |    AS rev_maintained_e4,
+        |  COALESCE(n_direct, 0) AS n_direct,
+        |  COALESCE(rev_direct_e4, 0) AS rev_direct_e4,
+        |  COALESCE(n_old, 0) - COALESCE(n_del, 0) + COALESCE(n_ins, 0)
+        |      = COALESCE(n_direct, 0)
+        |    AND COALESCE(rev_old, 0) - COALESCE(rev_del, 0)
+        |      + COALESCE(rev_ins, 0) = COALESCE(rev_direct_e4, 0)
+        |    AS maintained_ok
+        |FROM o
+        |FULL OUTER JOIN d ON o.l_returnflag = d.l_returnflag
+        |FULL OUTER JOIN i ON COALESCE(o.l_returnflag, d.l_returnflag)
+        |  = i.l_returnflag
+        |FULL OUTER JOIN dr ON COALESCE(o.l_returnflag, d.l_returnflag,
+        |  i.l_returnflag) = dr.l_returnflag""".stripMargin,
+    // same simulated snapshots, same md5 payload checksums, same
+    // one-join diff counts
+    "q264_snapshot_diff" ->
+      s"""WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_e2,
+        |    o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |olds AS (
+        |  SELECT o_orderkey AS k,
+        |    ${md5Prefix32Sql("CAST(price_e2 AS VARCHAR) || o_orderstatus || o_orderpriority")}
+        |      AS ck_old
+        |  FROM base WHERE o_orderkey % 29 <> 0),
+        |news AS (
+        |  SELECT o_orderkey AS k,
+        |    ${md5Prefix32Sql("CAST(CASE WHEN o_orderkey % 19 = 0 THEN price_e2 + 100 ELSE price_e2 END AS VARCHAR) || o_orderstatus || o_orderpriority")}
+        |      AS ck_new
+        |  FROM base WHERE o_orderkey % 23 <> 0)
+        |SELECT
+        |  CAST(COALESCE(sum(CASE WHEN ck_old IS NULL THEN 1 END), 0) AS BIGINT)
+        |    AS n_added,
+        |  CAST(COALESCE(sum(CASE WHEN ck_new IS NULL THEN 1 END), 0) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(COALESCE(sum(CASE WHEN ck_old IS NOT NULL AND ck_new IS NOT NULL
+        |    AND ck_old <> ck_new THEN 1 END), 0) AS BIGINT) AS n_changed,
+        |  CAST(COALESCE(sum(CASE WHEN ck_old = ck_new THEN 1 END), 0) AS BIGINT)
+        |    AS n_unchanged
+        |FROM olds FULL OUTER JOIN news ON olds.k = news.k""".stripMargin,
     // same weekday populations, same integer cross-multiplied 2-sigma
     // flag, singletons never flag
     "q250_seasonal_anomalies" ->

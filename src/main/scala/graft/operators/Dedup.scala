@@ -647,4 +647,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("un"),
         (col("inter").cast("double") / col("un").cast("double")).as("j"))
   }
+
+  /** LSH-candidate re-ranking (q262) — the second stage of the standard
+    * two-stage near-dup pipeline: the MinHash bands RECALL candidates
+    * (set overlap, order-blind), then a cheap vector similarity RANKS
+    * them — here exact cos² in ppm over the hashing-trick count vectors
+    * of [[graft.operators.Corpus.hashedVectorizer]] (cos² via the
+    * cross-multiplied dot²·10⁶ div (‖a‖²·‖b‖²) idiom — no square roots,
+    * no floats, and the square loses nothing since counts are
+    * non-negative). MinHash and cosine genuinely disagree (Jaccard
+    * ignores token multiplicity; cosine weights it), which is the point
+    * of re-ranking.
+    *
+    * Scale shape: the dot-product join fans each candidate pair out to
+    * at most `dims` (64) rows — |pairs|·64 bounded by the LSH recall
+    * stage, never corpus-squared; norms are one |docs|-row aggregate
+    * joined doc-keyed. dot² · 10⁶ runs in DECIMAL(38,0) (BIGINT wraps
+    * once dot passes ~3·10⁶ — i.e. megatoken documents).
+    *
+    * @param pairs   (a_id, b_id) candidates from [[minhashPairs]]
+    * @param vectors (doc_id, dim, weight) from hashedVectorizer
+    * @return (a_id, b_id, dot, cos2_ppm)
+    */
+  def rerankCandidates(pairs: DataFrame, vectors: DataFrame): DataFrame = {
+    val norms = vectors.groupBy(col("doc_id"))
+      .agg(sum(col("weight") * col("weight")).as("s2"))
+    val va = vectors.select(col("doc_id").as("a_id"), col("dim"),
+      col("weight").as("wa"))
+    val vb = vectors.select(col("doc_id").as("b_id"), col("dim"),
+      col("weight").as("wb"))
+    pairs.select(col("a_id"), col("b_id"))
+      .join(va, "a_id")
+      .join(vb, Seq("b_id", "dim"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("a_id"), col("s2").as("s2a")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("s2").as("s2b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("dot"),
+        expr("""CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000
+               div (CAST(s2a AS DECIMAL(38,0)) * s2b) AS BIGINT)""")
+          .as("cos2_ppm"))
+  }
 }

@@ -1932,6 +1932,97 @@ object Relational {
         count_distinct(col("l_suppkey")).as("n_suppliers"))
   }
 
+  /** Incremental aggregate maintenance (q263) — the TPC-H refresh-
+    * function exercise (RF1 inserts / RF2 deletes) as an IVM proof: a
+    * revenue-per-returnflag aggregate is maintained under a delta by
+    * combining three partial aggregates — old state minus delete
+    * contributions plus insert contributions — and the graded output
+    * carries BOTH the maintained and the directly-recomputed answers
+    * with an equality flag. Additive aggregates (count, integer-e4 sum)
+    * make the maintenance exact: no rescan of the base is ever needed
+    * in production (the recompute here exists to PROVE the identity).
+    *
+    * Deterministic delta: deletes = orderkey ≡ 0 (mod 13); inserts =
+    * the disjoint orderkey ≢ 0 (mod 13) ∧ ≡ 0 (mod 17) slice. Old
+    * state = all minus inserts; target state = all minus deletes.
+    *
+    * Scale shape: four map-combined aggregates over one barriered
+    * 3-column scan, joined on the ≤ |returnflags|-row group key. At
+    * 100 TB the incremental path reads only the delta partitions.
+    *
+    * @return per flag: (l_returnflag, n_maintained, rev_maintained_e4,
+    *         n_direct, rev_direct_e4, maintained_ok)
+    */
+  def incrementalRevenue(lineitem: DataFrame): DataFrame = {
+    val l = lineitem.select(col("l_returnflag"), col("l_orderkey"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+          .as("rev_e4"),
+        (col("l_orderkey") % 13L === 0L).as("is_del"),
+        (col("l_orderkey") % 13L =!= 0L && col("l_orderkey") % 17L === 0L)
+          .as("is_ins"))
+      .transform(graft.barrier) // read by the four partial aggregates
+    def slice(cond: Column, n: String, rev: String): DataFrame =
+      l.where(cond).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as(n), sum(col("rev_e4")).as(rev))
+    val old = slice(!col("is_ins"), "n_old", "rev_old")
+    val del = slice(col("is_del"), "n_del", "rev_del")
+    val ins = slice(col("is_ins"), "n_ins", "rev_ins")
+    val direct = slice(!col("is_del"), "n_direct", "rev_direct_e4")
+    old
+      .join(del, Seq("l_returnflag"), "full_outer")
+      .join(ins, Seq("l_returnflag"), "full_outer")
+      .join(direct, Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        (coalesce(col("n_old"), lit(0L)) - coalesce(col("n_del"), lit(0L))
+          + coalesce(col("n_ins"), lit(0L))).as("n_maintained"),
+        (coalesce(col("rev_old"), lit(0L)) - coalesce(col("rev_del"), lit(0L))
+          + coalesce(col("rev_ins"), lit(0L))).as("rev_maintained_e4"),
+        coalesce(col("n_direct"), lit(0L)).as("n_direct"),
+        coalesce(col("rev_direct_e4"), lit(0L)).as("rev_direct_e4"))
+      .withColumn("maintained_ok",
+        col("n_maintained") === col("n_direct")
+          && col("rev_maintained_e4") === col("rev_direct_e4"))
+  }
+
+  /** Snapshot diff (q264) — the table-versioning audit every lakehouse
+    * runs between two versions of a keyed table: rows ADDED, REMOVED,
+    * CHANGED (key present in both, payload checksum differs), and
+    * UNCHANGED, via ONE full outer join on the key with an md5-prefix32
+    * payload checksum on each side (never a column-by-column compare —
+    * the checksum makes the diff schema-stable and the shuffle narrow).
+    * Versions are simulated deterministically: the "old" snapshot lacks
+    * the orderkey ≡ 0 (mod 29) slice (those diff as added), the "new"
+    * lacks ≡ 0 (mod 23) (removed), and ≡ 0 (mod 19) rows ship a bumped
+    * totalprice in new (changed).
+    *
+    * @return 1 row: (n_added, n_removed, n_changed, n_unchanged)
+    */
+  def snapshotDiff(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_e2"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .transform(graft.barrier) // read by both snapshot projections
+    def checksum(price: Column): Column =
+      graft.functions.TextAnalysis.md5Prefix32(concat_ws("",
+        price.cast("string"), col("o_orderstatus"), col("o_orderpriority")))
+    val oldSnap = base.where(col("o_orderkey") % 29L =!= 0L)
+      .select(col("o_orderkey").as("k"), checksum(col("price_e2")).as("ck_old"))
+    val newSnap = base.where(col("o_orderkey") % 23L =!= 0L)
+      .select(col("o_orderkey").as("k"),
+        checksum(when(col("o_orderkey") % 19L === 0L,
+          col("price_e2") + 100L).otherwise(col("price_e2"))).as("ck_new"))
+    oldSnap.join(newSnap, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("ck_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("ck_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("ck_old").isNotNull && col("ck_new").isNotNull
+          && col("ck_old") =!= col("ck_new"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("ck_old") === col("ck_new"), 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+
   /** TPC-H Q20 shape (q255) — promotion-stock suppliers: per nation, the
     * suppliers who shipped MORE THAN TWICE the average supplier's share
     * of some pattern-named part (this corpus has no partsupp/availqty,

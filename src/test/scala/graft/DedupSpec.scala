@@ -227,6 +227,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!r.keySet.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("rerankCandidates: cross-multiplied cos^2, identical vectors hit 1e6") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val vecs = Seq(
+      (1L, 0L, 2L), (1L, 1L, 1L),   // ‖a‖² = 5
+      (2L, 0L, 1L), (2L, 2L, 3L),   // ‖b‖² = 10, dot = 2
+      (3L, 5L, 2L), (4L, 5L, 2L))   // identical → cos² = 1
+      .toDF("doc_id", "dim", "weight")
+    val r = Dedup.rerankCandidates(pairs, vecs).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")) ->
+        (x.getAs[Long]("dot"), x.getAs[Long]("cos2_ppm"))).toMap
+    assert(r((1L, 2L)) === ((2L, 80000L)))  // 4·1e6 div 50
+    assert(r((3L, 4L)) === ((4L, 1000000L)))
+  }
+
   test("ppjoinPairs: prefix filtering loses nothing vs the full inverted index") {
     val corpus = graft.Tables.documents(spark, TestSpark.sf)
     val pp = Dedup.ppjoinPairs(corpus)

@@ -572,7 +572,9 @@ class PlanSpec extends AnyFunSuite {
     // crossJoins plan as broadcast loops over one row — allowed; a
     // CartesianProduct of two real tables is not)
     for (q <- Seq("q257_personalized_pagerank", "q258_rrf_fusion",
-        "q259_repetition_score")) {
+        "q259_repetition_score", "q260_importance_weights",
+        "q261_hashed_vectorizer", "q262_rerank_candidates",
+        "q263_incremental_revenue", "q264_snapshot_diff")) {
       val p = planString(SparkEntry.queries(q)(spark, TestSpark.sf))
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
     }

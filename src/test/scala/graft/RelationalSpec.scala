@@ -888,6 +888,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(m.getAs[Long]("share_ppm") === 250000L)
   }
 
+  test("incrementalRevenue: old - deletes + inserts equals the recompute") {
+    val li = Seq(
+      (13L, "A", 10.0, 0.0),  // delete slice (13 % 13 = 0)
+      (17L, "A", 20.0, 0.0),  // insert slice
+      (1L, "A", 30.0, 0.0))   // untouched
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val r = Relational.incrementalRevenue(li).collect()
+    assert(r.length === 1)
+    val m = r.head
+    assert(m.getAs[Long]("n_maintained") === 2L)
+    assert(m.getAs[Long]("rev_maintained_e4") === 500000L)
+    assert(m.getAs[Long]("n_direct") === 2L)
+    assert(m.getAs[Long]("rev_direct_e4") === 500000L)
+    assert(m.getAs[Boolean]("maintained_ok"))
+  }
+
+  test("snapshotDiff: added, removed, changed, unchanged each counted once") {
+    val orders = Seq(
+      (29L, 100.0, "O", "1-URGENT"),  // only in new → added
+      (23L, 100.0, "O", "1-URGENT"),  // only in old → removed
+      (19L, 100.0, "O", "1-URGENT"),  // price bumped in new → changed
+      (1L, 100.0, "O", "1-URGENT"))   // identical → unchanged
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    val r = Relational.snapshotDiff(orders).collect().head
+    assert(r.getAs[Long]("n_added") === 1L)
+    assert(r.getAs[Long]("n_removed") === 1L)
+    assert(r.getAs[Long]("n_changed") === 1L)
+    assert(r.getAs[Long]("n_unchanged") === 1L)
+  }
+
   test("promotionSuppliers: 2x-average shipper, distinct per nation") {
     val nation = Seq((1, "NATION_1"), (2, "NATION_2"))
       .toDF("n_nationkey", "n_name")
