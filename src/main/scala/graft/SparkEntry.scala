@@ -969,6 +969,14 @@ object SparkEntry {
     // payload checksums -> added/removed/changed/unchanged
     "q264_snapshot_diff" -> ((s, dir) =>
       Relational.snapshotDiff(Tables.orders(s, dir))),
+    // resource-allocation link prediction: 1/deg(center) wedge weights
+    // as exact 1e9-floor integers, beside q154's Jaccard
+    "q265_resource_allocation" -> ((s, dir) =>
+      plans.GraphOps.resourceAllocation(coPairs(s, dir))),
+    // time-weighted average value per user: interval-held readings,
+    // exact e2*us numerators, re-sampling-invariant
+    "q266_time_weighted_value" -> ((s, dir) =>
+      TimeWindows.timeWeightedValue(Tables.events(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -3154,6 +3162,44 @@ object SparkEntry {
         |  CAST(COALESCE(sum(CASE WHEN ck_old = ck_new THEN 1 END), 0) AS BIGINT)
         |    AS n_unchanged
         |FROM olds FULL OUTER JOIN news ON olds.k = news.k""".stripMargin,
+    // same wedge join, same 1e9-floor reciprocal weights, same non-edge
+    // anti join and (ra DESC, src, dst) top-100
+    "q265_resource_allocation" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |$edgesCte,
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |sc AS (
+         |  SELECT x.dst AS src, y.dst AS dst, CAST(count(*) AS BIGINT) AS cn,
+         |    CAST(sum(1000000000 // d.deg) AS BIGINT) AS ra_e9
+         |  FROM edges x
+         |  JOIN edges y ON x.src = y.src AND x.dst < y.dst
+         |  JOIN deg d ON d.src = x.src
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ne AS (
+         |  SELECT s.* FROM sc s
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+         |    WHERE p.src = s.src AND p.dst = s.dst))
+         |SELECT src, dst, cn, ra_e9 FROM (
+         |  SELECT ne.*, row_number() OVER
+         |    (ORDER BY ra_e9 DESC, src, dst) AS rn FROM ne)
+         |WHERE rn <= 100""".stripMargin,
+    // same user-keyed lead intervals, same e2*us numerator, same floor
+    // average, same zero-span drop
+    "q266_time_weighted_value" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v_e2,
+        |    epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(v_e2 * dt) AS BIGINT) AS twv_e2us,
+        |  CAST(sum(dt) AS BIGINT) AS span_us,
+        |  CAST(sum(v_e2 * dt) // sum(dt) AS BIGINT) AS twa_e2
+        |FROM iv WHERE dt IS NOT NULL
+        |GROUP BY 1 HAVING sum(dt) > 0""".stripMargin,
     // same weekday populations, same integer cross-multiplied 2-sigma
     // flag, singletons never flag
     "q250_seasonal_anomalies" ->

@@ -294,6 +294,45 @@ object GraphOps {
     r
   }
 
+  /** Resource-allocation link prediction (q265) — [[linkPrediction]]'s
+    * wedge join with the RA index (Zhou–Lü–Zhang 2009) in place of
+    * Jaccard: score(u,v) = Σ over common neighbors c of 1/deg(c), so a
+    * RARE shared neighbor certifies a link far more than a hub both
+    * endpoints merely brush. The reciprocal stays exact as the integer
+    * floor 10⁹ div deg(c) summed per candidate — no float accumulation,
+    * identical on both engines — which Jaccard's single final division
+    * cannot give per-wedge.
+    *
+    * Scale shape: the identical Σdeg² wedge envelope as
+    * [[linkPrediction]]/[[triangleCount]] (cap hot centers upstream on
+    * power-law graphs — q238 is the gate), with the center-degree
+    * lookup joined BEFORE the pair aggregate so the sum is one
+    * map-combined pass; non-edges only (left anti), top-k heap.
+    *
+    * @param pairs canonical undirected edges (src < dst)
+    * @return top-k non-edges: (src, dst, cn, ra_e9)
+    */
+  def resourceAllocation(pairs: DataFrame, minCommon: Long = 2,
+      k: Int = 100): DataFrame = {
+    val e = pairs.select(col("src"), col("dst")).transform(graft.barrier)
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val scored = sym.as("x").join(sym.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("center"), col("x.dst").as("src"),
+        col("y.dst").as("dst"))
+      .join(deg.select(col("src").as("center"), col("deg").as("deg_c")),
+        "center")
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000 div deg_c")).as("ra_e9"))
+      .where(col("cn") >= minCommon)
+    scored
+      .join(e, Seq("src", "dst"), "left_anti") // only NON-edges predict
+      .orderBy(desc("ra_e9"), asc("src"), asc("dst"))
+      .limit(k)
+  }
+
   /** Degree assortativity (Newman 2002): do high-degree vertices attach
     * to high-degree vertices? Over the symmetrized edge list, with
     * x = deg(src), y = deg(dst) per directed edge, the Pearson

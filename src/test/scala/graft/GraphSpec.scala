@@ -288,6 +288,24 @@ class GraphSpec extends AnyFunSuite {
     assert(rt === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("resourceAllocation: rare shared neighbors outweigh hubs, edges excluded") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) are the only non-edge
+    // candidates, each certified by TWO degree-2 centers → ra = 2·(1e9/2)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphOps.resourceAllocation(sq).collect()
+      .map(x => (x.getAs[Long]("src"), x.getAs[Long]("dst")) ->
+        (x.getAs[Long]("cn"), x.getAs[Long]("ra_e9"))).toMap
+    assert(r === Map((1L, 3L) -> ((2L, 1000000000L)),
+      (2L, 4L) -> ((2L, 1000000000L))))
+    // star center is a hub: its wedges earn only 1e9/deg each
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    val rs = GraphOps.resourceAllocation(star, minCommon = 1).collect()
+      .map(x => (x.getAs[Long]("src"), x.getAs[Long]("dst")) ->
+        x.getAs[Long]("ra_e9")).toMap
+    assert(rs === Map((1L, 2L) -> 333333333L, (1L, 3L) -> 333333333L,
+      (2L, 3L) -> 333333333L))
+  }
+
   test("personalizedPageRank: teleport mass stays near the seed") {
     // undirected path 100-1-2 (vertex 100 is the only seed: 100 % 100 = 0).
     // One iteration, scale 1e12, |S| = 1:

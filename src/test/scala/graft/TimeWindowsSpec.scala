@@ -598,4 +598,24 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("split_day") === 1L)
     assert(r.getAs[Long]("left_sum") === 4L && r.getAs[Long]("right_sum") === 18L)
   }
+
+  test("timeWeightedValue: long-held readings dominate; last reading holds nothing") {
+    def us(n: Long) = new java.sql.Timestamp(n / 1000L)
+    // user 1: v=2.00 held 10s, v=4.00 held 20s, final v=99 never held
+    // → twv = 200·1e7 + 400·2e7 = 1e10; span 3e7 µs; twa = 333 (e2)
+    val rows = Seq(
+      (1L, us(0L), 1L, "a", 2.0, ""),
+      (2L, us(10000000L), 1L, "a", 4.0, ""),
+      (3L, us(30000000L), 1L, "a", 99.0, ""),
+      (4L, us(0L), 2L, "a", 5.0, ""))  // single event: no interval, dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.timeWeightedValue(rows).collect()
+    assert(r.length === 1)
+    val m = r.head
+    assert(m.getAs[Long]("user_id") === 1L)
+    assert(m.getAs[Long]("n_intervals") === 2L)
+    assert(m.getAs[Long]("twv_e2us") === 10000000000L)
+    assert(m.getAs[Long]("span_us") === 30000000L)
+    assert(m.getAs[Long]("twa_e2") === 333L)
+  }
 }
