@@ -977,6 +977,14 @@ object SparkEntry {
     // exact e2*us numerators, re-sampling-invariant
     "q266_time_weighted_value" -> ((s, dir) =>
       TimeWindows.timeWeightedValue(Tables.events(s, dir))),
+    // per-class precision/recall/F1 of q33's langID vs the truth label
+    // — cleared-denominator ppm floors, 0-denominator classes explicit
+    "q267_langid_eval" -> ((s, dir) =>
+      TextAnalysis.langIdEval(Tables.documents(s, dir))),
+    // Cohen's kappa over the same confusion seam — chance-corrected
+    // agreement as one integer ratio, truncation-matched across engines
+    "q268_langid_kappa" -> ((s, dir) =>
+      TextAnalysis.langIdKappa(Tables.documents(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -3200,6 +3208,78 @@ object SparkEntry {
         |  CAST(sum(v_e2 * dt) // sum(dt) AS BIGINT) AS twa_e2
         |FROM iv WHERE dt IS NOT NULL
         |GROUP BY 1 HAVING sum(dt) > 0""".stripMargin,
+    // same q33 predictions, same confusion rollup, same cleared ppm
+    // floors with explicit zero-denominator classes
+    "q267_langid_eval" ->
+      """WITH pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
+        |         WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS h_en,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS h_de,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS h_fr
+        |    FROM documents)),
+        |cm AS (
+        |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |  GROUP BY 1, 2),
+        |cls AS (SELECT DISTINCT lang AS cls FROM cm
+        |  UNION SELECT DISTINCT pred_lang FROM cm),
+        |tp AS (SELECT lang AS cls, n AS tp FROM cm WHERE lang = pred_lang),
+        |tt AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS n_truth
+        |  FROM cm GROUP BY 1),
+        |pt AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+        |  FROM cm GROUP BY 1),
+        |j AS (
+        |  SELECT cls.cls, COALESCE(tp.tp, 0) AS tp,
+        |    COALESCE(pt.n_pred, 0) - COALESCE(tp.tp, 0) AS fp,
+        |    COALESCE(tt.n_truth, 0) - COALESCE(tp.tp, 0) AS fn
+        |  FROM cls LEFT JOIN tp ON cls.cls = tp.cls
+        |  LEFT JOIN tt ON cls.cls = tt.cls
+        |  LEFT JOIN pt ON cls.cls = pt.cls)
+        |SELECT cls, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN 0
+        |    ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+        |  CASE WHEN tp + fn = 0 THEN 0
+        |    ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        |    ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+        |FROM j""".stripMargin,
+    // same confusion seam, same cleared kappa ratio, Spark's
+    // toward-zero div mirrored with the q229 sign-split
+    "q268_langid_kappa" ->
+      """WITH pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
+        |         WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS h_en,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS h_de,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS h_fr
+        |    FROM documents)),
+        |cm AS (
+        |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM cm),
+        |dg AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_agree
+        |  FROM cm WHERE lang = pred_lang),
+        |pe AS (
+        |  SELECT CAST(COALESCE(sum(rt * ct), 0) AS BIGINT) AS pe_num FROM
+        |    (SELECT lang, CAST(sum(n) AS BIGINT) AS rt FROM cm GROUP BY 1) r
+        |  JOIN (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS ct
+        |    FROM cm GROUP BY 1) c ON r.lang = c.lang)
+        |SELECT n_docs, n_agree, pe_num,
+        |  CAST(CASE WHEN n_docs * n_docs = pe_num THEN 1000000
+        |    WHEN n_docs * n_agree - pe_num < 0
+        |    THEN -((pe_num - n_docs * n_agree) * 1000000
+        |      // (n_docs * n_docs - pe_num))
+        |    ELSE (n_docs * n_agree - pe_num) * 1000000
+        |      // (n_docs * n_docs - pe_num) END AS BIGINT) AS kappa_ppm
+        |FROM nn CROSS JOIN dg CROSS JOIN pe""".stripMargin,
     // same weekday populations, same integer cross-multiplied 2-sigma
     // flag, singletons never flag
     "q250_seasonal_anomalies" ->

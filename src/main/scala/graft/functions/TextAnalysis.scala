@@ -102,6 +102,101 @@ object TextAnalysis {
         .otherwise(lit("fr")).as("pred_lang"))
   }
 
+  /** The (truth, predicted) language confusion matrix — the shared seam
+    * under [[langIdEval]] (q267) and [[langIdKappa]] (q268): one
+    * doc-keyed join of [[langId]]'s predictions against the generator's
+    * `lang` label, rolled to ≤ |langs|² rows. Classes the heuristic
+    * cannot emit (es/zh) appear as truth rows with zero predictions —
+    * that honesty is the point of evaluating against real labels.
+    */
+  private def langConfusion(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"))
+      .join(langId(documents).select(col("doc_id"), col("pred_lang")),
+        "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-class precision / recall / F1 of the language-ID heuristic
+    * against the ground-truth label (q267) — the standard classifier
+    * report, exact: every metric is a cross-multiplied ppm floor over
+    * confusion counts (F1's 2pr/(p+r) algebraically cleared to
+    * 2·tp·10⁶ div (2·tp+fp+fn) — one floor, no float chain), with
+    * zero-denominator classes (never-predicted es/zh) reported as 0
+    * explicitly on BOTH engines (DuckDB errors on //0; the guard is
+    * part of the contract).
+    *
+    * On this synthetic corpus the generator's text carries no real
+    * stopword signal, so the heuristic collapses to the all-'en'
+    * majority predictor and q268's κ grades it exactly 0 — the honest
+    * chance-level verdict, and precisely what these metrics exist to
+    * expose (a raw-accuracy report would flatter it with 38.6%).
+    *
+    * Scale shape: the confusion seam is one doc-keyed equi-join into a
+    * ≤ |langs|²-row aggregate; everything after is metadata-sized.
+    *
+    * @return per class: (cls, tp, fp, fn, precision_ppm, recall_ppm,
+    *         f1_ppm)
+    */
+  def langIdEval(documents: DataFrame): DataFrame = {
+    val cm = langConfusion(documents)
+      .transform(graft.barrier) // read by four class rollups
+    val classes = cm.select(col("lang").as("cls"))
+      .unionAll(cm.select(col("pred_lang").as("cls"))).distinct()
+    val tp = cm.where(col("lang") === col("pred_lang"))
+      .select(col("lang").as("cls"), col("n").as("tp"))
+    val truthTot = cm.groupBy(col("lang").as("cls"))
+      .agg(sum(col("n")).as("n_truth"))
+    val predTot = cm.groupBy(col("pred_lang").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    classes
+      .join(tp, Seq("cls"), "left")
+      .join(truthTot, Seq("cls"), "left")
+      .join(predTot, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_truth"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 div (tp + fp) END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 div (tp + fn) END"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0 " +
+          "ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END"))
+  }
+
+  /** Cohen's kappa of the language-ID heuristic vs the truth label
+    * (q268) — chance-corrected agreement over the same confusion seam:
+    * κ = (pₒ − pₑ)/(1 − pₑ), algebraically cleared to the single
+    * integer ratio (N·Σdiag − Σ row·col) / (N² − Σ row·col) and floored
+    * to ppm. κ can be negative (worse-than-chance), and Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors toward −∞ — so
+    * the oracle mirrors Spark's truncation with the q229 sign-split.
+    * Products are counts² (DECIMAL(38,0) past ~3·10⁹ docs; documented).
+    *
+    * @return 1 row: (n_docs, n_agree, pe_num, kappa_ppm)
+    */
+  def langIdKappa(documents: DataFrame): DataFrame = {
+    val cm = langConfusion(documents)
+      .transform(graft.barrier) // read by the diag, the margins, and N
+    val n = cm.agg(sum(col("n")).as("n_docs"))
+    val diag = cm.where(col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_agree"))
+    val pe = cm.groupBy(col("lang")).agg(sum(col("n")).as("rt"))
+      .join(cm.groupBy(col("pred_lang").as("lang"))
+        .agg(sum(col("n")).as("ct")), "lang")
+      .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("pe_num"))
+    n.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
+      .select(col("n_docs"), col("n_agree"), col("pe_num"),
+        // single-class degenerate case (pe = N²): perfect agreement by
+        // convention — and the only case where the denominator is 0
+        expr("""CASE WHEN n_docs * n_docs = pe_num THEN 1000000
+               ELSE (n_docs * n_agree - pe_num) * 1000000
+                 div (n_docs * n_docs - pe_num) END""").as("kappa_ppm"))
+  }
+
   /** Heuristic quality score in [0,1]: length credit, moderate punctuation,
     * stopword presence, type-token ratio. Single deterministic expression
     * tree → bit-identical across engines.

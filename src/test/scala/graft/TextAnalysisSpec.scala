@@ -208,4 +208,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     // no words at all: fre is NULL, not a division error
     assert(r(3L).isNullAt(r(3L).fieldIndex("fre_milli")))
   }
+
+  test("langIdEval: hand confusion — never-predicted classes report zeros") {
+    val docs = Seq(
+      (1L, "en", "the of and"),       // correct en
+      (2L, "fr", "le la et"),         // correct fr
+      (3L, "es", "hola mundo"),       // all-zero hits → en tiebreak: en fp
+      (4L, "en", "der die und ist"))  // german stopwords: de fp, en fn
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.langIdEval(docs).collect()
+      .map(x => x.getAs[String]("cls") ->
+        (x.getAs[Long]("tp"), x.getAs[Long]("fp"), x.getAs[Long]("fn"),
+          x.getAs[Long]("precision_ppm"), x.getAs[Long]("recall_ppm"),
+          x.getAs[Long]("f1_ppm"))).toMap
+    assert(r("en") === ((1L, 1L, 1L, 500000L, 500000L, 500000L)))
+    assert(r("fr") === ((1L, 0L, 0L, 1000000L, 1000000L, 1000000L)))
+    assert(r("es") === ((0L, 0L, 1L, 0L, 0L, 0L)))  // never predicted
+    assert(r("de") === ((0L, 1L, 0L, 0L, 0L, 0L)))  // never true
+  }
+
+  test("langIdKappa: chance-corrected agreement on the same hand confusion") {
+    val docs = Seq(
+      (1L, "en", "the of and"), (2L, "fr", "le la et"),
+      (3L, "es", "hola mundo"), (4L, "en", "der die und ist"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.langIdKappa(docs).collect().head
+    // N=4, agree=2, pe = en 2·2 + fr 1·1 = 5 (es/de have a zero margin)
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_agree") === 2L)
+    assert(r.getAs[Long]("pe_num") === 5L)
+    assert(r.getAs[Long]("kappa_ppm") === 3000000L / 11L)  // (8−5)e6/(16−5)
+  }
 }
