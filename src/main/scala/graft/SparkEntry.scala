@@ -985,6 +985,10 @@ object SparkEntry {
     // agreement as one integer ratio, truncation-matched across engines
     "q268_langid_kappa" -> ((s, dir) =>
       TextAnalysis.langIdKappa(Tables.documents(s, dir))),
+    // nDCG@5 over the SAME memoized holdout + retrained predictions —
+    // one-JVM literal discount table, no per-row float logs
+    "q269_ndcg_eval" -> ((s, dir) =>
+      Reco.ndcgFromRanked(holdoutSplitDf(s, dir), holdoutRanked(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -5172,6 +5176,61 @@ object SparkEntry {
         |SELECT CAST(5 AS BIGINT) AS k, n_test_users, n_hit_users, rr_micro_sum,
         |  CAST(rr_micro_sum // n_test_users AS BIGINT) AS mrr_micro
         |FROM ta CROSS JOIN ag""".stripMargin,
+    // same holdout chain as q201/q212, then the one-JVM literal
+    // discount table: dcg/idcg in exact micro units, ppm mean
+    "q269_ndcg_eval" ->
+      s"""WITH ${itemCfChainFrom(
+        s"""$ratingsCte,
+           |r0 AS (
+           |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
+           |  FROM ratings GROUP BY 1, 2),
+           |rs AS (
+           |  SELECT userId, productId, rv,
+           |    ${md5Prefix32Sql("'hit:' || CAST(userId AS VARCHAR) || ':' || CAST(productId AS VARCHAR)")} % 5 = 0 AS is_test
+           |  FROM r0),
+           |r AS (SELECT userId, productId, rv FROM rs WHERE NOT is_test)""".stripMargin)},
+        |nb AS (
+        |  SELECT item, neighbor, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |sc AS (
+        |  SELECT r.userId, nb.item,
+        |    CAST(sum(nb.w * r.rv) AS BIGINT) AS num, CAST(sum(nb.w) AS BIGINT) AS den
+        |  FROM r JOIN nb ON r.productId = nb.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nb.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand),
+        |ranked AS (
+        |  SELECT userId, item,
+        |    CAST(row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item)
+        |      AS BIGINT) AS rn
+        |  FROM predt),
+        |topr AS (SELECT * FROM ranked WHERE rn <= 5),
+        |test AS (SELECT userId, productId AS item FROM rs WHERE is_test),
+        |dcg AS (
+        |  SELECT t.userId,
+        |    CAST(sum(${NdcgWeightsSqlList}[CAST(k.rn AS INTEGER)]) AS BIGINT)
+        |      AS dcg_micro
+        |  FROM test t JOIN topr k ON k.userId = t.userId AND k.item = t.item
+        |  GROUP BY 1),
+        |pu AS (
+        |  SELECT n.userId,
+        |    COALESCE(d.dcg_micro, 0) * 1000000
+        |      // ${NdcgPrefixSqlList}[CAST(least(n.n_rel, 5) AS INTEGER)]
+        |      AS ndcg_ppm
+        |  FROM (SELECT userId, CAST(count(*) AS BIGINT) AS n_rel
+        |        FROM test GROUP BY 1) n
+        |  LEFT JOIN dcg d ON n.userId = d.userId)
+        |SELECT CAST(5 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_test_users,
+        |  CAST(sum(ndcg_ppm) AS BIGINT) AS ndcg_ppm_sum,
+        |  CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS ndcg_mean_ppm
+        |FROM pu""".stripMargin,
     // same (metric, doc_id) tie-broken per-source ranks, exact d² sums,
     // the same fixed IEEE rho expression
     "q202_spearman" ->
@@ -6892,6 +6951,14 @@ object SparkEntry {
     }
     (init +: rounds).mkString(",\n")
   }
+
+  /** [[graft.operators.NdcgWeights]] as DuckDB list literals (q269) —
+    * the SAME JVM-computed integers Spark's plan embeds, 1-indexed.
+    */
+  private val NdcgWeightsSqlList: String =
+    operators.NdcgWeights.micro.take(5).mkString("[", ", ", "]")
+  private val NdcgPrefixSqlList: String =
+    operators.NdcgWeights.prefix.take(5).mkString("[", ", ", "]")
 
   /** Seeded-teleport twin of [[pageRankCtes]] (q257): identical rounds,
     * teleport mass only at v ≡ 0 mod 100, everything BIGINT floor math.

@@ -850,6 +850,48 @@ object Reco {
         expr("rr_micro_sum div n_test_users").as("mrr_micro"))
   }
 
+  /** nDCG@k from the shared holdout stages (q269) — the graded-position
+    * ranking metric beside q201's hit rate and q212's MRR, over the SAME
+    * split and retrained predictions: each held-out item found at rank r
+    * earns the discount 1/log₂(r+1), normalized by the ideal DCG of
+    * placing all of the user's held-out items first. The discounts are
+    * the [[NdcgWeights]] micro-unit literal table — ⌊10⁶/log₂(r+1)⌋
+    * computed ONCE in this JVM and embedded as identical integer
+    * literals in both engines' plans (the DecayWeights/DpNoise trick),
+    * so no float log is ever evaluated per row anywhere. Users with no
+    * top-k hit score 0 and stay in the mean (the honest denominator).
+    *
+    * Scale shape: two user-keyed aggregates over the memoized ranked
+    * table and the test split; the weight lookup is an array literal
+    * index (map-side, codegen'd). Nothing beyond |test| rows shuffles.
+    *
+    * @return 1 row: (k, n_test_users, ndcg_ppm_sum, ndcg_mean_ppm)
+    */
+  def ndcgFromRanked(split: DataFrame, ranked: DataFrame,
+      k: Int = 5): DataFrame = {
+    val w = NdcgWeights.micro.take(k)
+    val pre = NdcgWeights.prefix.take(k)
+    val test = split.where(col("is_test"))
+      .select(col("userId"), col("productId").as("item"))
+    val dcg = test.join(ranked.select("userId", "item", "rn"),
+        Seq("userId", "item"))
+      .groupBy(col("userId"))
+      .agg(sum(element_at(array(w.map(lit): _*), col("rn").cast("int")))
+        .as("dcg_micro"))
+    val perUser = test.groupBy(col("userId"))
+      .agg(count(lit(1)).as("n_rel"))
+      .withColumn("idcg_micro", element_at(array(pre.map(lit): _*),
+        least(col("n_rel"), lit(k.toLong)).cast("int")))
+      .join(dcg, Seq("userId"), "left")
+      .select(col("userId"),
+        expr("coalesce(dcg_micro, 0) * 1000000 div idcg_micro")
+          .as("ndcg_ppm"))
+    perUser.agg(count(lit(1)).as("n_test_users"),
+        sum(col("ndcg_ppm")).as("ndcg_ppm_sum"))
+      .select(lit(k.toLong).as("k"), col("n_test_users"), col("ndcg_ppm_sum"),
+        expr("ndcg_ppm_sum div n_test_users").as("ndcg_mean_ppm"))
+  }
+
   /** One rank-1 ALS iteration (q158) — the matrix-factorization training
     * step the reference's recommendation pipeline would graduate to at
     * scale (item-item CF is its neighborhood form; ALS is its latent
@@ -913,4 +955,15 @@ object Reco {
         // far past any real rating corpus; the quotient is ≤ 5·10⁹
         expr("num2 * 1000000 div den2").as("v_new_micro"))
   }
+}
+
+/** [[Reco.ndcgFromRanked]]'s position-discount table — the DecayWeights
+  * one-JVM trick: ⌊10⁶/log₂(r+1)⌋ for ranks 1..64 plus its prefix sums
+  * (the ideal-DCG denominators), embedded as identical integer literals
+  * in both engines' plans so no float log is evaluated per row.
+  */
+object NdcgWeights {
+  val micro: Seq[Long] =
+    (1 to 64).map(r => math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  val prefix: Seq[Long] = micro.scanLeft(0L)(_ + _).tail
 }

@@ -371,6 +371,30 @@ class RecoSpec extends AnyFunSuite {
     assert(m.getAs[Long]("mrr_micro") === 500000L)
   }
 
+  test("ndcgFromRanked: discounted hits over ideal, misses stay in the mean") {
+    // user 1: held-out {100, 101}, hit only 100 at rank 2 → dcg = w(2),
+    // idcg = prefix(2); user 2: one held-out item, missed → ndcg 0
+    val split = Seq(
+      (1L, 100L, 5L, true), (1L, 101L, 5L, true), (2L, 200L, 5L, true),
+      (1L, 102L, 4L, false)) // train row — must not affect the metric
+      .toDF("userId", "productId", "rv", "is_test")
+    val ranked = Seq(
+      (1L, 900L, 1L), (1L, 100L, 2L),
+      (2L, 900L, 1L))
+      .toDF("userId", "item", "rn")
+    val m = Reco.ndcgFromRanked(split, ranked).collect().head
+    val expected = graft.operators.NdcgWeights.micro(1) * 1000000L /
+      graft.operators.NdcgWeights.prefix(1)
+    assert(m.getAs[Long]("n_test_users") === 2L)
+    assert(m.getAs[Long]("ndcg_ppm_sum") === expected)
+    assert(m.getAs[Long]("ndcg_mean_ppm") === expected / 2L)
+    // perfect ranking scores exactly 1e6
+    val perfect = Reco.ndcgFromRanked(
+      Seq((1L, 100L, 5L, true)).toDF("userId", "productId", "rv", "is_test"),
+      Seq((1L, 100L, 1L)).toDF("userId", "item", "rn")).collect().head
+    assert(perfect.getAs[Long]("ndcg_mean_ppm") === 1000000L)
+  }
+
   test("itemPairsWithHoldout: one fan-out reproduces both pair tables exactly") {
     // the combined frame's full columns must equal itemPairs(deduped)
     // and its *_train columns (filtered to support_train >= 2) must
