@@ -989,6 +989,14 @@ object SparkEntry {
     // one-JVM literal discount table, no per-row float logs
     "q269_ndcg_eval" -> ((s, dir) =>
       Reco.ndcgFromRanked(holdoutSplitDf(s, dir), holdoutRanked(s, dir))),
+    // Luby's maximal independent set: md5-packed strict priorities,
+    // 3 bounded rounds, honest undecided residual
+    "q270_luby_mis" -> ((s, dir) =>
+      plans.GraphOps.lubyMIS(coPairs(s, dir))),
+    // L28 engagement curve: users by exact distinct-active-day count —
+    // the power-user histogram a rolling WAU cannot show
+    "q271_engagement_curve" -> ((s, dir) =>
+      TimeWindows.engagementCurve(Tables.events(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -2983,6 +2991,32 @@ object SparkEntry {
          |$edgesCte,
          |${personalizedPageRankCtes(3)}
          |SELECT v AS user_id, r AS ppr_scaled FROM p3""".stripMargin,
+    // same packed priorities, same strict winner rule, same 3 rounds
+    "q270_luby_mis" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |$edgesCte,
+         |${lubyCtes(3)}
+         |SELECT vs.id,
+         |  CASE WHEN m3.id IS NOT NULL THEN 'mis'
+         |       WHEN oo3.id IS NOT NULL THEN 'out'
+         |       ELSE 'undecided' END AS status
+         |FROM vs
+         |LEFT JOIN m3 ON vs.id = m3.id
+         |LEFT JOIN oo3 ON vs.id = oo3.id""".stripMargin,
+    // same epoch-day buckets, same per-user distinct-day counts, same
+    // histogram rollup
+    "q271_engagement_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |      AS BIGINT) AS active_days,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events
+        |FROM pu GROUP BY 1""".stripMargin,
     // same two runs off the same tf table, same top-20 + rank windows,
     // same integer-floor reciprocal contributions, NULL-rank = 0
     "q258_rrf_fusion" ->
@@ -6959,6 +6993,46 @@ object SparkEntry {
     operators.NdcgWeights.micro.take(5).mkString("[", ", ", "]")
   private val NdcgPrefixSqlList: String =
     operators.NdcgWeights.prefix.take(5).mkString("[", ", ", "]")
+
+  /** Unrolled Luby-MIS rounds (q270) over the symmetric `edges` CTE —
+    * same packed pk = md5·2³¹+id priorities, same strict neighbor-max
+    * winner rule, same winner/neighbor removal per round. MATERIALIZED
+    * is load-bearing (the kCoreCtes reason): each round references its
+    * predecessor 4×, and inlined CTEs would re-evaluate exponentially.
+    */
+  private def lubyCtes(rounds: Int): String = {
+    val init =
+      s"""vs AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         |pkt AS MATERIALIZED (SELECT id,
+         |  ${md5Prefix32Sql("'mis:' || CAST(id AS VARCHAR)")} * 2147483648 + id
+         |    AS pk FROM vs),
+         |u0 AS MATERIALIZED (SELECT id FROM vs),
+         |m0 AS MATERIALIZED (SELECT id FROM vs WHERE FALSE),
+         |oo0 AS MATERIALIZED (SELECT id FROM vs WHERE FALSE)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""nm$r AS MATERIALIZED (
+         |  SELECT e.src AS id, max(pn.pk) AS mx
+         |  FROM edges e
+         |  JOIN u${r - 1} ua ON e.src = ua.id
+         |  JOIN u${r - 1} ub ON e.dst = ub.id
+         |  JOIN pkt pn ON pn.id = e.dst
+         |  GROUP BY 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT u.id FROM u${r - 1} u
+         |  JOIN pkt p ON p.id = u.id
+         |  LEFT JOIN nm$r n ON n.id = u.id
+         |  WHERE n.mx IS NULL OR p.pk > n.mx),
+         |no$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.src AS id FROM edges e
+         |  JOIN w$r w ON e.dst = w.id
+         |  JOIN u${r - 1} u ON e.src = u.id),
+         |m$r AS MATERIALIZED (SELECT id FROM m${r - 1} UNION SELECT id FROM w$r),
+         |oo$r AS MATERIALIZED (SELECT id FROM oo${r - 1} UNION SELECT id FROM no$r),
+         |u$r AS MATERIALIZED (SELECT id FROM u${r - 1}
+         |  EXCEPT SELECT id FROM w$r EXCEPT SELECT id FROM no$r)""".stripMargin
+    }
+    (init +: rs).mkString(",\n")
+  }
 
   /** Seeded-teleport twin of [[pageRankCtes]] (q257): identical rounds,
     * teleport mass only at v ≡ 0 mod 100, everything BIGINT floor math.

@@ -1270,6 +1270,30 @@ object TimeWindows {
         sum(col("dt")).as("span_us"))
       .where(col("span_us") > 0L) // all-simultaneous users have no TWA
       .withColumn("twa_e2", expr("twv_e2us div span_us"))
+
+  /** Engagement curve (q271) — the L28-style power-user histogram every
+    * growth team reads weekly: how many users were active on exactly d
+    * distinct days, and how many events those users generated. The
+    * shape of this curve (smile vs decay) is THE retention diagnostic —
+    * a per-day active count (q-rolling WAU) cannot distinguish one
+    * cohort of daily users from 28 cohorts of one-day tourists; this
+    * histogram does.
+    *
+    * Scale shape: one user-keyed aggregate (distinct days via a
+    * (user, day) pre-dedup that map-combines, event count alongside),
+    * then a ≤ |days|-row histogram. Exact integers only.
+    *
+    * @return (active_days, n_users, total_events)
+    */
+  def engagementCurve(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .groupBy(col("user_id"))
+      .agg(count_distinct(col("day_num")).as("active_days"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
 }
 
 /** [[TimeWindows.decayedLeaderboard]]'s half-life weight table — the

@@ -333,6 +333,67 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Luby's maximal independent set (q270) — the canonical distributed
+    * symmetry-breaking primitive (Luby 1986): each round, every still-
+    * undecided vertex whose priority strictly beats ALL of its
+    * undecided neighbors joins the MIS, and its neighbors drop out; the
+    * expected round count is O(log n). Priorities are deterministic —
+    * md5-prefix32("mis:"‖id) packed with the id into ONE comparable
+    * BIGINT, pk = p·2³¹ + id (p < 2³², id < 2³¹ ⇒ pk < 2⁶³ exactly;
+    * uniqueness of id makes every comparison strict, so no random
+    * tie-break is ever needed and both engines pick identical winners).
+    *
+    * `rounds` is a fixed unroll (the suite's bounded-round contract);
+    * vertices still undecided after the last round are reported as
+    * `undecided` — the honest residual, not silently forced either way.
+    * Independence is structural: two adjacent undecided vertices can
+    * never both win a round (one pk is larger).
+    *
+    * Scale shape: per round, one neighbor-max aggregate over the edges
+    * restricted to undecided endpoints (two id-keyed equi-joins) and
+    * one vertex-status update, all behind barriers — the [[pageRank]]
+    * loop shape. Nothing beyond |V|+|E| rows ever materializes.
+    *
+    * @param pairs canonical undirected edges (src < dst)
+    * @return (id, status) — status ∈ {mis, out, undecided}
+    */
+  def lubyMIS(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val und = pairs.select(col("src"), col("dst"))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.barrier) // read by every round's neighbor join
+    val pkExpr = graft.functions.TextAnalysis.md5Prefix32(
+      concat(lit("mis:"), col("id").cast("string"))) * 2147483648L + col("id")
+    var verts = und.select(col("src").as("id")).distinct()
+      .withColumn("pk", pkExpr)
+      .withColumn("status", lit("undecided"))
+      .transform(graft.barrier)
+    for (_ <- 1 to rounds) {
+      val undec = verts.where(col("status") === "undecided")
+        .select(col("id"), col("pk"))
+      val nbrMax = und.select(col("src").as("id"), col("dst").as("nb"))
+        .join(undec.select(col("id")), "id")
+        .join(undec.select(col("id").as("nb"), col("pk").as("nb_pk")), "nb")
+        .groupBy(col("id")).agg(max(col("nb_pk")).as("max_nb_pk"))
+      val winners = undec.join(nbrMax, Seq("id"), "left")
+        .where(col("max_nb_pk").isNull || col("pk") > col("max_nb_pk"))
+        .select(col("id"), lit(1L).as("w"))
+      val outs = und.select(col("src").as("id"), col("dst").as("nb"))
+        .join(winners.select(col("id").as("nb")), "nb")
+        .select(col("id")).distinct()
+        .select(col("id"), lit(1L).as("o"))
+      verts = verts
+        .join(winners, Seq("id"), "left")
+        .join(outs, Seq("id"), "left")
+        .select(col("id"), col("pk"),
+          when(col("status") =!= "undecided", col("status"))
+            .when(col("w") === 1L, lit("mis"))
+            .when(col("o") === 1L, lit("out"))
+            .otherwise(lit("undecided")).as("status"))
+        .transform(graft.barrier)
+    }
+    verts.select(col("id"), col("status"))
+  }
+
   /** Degree assortativity (Newman 2002): do high-degree vertices attach
     * to high-degree vertices? Over the symmetrized edge list, with
     * x = deg(src), y = deg(dst) per directed edge, the Pearson

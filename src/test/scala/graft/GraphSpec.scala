@@ -288,6 +288,34 @@ class GraphSpec extends AnyFunSuite {
     assert(rt === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("lubyMIS: independence, coverage, and triangle uniqueness hold") {
+    // triangle: exactly one MIS vertex (highest packed priority), both
+    // neighbors out, all decided in round 1
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val rt = GraphOps.lubyMIS(tri).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[String]("status")).toMap
+    assert(rt.values.count(_ == "mis") === 1)
+    assert(rt.values.count(_ == "out") === 2)
+    // structural invariants on a bigger graph: MIS is independent, and
+    // every out vertex has a MIS neighbor (Luby's correctness contract)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (2L, 5L))
+      .toDF("src", "dst")
+    val edges = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (2L, 5L))
+    val st = GraphOps.lubyMIS(g).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[String]("status")).toMap
+    val mis = st.filter(_._2 == "mis").keySet
+    assert(mis.nonEmpty)
+    assert(!edges.exists { case (a, b) => mis(a) && mis(b) }, "MIS not independent")
+    st.filter(_._2 == "out").keys.foreach { v =>
+      assert(edges.exists { case (a, b) => (a == v && mis(b)) || (b == v && mis(a)) },
+        s"out vertex $v has no MIS neighbor")
+    }
+    // determinism: a second run returns the identical partition
+    val st2 = GraphOps.lubyMIS(g).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[String]("status")).toMap
+    assert(st === st2)
+  }
+
   test("resourceAllocation: rare shared neighbors outweigh hubs, edges excluded") {
     // square 1-2-3-4-1: diagonals (1,3) and (2,4) are the only non-edge
     // candidates, each certified by TWO degree-2 centers → ra = 2·(1e9/2)

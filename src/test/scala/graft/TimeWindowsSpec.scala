@@ -599,6 +599,21 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("left_sum") === 4L && r.getAs[Long]("right_sum") === 18L)
   }
 
+  test("engagementCurve: distinct days per user, tourists vs regulars") {
+    def day(d: Long, off: Long = 0L) = new java.sql.Timestamp(d * 86400000L + off)
+    val rows = Seq(
+      // user 1: 3 events on 2 distinct days
+      (1L, day(0), 1L, "a", 0.0, ""), (2L, day(0, 60000L), 1L, "a", 0.0, ""),
+      (3L, day(1), 1L, "a", 0.0, ""),
+      // users 2 and 3: one day each
+      (4L, day(5), 2L, "a", 0.0, ""), (5L, day(6), 3L, "a", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.engagementCurve(rows).collect()
+      .map(x => x.getAs[Long]("active_days") ->
+        (x.getAs[Long]("n_users"), x.getAs[Long]("total_events"))).toMap
+    assert(r === Map(2L -> ((1L, 3L)), 1L -> ((2L, 2L))))
+  }
+
   test("timeWeightedValue: long-held readings dominate; last reading holds nothing") {
     def us(n: Long) = new java.sql.Timestamp(n / 1000L)
     // user 1: v=2.00 held 10s, v=4.00 held 20s, final v=99 never held
