@@ -997,6 +997,14 @@ object SparkEntry {
     // the power-user histogram a rolling WAU cannot show
     "q271_engagement_curve" -> ((s, dir) =>
       TimeWindows.engagementCurve(Tables.events(s, dir))),
+    // group-aware k-fold: rows follow their user's md5 fold, with the
+    // cross-fold distinct-user identity graded as leak_free
+    "q272_group_kfold" -> ((s, dir) =>
+      TrainingMix.groupKFold(Tables.ratings(s, dir))),
+    // 10%-trimmed mean doc length per source — the robust location
+    // between mean and median, exact floor cuts and milli average
+    "q273_trimmed_mean" -> ((s, dir) =>
+      Corpus.trimmedMeanLength(Tables.documents(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -3017,6 +3025,40 @@ object SparkEntry {
         |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(n_events) AS BIGINT) AS total_events
         |FROM pu GROUP BY 1""".stripMargin,
+    // same md5 user folds, same per-fold aggregates, same cross-fold
+    // distinct-user identity
+    "q272_group_kfold" ->
+      s"""WITH $ratingsCte,
+        |f AS (
+        |  SELECT userId, productId,
+        |    ${md5Prefix32Sql("'fold:' || CAST(userId AS VARCHAR)")} % 5 AS fold
+        |  FROM ratings),
+        |pf AS (
+        |  SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT userId) AS BIGINT) AS n_users,
+        |    CAST(count(DISTINCT productId) AS BIGINT) AS n_items
+        |  FROM f GROUP BY 1),
+        |g AS (SELECT CAST(count(DISTINCT userId) AS BIGINT) AS n_users_global
+        |  FROM ratings),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_users_all_folds FROM pf)
+        |SELECT fold, n_rows, n_users, n_items, n_users_all_folds,
+        |  n_users_global, n_users_all_folds = n_users_global AS leak_free
+        |FROM pf CROSS JOIN g CROSS JOIN t""".stripMargin,
+    // same (n_chars, doc_id) rank order, same floor cut, same milli mean
+    "q273_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  CAST(sum(n_chars) * 1000 // count(*) AS BIGINT)
+        |    AS trimmed_mean_milli
+        |FROM r WHERE rk > n * 100 // 1000 AND rk <= n - n * 100 // 1000
+        |GROUP BY 1""".stripMargin,
     // same two runs off the same tf table, same top-20 + rank windows,
     // same integer-floor reciprocal contributions, NULL-rank = 0
     "q258_rrf_fusion" ->

@@ -1112,6 +1112,35 @@ object Corpus {
         sum(col("term_micro")).as("score_micro"))
   }
 
+  /** Trimmed mean of document length per source (q273) — the robust
+    * location estimate between the mean (one 10 MB outlier drags it)
+    * and the median (throws away 98% of the data): drop exactly
+    * ⌊n·trim‰⌋ shortest and longest documents per source, average the
+    * rest. Exact integers: the cut is a floor count (both engines
+    * agree), ranks are deterministic ((n_chars, doc_id) total order),
+    * and the mean is one milli floor over BIGINT sums.
+    *
+    * Scale shape: one per-source rank window (documents partition by
+    * source — bounded per partition) feeding a map-combined aggregate.
+    *
+    * @return per source: (source, n_docs, n_kept, kept_chars,
+    *         trimmed_mean_milli)
+    */
+  def trimmedMeanLength(documents: DataFrame,
+      trimPerMille: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    documents.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("cut", expr(s"n * $trimPerMille div 1000"))
+      .where(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"))
+      .withColumn("trimmed_mean_milli", expr("kept_chars * 1000 div n_kept"))
+  }
+
   /** DSIR-style importance weights (q260) — per document, the hashed-
     * n-gram importance score of Data Selection via Importance Resampling
     * (Xie et al., NeurIPS'23) at unigram granularity: how much more does

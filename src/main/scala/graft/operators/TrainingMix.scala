@@ -450,4 +450,40 @@ object TrainingMix {
       .select(col("shard"), col("n_docs"), col("tvd_num"),
         expr("tvd_num * 1000000 div (2 * n_docs * nt)").as("tvd_ppm"))
   }
+
+  /** Group-aware k-fold assignment (q272) — sklearn's GroupKFold for a
+    * rating corpus: every row follows its USER's md5 fold, so no user
+    * ever straddles folds (the cross-validation leakage a row-level
+    * split commits — a user's taste in train and test is memorization,
+    * not generalization; [[leakageFreeSplit]] is the 2-way cluster form
+    * of the same principle). The leakage guarantee holds by
+    * construction AND is graded: Σ per-fold distinct users must equal
+    * the global distinct-user count — `leak_free` comes back true only
+    * if no user counted twice.
+    *
+    * Scale shape: fold is map-side hash arithmetic on the row; the
+    * report is one user-keyed aggregate into a k-row histogram plus a
+    * k-row window for the cross-fold proof (metadata-bounded).
+    *
+    * @return per fold: (fold, n_rows, n_users, n_items,
+    *         n_users_all_folds, n_users_global, leak_free)
+    */
+  def groupKFold(ratings: DataFrame, k: Int = 5): DataFrame = {
+    val fold = pmod(graft.functions.TextAnalysis.md5Prefix32(
+      concat(lit("fold:"), col("userId").cast("string"))), lit(k.toLong))
+    val perFold = ratings.select(col("userId"), col("productId"),
+        fold.as("fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("userId")).as("n_users"),
+        count_distinct(col("productId")).as("n_items"))
+    val globalUsers = ratings.agg(
+      count_distinct(col("userId")).as("n_users_global"))
+    val w = Window.partitionBy() // k rows — the metadata window
+    perFold.crossJoin(broadcast(globalUsers))
+      .withColumn("n_users_all_folds", sum(col("n_users")).over(w))
+      .select(col("fold"), col("n_rows"), col("n_users"), col("n_items"),
+        col("n_users_all_folds"), col("n_users_global"),
+        (col("n_users_all_folds") === col("n_users_global")).as("leak_free"))
+  }
 }

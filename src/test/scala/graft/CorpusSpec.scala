@@ -490,6 +490,19 @@ class CorpusSpec extends AnyFunSuite {
     // saturation: doubling tf earned 1.375x, not 2x
   }
 
+  test("trimmedMeanLength: the outlier falls outside the cut, mean is exact") {
+    // source A: lengths 1..9 and 1000 — cut ⌊10/10⌋=1 drops the 1 and
+    // the 1000; mean of 2..9 = 5.5 → 5500 milli
+    val docs = ((1 to 9).map(i => (i.toLong, "A", i.toLong))
+      :+ (10L, "A", 1000L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = Corpus.trimmedMeanLength(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 10L)
+    assert(r.getAs[Long]("n_kept") === 8L)
+    assert(r.getAs[Long]("kept_chars") === 44L)
+    assert(r.getAs[Long]("trimmed_mean_milli") === 5500L)
+  }
+
   test("importanceWeights: target-like docs score high, off-target capped") {
     val docs = Seq(
       (1L, "en", "the cat"), (2L, "fr", "le chat"), (3L, "en", "the dog"))

@@ -311,4 +311,15 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(r(0L) === ((2L, 500000L))) // (1,0) vs (1/2,1/2)
     assert(r(1L) === ((2L, 500000L)))
   }
+  test("groupKFold: rows follow their user, cross-fold identity proves no leak") {
+    val ratings = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 4.0), (2L, 10L, 3.0),
+      (3L, 12L, 5.0), (4L, 13L, 2.0), (4L, 10L, 1.0))
+      .toDF("userId", "productId", "rating")
+    val r = TrainingMix.groupKFold(ratings, k = 2).collect()
+    assert(r.map(_.getAs[Long]("n_rows")).sum === 6L)
+    assert(r.forall(_.getAs[Boolean]("leak_free")))
+    assert(r.forall(_.getAs[Long]("n_users_global") == 4L))
+    assert(r.map(_.getAs[Long]("n_users")).sum === 4L)
+  }
 }
