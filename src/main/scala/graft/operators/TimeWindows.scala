@@ -1286,12 +1286,29 @@ object TimeWindows {
     * @return (active_days, n_users, total_events)
     */
   def engagementCurve(events: DataFrame): DataFrame =
+    engagementCurveFromUserDays(userDayCounts(events))
+
+  /** The (user, day) event-count stage [[engagementCurve]] aggregates —
+    * split out as a seam so the STREAMED form
+    * ([[graft.streaming.RealTime.userDayCountsStream]], watermarked
+    * 1-day tumbling per-user counts) closes through the identical
+    * [[engagementCurveFromUserDays]] tail (the dailyCountsStream twin
+    * pattern; spec-asserted equal on a closed input).
+    */
+  def userDayCounts(events: DataFrame): DataFrame =
     events
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .groupBy(col("user_id"), col("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** The histogram tail over a (user_id, day_num, n_events) table —
+    * one row per user-day means rows-per-user IS distinct active days.
+    */
+  def engagementCurveFromUserDays(userDays: DataFrame): DataFrame =
+    userDays
       .groupBy(col("user_id"))
-      .agg(count_distinct(col("day_num")).as("active_days"),
-        count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("active_days"), sum(col("n_events")).as("n_events"))
       .groupBy(col("active_days"))
       .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("total_events"))
 }

@@ -204,6 +204,24 @@ object RealTime {
       .agg(min(expr("unix_micros(ts)")).as("first_us"),
         max(expr("unix_micros(ts)")).as("last_us"))
 
+  /** Streaming twin of the (user, day) stage of
+    * [[graft.operators.TimeWindows.engagementCurve]] (q271): per-user
+    * 1-day tumbling event counts under a watermark — state is one count
+    * per (user, OPEN day) and a window closes for good once the
+    * watermark passes it, so the emitted append-mode rows are final.
+    * `TimeWindows.engagementCurveFromUserDays` closes the L28 histogram
+    * over the emitted horizon (spec-asserted equal to the batch curve
+    * on a closed input — the dailyCountsStream twin pattern).
+    */
+  def userDayCountsStream(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start) div 86400000000").as("day_num"),
+        col("n_events"))
+
   /** Streaming twin of the daily-actives stage of
     * [[graft.operators.TimeWindows.userReach]] (q112): per-day distinct
     * active users as a watermarked dedup on (user, epoch-day) chained

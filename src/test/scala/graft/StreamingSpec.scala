@@ -155,6 +155,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedGraded.count(_._5) === 1) // and nothing else flags
   }
 
+  test("userDayCountsStream closes through the batch L28 engagement curve") {
+    def t(day: Int, min: Int): java.sql.Timestamp =
+      new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
+    // user 1: 3 events over 2 days; users 2, 3: one day each
+    val closed = Seq(
+      SessEv(1L, t(0, 0), 1L, "a"), SessEv(2L, t(0, 1), 1L, "a"),
+      SessEv(3L, t(1, 0), 1L, "a"),
+      SessEv(4L, t(5, 0), 2L, "a"), SessEv(5L, t(6, 0), 3L, "a"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessEv](spark)
+    val q = RealTime.userDayCountsStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("userdays")
+      .option("checkpointLocation", tmp("userdays-ck"))
+      .start()
+    input.addData(closed: _*)
+    q.processAllAvailable()
+    input.addData(SessEv(9L, t(40, 0), 9L, "a")) // advance the watermark
+    q.processAllAvailable()
+    input.addData(SessEv(10L, t(40, 1), 9L, "a")) // next batch flushes
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("userdays").where($"day_num" < 40).localCheckpoint()
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      df.select("active_days", "n_users", "total_events")
+        .as[(Long, Long, Long)].collect().toSet
+    val fromStream = curve(
+      graft.operators.TimeWindows.engagementCurveFromUserDays(streamed))
+    val batch = curve(graft.operators.TimeWindows.engagementCurve(
+      closed.toDF("event_id", "ts", "user_id", "event_type")))
+    assert(fromStream === batch)
+    assert(fromStream === Set((2L, 1L, 3L), (1L, 2L, 2L)))
+  }
+
   test("reach twins: streamed daily actives + new users close to the batch userReach report") {
     def t(day: Int, min: Int): java.sql.Timestamp =
       new java.sql.Timestamp((day.toLong * 1440 + min) * 60000L)
