@@ -6520,10 +6520,6 @@ object SparkEntry {
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
 
-  /** DuckDB twin of [[graft.functions.TextAnalysis.md5Prefix32]]: parse the
-    * first 8 hex digits of md5 as a BIGINT (no hex-cast builtin in DuckDB
-    * 1.0; 16**i fits exactly in doubles, so the digit fold is exact).
-    */
   /** DuckDB twin of [[Relational.corrMatrix]]: the same four cents-scaled
     * features, one HUGEINT moment pass, six UNION ALL pair rows.
     */
@@ -6562,6 +6558,10 @@ object SparkEntry {
        |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.functions.TextAnalysis.md5Prefix32]]: parse the
+    * first 8 hex digits of md5 as a BIGINT (no hex-cast builtin in DuckDB
+    * 1.0; 16**i fits exactly in doubles, so the digit fold is exact).
+    */
   private def md5Prefix32Sql(e: String): String =
     s"CAST(list_sum(list_transform(range(0, 8), hx -> " +
       s"CAST(strpos('0123456789abcdef', substring(md5($e), CAST(hx + 1 AS INTEGER), 1)) - 1 AS BIGINT)" +
@@ -6641,19 +6641,15 @@ object SparkEntry {
     s"""WITH $minhashCtes
        |SELECT a_id, b_id, est_jaccard FROM mh_pairs""".stripMargin
 
-  /** DuckDB twin of [[graft.operators.Dedup.ngramJaccardPairs]] — shared by
-    * the q36 oracle and the q85 LSH-quality oracle (where it is the exact
-    * truth side).
-    */
   /** Shared DuckDB chain for the itemKNN family (q107/q108): deduped
     * integer ratings → norms → user-keyed co-rating pairs (support ≥ 2) →
     * mirrored, cosine-scored neighbor candidates. Mirrors
     * [[graft.operators.Reco.itemNeighbors]] up to its ExactTopK cut.
-    */
-  /** The q107 scoring chain (norms/pairs/mir/scored) over whatever CTE
-    * block defines `r` (userId, productId, rv) — parameterized so q201's
-    * holdout evaluation can run the identical chain over the TRAIN split
-    * only (its `rDef` filters by the md5 draw before `r`).
+    *
+    * The chain runs over whatever CTE block defines `r` (userId,
+    * productId, rv) — parameterized so q201's holdout evaluation can run
+    * the identical chain over the TRAIN split only (its `rDef` filters
+    * by the md5 draw before `r`).
     */
   private def itemCfChainFrom(rDef: String): String =
     s"""$rDef,
@@ -6682,6 +6678,10 @@ object SparkEntry {
        |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
        |  FROM ratings GROUP BY 1, 2)""".stripMargin)
 
+  /** DuckDB twin of [[graft.operators.Dedup.ngramJaccardPairs]] — shared by
+    * the q36 oracle and the q85 LSH-quality oracle (where it is the exact
+    * truth side).
+    */
   private def ngramJaccardOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
@@ -6830,9 +6830,6 @@ object SparkEntry {
        |WHERE hamming <= 3""".stripMargin
   }
 
-  /** ANSI twin of [[Similarity.cosine]]: left-fold double dot product /
-    * norms, identical operand order → bit-identical doubles.
-    */
   /** Unrolled MMR greedy (twin of [[Similarity.mmrSelect]]): the same
     * 64-candidate pool, then `k` selection rounds as MATERIALIZED CTEs
     * — each scores 0.5·rel − 0.5·max-sim-to-selected with the shared
@@ -6872,6 +6869,9 @@ object SparkEntry {
     (Seq(pool, s1) ++ rounds).mkString(",\n") + "\n" + unions
   }
 
+  /** ANSI twin of [[Similarity.cosine]]: left-fold double dot product /
+    * norms, identical operand order → bit-identical doubles.
+    */
   private def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"

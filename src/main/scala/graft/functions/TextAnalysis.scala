@@ -546,33 +546,6 @@ object TextAnalysis {
         (col("s.docs_in") - col("s.survivors")).as("dropped"))
   }
 
-  /** Per-document character entropy (q211) — the compressibility proxy
-    * beside the class shares (q94) and repeat concentration (q153):
-    * low-entropy documents are padding/templates/run-length junk, very
-    * high entropy is random noise or minified blobs. Computed as the
-    * floor-log₂ proxy H ≈ ⌊log₂ n⌋ − (1/n)·Σ c·⌊log₂ c⌋ so every
-    * aggregate term is exact BIGINT (binary-string-length log₂ — the
-    * q197 idiom) and both engines agree bit-for-bit; the true float
-    * entropy lies within 1 bit of the proxy, which is plenty for a
-    * ranking/filter signal and is the price of cross-engine exactness.
-    *
-    * Scale shape: the char explode is the one wide stage (Σ n_chars
-    * rows, same as the gram pipelines), map-combined into per-(doc,
-    * char) counts; everything after runs on ≤ |alphabet| rows per doc.
-    *
-    * Unit-of-character caveat (documented deviation): Spark's
-    * `split(text, "")` yields UTF-16 CODE UNITS — a non-BMP character
-    * (emoji, rare CJK extension) becomes two surrogate halves — while
-    * DuckDB's `string_split(text, '')` yields code points. The graded
-    * corpus is generator-guaranteed BMP-only (ASCII + Latin-1 accents +
-    * BMP Cyrillic/CJK), where the two are identical. On an
-    * astral-plane-bearing corpus, pre-normalize (strip or transcode
-    * surrogate pairs) before this operator, or the engines count
-    * different "characters".
-    *
-    * @return (doc_id, n_chars_counted, n_distinct_chars, sum_c_log,
-    *         entropy_milli_bits)
-    */
   /** Flesch-style readability score (q249) — the classic document-
     * difficulty signal a curation mix balances on (too-easy =
     * listicles/spam, too-hard = OCR noise/jargon dumps): reading ease
@@ -608,6 +581,33 @@ object TextAnalysis {
           lit(206835L) - expr("(1015 * n_words) div n_sentences")
             - expr("(84600 * n_syllables) div n_words")))
 
+  /** Per-document character entropy (q211) — the compressibility proxy
+    * beside the class shares (q94) and repeat concentration (q153):
+    * low-entropy documents are padding/templates/run-length junk, very
+    * high entropy is random noise or minified blobs. Computed as the
+    * floor-log₂ proxy H ≈ ⌊log₂ n⌋ − (1/n)·Σ c·⌊log₂ c⌋ so every
+    * aggregate term is exact BIGINT (binary-string-length log₂ — the
+    * q197 idiom) and both engines agree bit-for-bit; the true float
+    * entropy lies within 1 bit of the proxy, which is plenty for a
+    * ranking/filter signal and is the price of cross-engine exactness.
+    *
+    * Scale shape: the char explode is the one wide stage (Σ n_chars
+    * rows, same as the gram pipelines), map-combined into per-(doc,
+    * char) counts; everything after runs on ≤ |alphabet| rows per doc.
+    *
+    * Unit-of-character caveat (documented deviation): Spark's
+    * `split(text, "")` yields UTF-16 CODE UNITS — a non-BMP character
+    * (emoji, rare CJK extension) becomes two surrogate halves — while
+    * DuckDB's `string_split(text, '')` yields code points. The graded
+    * corpus is generator-guaranteed BMP-only (ASCII + Latin-1 accents +
+    * BMP Cyrillic/CJK), where the two are identical. On an
+    * astral-plane-bearing corpus, pre-normalize (strip or transcode
+    * surrogate pairs) before this operator, or the engines count
+    * different "characters".
+    *
+    * @return (doc_id, n_chars_counted, n_distinct_chars, sum_c_log,
+    *         entropy_milli_bits)
+    */
   def charEntropy(documents: DataFrame): DataFrame = {
     val cc = documents
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))

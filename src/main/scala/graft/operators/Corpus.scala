@@ -379,6 +379,24 @@ object Corpus {
       .limit(k)
   }
 
+  /** The shared heavy stage of [[hllCardinality]] and [[hllMerge]]: every
+    * char-`k`-gram of every document with its 32-bit md5-prefix hash,
+    * materialized once behind a barrier (SparkEntry memoizes this frame so
+    * q102 and q147 pay the explode+hash exactly once per session).
+    *
+    * @return (source, g, h)
+    */
+  def hashedGrams(documents: DataFrame, k: Int = 8): DataFrame = {
+    val grams = when(length(col("text")) >= k,
+      transform(sequence(lit(1), length(col("text")) - (k - 1)),
+        i => col("text").substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+    documents
+      .select(col("source"), explode(grams).as("g"))
+      .select(col("source"), col("g"), TextAnalysis.md5Prefix32(col("g")).as("h"))
+      .transform(graft.barrier)
+  }
+
   /** Deterministic HyperLogLog cardinality report (Flajolet et al. 2007):
     * per-source distinct char-8-gram count estimated from a 256-register
     * HLL sketch, graded against the exact distinct count — the
@@ -406,24 +424,6 @@ object Corpus {
     *
     * @return (source, n_exact, occupied, s_scaled, est)
     */
-  /** The shared heavy stage of [[hllCardinality]] and [[hllMerge]]: every
-    * char-`k`-gram of every document with its 32-bit md5-prefix hash,
-    * materialized once behind a barrier (SparkEntry memoizes this frame so
-    * q102 and q147 pay the explode+hash exactly once per session).
-    *
-    * @return (source, g, h)
-    */
-  def hashedGrams(documents: DataFrame, k: Int = 8): DataFrame = {
-    val grams = when(length(col("text")) >= k,
-      transform(sequence(lit(1), length(col("text")) - (k - 1)),
-        i => col("text").substr(i, lit(k))))
-      .otherwise(array().cast("array<string>"))
-    documents
-      .select(col("source"), explode(grams).as("g"))
-      .select(col("source"), col("g"), TextAnalysis.md5Prefix32(col("g")).as("h"))
-      .transform(graft.barrier)
-  }
-
   def hllCardinality(documents: DataFrame, k: Int = 8): DataFrame =
     hllCardinalityFrom(hashedGrams(documents, k))
 

@@ -49,23 +49,6 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
-  /** Exact n-gram Jaccard near-duplicate pairs: distinct word-n-gram
-    * shingles per doc → inverted index (explode) → self-join on shingle →
-    * |A∩B| per pair → Jaccard = i / (|A|+|B|-i) ≥ threshold.
-    *
-    * This is the exact (quadratic-within-bucket) baseline the MinHash path
-    * approximates; the shingle inverted index bounds the join to pairs that
-    * share ≥1 shingle. Skew guard at scale: drop shingles whose document
-    * frequency exceeds a cap (stop-shingles) before the self-join.
-    *
-    * Shingles are hashed to 32-bit md5-prefix longs (codegen'd
-    * [[org.apache.spark.sql.graft.Md5Prefix32Array]]) BEFORE the inverted
-    * index, so the self-join shuffles 8-byte keys instead of ~3-word
-    * strings (~5-10× narrower exchange). The oracle twin applies the
-    * identical hash, so a (2⁻³²-rare) collision affects both engines
-    * identically; `array_distinct` after hashing keeps per-doc shingle-set
-    * sizes collision-consistent on both sides too.
-    */
   /** Per-document distinct hashed n-gram SETS — the shared front end of
     * the whole token-shingle similarity family ([[ngramJaccardPairsFrom]],
     * [[containmentPairsFrom]], [[ppjoinPairsFrom]] via its explode).
@@ -90,6 +73,23 @@ object Dedup {
     docSets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .transform(graft.barrier)
 
+  /** Exact n-gram Jaccard near-duplicate pairs: distinct word-n-gram
+    * shingles per doc → inverted index (explode) → self-join on shingle →
+    * |A∩B| per pair → Jaccard = i / (|A|+|B|-i) ≥ threshold.
+    *
+    * This is the exact (quadratic-within-bucket) baseline the MinHash path
+    * approximates; the shingle inverted index bounds the join to pairs that
+    * share ≥1 shingle. Skew guard at scale: drop shingles whose document
+    * frequency exceeds a cap (stop-shingles) before the self-join.
+    *
+    * Shingles are hashed to 32-bit md5-prefix longs (codegen'd
+    * [[org.apache.spark.sql.graft.Md5Prefix32Array]]) BEFORE the inverted
+    * index, so the self-join shuffles 8-byte keys instead of ~3-word
+    * strings (~5-10× narrower exchange). The oracle twin applies the
+    * identical hash, so a (2⁻³²-rare) collision affects both engines
+    * identically; `array_distinct` after hashing keeps per-doc shingle-set
+    * sizes collision-consistent on both sides too.
+    */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Long = 1000): DataFrame =
     ngramJaccardPairsFrom(shingleIndexFrom(shingleSets(documents, n)),
@@ -338,21 +338,6 @@ object Dedup {
         (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("is_canonical"))
   }
 
-  /** Incremental near-dup dedup — the ingestion-time form: which documents
-    * of an incoming batch are near-duplicates of an existing corpus?
-    *
-    * This is how a continuously-fed training-data pipeline actually runs
-    * dedup: the corpus' banded signatures are computed once (on a cluster,
-    * a persisted bucketed table keyed on (band, bandHash)); each new batch
-    * only computes its own signatures and equi-joins against the corpus
-    * index — incremental cost is O(|batch|) map work plus one bucket join,
-    * never a corpus-wide self-join.
-    *
-    * @return one row per flagged incoming doc: `doc_id`, `n_matches`
-    *         (corpus docs over the estimate threshold), `best_est` (highest
-    *         signature-agreement estimate), `dup_of_min` (smallest matching
-    *         corpus doc_id — deterministic representative).
-    */
   /** Duplicate-aware sampling weights — the SOFT alternative to dropping
     * near-dups: every document in a near-dup cluster ([[nearDupClusters]])
     * gets weight 1/|cluster|, so a page crawled 40 times contributes one
@@ -379,6 +364,21 @@ object Dedup {
         (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
   }
 
+  /** Incremental near-dup dedup — the ingestion-time form: which documents
+    * of an incoming batch are near-duplicates of an existing corpus?
+    *
+    * This is how a continuously-fed training-data pipeline actually runs
+    * dedup: the corpus' banded signatures are computed once (on a cluster,
+    * a persisted bucketed table keyed on (band, bandHash)); each new batch
+    * only computes its own signatures and equi-joins against the corpus
+    * index — incremental cost is O(|batch|) map work plus one bucket join,
+    * never a corpus-wide self-join.
+    *
+    * @return one row per flagged incoming doc: `doc_id`, `n_matches`
+    *         (corpus docs over the estimate threshold), `best_est` (highest
+    *         signature-agreement estimate), `dup_of_min` (smallest matching
+    *         corpus doc_id — deterministic representative).
+    */
   def incrementalNearDups(corpus: DataFrame, incoming: DataFrame, n: Int = 3, k: Int = 64,
                           bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame =
     incrementalNearDupsIndexed(bandIndex(corpus, n, k, bands), incoming, n, k, bands,
@@ -497,29 +497,6 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
-  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo's
-    * merge/purge method, SIGMOD 1995) — the third blocking family next to
-    * LSH band buckets ([[minhashPairs]]) and the shingle inverted index
-    * ([[ngramJaccardPairs]]): sort documents by a normalized prefix key
-    * and compare each doc only against its `w−1` successors in that
-    * order. Catches the template/boilerplate near-dups that cluster
-    * lexicographically (shared headers, common prefixes) at a guaranteed
-    * |docs|·(w−1) candidate bound — no shingle fan-out at all, which
-    * makes it the cheapest first pass over a new corpus.
-    *
-    * Distributed form: the classic algorithm's single global sort is
-    * replaced by a coarse block key (first `blockChars` chars) that
-    * PARTITIONS the window — one shuffle on the block key, an in-block
-    * sort, never a single-partition global window. Pairs that straddle a
-    * block boundary are the (documented) recall loss vs the sequential
-    * algorithm — at 100 TB that is the right trade, and shrinking
-    * `blockChars` recovers them at higher per-block cost. Each candidate
-    * is verified with EXACT token Jaccard (`array_intersect` on distinct
-    * tokens — integers and one division, the cross-engine contract);
-    * threshold fixed at 1/2 via the integer form 2·|A∩B| ≥ |A∪B|.
-    *
-    * @return (a_id, b_id, inter, un, j) — a precedes b in sort order
-    */
   /** Prefix-filtered exact set-similarity join (the PPJoin family,
     * Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW 2007 /
     * Xiao et al. 2008): the EXACT alternative to [[minhashPairs]] — same
@@ -623,6 +600,29 @@ object Dedup {
       .where(col("lev") * 100 <= col("max_len") * maxLevPct)
   }
 
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo's
+    * merge/purge method, SIGMOD 1995) — the third blocking family next to
+    * LSH band buckets ([[minhashPairs]]) and the shingle inverted index
+    * ([[ngramJaccardPairs]]): sort documents by a normalized prefix key
+    * and compare each doc only against its `w−1` successors in that
+    * order. Catches the template/boilerplate near-dups that cluster
+    * lexicographically (shared headers, common prefixes) at a guaranteed
+    * |docs|·(w−1) candidate bound — no shingle fan-out at all, which
+    * makes it the cheapest first pass over a new corpus.
+    *
+    * Distributed form: the classic algorithm's single global sort is
+    * replaced by a coarse block key (first `blockChars` chars) that
+    * PARTITIONS the window — one shuffle on the block key, an in-block
+    * sort, never a single-partition global window. Pairs that straddle a
+    * block boundary are the (documented) recall loss vs the sequential
+    * algorithm — at 100 TB that is the right trade, and shrinking
+    * `blockChars` recovers them at higher per-block cost. Each candidate
+    * is verified with EXACT token Jaccard (`array_intersect` on distinct
+    * tokens — integers and one division, the cross-engine contract);
+    * threshold fixed at 1/2 via the integer form 2·|A∩B| ≥ |A∪B|.
+    *
+    * @return (a_id, b_id, inter, un, j) — a precedes b in sort order
+    */
   def sortedNeighborhoodPairs(documents: DataFrame, blockChars: Int = 4,
       keyChars: Int = 16, w: Int = 3): DataFrame = {
     val norm = lower(trim(col("text")))

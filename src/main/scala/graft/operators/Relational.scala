@@ -139,10 +139,6 @@ object Relational {
         col("last_order_key"), col("last_order_ts"))
   }
 
-  /** Scalar-function sweep over events: date parts, string ops, JSON
-    * extraction, math — all codegen'd built-ins, no UDFs (SURVEY.md §2
-    * "no scalar functions in the reference"; indispensable in practice).
-    */
   /** Referential-integrity audit — the data-contract gate a warehouse
     * runs before promoting a snapshot: for each declared FK relation,
     * the child row count, the orphan count (child keys with no parent),
@@ -787,6 +783,10 @@ object Relational {
       .select(col("x").as("price_cents"), col("y").as("day_num"), col("n_rows"))
   }
 
+  /** Scalar-function sweep over events: date parts, string ops, JSON
+    * extraction, math — all codegen'd built-ins, no UDFs (SURVEY.md §2
+    * "no scalar functions in the reference"; indispensable in practice).
+    */
   def eventScalars(events: DataFrame): DataFrame =
     events.select(
       col("event_id"),
@@ -1194,6 +1194,14 @@ object Relational {
     }.reduce(_ unionAll _)
   }
 
+  /** The per-row hash behind [[tableChecksum]] — shared with the
+    * streaming maintainer ([[graft.streaming.RealTime.checksumStream]]),
+    * so both compute the identical commutative sum.
+    */
+  def rowHash(cols: Seq[String]): Column =
+    graft.functions.TextAnalysis.md5Prefix32(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*))
+
   /** Order-invariant table checksum — the migration/replication
     * validation primitive: row hash = first 32 md5 bits of the
     * chr(1)-joined null-sentineled column strings, table checksum = the
@@ -1211,14 +1219,6 @@ object Relational {
     * Plan: per table, one scan → map-side hash → single-row partial-sum
     * aggregate; the union of per-table rows is driver-free.
     */
-  /** The per-row hash behind [[tableChecksum]] — shared with the
-    * streaming maintainer ([[graft.streaming.RealTime.checksumStream]]),
-    * so both compute the identical commutative sum.
-    */
-  def rowHash(cols: Seq[String]): Column =
-    graft.functions.TextAnalysis.md5Prefix32(concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*))
-
   def tableChecksum(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
     require(tables.nonEmpty, "need at least one table")
     tables.map { case (name, df, cols) =>
@@ -2172,16 +2172,6 @@ object Relational {
   }
 }
 
-/** The [[Relational.dpNoisedCounts]] noise table, shared verbatim with
-  * the oracle-SQL builder so both engines fold over IDENTICAL integer
-  * literals (one JVM computes them; the doubles never cross an engine
-  * boundary).
-  *
-  * Two-sided geometric with α = e^−ε, ε = 0.25. Closed-form CDF:
-  * k < 0 → α^−k / (1+α);  k ≥ 0 → 1 − α^(k+1) / (1+α). Thresholds are
-  * ⌊CDF(k)·2³²⌋ for k = −15..14 (k = 15 is the implicit 2³² cap), so
-  * noise = −15 + |{k : u ≥ T_k}| for u uniform on [0, 2³²).
-  */
 /** [[Relational.bootstrapCI]]'s Poisson(1) multiplicity table — the
   * [[DpNoise]] one-JVM trick: cumulative thresholds ⌊CDF(k)·2³²⌋ for
   * k = 0..4 (mass beyond 5 is < 4·10⁻⁴ and truncates to 5), embedded
@@ -2206,6 +2196,16 @@ object BenfordExpected {
     (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e9).toLong)
 }
 
+/** The [[Relational.dpNoisedCounts]] noise table, shared verbatim with
+  * the oracle-SQL builder so both engines fold over IDENTICAL integer
+  * literals (one JVM computes them; the doubles never cross an engine
+  * boundary).
+  *
+  * Two-sided geometric with α = e^−ε, ε = 0.25. Closed-form CDF:
+  * k < 0 → α^−k / (1+α);  k ≥ 0 → 1 − α^(k+1) / (1+α). Thresholds are
+  * ⌊CDF(k)·2³²⌋ for k = −15..14 (k = 15 is the implicit 2³² cap), so
+  * noise = −15 + |{k : u ≥ T_k}| for u uniform on [0, 2³²).
+  */
 object DpNoise {
   val epsilon: Double = 0.25
   private val alpha = math.exp(-epsilon)

@@ -59,15 +59,6 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
-  /** IVF cell assignment: nearest of the deterministic seed centroids.
-    *
-    * Centroid selection is data-deterministic (every vec_id divisible by
-    * `centroidStride`) rather than trained k-means — the partition/bucket
-    * mechanics (the part that matters for the Spark plan) are identical,
-    * and swapping in trained centroids is a drop-in. The centroid set is
-    * broadcast; assignment is a map-side broadcast join + per-row argmax —
-    * no shuffle of the corpus.
-    */
   /** Nearest-`nprobe` centroids per vector via the ExactTopK map-side
     * aggregate (score DESC, id ASC — the same argmax contract the oracles
     * pin). The former row_number window shuffled every (vector × centroid)
@@ -93,6 +84,15 @@ object Similarity {
         explode(transform(col("cells"), e => e.getField("payload"))).as("cell"))
   }
 
+  /** IVF cell assignment: nearest of the deterministic seed centroids.
+    *
+    * Centroid selection is data-deterministic (every vec_id divisible by
+    * `centroidStride`) rather than trained k-means — the partition/bucket
+    * mechanics (the part that matters for the Spark plan) are identical,
+    * and swapping in trained centroids is a drop-in. The centroid set is
+    * broadcast; assignment is a map-side broadcast join + per-row argmax —
+    * no shuffle of the corpus.
+    */
   def ivfAssign(corpus: DataFrame, centroidStride: Int = 37, nprobe: Int = 1): DataFrame =
     nearestCells(corpus,
       corpus.where(col("vec_id") % centroidStride === 0)

@@ -115,22 +115,6 @@ object Sketches {
         (col("est_join") - col("exact_join")).as("overest"))
   }
 
-  /** Exact distinct users per (event_type, day) via packed bitmap words —
-    * the index-structure alternative to `count(DISTINCT)`: user ids map to
-    * (word = id div 63, bit = id mod 63), a `bit_or` aggregate folds each
-    * word's membership mask, and summed popcounts give the exact
-    * cardinality. 63-bit (not 64-bit) words keep the single-bit shift off
-    * the sign bit, which ANSI engines reject as overflow.
-    *
-    * Scale shape: the word-level aggregate is the only wide shuffle and
-    * its `bit_or` map-side-combines, so each partition ships at most one
-    * word per (group, id-range) regardless of row count; the second
-    * aggregate collapses ≤ max_id/63 words per group. This is the
-    * roaring-bitmap shape (minus run-length refinement), and unlike the
-    * HLL estimate (q102) the answer is EXACT — and incremental: words
-    * from disjoint batches merge by OR, making this the
-    * view-maintenance-friendly form of distinct.
-    */
   /** Rolling W-day active users (the WAU curve): for every observed day,
     * the EXACT count of distinct users active in the trailing `windowDays`
     * window — the sliding-distinct problem, which has no per-window
@@ -184,6 +168,22 @@ object Sketches {
       .agg(sum(expr("bit_count(bits)")).as("active_users"))
   }
 
+  /** Exact distinct users per (event_type, day) via packed bitmap words —
+    * the index-structure alternative to `count(DISTINCT)`: user ids map to
+    * (word = id div 63, bit = id mod 63), a `bit_or` aggregate folds each
+    * word's membership mask, and summed popcounts give the exact
+    * cardinality. 63-bit (not 64-bit) words keep the single-bit shift off
+    * the sign bit, which ANSI engines reject as overflow.
+    *
+    * Scale shape: the word-level aggregate is the only wide shuffle and
+    * its `bit_or` map-side-combines, so each partition ships at most one
+    * word per (group, id-range) regardless of row count; the second
+    * aggregate collapses ≤ max_id/63 words per group. This is the
+    * roaring-bitmap shape (minus run-length refinement), and unlike the
+    * HLL estimate (q102) the answer is EXACT — and incremental: words
+    * from disjoint batches merge by OR, making this the
+    * view-maintenance-friendly form of distinct.
+    */
   def bitmapDistinct(events: DataFrame): DataFrame = {
     events.select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day_num"),

@@ -304,25 +304,6 @@ object TimeWindows {
         col("latency_s").isNotNull && col("latency_s") <= maxLagSeconds)
   }
 
-  /** Time-interval join: every click paired with ALL of the same user's
-    * views inside the preceding `horizonMinutes` — the multi-touch
-    * counterpart of [[lastTouchAttribution]] (which keeps only the most
-    * recent touch). This is the batch twin of the stream–stream interval
-    * join [[graft.streaming.RealTime.clickViewPairsStream]]; both emit
-    * the identical (user, click, view, gap) pair set on a closed input
-    * (spec-asserted).
-    *
-    * Plan shape: an equi-join keyed on user_id with the time range as a
-    * post-join filter — Spark plans a shuffle/sort-merge join on the user
-    * key (plan-asserted: never a nested-loop), so per-task work is
-    * bounded by per-user event counts, and the pair fan-out is bounded by
-    * event-rate × horizon per user, never by corpus size. At 100 TB both
-    * sides partition by user_id; AQE handles hot users via skew-join
-    * splitting.
-    *
-    * @return (user_id, click_id, view_id, gap_us) — gap ≥ 0, one row per
-    *         qualifying (click, view) pair
-    */
   /** Daily volume anomaly flags — the pipeline-health monitor that
     * catches a collapsed ingest (volume crater) or a runaway producer
     * (spike) per event type: a day is anomalous when its count deviates
@@ -690,6 +671,25 @@ object TimeWindows {
           .as("r"))
   }
 
+  /** Time-interval join: every click paired with ALL of the same user's
+    * views inside the preceding `horizonMinutes` — the multi-touch
+    * counterpart of [[lastTouchAttribution]] (which keeps only the most
+    * recent touch). This is the batch twin of the stream–stream interval
+    * join [[graft.streaming.RealTime.clickViewPairsStream]]; both emit
+    * the identical (user, click, view, gap) pair set on a closed input
+    * (spec-asserted).
+    *
+    * Plan shape: an equi-join keyed on user_id with the time range as a
+    * post-join filter — Spark plans a shuffle/sort-merge join on the user
+    * key (plan-asserted: never a nested-loop), so per-task work is
+    * bounded by per-user event counts, and the pair fan-out is bounded by
+    * event-rate × horizon per user, never by corpus size. At 100 TB both
+    * sides partition by user_id; AQE handles hot users via skew-join
+    * splitting.
+    *
+    * @return (user_id, click_id, view_id, gap_us) — gap ≥ 0, one row per
+    *         qualifying (click, view) pair
+    */
   def clickViewPairs(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))

@@ -40,20 +40,6 @@ object TrainingMix {
       .select("doc_id", "lang", "source", "n_chars", "cum_chars")
   }
 
-  /** Sequence packing: assign documents (doc_id order within each source)
-    * to fixed-capacity bins by cumulative size — a document starts in bin
-    * `exclusive-prefix-sum div capacity` at offset `prefix mod capacity`.
-    * This is the contiguous greedy packing a training dataloader performs
-    * when concatenating documents into fixed-length sample rows; a doc that
-    * straddles a boundary belongs to the bin it starts in (the loader
-    * splits it there).
-    *
-    * Integral `div`/`pmod` keep the arithmetic exact at any corpus size
-    * (no double rounding); the window partitions by source so packing
-    * parallelizes across strata.
-    *
-    * @return (doc_id, source, n_chars, bin, bin_offset) per document.
-    */
   /** Temperature-style language upsampling: replicate each document
     * `min(maxEpochs, ceil(largest-language-count / own-language-count))`
     * times — the replication form of sampling-temperature rebalancing
@@ -81,6 +67,20 @@ object TrainingMix {
         explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
   }
 
+  /** Sequence packing: assign documents (doc_id order within each source)
+    * to fixed-capacity bins by cumulative size — a document starts in bin
+    * `exclusive-prefix-sum div capacity` at offset `prefix mod capacity`.
+    * This is the contiguous greedy packing a training dataloader performs
+    * when concatenating documents into fixed-length sample rows; a doc that
+    * straddles a boundary belongs to the bin it starts in (the loader
+    * splits it there).
+    *
+    * Integral `div`/`pmod` keep the arithmetic exact at any corpus size
+    * (no double rounding); the window partitions by source so packing
+    * parallelizes across strata.
+    *
+    * @return (doc_id, source, n_chars, bin, bin_offset) per document.
+    */
   def packSequences(documents: DataFrame, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -147,21 +147,6 @@ object TrainingMix {
       when(bucket < heldoutPerMille, "heldout").otherwise("train").as("split"))
   }
 
-  /** Context-window chunking: split every document into overlapping
-    * `k`-token windows advancing by `stride` tokens (`k - stride` token
-    * overlap, the standard long-document training prep — [[packSequences]]
-    * lays short docs into bins; this cuts long docs down to size first).
-    * The final chunk keeps the tail (may be shorter than `k`); documents
-    * of ≤ `k` tokens yield exactly one chunk.
-    *
-    * All map-side: a per-row transform + posexplode, no shuffle at all —
-    * chunk counts, boundaries, and hashes derive from the token array
-    * alone. Chunk text is hashed to md5-prefix32 (cross-engine canonical)
-    * rather than carried, keeping the graded output narrow; a production
-    * sink would keep the chunk string column instead.
-    *
-    * @return (doc_id, chunk_id, n_tokens, chunk_hash)
-    */
   /** Deterministic stratified sample: the `k` documents per source with the
     * smallest salted hash — a reproducible "random" holdout (same salt →
     * same sample on any engine, any partitioning, any day; change the salt
@@ -267,6 +252,21 @@ object TrainingMix {
       .select("doc_id", "source", "n_chars", "quality_score", "cum_chars")
   }
 
+  /** Context-window chunking: split every document into overlapping
+    * `k`-token windows advancing by `stride` tokens (`k - stride` token
+    * overlap, the standard long-document training prep — [[packSequences]]
+    * lays short docs into bins; this cuts long docs down to size first).
+    * The final chunk keeps the tail (may be shorter than `k`); documents
+    * of ≤ `k` tokens yield exactly one chunk.
+    *
+    * All map-side: a per-row transform + posexplode, no shuffle at all —
+    * chunk counts, boundaries, and hashes derive from the token array
+    * alone. Chunk text is hashed to md5-prefix32 (cross-engine canonical)
+    * rather than carried, keeping the graded output narrow; a production
+    * sink would keep the chunk string column instead.
+    *
+    * @return (doc_id, chunk_id, n_tokens, chunk_hash)
+    */
   def chunkDocuments(documents: DataFrame, k: Int = 64, stride: Int = 48): DataFrame = {
     require(k > 0 && stride > 0 && stride <= k, "need 0 < stride <= k")
     val t = graft.functions.TextAnalysis.tokens(col("text"))

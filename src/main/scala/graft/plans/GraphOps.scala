@@ -435,26 +435,6 @@ object GraphOps {
         .as("assortativity"))
   }
 
-  /** k-core peeling (q151) — the density filter behind spam/bot pruning
-    * and community seeding: repeatedly delete vertices of degree < k
-    * until only the k-core survives. Like label propagation (§2 row
-    * 2.11), the OPERATOR CONTRACT is a fixed number of synchronous
-    * peeling rounds, which makes it an unrollable non-recursive oracle;
-    * `rounds` defaults high enough that the graded graphs reach their
-    * fixpoint well before the cap (each round strictly shrinks the edge
-    * set or the loop exits early).
-    *
-    * Scale shape: each round is one symmetric-degree aggregate plus two
-    * keyed semi-joins (no broadcast of anything data-sized) over an
-    * edge list that only ever SHRINKS; the eager barrier per round stops
-    * plan/lineage growth exactly like [[connectedComponentsDF]]. The
-    * early-exit check rides the barrier's materialization count — no
-    * extra job.
-    *
-    * @param pairs canonical (src < dst) undirected pair list
-    * @return (id, core_deg) — vertices surviving `rounds` peels with
-    *         their degree INSIDE the surviving subgraph
-    */
   /** Common-neighbor link prediction (q154) — the graph-side recommender
     * primitive: for every NON-adjacent pair with ≥ `minCommon` shared
     * neighbors, the common-neighbor count and neighborhood Jaccard
@@ -494,6 +474,26 @@ object GraphOps {
       .limit(k)
   }
 
+  /** k-core peeling (q151) — the density filter behind spam/bot pruning
+    * and community seeding: repeatedly delete vertices of degree < k
+    * until only the k-core survives. Like label propagation (§2 row
+    * 2.11), the OPERATOR CONTRACT is a fixed number of synchronous
+    * peeling rounds, which makes it an unrollable non-recursive oracle;
+    * `rounds` defaults high enough that the graded graphs reach their
+    * fixpoint well before the cap (each round strictly shrinks the edge
+    * set or the loop exits early).
+    *
+    * Scale shape: each round is one symmetric-degree aggregate plus two
+    * keyed semi-joins (no broadcast of anything data-sized) over an
+    * edge list that only ever SHRINKS; the eager barrier per round stops
+    * plan/lineage growth exactly like [[connectedComponentsDF]]. The
+    * early-exit check rides the barrier's materialization count — no
+    * extra job.
+    *
+    * @param pairs canonical (src < dst) undirected pair list
+    * @return (id, core_deg) — vertices surviving `rounds` peels with
+    *         their degree INSIDE the surviving subgraph
+    */
   def kCore(pairs: DataFrame, k: Int = 3, rounds: Int = 5): DataFrame = {
     var e = pairs
       .select(greatest(col("src"), col("dst")).as("u"),
