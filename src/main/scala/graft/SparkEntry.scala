@@ -2554,8 +2554,9 @@ object SparkEntry {
         |  CAST(COALESCE(sum(CASE WHEN is_promo THEN rev_e4 END), 0) AS BIGINT)
         |    AS promo_e4,
         |  CAST(sum(rev_e4) AS BIGINT) AS total_e4,
-        |  CAST(COALESCE(sum(CASE WHEN is_promo THEN rev_e4 END), 0) AS BIGINT)
-        |    * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS promo_ppm
+        |  CAST(CAST(COALESCE(sum(CASE WHEN is_promo THEN rev_e4 END), 0)
+        |      AS HUGEINT)
+        |    * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS BIGINT) AS promo_ppm
         |FROM j""".stripMargin,
     // same three brackets, same OR residual on the one equi-join, same
     // e4 revenue and per-bracket memberships
@@ -2914,7 +2915,8 @@ object SparkEntry {
         |  LEFT JOIN sn ON l_suppkey = sn.s_suppkey
         |  GROUP BY 1)
         |SELECT l_year, nation_e4, total_e4,
-        |  nation_e4 * 1000000 // total_e4 AS share_ppm FROM g""".stripMargin,
+        |  CAST(CAST(nation_e4 AS HUGEINT) * 1000000 // total_e4 AS BIGINT)
+        |    AS share_ppm FROM g""".stripMargin,
     // same distinct shipped-pair reduction, same brand exclusion and
     // size-band floor, same distinct counts
     "q253_part_supplier_counts" ->

@@ -1684,7 +1684,11 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("is_promo"), col("rev_e4")).otherwise(0L)).as("promo_e4"),
         sum(col("rev_e4")).as("total_e4"))
-      .withColumn("promo_ppm", expr("promo_e4 * 1000000 div total_e4"))
+      // DECIMAL-first: promo_e4·10⁶ wraps BIGINT once the month's revenue
+      // passes ~9·10¹² e4-units (≈ SF 5 here) — the oracle's HUGEINT order
+      .withColumn("promo_ppm",
+        expr("""CAST(CAST(promo_e4 AS DECIMAL(38,0)) * 1000000
+               div total_e4 AS BIGINT)"""))
   }
 
   /** TPC-H Q19 shape (q233) — disjunctive bracket revenue: the sum of
@@ -1875,6 +1879,10 @@ object Relational {
     * floor over e4 revenue — Q8's `sum(case …)/sum(…)` without the
     * float division.
     *
+    * Sum bound: e4 revenue sums wrap BIGINT at ~9·10⁹ rows per group —
+    * past that, swap the two sums to DECIMAL(38,0); shape unchanged
+    * (the ppm product already runs DECIMAL-first).
+    *
     * @return per year: (l_year, nation_e4, total_e4, share_ppm)
     */
   def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
@@ -1907,7 +1915,10 @@ object Relational {
       .agg(coalesce(sum(when(col("is_nation") === 1L, col("rev_e4"))), lit(0L))
           .as("nation_e4"),
         sum(col("rev_e4")).as("total_e4"))
-      .withColumn("share_ppm", expr("nation_e4 * 1000000 div total_e4"))
+      // DECIMAL-first for the same reason as promoRevenueShare's ppm
+      .withColumn("share_ppm",
+        expr("""CAST(CAST(nation_e4 AS DECIMAL(38,0)) * 1000000
+               div total_e4 AS BIGINT)"""))
   }
 
   /** TPC-H Q16 shape (q253) — supplier counts per part class: for each
@@ -2083,6 +2094,9 @@ object Relational {
     * keys join the fact table). This corpus has no partsupp/supplycost,
     * so profit is the discounted-revenue side of Q9's expression —
     * documented proxy, identical plan shape.
+    *
+    * Sum bound: profit_e4 wraps BIGINT at ~9·10⁹ rows per
+    * (nation, year) group — swap to DECIMAL(38,0) past that.
     *
     * @return (n_name, l_year, n_lines, profit_e4)
     */
