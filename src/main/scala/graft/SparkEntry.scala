@@ -1005,6 +1005,14 @@ object SparkEntry {
     // between mean and median, exact floor cuts and milli average
     "q273_trimmed_mean" -> ((s, dir) =>
       Corpus.trimmedMeanLength(Tables.documents(s, dir))),
+    // top-20 three-step behavior paths per user stream — the funnel
+    // journeys a bigram transition matrix cannot distinguish
+    "q274_path_trigrams" -> ((s, dir) =>
+      TimeWindows.pathTrigrams(Tables.events(s, dir))),
+    // CMS sketch-delta change detection: per-half sketches, exact top
+    // movers as graded truth, one-sided bounds on both probes
+    "q275_cms_movers" -> ((s, dir) =>
+      Sketches.cmsTopMovers(Tables.events(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -3061,6 +3069,53 @@ object SparkEntry {
         |    AS trimmed_mean_milli
         |FROM r WHERE rk > n * 100 // 1000 AND rk <= n - n * 100 // 1000
         |GROUP BY 1""".stripMargin,
+    // same user-keyed lead pairs, same path counts, same tie-broken
+    // top-20
+    "q274_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM s WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    // same per-half bucket counts, same probe algebra, same top movers
+    "q275_cms_movers" ->
+      s"""WITH hashed AS (
+         |  SELECT user_id, ${md5Prefix32Sql("'cms:' || CAST(user_id AS VARCHAR)")} AS h,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 < 19738 AS is_a
+         |  FROM events),
+         |perm AS (SELECT unnest(range(0, 4)) AS j),
+         |bk AS (
+         |  SELECT is_a, j,
+         |    ((h % 2147483647) * ((2654435761 * (j + 1)) % 2147483647)
+         |      + (1000003 * (j + 1)) % 2147483647) % 2147483647 % 1024 AS b,
+         |    count(*) AS c
+         |  FROM hashed CROSS JOIN perm GROUP BY 1, 2, 3),
+         |movers AS (
+         |  SELECT user_id, h,
+         |    CAST(COALESCE(sum(CASE WHEN is_a THEN 1 END), 0) AS BIGINT) AS cnt_a,
+         |    CAST(COALESCE(sum(CASE WHEN NOT is_a THEN 1 END), 0) AS BIGINT) AS cnt_b
+         |  FROM hashed GROUP BY 1, 2
+         |  ORDER BY abs(cnt_b - cnt_a) DESC, user_id LIMIT 20),
+         |probe AS (
+         |  SELECT user_id, cnt_a, cnt_b, j,
+         |    ((h % 2147483647) * ((2654435761 * (j + 1)) % 2147483647)
+         |      + (1000003 * (j + 1)) % 2147483647) % 2147483647 % 1024 AS b
+         |  FROM movers CROSS JOIN perm)
+         |SELECT p.user_id, p.cnt_a, p.cnt_b, p.cnt_b - p.cnt_a AS delta,
+         |  CAST(min(COALESCE(ba.c, 0)) AS BIGINT) AS est_a,
+         |  CAST(min(COALESCE(bb.c, 0)) AS BIGINT) AS est_b,
+         |  CAST(min(COALESCE(ba.c, 0)) AS BIGINT) >= p.cnt_a
+         |    AND CAST(min(COALESCE(bb.c, 0)) AS BIGINT) >= p.cnt_b AS bounds_ok
+         |FROM probe p
+         |LEFT JOIN bk ba ON ba.is_a AND ba.j = p.j AND ba.b = p.b
+         |LEFT JOIN bk bb ON NOT bb.is_a AND bb.j = p.j AND bb.b = p.b
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     // same two runs off the same tf table, same top-20 + rank windows,
     // same integer-floor reciprocal contributions, NULL-rank = 0
     "q258_rrf_fusion" ->

@@ -115,6 +115,53 @@ object Sketches {
         (col("est_join") - col("exact_join")).as("overest"))
   }
 
+  /** CMS heavy-hitter change detection (q275) — the sketch-delta pattern
+    * production monitoring runs when two full per-key counts would not
+    * fit: build ONE count-min sketch per half of the window (before /
+    * after `splitDay`), and for the top-k exact movers (largest
+    * |after − before|) probe both sketches. The graded output carries
+    * the exact per-half counts beside the estimates with the one-sided
+    * bound (est ≥ exact on BOTH halves) as `bounds_ok` — the q93
+    * measure-the-approximation pattern extended to change detection,
+    * where the production form diffs the two d·w matrices alone.
+    *
+    * Scale shape: two constant-size sketch aggregates off one barriered
+    * scan, one exact per-user count (the graded truth), a top-k heap,
+    * and a broadcast probe of two 1-row sketches. A user absent from a
+    * half probes that half's counters at ≥ 0 — still one-sided.
+    *
+    * @return top-k rows: (user_id, cnt_a, cnt_b, delta, est_a, est_b,
+    *         bounds_ok)
+    */
+  def cmsTopMovers(events: DataFrame, splitDay: Long = 19738L,
+      d: Int = 4, w: Int = 1024, topK: Int = 20): DataFrame = {
+    val tagged = events.select(col("user_id"),
+        TextAnalysis.md5Prefix32(concat(lit("cms:"), col("user_id").cast("string")))
+          .as("h"),
+        (expr("unix_micros(ts) div 86400000000") < splitDay).as("is_a"))
+      .transform(graft.barrier) // read by both sketch builds + the exact pass
+    val sketchCol = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.CountMinSketchAgg(
+        org.apache.spark.sql.graft.shim.expression(col("h")), d, w)
+        .toAggregateExpression())
+    val skA = tagged.where(col("is_a")).agg(sketchCol.as("sk_a"))
+    val skB = tagged.where(!col("is_a")).agg(sketchCol.as("sk_b"))
+    def probe(sk: String): Column =
+      array_min(transform(sequence(lit(0), lit(d - 1)),
+        j => element_at(col(sk), (j * w + bucket(col("h"), j, w)).cast("int") + 1)))
+    tagged.groupBy(col("user_id"), col("h"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+      .withColumn("delta", col("cnt_b") - col("cnt_a"))
+      .orderBy(abs(col("delta")).desc, col("user_id"))
+      .limit(topK)
+      .join(broadcast(skA)).join(broadcast(skB))
+      .select(col("user_id"), col("cnt_a"), col("cnt_b"), col("delta"),
+        probe("sk_a").as("est_a"), probe("sk_b").as("est_b"))
+      .withColumn("bounds_ok",
+        col("est_a") >= col("cnt_a") && col("est_b") >= col("cnt_b"))
+  }
+
   /** Rolling W-day active users (the WAU curve): for every observed day,
     * the EXACT count of distinct users active in the trailing `windowDays`
     * window — the sliding-distinct problem, which has no per-window

@@ -1302,6 +1302,36 @@ object TimeWindows {
       .groupBy(col("user_id"), col("day_num"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Behavior-path trigram mining (q274) — the three-step extension of
+    * [[transitionMatrix]]'s bigram flows: for every user's
+    * (ts, event_id)-ordered stream, count each consecutive
+    * A → B → C type path corpus-wide and keep the global top-k (the
+    * "what journeys actually happen" question a bigram matrix cannot
+    * answer — view→click→purchase and view→click→error share every
+    * bigram prefix but are opposite funnels). Deterministic top-k tie
+    * break by path; exact counts only.
+    *
+    * Scale shape: two lead() columns over the same user-keyed window
+    * (ONE shuffle — both leads share the frame), a map-combined
+    * ≤ |types|³ path aggregate, and a TakeOrderedAndProject heap.
+    *
+    * @return top-k rows: (t1, t2, t3, n_paths)
+    */
+  def pathTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .where(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** The histogram tail over a (user_id, day_num, n_events) table —
     * one row per user-day means rows-per-user IS distinct active days.
     */

@@ -189,4 +189,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(fp >= 0L && fp <= 30L)
     assert(r.getAs[Long]("fpr_ppm") === fp * 1000000L / 30L)
   }
+  test("cmsTopMovers: exact deltas ranked, one-sided bounds on both halves") {
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    val rows =
+      (1 to 5).map(i => (i.toLong, day(0), 1L, "a", 0.0, "")) ++   // u1: 5 before
+      (6 to 8).map(i => (i.toLong, day(10), 2L, "a", 0.0, "")) ++  // u2: 3 after
+      Seq((9L, day(0), 3L, "a", 0.0, ""), (10L, day(10), 3L, "a", 0.0, ""))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Sketches.cmsTopMovers(df, splitDay = 5L).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("cnt_a"), x.getAs[Long]("cnt_b"), x.getAs[Long]("delta"),
+          x.getAs[Long]("est_a"), x.getAs[Long]("est_b"),
+          x.getAs[Boolean]("bounds_ok"))).toMap
+    assert(r(1L)._1 === 5L && r(1L)._2 === 0L && r(1L)._3 === -5L)
+    assert(r(2L)._1 === 0L && r(2L)._2 === 3L && r(2L)._3 === 3L)
+    assert(r(3L)._3 === 0L)
+    // one-sided CMS: estimates can only overshoot, never undershoot
+    r.values.foreach { case (ca, cb, _, ea, eb, ok) =>
+      assert(ea >= ca && eb >= cb && ok)
+    }
+  }
 }

@@ -599,6 +599,24 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("left_sum") === 4L && r.getAs[Long]("right_sum") === 18L)
   }
 
+  test("pathTrigrams: ordered three-step paths, never crossing users") {
+    def ts(n: Long) = new java.sql.Timestamp(n * 60000L)
+    val rows = Seq(
+      // user 1: a b c d → paths (a,b,c), (b,c,d)
+      (1L, ts(0), 1L, "a", 0.0, ""), (2L, ts(1), 1L, "b", 0.0, ""),
+      (3L, ts(2), 1L, "c", 0.0, ""), (4L, ts(3), 1L, "d", 0.0, ""),
+      // user 2: a b c → (a,b,c) again
+      (5L, ts(0), 2L, "a", 0.0, ""), (6L, ts(1), 2L, "b", 0.0, ""),
+      (7L, ts(2), 2L, "c", 0.0, ""),
+      // user 3: only 2 events — no trigram, and never merges with user 1
+      (8L, ts(4), 3L, "d", 0.0, ""), (9L, ts(5), 3L, "a", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.pathTrigrams(rows).collect()
+      .map(x => (x.getAs[String]("t1"), x.getAs[String]("t2"),
+        x.getAs[String]("t3")) -> x.getAs[Long]("n_paths")).toMap
+    assert(r === Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L))
+  }
+
   test("engagementCurve: distinct days per user, tourists vs regulars") {
     def day(d: Long, off: Long = 0L) = new java.sql.Timestamp(d * 86400000L + off)
     val rows = Seq(
