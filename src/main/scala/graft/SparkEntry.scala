@@ -1013,6 +1013,10 @@ object SparkEntry {
     // movers as graded truth, one-sided bounds on both probes
     "q275_cms_movers" -> ((s, dir) =>
       Sketches.cmsTopMovers(Tables.events(s, dir))),
+    // double-sweep diameter lower bound: two bounded BFS passes, the
+    // second from the first sweep's farthest vertex
+    "q276_diameter_bound" -> ((s, dir) =>
+      plans.GraphOps.diameterLowerBound(Reco.undirected(coPairs(s, dir)))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -3116,6 +3120,22 @@ object SparkEntry {
          |LEFT JOIN bk ba ON ba.is_a AND ba.j = p.j AND ba.b = p.b
          |LEFT JOIN bk bb ON NOT bb.is_a AND bb.j = p.j AND bb.b = p.b
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // same two unrolled sweeps, same deepest-vertex reseed, same bound
+    "q276_diameter_bound" ->
+      s"""WITH $ratingsCte,
+         |$goodCte,
+         |$pairsCte,
+         |$edgesCte,
+         |${bfsCtesFrom("v", "SELECT min(src) AS id, 0 AS layer FROM edges", 6)},
+         |far AS MATERIALIZED (
+         |  SELECT id FROM v6 ORDER BY layer DESC, id LIMIT 1),
+         |${bfsCtesFrom("w", "SELECT id, 0 AS layer FROM far", 6)}
+         |SELECT
+         |  CAST((SELECT min(id) FROM v6 WHERE layer = 0) AS BIGINT) AS seed1,
+         |  CAST((SELECT max(layer) FROM v6) AS BIGINT) AS ecc1,
+         |  CAST((SELECT id FROM far) AS BIGINT) AS seed2,
+         |  CAST((SELECT max(layer) FROM w6) AS BIGINT) AS diameter_lb,
+         |  CAST((SELECT count(*) FROM w6) AS BIGINT) AS n_reached2""".stripMargin,
     // same two runs off the same tf table, same top-20 + rank windows,
     // same integer-floor reciprocal contributions, NULL-rank = 0
     "q258_rrf_fusion" ->
@@ -6971,17 +6991,23 @@ object SparkEntry {
     * [[graft.plans.GraphOps.bfsLayers]]. Ends with CTE `v<rounds>`
     * holding (id, layer). MATERIALIZED for the kCoreCtes reason.
     */
-  private def bfsCtes(rounds: Int): String = {
-    val init = "v0 AS MATERIALIZED (SELECT min(src) AS id, 0 AS layer FROM edges)"
+  private def bfsCtes(rounds: Int): String =
+    bfsCtesFrom("v", "SELECT min(src) AS id, 0 AS layer FROM edges", rounds)
+
+  /** [[bfsCtes]] parameterized on the CTE prefix and the seed SELECT —
+    * so q276's double sweep can run two independent chains ("v", "w").
+    */
+  private def bfsCtesFrom(p: String, seedSql: String, rounds: Int): String = {
+    val init = s"${p}0 AS MATERIALIZED ($seedSql)"
     val steps = (1 to rounds).map { i =>
-      s"""f$i AS MATERIALIZED (
+      s"""${p}f$i AS MATERIALIZED (
          |  SELECT DISTINCT e.dst AS id FROM edges e
-         |  JOIN v${i - 1} v ON e.src = v.id AND v.layer = ${i - 1}),
-         |v$i AS MATERIALIZED (
-         |  SELECT id, layer FROM v${i - 1}
+         |  JOIN $p${i - 1} v ON e.src = v.id AND v.layer = ${i - 1}),
+         |$p$i AS MATERIALIZED (
+         |  SELECT id, layer FROM $p${i - 1}
          |  UNION ALL
-         |  SELECT f.id, ${i} AS layer FROM f$i f
-         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p WHERE p.id = f.id))""".stripMargin
+         |  SELECT f.id, ${i} AS layer FROM ${p}f$i f
+         |  WHERE NOT EXISTS (SELECT 1 FROM $p${i - 1} p WHERE p.id = f.id))""".stripMargin
     }
     (init +: steps).mkString(",\n")
   }

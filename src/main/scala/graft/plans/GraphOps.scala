@@ -605,9 +605,23 @@ object GraphOps {
     */
   def bfsLayers(edges: DataFrame, rounds: Int = 4): DataFrame = {
     val e = edges.select("src", "dst").transform(graft.barrier)
-    var visited = e.agg(min(col("src")).as("id"))
+    val seed = e.agg(min(col("src")).as("id"))
       .withColumn("layer", lit(0L))
-      .transform(graft.barrier)
+    bfsFrom(e, seed, rounds)
+      .groupBy("layer")
+      .agg(count(lit(1)).as("n_vertices"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
+  /** The synchronous BFS loop shared by [[bfsLayers]] and
+    * [[diameterLowerBound]]: frontier-at-a-time expansion behind
+    * barriers, early exit when a frontier comes back empty.
+    *
+    * @param seed (id, layer=0) rows — the sweep's source set
+    * @return the visited table (id, layer)
+    */
+  private def bfsFrom(e: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
+    var visited = seed.transform(graft.barrier)
     var frontierEmpty = false
     var i = 1
     while (!frontierEmpty && i <= rounds) {
@@ -621,9 +635,40 @@ object GraphOps {
       frontierEmpty = visited.where(col("layer") === i).isEmpty
       i += 1
     }
-    visited.groupBy("layer")
-      .agg(count(lit(1)).as("n_vertices"), min(col("id")).as("min_id"),
-        max(col("id")).as("max_id"))
+    visited
+  }
+
+  /** Diameter lower bound by double sweep (q276) — the standard cheap
+    * diameter estimate (Magnien–Latapy–Habib): BFS from an arbitrary
+    * vertex (the min id — deterministic), restart from the FARTHEST
+    * vertex found (deepest layer, min id on ties), and report that
+    * second eccentricity. On real graphs the double sweep is usually
+    * exact or one off; it is always a valid lower bound, at the cost of
+    * exactly two bounded-round BFS passes instead of |V| of them.
+    *
+    * Both sweeps share [[bfsFrom]]'s loop; `rounds` caps each sweep (a
+    * sweep that exhausts its cap reports the capped depth — still a
+    * lower bound, honestly). Output also carries the second sweep's
+    * reach so a disconnected residual is visible.
+    *
+    * @param edges symmetric directed edges (symmetrize upstream)
+    * @return 1 row: (seed1, ecc1, seed2, diameter_lb, n_reached2)
+    */
+  def diameterLowerBound(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    val e = edges.select("src", "dst").transform(graft.barrier)
+    val seed1 = e.agg(min(col("src")).as("id")).withColumn("layer", lit(0L))
+    val v1 = bfsFrom(e, seed1, rounds)
+    val far = v1.orderBy(col("layer").desc, col("id")).limit(1)
+      .select(col("id"), lit(0L).as("layer"))
+      .transform(graft.barrier) // read as sweep-2 seed and as output column
+    val v2 = bfsFrom(e, far, rounds)
+    v1.agg(min(when(col("layer") === 0L, col("id"))).as("seed1"),
+        max(col("layer")).as("ecc1"))
+      .crossJoin(broadcast(far.select(col("id").as("seed2"))))
+      .crossJoin(broadcast(v2.agg(max(col("layer")).as("diameter_lb"),
+        count(lit(1)).as("n_reached2"))))
+      .select(col("seed1"), col("ecc1"), col("seed2"), col("diameter_lb"),
+        col("n_reached2"))
   }
 
   /** HITS hubs/authorities (q162 lineage: Kleinberg 1999) over the

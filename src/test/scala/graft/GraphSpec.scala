@@ -288,6 +288,24 @@ class GraphSpec extends AnyFunSuite {
     assert(rt === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("diameterLowerBound: double sweep finds the true path diameter") {
+    // path 1-2-3-4-5: sweep 1 from vertex 1 reaches depth 4; the farthest
+    // vertex is 5; sweep 2 from 5 also spans 4 — the exact diameter
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.diameterLowerBound(edges).collect().head
+    assert(r.getAs[Long]("seed1") === 1L)
+    assert(r.getAs[Long]("ecc1") === 4L)
+    assert(r.getAs[Long]("seed2") === 5L)
+    assert(r.getAs[Long]("diameter_lb") === 4L)
+    assert(r.getAs[Long]("n_reached2") === 5L)
+    // star: both eccentricities bounded by 2, reseed at a leaf
+    val star = Seq((1L, 9L), (9L, 1L), (2L, 9L), (9L, 2L), (3L, 9L), (9L, 3L))
+      .toDF("src", "dst")
+    val rs = GraphOps.diameterLowerBound(star).collect().head
+    assert(rs.getAs[Long]("diameter_lb") === 2L)
+  }
+
   test("lubyMIS: independence, coverage, and triangle uniqueness hold") {
     // triangle: exactly one MIS vertex (highest packed priority), both
     // neighbors out, all decided in round 1
