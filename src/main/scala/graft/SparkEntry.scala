@@ -1017,6 +1017,14 @@ object SparkEntry {
     // second from the first sweep's farthest vertex
     "q276_diameter_bound" -> ((s, dir) =>
       plans.GraphOps.diameterLowerBound(Reco.undirected(coPairs(s, dir)))),
+    // CDC MERGE apply: one full outer join for I/U/D semantics, graded
+    // by the order-invariant state checksum
+    "q277_cdc_apply" -> ((s, dir) =>
+      Relational.cdcApply(Tables.orders(s, dir))),
+    // ranking-family ties report: row_number/rank/dense_rank/exact-ppm
+    // percent_rank pinned over the same tie-prone order
+    "q278_rank_family" -> ((s, dir) =>
+      Relational.rankFamily(Tables.customer(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -3136,6 +3144,67 @@ object SparkEntry {
          |  CAST((SELECT id FROM far) AS BIGINT) AS seed2,
          |  CAST((SELECT max(layer) FROM w6) AS BIGINT) AS diameter_lb,
          |  CAST((SELECT count(*) FROM w6) AS BIGINT) AS n_reached2""".stripMargin,
+    // same deterministic change set, same one-join merge semantics,
+    // same null-sentinel row hashes
+    "q277_cdc_apply" ->
+      s"""WITH st AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS price_e2,
+         |    o_orderstatus AS status
+         |  FROM orders),
+         |ch AS (
+         |  SELECT k, CAST(NULL AS BIGINT) AS c_price,
+         |    CAST(NULL AS VARCHAR) AS c_status, 'D' AS op
+         |  FROM st WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT k, price_e2 + 500, status, 'U' FROM st
+         |  WHERE k % 7 <> 0 AND k % 11 = 0
+         |  UNION ALL
+         |  SELECT k + 1000000000, price_e2, status, 'I' FROM st
+         |  WHERE k % 31 = 0),
+         |ap AS (
+         |  SELECT COALESCE(st.k, ch.k) AS k,
+         |    COALESCE(ch.c_price, st.price_e2) AS price_e2,
+         |    COALESCE(ch.c_status, st.status) AS status, ch.op
+         |  FROM st FULL OUTER JOIN ch ON st.k = ch.k
+         |  WHERE COALESCE(ch.op, '') <> 'D'),
+         |h AS (SELECT op, concat_ws(chr(1),
+         |    COALESCE(CAST(k AS VARCHAR), chr(0) || 'null'),
+         |    COALESCE(CAST(price_e2 AS VARCHAR), chr(0) || 'null'),
+         |    COALESCE(status, chr(0) || 'null')) AS j FROM ap)
+         |SELECT
+         |  CAST((SELECT count(*) FROM st) AS BIGINT) AS n_before,
+         |  CAST(COALESCE(sum(CASE WHEN op = 'I' THEN 1 END), 0) AS BIGINT)
+         |    AS n_inserted,
+         |  CAST(COALESCE(sum(CASE WHEN op = 'U' THEN 1 END), 0) AS BIGINT)
+         |    AS n_updated,
+         |  CAST((SELECT count(*) FROM ch WHERE op = 'D') AS BIGINT)
+         |    AS n_deleted,
+         |  CAST(count(*) AS BIGINT) AS n_after,
+         |  CAST(sum(${md5Prefix32Sql("j")}) AS BIGINT) AS state_checksum
+         |FROM h""".stripMargin,
+    // same tie-prone dollar buckets, same four ranking semantics, same
+    // exact ppm percent_rank
+    "q278_rank_family" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(floor(c_acctbal) AS BIGINT) AS bal_dollars
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_mktsegment, bal_dollars, c_custkey,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY bal_dollars DESC, c_custkey) AS BIGINT) AS rn,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY bal_dollars DESC) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY bal_dollars DESC) AS BIGINT) AS drnk,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM b)
+        |SELECT c_mktsegment, bal_dollars, c_custkey, rn, rnk, drnk,
+        |  CASE WHEN n = 1 THEN 0
+        |    ELSE (rnk - 1) * 1000000 // (n - 1) END AS pr_ppm
+        |FROM r WHERE rn <= 5""".stripMargin,
     // same two runs off the same tf table, same top-20 + rank windows,
     // same integer-floor reciprocal contributions, NULL-rank = 0
     "q258_rrf_fusion" ->

@@ -2034,6 +2034,91 @@ object Relational {
           .as("n_unchanged"))
   }
 
+  /** CDC MERGE apply (q277) — the lakehouse upsert: apply a change
+    * stream of I(nsert)/U(pdate)/D(elete) operations to a keyed state
+    * table in ONE full outer join (never a per-op pass), and grade the
+    * result with the order-invariant [[tableChecksum]] idiom so the
+    * applied state compares across engines without shipping it. The
+    * change set is derived deterministically from the same table
+    * (inserts = keys ≡ 0 mod 31 re-keyed +10⁹, updates = ≡ 0 mod 11
+    * with price bumped, deletes = ≡ 0 mod 7), with precedence
+    * D > U > I per key and unmatched-change inserts landing as new
+    * rows — MERGE INTO's matched/not-matched semantics exactly.
+    *
+    * Scale shape: one key-equi full outer join (state shuffles once on
+    * its key — the join a Delta/Iceberg MERGE plans), map-side hashing,
+    * constant-size output.
+    *
+    * @return 1 row: (n_before, n_inserted, n_updated, n_deleted,
+    *         n_after, state_checksum)
+    */
+  def cdcApply(orders: DataFrame): DataFrame = {
+    val state = orders.select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_e2"), col("o_orderstatus").as("status"))
+      .transform(graft.barrier) // read by the change derivation and the join
+    val changes = state.where(col("k") % 7L === 0L)
+      .select(col("k"), lit(null).cast("long").as("c_price"),
+        lit(null).cast("string").as("c_status"), lit("D").as("op"))
+      .unionAll(state.where(col("k") % 7L =!= 0L && col("k") % 11L === 0L)
+        .select(col("k"), (col("price_e2") + 500L).as("c_price"),
+          col("status").as("c_status"), lit("U").as("op")))
+      .unionAll(state.where(col("k") % 31L === 0L)
+        .select((col("k") + 1000000000L).as("k"), col("price_e2").as("c_price"),
+          col("status").as("c_status"), lit("I").as("op")))
+    val applied = state.join(changes, Seq("k"), "full_outer")
+      .where(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("k"),
+        coalesce(col("c_price"), col("price_e2")).as("price_e2"),
+        coalesce(col("c_status"), col("status")).as("status"),
+        col("op"))
+      .transform(graft.barrier) // read by the counts and the checksum
+    val counts = applied.agg(count(lit(1)).as("n_after"),
+      sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"),
+      sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+    val before = state.agg(count(lit(1)).as("n_before"))
+    val deleted = changes.where(col("op") === "D")
+      .agg(count(lit(1)).as("n_deleted"))
+    val checksum = applied.agg(
+      sum(rowHash(Seq("k", "price_e2", "status"))).as("state_checksum"))
+    before.crossJoin(broadcast(counts)).crossJoin(broadcast(deleted))
+      .crossJoin(broadcast(checksum))
+      .select(col("n_before"), col("n_inserted"), col("n_updated"),
+        col("n_deleted"), col("n_after"), col("state_checksum"))
+  }
+
+  /** Ranking-family ties report (q278) — row_number vs rank vs
+    * dense_rank vs percent_rank over the SAME deterministic order, on a
+    * column with real ties (customer balances bucketed to whole
+    * dollars): the four semantics differ exactly at ties, and this
+    * report pins each engine to the same answers. percent_rank is kept
+    * exact as the ppm floor (rank−1)·10⁶ div (n−1) rather than the
+    * engines' native float. Top-5 per market segment by the tie-prone
+    * key, deterministic final tiebreak on custkey only INSIDE
+    * row_number (the others must see the ties).
+    *
+    * @return ≤ 5·|segments| rows: (c_mktsegment, bal_dollars, c_custkey,
+    *         rn, rnk, drnk, pr_ppm)
+    */
+  def rankFamily(customer: DataFrame, k: Int = 5): DataFrame = {
+    val byBal = Window.partitionBy("c_mktsegment")
+      .orderBy(col("bal_dollars").desc, col("c_custkey"))
+    val tied = Window.partitionBy("c_mktsegment")
+      .orderBy(col("bal_dollars").desc)
+    val base = customer.select(col("c_mktsegment"), col("c_custkey"),
+      expr("CAST(floor(c_acctbal) AS BIGINT)").as("bal_dollars"))
+    base
+      .withColumn("rn", row_number().over(byBal).cast("long"))
+      .withColumn("rnk", rank().over(tied).cast("long"))
+      .withColumn("drnk", dense_rank().over(tied).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .where(col("rn") <= k)
+      .select(col("c_mktsegment"), col("bal_dollars"), col("c_custkey"),
+        col("rn"), col("rnk"), col("drnk"),
+        expr("CASE WHEN n = 1 THEN 0 ELSE (rnk - 1) * 1000000 div (n - 1) END")
+          .as("pr_ppm"))
+  }
+
   /** TPC-H Q20 shape (q255) — promotion-stock suppliers: per nation, the
     * suppliers who shipped MORE THAN TWICE the average supplier's share
     * of some pattern-named part (this corpus has no partsupp/availqty,

@@ -888,6 +888,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(m.getAs[Long]("share_ppm") === 250000L)
   }
 
+  test("cdcApply: one-join merge honors I/U/D, checksum matches expected state") {
+    val orders = Seq(
+      (7L, 10.0, "O"),   // delete slice
+      (11L, 20.0, "O"),  // update slice: price += 5.00
+      (31L, 30.0, "F"),  // insert source: re-keyed copy lands, original stays
+      (1L, 40.0, "O"))   // untouched
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val r = Relational.cdcApply(orders).collect().head
+    assert(r.getAs[Long]("n_before") === 4L)
+    assert(r.getAs[Long]("n_inserted") === 1L)
+    assert(r.getAs[Long]("n_updated") === 1L)
+    assert(r.getAs[Long]("n_deleted") === 1L)
+    assert(r.getAs[Long]("n_after") === 4L)
+    // checksum equals the hash-sum of the hand-built expected state
+    val expected = Seq(
+      (11L, 2500L, "O"), (31L, 3000L, "F"),
+      (1000000031L, 3000L, "F"), (1L, 4000L, "O"))
+      .toDF("k", "price_e2", "status")
+      .agg(sum(Relational.rowHash(Seq("k", "price_e2", "status"))))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("state_checksum") === expected)
+  }
+
+  test("rankFamily: the four ranking semantics split exactly at ties") {
+    val cust = Seq(
+      (1L, 100.5, "A"), (2L, 100.2, "A"), (3L, 50.0, "A"))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val r = Relational.rankFamily(cust).collect()
+      .map(x => x.getAs[Long]("c_custkey") ->
+        (x.getAs[Long]("rn"), x.getAs[Long]("rnk"), x.getAs[Long]("drnk"),
+          x.getAs[Long]("pr_ppm"))).toMap
+    // custkeys 1 and 2 tie at 100 whole dollars
+    assert(r(1L) === ((1L, 1L, 1L, 0L)))
+    assert(r(2L) === ((2L, 1L, 1L, 0L)))
+    assert(r(3L) === ((3L, 3L, 2L, 1000000L)))
+  }
+
   test("incrementalRevenue: old - deletes + inserts equals the recompute") {
     val li = Seq(
       (13L, "A", 10.0, 0.0),  // delete slice (13 % 13 = 0)
