@@ -1025,6 +1025,10 @@ object SparkEntry {
     // percent_rank pinned over the same tie-prone order
     "q278_rank_family" -> ((s, dir) =>
       Relational.rankFamily(Tables.customer(s, dir))),
+    // weekly growth accounting: new/retained/resurrected/churned user
+    // states with the actives identity as the built-in check
+    "q279_growth_accounting" -> ((s, dir) =>
+      TimeWindows.growthAccounting(Tables.events(s, dir))),
     // per-source Spearman rank correlation of n_chars vs token count —
     // exact BIGINT d² sums, per-source windows only
     "q202_spearman" -> ((s, dir) =>
@@ -3205,6 +3209,44 @@ object SparkEntry {
         |  CASE WHEN n = 1 THEN 0
         |    ELSE (rnk - 1) * 1000000 // (n - 1) END AS pr_ppm
         |FROM r WHERE rn <= 5""".stripMargin,
+    // same epoch-week buckets, same first-week/prev-week state split,
+    // same week-after churn attribution
+    "q279_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week
+        |  FROM events),
+        |fw AS (SELECT user_id, min(week) AS fw FROM uw GROUP BY 1),
+        |pv AS (SELECT user_id, week + 1 AS week FROM uw),
+        |st AS (
+        |  SELECT uw.week,
+        |    CASE WHEN uw.week = fw.fw THEN 'new'
+        |         WHEN pv.user_id IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS state
+        |  FROM uw
+        |  JOIN fw ON uw.user_id = fw.user_id
+        |  LEFT JOIN pv ON uw.user_id = pv.user_id AND uw.week = pv.week),
+        |ag AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(COALESCE(sum(CASE WHEN state = 'new' THEN 1 END), 0)
+        |      AS BIGINT) AS n_new,
+        |    CAST(COALESCE(sum(CASE WHEN state = 'retained' THEN 1 END), 0)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(COALESCE(sum(CASE WHEN state = 'resurrected' THEN 1 END), 0)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM st GROUP BY 1),
+        |chn AS (
+        |  SELECT p.week, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM pv p
+        |  WHERE NOT EXISTS (SELECT 1 FROM uw
+        |    WHERE uw.user_id = p.user_id AND uw.week = p.week)
+        |  GROUP BY 1)
+        |SELECT COALESCE(ag.week, chn.week) AS week,
+        |  COALESCE(n_active, 0) AS n_active, COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM ag FULL OUTER JOIN chn ON ag.week = chn.week""".stripMargin,
     // same two runs off the same tf table, same top-20 + rank windows,
     // same integer-floor reciprocal contributions, NULL-rank = 0
     "q258_rrf_fusion" ->

@@ -1332,6 +1332,61 @@ object TimeWindows {
       .limit(k)
   }
 
+  /** Weekly growth accounting (q279) — the standard user-state quartet
+    * every growth dashboard leads with: per week, users who are NEW
+    * (first-ever active week), RETAINED (also active the week before),
+    * RESURRECTED (active, inactive last week, but seen before), and
+    * CHURNED (active last week, gone this week — attributed to the week
+    * they went missing). The identity actives(w) = new + retained +
+    * resurrected holds by construction and is the report's own
+    * consistency check; churn is the only row counted against a week
+    * the user was absent.
+    *
+    * Scale shape: one (user, week) dedup (map-combined), a per-user min
+    * week aggregate joined back user-keyed, and a self-join on
+    * (user, week−1) — all equi-joins on the user key; the report is
+    * ≤ |weeks| rows. Exact integers only.
+    *
+    * @return per week: (week, n_active, n_new, n_retained,
+    *         n_resurrected, n_churned)
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+      .distinct()
+      .transform(graft.barrier) // read by first-week, prev-week, and churn
+    val firstWeek = uw.groupBy(col("user_id")).agg(min(col("week")).as("fw"))
+    val prev = uw.select(col("user_id"), (col("week") + 1L).as("week"),
+      lit(1L).as("was_prev"))
+    val states = uw
+      .join(firstWeek, "user_id")
+      .join(prev, Seq("user_id", "week"), "left")
+      .select(col("week"),
+        when(col("week") === col("fw"), "new")
+          .when(col("was_prev") === 1L, "retained")
+          .otherwise("resurrected").as("state"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churned in week w: active in w−1, absent in w
+    val churned = prev
+      .join(uw, Seq("user_id", "week"), "left_anti")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    states.join(churned, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** The histogram tail over a (user_id, day_num, n_events) table —
     * one row per user-day means rows-per-user IS distinct active days.
     */

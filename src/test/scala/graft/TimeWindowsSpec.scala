@@ -599,6 +599,29 @@ class TimeWindowsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("left_sum") === 4L && r.getAs[Long]("right_sum") === 18L)
   }
 
+  test("growthAccounting: the quartet sums to actives, churn lands a week late") {
+    def wk(w: Long) = new java.sql.Timestamp(w * 7L * 86400000L)
+    // u1: weeks 0,1,3 → new@0, retained@1, churned@2, resurrected@3,
+    //     churned@4; u2: week 1 only → new@1, churned@2
+    val rows = Seq(
+      (1L, wk(0), 1L, "a", 0.0, ""), (2L, wk(1), 1L, "a", 0.0, ""),
+      (3L, wk(3), 1L, "a", 0.0, ""),
+      (4L, wk(1), 2L, "a", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = TimeWindows.growthAccounting(rows).collect()
+      .map(x => x.getAs[Long]("week") ->
+        (x.getAs[Long]("n_active"), x.getAs[Long]("n_new"),
+          x.getAs[Long]("n_retained"), x.getAs[Long]("n_resurrected"),
+          x.getAs[Long]("n_churned"))).toMap
+    assert(r(0L) === ((1L, 1L, 0L, 0L, 0L)))
+    assert(r(1L) === ((2L, 1L, 1L, 0L, 0L)))
+    assert(r(2L) === ((0L, 0L, 0L, 0L, 2L)))  // both vanish
+    assert(r(3L) === ((1L, 0L, 0L, 1L, 0L)))  // u1 comes back
+    assert(r(4L) === ((0L, 0L, 0L, 0L, 1L)))  // and churns again
+    // identity: actives = new + retained + resurrected, every week
+    r.values.foreach { case (a, n, ret, res, _) => assert(a === n + ret + res) }
+  }
+
   test("pathTrigrams: ordered three-step paths, never crossing users") {
     def ts(n: Long) = new java.sql.Timestamp(n * 60000L)
     val rows = Seq(
