@@ -2693,10 +2693,10 @@ object SparkEntry {
         |  FROM xy u JOIN xy w ON u.type_a = w.type_a AND u.type_b = w.type_b
         |    AND u.day_num < w.day_num)
         |SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_day_pairs,
-        |  CAST(COALESCE(sum(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 END), 0)
-        |    AS BIGINT) AS concordant,
-        |  CAST(COALESCE(sum(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 END), 0)
-        |    AS BIGINT) AS discordant,
+        |  CAST(COALESCE(sum(CASE WHEN CAST(x1 - x2 AS HUGEINT) * (y1 - y2) > 0
+        |    THEN 1 END), 0) AS BIGINT) AS concordant,
+        |  CAST(COALESCE(sum(CASE WHEN CAST(x1 - x2 AS HUGEINT) * (y1 - y2) < 0
+        |    THEN 1 END), 0) AS BIGINT) AS discordant,
         |  CAST(COALESCE(sum(CASE WHEN x1 = x2 THEN 1 END), 0) AS BIGINT) AS tie_a,
         |  CAST(COALESCE(sum(CASE WHEN y1 = y2 THEN 1 END), 0) AS BIGINT) AS tie_b
         |FROM p GROUP BY 1, 2""".stripMargin,
@@ -3560,12 +3560,14 @@ object SparkEntry {
         |m AS (
         |  SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS n_w,
         |    CAST(sum(cnt) AS BIGINT) AS s_w,
-        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss_w
+        |    sum(CAST(cnt AS HUGEINT) * cnt) AS ss_w
         |  FROM d GROUP BY 1, 2)
         |SELECT d.event_type, d.day_num, d.weekday, d.cnt, m.n_w,
         |  CAST(CASE WHEN m.n_w > 1
-        |    AND (d.cnt * m.n_w - m.s_w) * (d.cnt * m.n_w - m.s_w)
-        |        > 4 * (m.n_w * m.ss_w - m.s_w * m.s_w)
+        |    AND (CAST(d.cnt AS HUGEINT) * m.n_w - m.s_w)
+        |        * (CAST(d.cnt AS HUGEINT) * m.n_w - m.s_w)
+        |        > 4 * (CAST(m.n_w AS HUGEINT) * m.ss_w
+        |            - CAST(m.s_w AS HUGEINT) * m.s_w)
         |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM d JOIN m ON d.event_type = m.event_type AND d.weekday = m.weekday""".stripMargin,
     // same sentence/word/vowel-group regex counts, same two milli floors

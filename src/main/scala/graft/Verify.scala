@@ -31,6 +31,18 @@ object Verify {
     case a: scala.collection.Seq[_] =>
       a.map(canon).mkString("[", ",", "]")
     case a: Array[_] => a.map(x => canon(x)).mkString("[", ",", "]")
+    // Temporal types render as epoch integers, NOT toString — toString
+    // formats in the JVM default timezone, which would make the
+    // "representation-pinning" hash machine-TZ-dependent the day a
+    // graded query surfaces a temporal column.
+    case t: java.sql.Timestamp =>
+      "ts:" + (Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L)
+        + t.getNanos / 1000)
+    case i: java.time.Instant =>
+      "ts:" + (Math.multiplyExact(i.getEpochSecond, 1000000L)
+        + i.getNano / 1000)
+    case d: java.sql.Date => "d:" + d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => "d:" + d.toEpochDay
     case other => other.toString
   }
 
@@ -94,7 +106,13 @@ object Verify {
     val hj = hashes
       .map { case (k, (n, h)) => s"${q(k)}: {\"rows\": $n, \"sha256\": ${q(h)}}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/verify_hashes.json"), hj)
+    // Filtered (local-iteration) runs write to a SUFFIXED file: a full
+    // verify_hashes.json overwritten with the filtered subset while
+    // oracle_sql.json keeps the full map would read as regressions to a
+    // driver diffing the two.
+    val hashFile =
+      if (only.isDefined) "verify_hashes.partial.json" else "verify_hashes.json"
+    Files.writeString(Paths.get(s"$outDir/$hashFile"), hj)
     spark.stop()
   }
 }

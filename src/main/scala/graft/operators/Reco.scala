@@ -873,7 +873,13 @@ object Reco {
     val pre = NdcgWeights.prefix.take(k)
     val test = split.where(col("is_test"))
       .select(col("userId"), col("productId").as("item"))
-    val dcg = test.join(ranked.select("userId", "item", "rn"),
+    // rn <= k cut BEFORE the discount lookup: a deeper-than-k hit is a
+    // miss by definition (the oracle's topr rn<=k CTE), and without the
+    // cut the array literal would be indexed out of bounds — NULL with
+    // ANSI off, but an ERROR under spark.sql.ansi.enabled=true or for
+    // any caller passing full-depth ranks
+    val dcg = test.join(ranked.select("userId", "item", "rn")
+        .where(col("rn") <= k.toLong),
         Seq("userId", "item"))
       .groupBy(col("userId"))
       .agg(sum(element_at(array(w.map(lit): _*), col("rn").cast("int")))

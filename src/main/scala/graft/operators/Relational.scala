@@ -739,23 +739,37 @@ object Relational {
     * undominated on (price, recency) — no later order was also more
     * expensive.
     *
-    * Algorithm: collapse to DISTINCT points with multiplicity, then one
-    * pass in (x DESC, y DESC) order keeps a point iff its y strictly
-    * exceeds the running max-y of every point before it — the classic
-    * sort-scan skyline, correct because any preceding point has ≥ x (and
-    * > x or > y when distinct), so `y ≤ running max` is exactly
-    * "dominated".
+    * Algorithm — two lossless prunes that together ARE the skyline, with
+    * no global sort-scan anywhere:
     *
-    * Scale shape — the sort-scan is a GLOBAL ordered window, which would
-    * single-partition the corpus, so a grid prune runs first: per
-    * x-bucket max-y (one map-combined aggregate → `buckets` rows), the
-    * running max over strictly-higher buckets (a `buckets`-row window,
-    * broadcast back), and only points whose y beats every higher bucket's
-    * max survive to the exact window. Any point in a strictly higher
-    * x-bucket has strictly higher x, so `y ≤ that bucket's max` proves
-    * dominance — the prune is lossless, and the survivor set is within a
-    * per-bucket straggler of the skyline itself (≤ buckets + |skyline|
-    * points), trivially windowable at any corpus size.
+    *   1. Cross-bucket prune: per x-bucket max-y (one map-combined
+    *      aggregate → `buckets` rows), running max over strictly-higher
+    *      buckets (a `buckets`-row metadata window, broadcast back as
+    *      `thr`). A point with y ≤ thr(b) is dominated by some point in
+    *      a strictly higher bucket (strictly higher x, ≥ its y).
+    *   2. Per-bucket LOCAL sort-scan: within each bucket — a window
+    *      PARTITIONED by bucket, ordered (x DESC, y DESC) — a point
+    *      survives iff its y strictly exceeds the running max-y of the
+    *      bucket rows before it (the classic sort-scan, bucket-local).
+    *
+    * Exactness: a dominator of p sits in p's bucket or a strictly higher
+    * one (equal-width x-buckets are monotone in x, so lower buckets have
+    * strictly smaller x and cannot dominate). A higher-bucket dominator
+    * implies y_p ≤ max-y(that bucket) ≤ thr(b_p) — killed by prune 1. A
+    * same-bucket dominator q has (x_q, y_q) ≥ (x_p, y_p), so q precedes
+    * p in the local order and its y enters p's running max — killed by
+    * prune 2; and if q itself was thr-pruned, y_p ≤ y_q ≤ thr proves p
+    * was already gone. So the survivor set is exactly the skyline.
+    *
+    * Scale shape: NO unpartitioned data window exists — the former
+    * global exact window (r10 `weak`: on anti-correlated data every
+    * point is on the frontier and the prune passes the whole corpus to
+    * one task) is gone. The only unpartitioned window runs over the
+    * ≤ `buckets`-row max-y table. The local window partitions by bucket:
+    * per-partition size is the bucket's distinct-point count — x-range/
+    * `buckets` wide, and ≤ |days| rows per distinct price within it —
+    * so adversarially anti-correlated data spreads across all buckets
+    * instead of collapsing onto one task.
     *
     * @return (price_cents, day_num, n_rows): the undominated distinct
     *         points and how many orders sit on each
@@ -776,9 +790,10 @@ object Relational {
       .select("b", "thr")
     val cand = bucketed.join(broadcast(thr), "b")
       .where(col("thr").isNull || col("y") > col("thr"))
-    val w = Window.orderBy(col("x").desc, col("y").desc)
+    val wLocal = Window.partitionBy(col("b"))
+      .orderBy(col("x").desc, col("y").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    cand.withColumn("my", max(col("y")).over(w))
+    cand.withColumn("my", max(col("y")).over(wLocal))
       .where(col("my").isNull || col("y") > col("my"))
       .select(col("x").as("price_cents"), col("y").as("day_num"), col("n_rows"))
   }

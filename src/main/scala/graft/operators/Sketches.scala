@@ -146,9 +146,14 @@ object Sketches {
         .toAggregateExpression())
     val skA = tagged.where(col("is_a")).agg(sketchCol.as("sk_a"))
     val skB = tagged.where(!col("is_a")).agg(sketchCol.as("sk_b"))
+    // coalesce(…, 0): a half with zero rows (splitDay outside the data
+    // range) aggregates to a NULL sketch — its probe must degrade to
+    // est 0 (and bounds_ok true against cnt 0) like the oracle's
+    // COALESCE path, not propagate NULL
     def probe(sk: String): Column =
-      array_min(transform(sequence(lit(0), lit(d - 1)),
-        j => element_at(col(sk), (j * w + bucket(col("h"), j, w)).cast("int") + 1)))
+      coalesce(array_min(transform(sequence(lit(0), lit(d - 1)),
+        j => element_at(col(sk), (j * w + bucket(col("h"), j, w)).cast("int") + 1))),
+        lit(0L))
     tagged.groupBy(col("user_id"), col("h"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))

@@ -1069,18 +1069,25 @@ object TimeWindows {
     * twin seam (q103/q144/q209/q237/q245 pattern).
     */
   def seasonalAnomaliesFromDaily(daily: DataFrame): DataFrame = {
+    // DECIMAL(38,0)-first moments and deviation square (the
+    // binarySegmentationFromDaily pattern): past 2^63 a BIGINT square
+    // would silently wrap under non-ANSI Spark while the HUGEINT oracle
+    // errors — the internal comparison goes decimal, the OUTPUT columns
+    // stay engine-portable BIGINT.
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val d = daily.withColumn("weekday", col("day_num") % 7)
       .transform(graft.barrier) // read by the moment aggregate and the flags
     val moments = d.groupBy("event_type", "weekday")
       .agg(count(lit(1)).as("n_w"), sum(col("cnt")).as("s_w"),
-        sum(col("cnt") * col("cnt")).as("ss_w"))
+        sum(dec(col("cnt")) * col("cnt")).as("ss_w"))
     d.join(broadcast(moments), Seq("event_type", "weekday"))
+      .withColumn("dev", dec(col("cnt")) * col("n_w") - col("s_w"))
       .select(col("event_type"), col("day_num"), col("weekday"), col("cnt"),
         col("n_w"),
         when(col("n_w") > 1 &&
-          (col("cnt") * col("n_w") - col("s_w"))
-            * (col("cnt") * col("n_w") - col("s_w"))
-            > lit(4L) * (col("n_w") * col("ss_w") - col("s_w") * col("s_w")),
+          col("dev") * col("dev")
+            > lit(4L) * (dec(col("n_w")) * col("ss_w")
+              - dec(col("s_w")) * col("s_w")),
           lit(1L)).otherwise(lit(0L)).as("flagged"))
   }
 
@@ -1184,9 +1191,13 @@ object TimeWindows {
       .transform(graft.barrier)
     val xy2 = xy.select(col("type_a"), col("type_b"),
       col("day_num").as("d2"), col("x1").as("x2"), col("y1").as("y2"))
+    // DECIMAL(38,0) product: two BIGINT daily-count differences can
+    // overflow their product past 2^63 (silent wrap non-ANSI vs HUGEINT
+    // oracle error); only the SIGN is consumed, so decimal is free here
     xy.join(xy2, Seq("type_a", "type_b")).where(col("day_num") < col("d2"))
       .select(col("type_a"), col("type_b"),
-        ((col("x1") - col("x2")) * (col("y1") - col("y2"))).as("prod"),
+        ((col("x1") - col("x2")).cast("decimal(38,0)")
+          * (col("y1") - col("y2"))).as("prod"),
         (col("x1") === col("x2")).as("ta"), (col("y1") === col("y2")).as("tb"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_day_pairs"),

@@ -393,16 +393,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"q161 must not join:\n$plan")
   }
 
-  test("q159 skyline: the exact window runs only over the pruned survivors") {
+  test("q159 skyline: two-stage shape — broadcast prune + BUCKET-partitioned scan") {
     val plan = planString(SparkEntry.queries("q159_skyline")(spark, TestSpark.sf))
     // prune path: a bucket aggregate and a broadcast of the 1024-row
-    // threshold table must sit UNDER the final single-partition window
+    // threshold table must sit UNDER the final window
     assert(plan.contains("BroadcastHashJoin"),
       s"q159 lost the broadcast threshold prune:\n$plan")
     val windowIdx = plan.indexOf("Window")
     val joinIdx = plan.indexOf("BroadcastHashJoin")
     assert(windowIdx >= 0 && joinIdx > windowIdx,
       s"q159 prune join must feed the window (appear below it):\n$plan")
+    // the data-sized sort-scan window must be PARTITIONED by the bucket
+    // column — anti-correlated data (every point on the frontier) must
+    // spread across buckets, never collapse onto one task (r10 `weak`)
+    assert("windowspecdefinition\\(b#\\d+L?, x#".r.findFirstIn(plan).isDefined,
+      s"q159 sort-scan window must partition by bucket:\n$plan")
+    // the ONLY unpartitioned window is the <=1024-row threshold table's:
+    // exactly one windowspecdefinition without a leading partition column
+    val unpart = "windowspecdefinition\\(b#\\d+L DESC".r.findAllIn(plan).length
+    assert(unpart === 1,
+      s"q159 expected exactly the metadata thr window unpartitioned:\n$plan")
   }
 
   test("q167/q169/q173: candidate tables broadcast; postings join stays keyed") {

@@ -531,6 +531,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(real === brute, "grid prune must be lossless")
   }
 
+  test("skyline: anti-diagonal adversarial frontier (every point undominated)") {
+    // price and recency trade off perfectly monotonically — the worst
+    // case for the prune (nothing is dominated, ALL points survive to
+    // the scan stage). Correctness: the full anti-diagonal IS the
+    // skyline. Scale: the scan window partitions by x-bucket, so this
+    // shape spreads over buckets instead of one task (the r10 `weak`).
+    val n = 500
+    val adv = spark.range(n.toLong).selectExpr(
+      "id AS o_orderkey",
+      "CAST(1 + id AS DOUBLE) AS o_totalprice",
+      s"date_add(DATE '1992-01-01', CAST($n - 1 - id AS INT)) AS o_orderdate")
+    val r = Relational.skyline(adv).collect()
+    assert(r.length === n, s"anti-diagonal skyline must keep all $n points")
+    assert(r.forall(_.getAs[Long]("n_rows") == 1L))
+    // mixed adversarial: add, for every frontier point, a same-bucket
+    // dominated twin (one cent cheaper, same day) — the LOCAL scan must
+    // kill exactly those, cross-bucket thr pruning must not over-kill
+    val twin = adv.selectExpr("o_orderkey + 1000000 AS o_orderkey",
+      "o_totalprice - 0.005 AS o_totalprice", "o_orderdate")
+    val r2 = Relational.skyline(adv.unionAll(twin)).collect()
+      .map(x => (x.getAs[Long]("price_cents"), x.getAs[Long]("day_num"))).toSet
+    val expected = (0 until n)
+      .map(i => ((1 + i) * 100L, (8035 + n - 1 - i).toLong)).toSet
+    assert(r2 === expected, "dominated same-bucket twins must be eliminated")
+  }
+
   test("smallQuantityRevenue: only lines below 20% of their part's avg count") {
     val part = Seq((1L, "Brand#4"), (2L, "Brand#4"), (3L, "Other"))
       .toDF("p_partkey", "p_brand")
