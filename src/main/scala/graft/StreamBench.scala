@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming micro-benchmark main — measures the stateful streaming
+  * surface the batch Bench can't see: end-to-end rows/sec, per-micro-batch
+  * latency, and state size for the four representative stateful shapes
+  * (watermarked dedup, stream–stream interval join, flatMapGroupsWithState
+  * SCD fold, flatMapGroupsWithState EWMA fold).
+  *
+  * Method: the sf events table is staged as time-range-partitioned parquet
+  * chunks whose modification times force the file stream source to replay
+  * them in event-time order (so watermarks advance realistically and
+  * nothing is dropped as late); each query runs over the same replay with
+  * `maxFilesPerTrigger = 1`, i.e. one micro-batch per chunk, into the noop
+  * sink. Metrics come from the engine's own StreamingQueryProgress — input
+  * rows, trigger wall time, and the state store's row/byte gauges — not
+  * from wall-clock guesswork.
+  *
+  * Output: one JSON line per query on stdout plus a combined
+  * BENCH_streaming.json — fields per query:
+  *   rows (input), wall_s, rows_per_sec, batches, batch_ms_p50/p95/max,
+  *   state_rows_max, state_bytes_max.
+  */
+object StreamBench {
+
+  private def build(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private case class Result(name: String, rows: Long, wallS: Double,
+                            batches: Int, p50: Long, p95: Long, maxMs: Long,
+                            stateRows: Long, stateBytes: Long) {
+    def json: String = {
+      val rps = if (wallS > 0) rows / wallS else 0.0
+      f"""{"query":"$name","rows":$rows,"wall_s":$wallS%.3f,""" +
+        f""""rows_per_sec":$rps%.0f,"batches":$batches,""" +
+        s""""batch_ms_p50":$p50,"batch_ms_p95":$p95,"batch_ms_max":$maxMs,""" +
+        s""""state_rows_max":$stateRows,"state_bytes_max":$stateBytes}"""
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "24").toInt
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-streambench").toString
+    val stage = s"$work/events"
+    val spark = build(cpus)
+    import java.nio.file.{Files, Paths}
+
+    // ---- stage: time-ordered replayable chunks -------------------------
+    val ev = Tables.events(spark, sfDir)
+    ev.repartitionByRange(chunks, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    // FileStreamSource orders by (modification time, path); same-second
+    // mtimes would leave chunk order unspecified, so stamp them strictly
+    // increasing in range-partition (= event-time) order.
+    val parts = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+    }
+    val schema = spark.read.parquet(stage).schema
+    val totalRows = spark.read.parquet(stage).count()
+    def stream(): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+
+    // ---- harness --------------------------------------------------------
+    def bench(name: String)(mk: () => DataFrame): Result = {
+      val ck = s"$work/ck-$name"
+      val t0 = System.nanoTime()
+      val q = mk().writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val rows = prog.map(_.numInputRows).sum
+      val lat = prog.map(_.durationMs.get("triggerExecution").longValue).sorted
+      def pct(p: Double): Long =
+        if (lat.isEmpty) 0L else lat(math.min(lat.length - 1, (p * lat.length).toInt))
+      val stateRows = prog.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      val stateBytes = prog.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .foldLeft(0L)(math.max)
+      q.stop()
+      Result(name, rows, wallS, lat.length, pct(0.5), pct(0.95),
+        lat.lastOption.getOrElse(0L), stateRows, stateBytes)
+    }
+
+    val results = Seq(
+      // watermark-bounded exact dedup (q50's streaming side): synthetic
+      // (user, event-bucket) keys give realistic duplicate pressure
+      bench("dedup_within_watermark") { () =>
+        streaming.RealTime.dedupReviews(stream()
+          .select(col("user_id").as("userId"),
+            (col("event_id") % 10000L).as("productId"), col("ts")))
+      },
+      // stream-stream interval join: clicks meet in-horizon views, both
+      // sides buffered only inside the watermark horizon
+      bench("click_view_pairs") { () =>
+        streaming.RealTime.clickViewPairsStream(
+          stream().where(col("event_type") === "click"),
+          stream().where(col("event_type") === "view"))
+      },
+      // flatMapGroupsWithState per-user SCD interval fold
+      bench("scd_intervals") { () =>
+        streaming.Stateful.scdIntervalsStream(spark, stream()).toDF()
+      },
+      // flatMapGroupsWithState per-type daily EWMA fold
+      bench("ewma_volume") { () =>
+        streaming.Stateful.ewmaVolumeStream(spark,
+          stream().select(col("event_type").as("eventType"),
+            expr("unix_millis(ts)").as("timestamp"))).toDF()
+      })
+
+    results.foreach(r => println(r.json))
+    val combined = s"""{"sf":"$sfDir","events":$totalRows,"chunks":$chunks,""" +
+      s""""queries":[${results.map(_.json).mkString(",")}]}"""
+    try Files.writeString(Paths.get("BENCH_streaming.json"), combined + "\n")
+    catch { case _: Throwable => () }
+    // best-effort scratch cleanup (tmpfs)
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(work)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

@@ -558,14 +558,63 @@ object RealTime {
   /** Sink #2 — JSON output, stand-in for the Kafka `Output` topic
     * (`RealTimeRecommendations.java:58-68`, `KafkaOutputSerialization.java:9-19`).
     * Schema matches `KafkaOutput {userId, recommendedProducts: Set<String>}`.
+    *
+    * `format`/`options` mirror [[readReviews]] — the Kafka binding is
+    * `format = "kafka"`, `options = kafkaSinkOptions(bootstrap)`,
+    * `outDir = ""` (Kafka takes no path). The `value` column IS the wire
+    * payload either way; see [[kafkaSinkOptions]] for the pinned contract.
     */
   def writeOutput(enriched: DataFrame, outDir: String, checkpointDir: String,
-                  format: String = "text"): DataStreamWriter[org.apache.spark.sql.Row] =
-    enriched
+                  format: String = "text",
+                  options: Map[String, String] = Map.empty)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = enriched
       .select(to_json(struct(col("userId"), col("recommendedProducts"))).as("value"))
       .writeStream
       .format(format) // "kafka" binds here unchanged — the value column is the wire payload
-      .option("path", outDir)
+      .options(options)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+    if (outDir.nonEmpty) w.option("path", outDir) else w
+  }
+
+  // -------------------------------------------------------------------------
+  // Kafka binding contract (`RealTimeRecommendations.java:40-48,58-68`)
+  //
+  // The environment ships no spark-sql-kafka connector jar and dependencies
+  // are offline, so these cannot START here — but they pin the EXACT option
+  // set and value projection a real cluster flips to, and the projections
+  // themselves are batch-testable (StreamingSpec "kafka binding contract").
+  // -------------------------------------------------------------------------
+
+  /** Source options for the reference's consumer: topic `Reviews`, read
+    * from the earliest offset (the reference replays the whole stream
+    * partition — `kafka_stream_generator.py:20-41` feeds it from offset 0).
+    */
+  def kafkaSourceOptions(bootstrapServers: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> "Reviews",
+    "startingOffsets" -> "earliest")
+
+  /** Sink options for the reference's producer: topic `Output`. */
+  def kafkaSinkOptions(bootstrapServers: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> "Output")
+
+  /** The Kafka-source value projection: the raw source exposes a fixed
+    * (key, value, topic, partition, offset, timestamp, …) schema — the
+    * `Review` fields come from `from_json` over the value bytes, exactly
+    * the Jackson decode at `ReviewDeserialization.java:14-27`. Applied to
+    * a Kafka read this replaces [[readReviews]]'s `.schema(...)` (the
+    * Kafka source rejects user schemas):
+    *
+    *   decodeKafkaValue(spark.readStream.format("kafka")
+    *     .options(kafkaSourceOptions(bootstrap)).load())
+    *
+    * Pure projection — batch-testable without the connector.
+    */
+  def decodeKafkaValue(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), reviewSchema).as("r"))
+      .select(col("r.userId"), col("r.productId"), col("r.review"),
+        col("r.timestamp"))
 }

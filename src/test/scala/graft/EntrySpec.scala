@@ -25,4 +25,23 @@ class EntrySpec extends AnyFunSuite {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled.isEmpty, s"query without oracle: $unoracled")
   }
+
+  test("registry split: families are key-disjoint and compose losslessly") {
+    // r11 mechanical split of the single-file registry: `++` composition
+    // would silently SHADOW a duplicated key, so disjointness is the
+    // invariant that makes the split zero-risk
+    val perFamily = SparkEntry.registries.map { case (name, qs, os) =>
+      assert(qs.keySet === os.keySet,
+        s"family $name: queries and oracles must pair 1:1")
+      (name, qs.keySet)
+    }
+    val total = perFamily.map(_._2.size).sum
+    assert(total === SparkEntry.queries.size,
+      "family key sets overlap: composed map lost entries")
+    assert(SparkEntry.queries.size >= 277,
+      "registry shrank below the r10 suite")
+    perFamily.foreach { case (name, ks) =>
+      assert(ks.nonEmpty, s"family $name registered no queries")
+    }
+  }
 }

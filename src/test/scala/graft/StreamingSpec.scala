@@ -1018,4 +1018,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed(("click", "view")) === ((6L, 0L, 6L, 0L, 0L)))
   }
+
+  test("kafka binding contract: pinned options + value projections") {
+    import spark.implicits._
+    // the exact option set a real cluster flips to, per
+    // RealTimeRecommendations.java:40-48 (consumer) and :58-68 (producer).
+    // The connector jar is env-blocked, so the CONTRACT is what's pinned:
+    // any drift here silently breaks the documented one-flip migration.
+    val src = RealTime.kafkaSourceOptions("broker:9092")
+    assert(src === Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "Reviews",
+      "startingOffsets" -> "earliest"))
+    val snk = RealTime.kafkaSinkOptions("broker:9092")
+    assert(snk === Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "topic" -> "Output"))
+
+    // source-side value projection: decodes the exact JSON payload the
+    // reference's generator produces (kafka_stream_generator.py:28-31)
+    // from a Kafka-shaped (value: binary) relation
+    val wire = Seq(
+      """{"userId": 7, "productId": 3, "review": 4.5, "timestamp": 1105916400}""")
+      .toDF("s").select(col("s").cast("binary").as("value"))
+    val decoded = RealTime.decodeKafkaValue(wire).collect().head
+    assert((decoded.getLong(0), decoded.getLong(1), decoded.getDouble(2),
+      decoded.getLong(3)) === ((7L, 3L, 4.5, 1105916400L)))
+
+    // sink-side: writeOutput's payload column is `value` with the
+    // KafkaOutput JSON shape {userId, recommendedProducts}, and the kafka
+    // form takes options + empty path without constructing a file sink
+    val enriched = Seq((7L, Seq("3:4.5", "9:2.0")))
+      .toDF("userId", "recommendedProducts")
+    val streamEnriched = spark.readStream.format("rate").load()
+      .select(col("value").as("userId"),
+        array(lit("3:4.5")).as("recommendedProducts"))
+    val w = RealTime.writeOutput(streamEnriched, outDir = "",
+      checkpointDir = "/tmp/unused-ck", format = "kafka", options = snk)
+    assert(w != null) // construction-only: starting needs the connector jar
+    val payload = enriched
+      .select(to_json(struct(col("userId"), col("recommendedProducts")))
+        .as("value")).as[String].collect().head
+    assert(payload ===
+      """{"userId":7,"recommendedProducts":["3:4.5","9:2.0"]}""")
+  }
 }
