@@ -80,7 +80,14 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // repartition(1), NOT coalesce(1): coalesce collapses a
+        // shuffle-free upstream (broadcast join + partial agg pipelines)
+        // into ONE task — measured at sf1.0: a 10-minute single-core
+        // stall on queries that run in seconds at full parallelism.
+        // repartition adds a shuffle boundary after the computed result,
+        // so the query itself keeps every core and only the tiny result
+        // set funnels to one writer (the single-file driver contract).
+        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // hash from the parquet just written (what the driver reads),
         // not the live plan — one computation, same bytes
         hashes(name) = contentHash(spark.read.parquet(s"$outDir/$name"))
