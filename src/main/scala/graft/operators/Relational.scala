@@ -1590,7 +1590,11 @@ object Relational {
     * finding). DECIMAL first, multiply after — same order of operations
     * as the oracle.
     *
-    * @return 1 row: (n_parts, total_e4, weighted_sum, gini_ppm)
+    * @return 1 row: (n_parts, total_e4, weighted_sum_shr30, gini_ppm) —
+    *         the Σi·x diagnostic ships 2³⁰-down-shifted (the q179
+    *         pattern): the raw sum crossed 2⁶³ at the sf1.0 sweep
+    *         (3.4·10²⁰ observed), so a BIGINT surface column must carry
+    *         a fixed exact shift; both engines floor the same shift.
     */
   def giniRevenue(lineitem: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -1606,9 +1610,11 @@ object Relational {
     idx.agg(count(lit(1)).as("n_parts"), sum(col("x")).as("total_e4"),
         sum(dec(col("i")) * dec(col("x"))).as("weighted_sum"))
       .select(col("n_parts"), col("total_e4"),
-        // surfaced as BIGINT (the fetch-path-portable type); the decimal
-        // carry is internal to the ratio below
-        col("weighted_sum").cast("long").as("weighted_sum"),
+        // surfaced as BIGINT (the fetch-path-portable type) after a fixed
+        // 2^30 exact down-shift — the raw Σi·x overflowed int64 at sf1.0;
+        // the decimal carry stays internal to the ratio below
+        expr("CAST(weighted_sum div 1073741824 AS BIGINT)")
+          .as("weighted_sum_shr30"),
         // `div` (IntegralDivide), NOT decimal `/`: the latter rounds at
         // the result scale where both engines must FLOOR identically
         expr("""CAST((CAST(2 AS DECIMAL(38,0)) * weighted_sum

@@ -1330,7 +1330,8 @@ private[graft] object RelationalRegistry {
         |  FROM rev)
         |SELECT CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(sum(x) AS BIGINT) AS total_e4,
-        |  CAST(sum(CAST(i AS HUGEINT) * x) AS BIGINT) AS weighted_sum,
+        |  CAST(sum(CAST(i AS HUGEINT) * x) // 1073741824 AS BIGINT)
+        |    AS weighted_sum_shr30,
         |  CAST((CAST(2 AS HUGEINT) * sum(CAST(i AS HUGEINT) * x)
         |      - (CAST(count(*) AS HUGEINT) + 1) * CAST(sum(x) AS HUGEINT))
         |    * 1000000

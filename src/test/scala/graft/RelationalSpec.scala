@@ -663,7 +663,9 @@ class RelationalSpec extends AnyFunSuite {
       .toDF("l_partkey", "l_extendedprice", "l_discount")
     val g = Relational.giniRevenue(skewed).collect().head
     assert(g.getAs[Long]("total_e4") === 40000L)
-    assert(g.getAs[Long]("weighted_sum") === 70000L) // 1·10000 + 2·30000
+    // raw Σi·x = 70000 (1·10000 + 2·30000), surfaced >>30 (sf1.0 found
+    // the raw BIGINT surface overflowing at 3.4e20): 70000 >> 30 = 0
+    assert(g.getAs[Long]("weighted_sum_shr30") === 0L)
     assert(g.getAs[Long]("gini_ppm") === 250000L)    // (140000−120000)/80000
   }
 
