@@ -843,32 +843,42 @@ object Relational {
       .select(statCols: _*)
   }
 
-  /** Range self-join as a bucketized equi-join: per event, how many other
-    * events have `value` within ±radius.
+  /** Range self-join, counted WITHOUT enumerating pairs: per event, how
+    * many other events have `value` within ±radius.
     *
-    * The direct predicate `|a.value − b.value| <= r` gives Catalyst no
-    * equi-key, so it plans a BroadcastNestedLoopJoin — O(N²) and the
-    * classic range-join scale-killer. Binning by `floor(value / r)` makes
-    * matches land in adjacent bins, so the probe side explodes to its three
-    * candidate bins and the join becomes a plain shuffled equi-join on the
-    * bin id + exact residual filter. Every true pair meets exactly once (in
-    * the build row's own bin), so no dedup is needed. Pure doubles on both
-    * sides of the residual predicate → engine-identical boundary behavior.
+    * History: the first form bucketized `floor(value/r)` into an equi-join
+    * + residual filter — correct and distributed, but it still ENUMERATES
+    * every matching pair, and the sf1.0 sweep measured that cardinality at
+    * 5.1 BILLION pairs for one million events (values cluster, so Σ per-
+    * value neighborhood ≈ 5000× n). Counting does not need the pairs:
+    * values are exact 2-decimal quantities, so the count of neighbors of
+    * value v is a RANGE SUM over the per-cent histogram,
+    *   W(c) = Σ_{|c'−c| ≤ 25¢} cnt(c'),   n_neighbors = W(c) − 1.
+    *
+    * Scale shape: one map-combined groupBy to the cents histogram —
+    * bounded by the VALUE DOMAIN (≤ max_cents rows, 56k here), not the
+    * corpus; a range-frame window over that metadata-bounded table; and a
+    * broadcast join back to the events. O(n) work where pair enumeration
+    * was O(Σ neighborhood²-ish); no shuffle of pairs at any scale.
+    *
+    * Boundary exactness: the integer-cent domain replaces the old double
+    * `abs(a−b) <= r` residual — 25¢ is exact where `v ± 0.25` rounding
+    * could disagree across engines at the boundary; both engines now
+    * compare identical integers.
     */
   def rangeJoinNeighbors(events: DataFrame, radius: Double = 0.25): DataFrame = {
-    val bin = floor(col("value") / radius).cast("long")
-    val build = events.select(col("event_id").as("b_id"), col("value").as("b_val"),
-      bin.as("bin"))
-    val probe = events.select(col("event_id").as("a_id"), col("value").as("a_val"),
-      explode(array(bin - 1, bin, bin + 1)).as("bin"))
-    val counts = probe.join(build, Seq("bin"))
-      .where(col("a_id") =!= col("b_id")
-        && abs(col("a_val") - col("b_val")) <= radius)
-      .groupBy(col("a_id"))
-      .agg(count(lit(1)).as("cnt"))
-    events.select(col("event_id"))
-      .join(counts, events("event_id") === counts("a_id"), "left")
-      .select(col("event_id"), coalesce(col("cnt"), lit(0L)).as("n_neighbors"))
+    val radiusCents = math.round(radius * 100).toInt
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val hist = events.select(cents.as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+    // unpartitioned window: |domain| rows (value-range-bounded metadata,
+    // the q121/q164 argument), never corpus-sized
+    val w = Window.orderBy(col("c"))
+      .rangeBetween(-radiusCents.toLong, radiusCents.toLong)
+    val tot = hist.withColumn("w", sum(col("cnt")).over(w))
+    events.select(col("event_id"), cents.as("c"))
+      .join(broadcast(tot), Seq("c"))
+      .select(col("event_id"), (col("w") - 1).as("n_neighbors"))
   }
 
   /** Analytic window-function sweep per user: lag/lead neighbors, quartile

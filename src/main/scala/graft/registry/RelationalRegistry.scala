@@ -535,14 +535,21 @@ private[graft] object RelationalRegistry {
         |  quantile_cont(n_chars, 0.9) AS p90_chars,
         |  max(n_chars) AS max_chars
         |FROM documents GROUP BY source""".stripMargin,
+    // same per-cent histogram + 25-cent range window — the count-without-
+    // enumeration form (5.1e9 pairs at sf1.0 made the pair join a
+    // scale-killer on BOTH engines); integer cents pin the boundary
     "q47_range_join" ->
-      """WITH j AS (
-        |  SELECT a.event_id, count(*) AS cnt
-        |  FROM events a JOIN events b
-        |    ON a.event_id <> b.event_id AND abs(a.value - b.value) <= 0.25
-        |  GROUP BY a.event_id)
-        |SELECT e.event_id, COALESCE(j.cnt, 0) AS n_neighbors
-        |FROM events e LEFT JOIN j ON e.event_id = j.event_id""".stripMargin,
+      """WITH hist AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT c, CAST(sum(cnt) OVER (ORDER BY c
+        |    RANGE BETWEEN 25 PRECEDING AND 25 FOLLOWING) AS BIGINT) AS w
+        |  FROM hist)
+        |SELECT e.event_id, t.w - 1 AS n_neighbors
+        |FROM events e JOIN tot t
+        |  ON CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) = t.c""".stripMargin,
     "q24_approx_distinct" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS exact_users,

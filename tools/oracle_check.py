@@ -29,6 +29,14 @@ def canon(rows, cols):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Conservative resource caps: DuckDB's default memory_limit is 80% of
+    # PHYSICAL RAM regardless of co-tenants — run concurrently with a big
+    # Spark JVM it overcommits, spills tens of GB, and dies on ENOSPC
+    # (observed on q239's oracle at sf1.0). 25 GB + an explicit temp dir
+    # keeps the heaviest oracle (~450k-row final join over a 6M-row CF
+    # chain) comfortably inside bounds.
+    con.execute("SET memory_limit='25GB'")
+    con.execute(f"SET temp_directory='{out_dir}/.duckdb_tmp'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
