@@ -424,8 +424,11 @@ private[graft] object EntryHelpers {
        |           JOIN norms nb ON nb.productId = neighbor)""".stripMargin
 
   private[graft] def itemCfCtes: String = itemCfChainFrom(
+    // MATERIALIZED: `r` is referenced 2-4x per CF oracle; inlined, DuckDB's
+    // sf1.0 join orders recompute the 6M-row dedup repeatedly (and q239's
+    // plan spilled to ENOSPC). Pure hint — results identical.
     s"""$ratingsCte,
-       |r AS (
+       |r AS MATERIALIZED (
        |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
        |  FROM ratings GROUP BY 1, 2)""".stripMargin)
 

@@ -180,13 +180,17 @@ private[graft] object RecoRegistry {
          |FROM ev CROSS JOIN cn""".stripMargin,
     // q218's prediction chain verbatim, then the rec-pair self-join,
     // pair-table cos^2 lookup, and the 1-row diversity report
+    // MATERIALIZED hints on the reused/heavy CTEs: without them DuckDB
+    // inlines sc/topk into the final plan and the join-order it picks at
+    // sf1.0 spilled past 79 GB to ENOSPC; materialized, the same query
+    // runs in under a minute with a 25 GB cap (results identical)
     "q239_intra_list_diversity" ->
       s"""WITH $itemCfCtes,
         |nb AS (
         |  SELECT item, neighbor, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM (
         |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
         |    FROM scored) WHERE rn <= 5),
-        |sc AS (
+        |sc AS MATERIALIZED (
         |  SELECT r.userId, nb.item,
         |    CAST(sum(nb.w * r.rv) AS BIGINT) AS num, CAST(sum(nb.w) AS BIGINT) AS den
         |  FROM r JOIN nb ON r.productId = nb.neighbor
@@ -198,7 +202,7 @@ private[graft] object RecoRegistry {
         |predt AS (
         |  SELECT userId, item,
         |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand),
-        |topk AS (
+        |topk AS MATERIALIZED (
         |  SELECT userId, item FROM (
         |    SELECT userId, item,
         |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
