@@ -217,17 +217,25 @@ private[graft] object EntryHelpers {
   // Driver contract maps
   // ---------------------------------------------------------------------------
 
-  /** Deterministic query subset for the similarity-search benchmarks. */
+  /** Deterministic FIXED-SIZE query panel for the similarity-search
+    * benchmarks: every 25th vector within the first 2000 ids — 80 queries
+    * at every scale factor. The id cap is what keeps the brute-force
+    * graded-truth baseline LINEAR in corpus size (the sf1.0 sweep flagged
+    * the uncapped panel: queries x corpus both grew 10x, so the truth
+    * baseline grew ~100x — an evaluation WORKLOAD must not scale with the
+    * corpus). A no-op at sf<=0.1 (all vec_ids < 2000), so the driver's
+    * grading surface is byte-identical.
+    */
   private[graft] def simQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .where(col("vec_id") % 25 === 0)
+      .where(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
   /** DuckDB twin of [[graft.operators.Similarity.bruteForceTopK]] over the
     * q37 query subset — shared by the q37 oracle and the q83 recall oracle.
     */
   private[graft] def bruteTopkOracle: String =
     s"""WITH q AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),
        |scored AS (
        |  SELECT q_id, e.vec_id, ${cosineSql("q_emb", "e.embedding")} AS sim
        |  FROM q CROSS JOIN embeddings e WHERE q_id <> e.vec_id)
@@ -253,7 +261,7 @@ private[graft] object EntryHelpers {
        |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
        |    FROM embeddings e CROSS JOIN cents c)
        |  WHERE rn = 1),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),
        |probes AS (
        |  SELECT q_id, q_emb, cell FROM (
        |    SELECT q.q_id, q.q_emb, c.c_id AS cell,
