@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Merge a targeted (SPARK_GRAFT_ONLY) Bench audit into a full-suite audit.
+
+Used when a plan fix changes a handful of queries and re-running the full
+multi-hundred-query suite at that scale factor doesn't fit the round: the
+patched queries' fresh two-pass samples REPLACE their entries in the full
+audit, every other query keeps its original samples, and the summary file's
+per-query minima and total are recomputed. The patched query list is
+recorded in the audit under "patched" so provenance is auditable.
+
+Usage: python3 tools/merge_bench_patch.py full_samples.json patch_samples.json \
+           full_bench.json
+Local tooling only — the Scala library has no Python deps.
+"""
+import sys, json, re
+
+def main(full_path, patch_path, bench_path):
+    full = json.load(open(full_path))
+    patch = json.load(open(patch_path))
+    for q, ss in patch["samples"].items():
+        if q not in full["samples"]:
+            raise SystemExit(f"patch query {q} not in full audit")
+        print(f"{q}: {min(full['samples'][q]):.3f}s -> {min(ss):.3f}s")
+        full["samples"][q] = ss
+    full["patched"] = sorted(set(full.get("patched", [])) | set(patch["samples"]))
+    best = {k: min(v) for k, v in full["samples"].items()}
+    total = sum(best.values())
+    full["total"] = f"{total:.3f}"
+    json.dump(full, open(full_path, "w"), separators=(",", ":"))
+    # Rebuild the summary line (short qNN keys, like Bench's stdout line).
+    bench = json.load(open(bench_path))
+    qs = {k.split("_")[0]: round(v, 3) for k, v in sorted(best.items())}
+    bench["queries"] = qs
+    bench["value"] = round(total, 3)
+    json.dump(bench, open(bench_path, "w"), separators=(",", ":"))
+    print(f"total: {total:.3f}s over {len(best)} queries -> {full_path}, {bench_path}")
+
+if __name__ == "__main__":
+    main(*sys.argv[1:4])
