@@ -37,6 +37,45 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Calibration sentinel: a fixed, data-free, CPU-bound job
+    * (`sum(hash(id))` over a codegen'd range — no IO, no shuffle) timed at
+    * the start, middle, and end of every pass. Its median ratio to the
+    * quiet-host nominal is the pass's measured load factor, so a bench
+    * artifact can DEFEND its total: if the suite reads slow while the
+    * sentinel reads slow by the same factor, the host was throttled, not
+    * the plans (r11→r12 showed a 0.88 median swing on a byte-identical
+    * tree). The sentinel tracks CPU steal — the dominant throttle here
+    * once shuffle scratch is tmpfs and the page cache is pre-warmed.
+    */
+  private val SentinelRows = 1L << 31
+  /** Quiet-host seconds for [[SentinelRows]] at local[32]: the median of
+    * repeated fully-JIT-warm samples on an idle round-13 host (min 0.547,
+    * median ≈0.60 across six samples). Ratios are relative to this;
+    * override via env if the fleet hardware ever changes.
+    */
+  private val SentinelNominalS =
+    sys.env.getOrElse("SPARK_GRAFT_SENTINEL_NOMINAL", "0.60").toDouble
+
+  private[graft] def sentinel(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(SentinelRows).selectExpr("sum(hash(id))").head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Commit the artifact is measuring — ties every bench JSON to a tree
+    * state (ADVICE r12: artifacts must be mechanically anchored).
+    */
+  private def headSha: String =
+    try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
+    catch { case _: Throwable => "unknown" }
+
   private def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,8 +126,12 @@ object Bench {
       .filter(n => onlyEnv.forall(_.contains(n)))
     warmPageCache(sfDir)
 
-    /** One full measurement pass in a fresh SparkContext. */
-    def runPass(only: Set[String]): Map[String, Double] = {
+    /** One full measurement pass in a fresh SparkContext. Returns the
+      * per-query timings plus the pass's sentinel samples (start / middle /
+      * end), so the artifact records load ACROSS the pass, not a single
+      * point a short steal window could miss.
+      */
+    def runPass(only: Set[String]): (Map[String, Double], Seq[Double]) = {
       val spark = build(cpus)
       try {
         // Warmup: JIT + codegen + parquet footers + page cache for every
@@ -98,22 +141,36 @@ object Bench {
             Tables.events _, Tables.documents _, Tables.embeddings _)
             .foreach(load => load(spark, sfDir).count())
           SparkEntry.queries("q01_top_products")(spark, sfDir).count()
+          sentinel(spark) // untimed: JIT-warms the sentinel's own codegen
         } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-        names.filter(only.contains).map { name =>
+        val sent = scala.collection.mutable.ArrayBuffer(sentinel(spark))
+        val passNames = names.filter(only.contains)
+        val half = passNames.size / 2
+        val timings = passNames.zipWithIndex.map { case (name, i) =>
+          if (i == half && passNames.size >= 4) sent += sentinel(spark)
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, sfDir).count() catch {
             case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           name -> (System.nanoTime() - t0) / 1e9
         }.toMap
+        sent += sentinel(spark)
+        (timings, sent.toSeq)
       } finally spark.stop()
     }
 
     val all = names.toSet
-    val p1 = runPass(all)
-    val p2 = runPass(all)
+    val (p1, s1) = runPass(all)
+    val (p2, s2) = runPass(all)
     val outliers = names.filter(n => math.min(p1(n), p2(n)) > 15.0)
-    val p3 = if (outliers.nonEmpty) runPass(outliers.toSet) else Map.empty[String, Double]
+    val (p3, s3) =
+      if (outliers.nonEmpty) runPass(outliers.toSet)
+      else (Map.empty[String, Double], Seq.empty[Double])
+
+    val sentSamples = s1 ++ s2 ++ s3
+    // load factor: >1 means the host ran the fixed CPU job slower than the
+    // quiet-host nominal during this suite run
+    val load = median(sentSamples) / SentinelNominalS
 
     val samples: Seq[(String, Seq[Double])] =
       names.map(n => n -> (Seq(p1(n), p2(n)) ++ p3.get(n).toSeq))
@@ -130,7 +187,15 @@ object Bench {
     val qs = best.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = best.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Load-normalized total: divides out MEASURED slowdown vs nominal but
+    // never awards a bonus for a fast host (load clamps at 1 from below) —
+    // the defensible number when the sentinel shows the host was throttled.
+    val totalNorm = total / math.max(load, 1.0)
+    val sentJson = s""""sentinel":{"nominal_s":${fmt(SentinelNominalS)},""" +
+      s""""load":${fmt(load)},"samples_s":${sentSamples.map(fmt).mkString("[", ",", "]")}}"""
+    val head = headSha
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""value_norm":${fmt(totalNorm)},$sentJson,"head":"$head","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the last ~2000 chars of stdout and parses a
     // JSON line out of that window. At 227 queries the full-map line above
@@ -143,14 +208,18 @@ object Bench {
     val top10 = best.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${best.size},"queries":$top10,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""value_norm":${fmt(totalNorm)},"sentinel_load":${fmt(load)},""" +
+      s""""n_queries":${best.size},"queries":$top10,"sf":"$sfDir"}""")
     // Full audit record — every raw sample per pass plus the retried list —
     // goes to a sidecar file where line length doesn't matter.
     val samplesJson = samples
       .map { case (k, ss) => "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val retriedJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val audit = s"""{"samples":$samplesJson,"retried":$retriedJson,"passes":2,"total":${fmt(total)},"sf":"$sfDir"}"""
+    val audit = s"""{"samples":$samplesJson,"retried":$retriedJson,"passes":2,""" +
+      s""""total":${fmt(total)},"total_norm":${fmt(totalNorm)},$sentJson,""" +
+      s""""head":"$head","sf":"$sfDir"}"""
     for ((path, line) <- Seq("bench_last.json" -> json, "bench_samples.json" -> audit))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
       catch { case _: Throwable => () }

@@ -52,7 +52,15 @@ object ScaleUp {
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    derive(spark, src, out, reps)
+    spark.stop()
+  }
 
+  /** The derivation itself, session-injected so ScaleUpSpec can run a small
+    * `reps=3` derivation under the shared test session and assert the
+    * invariants the sf1.0 certificate rests on.
+    */
+  def derive(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(out))
 
@@ -104,7 +112,6 @@ object ScaleUp {
     val pS = stride(part, "p_partkey")
     val oS = stride(orders, "o_orderkey")
     val eS = stride(events, "event_id")
-    val uS = stride(events, "user_id")
     val dS = stride(documents, "doc_id")
     val vS = stride(embeddings, "vec_id")
 
@@ -115,16 +122,32 @@ object ScaleUp {
       Map("o_orderkey" -> oS, "o_custkey" -> cS)))
     writeOne("lineitem", shifted(lineitem,
       Map("l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS)))
+    // user_id shifts by the CUSTOMER stride, not its own: the generator's
+    // event users are the first |users| customer keys, so the customer
+    // stride is the one that keeps replica-r's event users inside
+    // replica-r's customer block at any reps (shifting by max(user_id)+1
+    // aliased replica-r event users onto replica-0's customer range —
+    // the round-12 ADVICE finding).
     writeOne("events", shifted(events,
-      Map("event_id" -> eS, "user_id" -> uS)))
+      Map("event_id" -> eS, "user_id" -> cS)))
 
     // replica docs are NEW documents: each token keeps or gains a replica
-    // suffix by a deterministic md5 gate, putting cross-replica Jaccard
-    // ~1/3 (below every near-dup threshold); replica 0 is the original
+    // suffix by a deterministic md5 gate keyed on (token, rep) ONLY — a
+    // per-replica injective dictionary substitution (the vocabulary is
+    // digit-free, so `t + digits` can never collide with another token).
+    // An injective token renaming preserves every within-replica word-
+    // n-gram Jaccard EXACTLY, so each replica retains the generator's
+    // planted near-dup structure at the original density (ScaleUpSpec
+    // asserts q36 pairs = reps × source; keying the gate on doc_id too —
+    // the pre-round-13 form — broke planted pairs in replicas ≥ 1 because
+    // the two docs of a pair drew different substitutions). Cross-replica
+    // token overlap is the ~half of the vocabulary left unperturbed, so
+    // cross-replica Jaccard sits far below every dedup threshold; replica
+    // 0 is the original.
     val perturbedText = when(col("rep") === 0, col("text")).otherwise(
       array_join(transform(split(col("text"), " "), t =>
         when(functions.TextAnalysis.md5Prefix32(
-            concat(t, lit(":"), col("doc_id"), lit(":"), col("rep"))) % 2 === 0,
+            concat(t, lit(":"), col("rep"))) % 2 === 0,
           concat(t, col("rep"))).otherwise(t)), " "))
     writeOne("documents",
       documents.crossJoin(rep)
@@ -134,6 +157,5 @@ object ScaleUp {
           length(col("new_text")).cast("long").as("n_chars")))
 
     writeOne("embeddings", shifted(embeddings, Map("vec_id" -> vS)))
-    spark.stop()
   }
 }

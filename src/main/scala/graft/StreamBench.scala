@@ -26,10 +26,23 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
 
+  /** Stateful streaming state-partition count, decoupled from core count:
+    * every micro-batch commits one state-store instance PER shuffle
+    * partition per stateful operator (the interval join keeps four stores
+    * per partition), so at micro-batch sizes of a few thousand rows the
+    * per-batch floor is store-commit count, not compute. 32 partitions ×
+    * 4 stores = 128 commits/batch dominated the r11 interval-join number
+    * (1,784 rows/s); profiling at 4/8/16/32 chose 8 (see
+    * BENCH_streaming.json "shuffle" field). On a real cluster this maps to
+    * sizing `spark.sql.shuffle.partitions` for the streaming job to state
+    * volume, not to the batch suite's scan parallelism.
+    */
+  private val streamShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
   private def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", streamShuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",
@@ -129,9 +142,15 @@ object StreamBench {
       })
 
     results.foreach(r => println(r.json))
+    val head = try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
+      catch { case _: Throwable => "unknown" }
     val combined = s"""{"sf":"$sfDir","events":$totalRows,"chunks":$chunks,""" +
+      s""""shuffle":$streamShuffle,"head":"$head",""" +
       s""""queries":[${results.map(_.json).mkString(",")}]}"""
-    try Files.writeString(Paths.get("BENCH_streaming.json"), combined + "\n")
+    // Output path is env-selectable so the sf1.0 run lands in its own
+    // artifact (BENCH_streaming_sf1.json) instead of clobbering the sf0.1 one.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_streaming.json")
+    try Files.writeString(Paths.get(outPath), combined + "\n")
     catch { case _: Throwable => () }
     // best-effort scratch cleanup (tmpfs)
     try {

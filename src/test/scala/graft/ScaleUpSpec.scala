@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the sf1.0 derivation ([[ScaleUp.derive]]), asserted on a
+  * small reps=3 derivation from sf0.001 — the properties the 10×
+  * scale-certification rests on:
+  *
+  *   1. per-key density preserved: the {events-per-user} histogram scales
+  *      exactly by reps (more keys, not hotter keys);
+  *   2. calendar span unchanged (growth adds volume per day, not years);
+  *   3. cross-replica document similarity stays far below every dedup
+  *      threshold (replica docs are NEW documents, not planted dups), while
+  *      n_chars = len(text) still holds on perturbed text;
+  *   4. the planted near-dup structure scales exactly: q36's pair count at
+  *      reps=3 is exactly 3× the source's (each replica keeps the
+  *      generator's planted pairs; the perturbation plants no new ones);
+  *   5. referential integrity WITHIN a replica: every derived event user is
+  *      a customer of the SAME replica (user_id shifts by the customer
+  *      stride — the round-12 ADVICE aliasing fix).
+  */
+class ScaleUpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val src = TestSpark.sf
+  private val reps = 3
+
+  // one derivation shared by all tests in this suite
+  private lazy val out: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaleup").toString
+    ScaleUp.derive(spark, src, dir, reps)
+    dir
+  }
+
+  private def srcStride(table: String, key: String): Long =
+    spark.read.parquet(s"$src/$table.parquet")
+      .agg(max(col(key))).head().getLong(0) + 1L
+
+  test("per-user event density histogram scales exactly by reps") {
+    def hist(dir: String) =
+      Tables.events(spark, dir).groupBy("user_id").count()
+        .groupBy("count").agg(count(lit(1)).as("n_users"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = hist(src)
+    val d = hist(out)
+    assert(s.nonEmpty)
+    assert(d === s.map { case (k, v) => k -> v * reps })
+  }
+
+  test("calendar span unchanged: growth adds volume per day, not years") {
+    def span(dir: String) = Tables.events(spark, dir)
+      .agg(min(col("ts")), max(col("ts"))).head()
+    assert(span(out) === span(src))
+  }
+
+  test("cross-replica doc similarity below dedup thresholds; n_chars exact") {
+    val dS = srcStride("documents", "doc_id")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    // n_chars = len(text) must survive the perturbation
+    assert(docs.where(col("n_chars") =!= length(col("text"))).count() === 0L)
+    // word-3-gram Jaccard between each doc's replica-0 and replica-1 twin
+    val sh = expr(
+      """filter(transform(split(text, ' '), (w, i) ->
+        |  concat_ws(' ', slice(split(text, ' '), i + 1, 3))),
+        |  (g, i) -> i + 3 <= size(split(text, ' ')))""".stripMargin)
+    val r0 = docs.where(col("doc_id") < dS)
+      .select(col("doc_id"), array_distinct(sh).as("g0"))
+    val r1 = docs.where(col("doc_id") >= dS && col("doc_id") < 2 * dS)
+      .select((col("doc_id") - dS).as("doc_id"), array_distinct(sh).as("g1"))
+    val jac = r0.join(r1, "doc_id")
+      .select((size(array_intersect(col("g0"), col("g1"))).cast("double") /
+        size(array_union(col("g0"), col("g1")))).as("j"))
+      .agg(max(col("j")), avg(col("j"))).head()
+    assert(jac.getDouble(0) < 0.5, s"max cross-replica Jaccard ${jac.getDouble(0)}")
+    assert(jac.getDouble(1) < 0.35, s"mean cross-replica Jaccard ${jac.getDouble(1)}")
+  }
+
+  test("planted q36 near-dup pairs scale exactly with reps") {
+    val q36 = SparkEntry.queries("q36_ngram_jaccard")
+    val srcPairs = q36(spark, src).count()
+    assert(srcPairs > 0L)
+    assert(q36(spark, out).count() === srcPairs * reps)
+  }
+
+  test("events.user_id keeps within-replica referential integrity") {
+    val cS = srcStride("customer", "c_custkey")
+    val eS = srcStride("events", "event_id")
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    val cust = spark.read.parquet(s"$out/customer.parquet")
+      .select(col("c_custkey"))
+    // every event user is a customer...
+    assert(ev.join(cust, ev("user_id") === cust("c_custkey"), "left_anti")
+      .count() === 0L)
+    // ...of the SAME replica (event_id and user_id agree on the replica)
+    assert(ev.where(floor(col("event_id") / eS) =!= floor(col("user_id") / cS))
+      .count() === 0L)
+  }
+}

@@ -12,7 +12,20 @@ Usage: python3 tools/merge_bench_patch.py full_samples.json patch_samples.json \
            full_bench.json
 Local tooling only — the Scala library has no Python deps.
 """
-import sys, json, re
+import sys, json, os, tempfile
+
+def write_atomic(path, obj):
+    """In-place rewrite via tmp+rename: a crash mid-dump can no longer
+    truncate the only copy of a round's audit file."""
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
+                               prefix=os.path.basename(path) + ".")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, separators=(",", ":"))
+        os.replace(tmp, path)
+    except BaseException:
+        os.unlink(tmp)
+        raise
 
 def main(full_path, patch_path, bench_path):
     full = json.load(open(full_path))
@@ -26,13 +39,20 @@ def main(full_path, patch_path, bench_path):
     best = {k: min(v) for k, v in full["samples"].items()}
     total = sum(best.values())
     full["total"] = f"{total:.3f}"
-    json.dump(full, open(full_path, "w"), separators=(",", ":"))
+    write_atomic(full_path, full)
     # Rebuild the summary line (short qNN keys, like Bench's stdout line).
+    # The qNN prefixes must be unique or the dict silently drops queries
+    # and the rebuilt total disagrees with the audit's.
+    prefixes = [k.split("_")[0] for k in sorted(best)]
+    dupes = sorted({p for p in prefixes if prefixes.count(p) > 1})
+    if dupes:
+        raise SystemExit(f"non-unique qNN prefixes, summary would drop "
+                         f"queries: {dupes}")
     bench = json.load(open(bench_path))
     qs = {k.split("_")[0]: round(v, 3) for k, v in sorted(best.items())}
     bench["queries"] = qs
     bench["value"] = round(total, 3)
-    json.dump(bench, open(bench_path, "w"), separators=(",", ":"))
+    write_atomic(bench_path, bench)
     print(f"total: {total:.3f}s over {len(best)} queries -> {full_path}, {bench_path}")
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ by fixed overhead (t_small below floor_s) are held to an absolute bound
 instead (growth * slack * floor_s).
 
 Usage: python3 tools/scaling_report.py bench_samples_small.json \
-           bench_samples_big.json [growth] [slack]
+           bench_samples_big.json [growth] [slack] [out.json]
 Local tooling only — the Scala library has no Python deps.
 """
 import sys, json
@@ -19,7 +19,8 @@ def mins(path):
     d = json.load(open(path))
     return {k: min(v) for k, v in d["samples"].items()}, d
 
-def main(small_path, big_path, growth=10.0, slack=2.0, floor_s=0.5):
+def main(small_path, big_path, growth=10.0, slack=2.0, floor_s=0.5,
+         out_path="SCALING_sf1.json"):
     small, _ = mins(small_path)
     big, draw = mins(big_path)
     shared = sorted(set(small) & set(big))
@@ -48,11 +49,12 @@ def main(small_path, big_path, growth=10.0, slack=2.0, floor_s=0.5):
         "aggregate_ratio": round(tot_b / tot_s, 2),
         "n_queries": len(shared), "growth": growth, "slack": slack,
     }
-    json.dump(out, open("SCALING_sf1.json", "w"), indent=1)
-    print("wrote SCALING_sf1.json")
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}")
     return 0
 
 if __name__ == "__main__":
     a = sys.argv
     sys.exit(main(a[1], a[2], float(a[3]) if len(a) > 3 else 10.0,
-                  float(a[4]) if len(a) > 4 else 2.0))
+                  float(a[4]) if len(a) > 4 else 2.0,
+                  out_path=a[5] if len(a) > 5 else "SCALING_sf1.json"))
