@@ -115,31 +115,36 @@ object StreamBench {
         lat.lastOption.getOrElse(0L), stateRows, stateBytes)
     }
 
-    val results = Seq(
+    // local-iteration filter (comma-separated names); unset = full suite
+    val onlyEnv = sys.env.get("SPARK_GRAFT_STREAM_ONLY").map(_.split(",").toSet)
+    val shapes: Seq[(String, () => DataFrame)] = Seq(
       // watermark-bounded exact dedup (q50's streaming side): synthetic
       // (user, event-bucket) keys give realistic duplicate pressure
-      bench("dedup_within_watermark") { () =>
+      "dedup_within_watermark" -> (() =>
         streaming.RealTime.dedupReviews(stream()
           .select(col("user_id").as("userId"),
-            (col("event_id") % 10000L).as("productId"), col("ts")))
-      },
+            (col("event_id") % 10000L).as("productId"), col("ts")))),
       // stream-stream interval join: clicks meet in-horizon views, both
-      // sides buffered only inside the watermark horizon
-      bench("click_view_pairs") { () =>
+      // sides buffered only inside the watermark horizon. ONE source,
+      // branched — a two-source version re-reads every chunk per side,
+      // doubling per-batch scan work for the same join (see BENCH notes).
+      "click_view_pairs" -> (() => {
+        val ev = stream()
         streaming.RealTime.clickViewPairsStream(
-          stream().where(col("event_type") === "click"),
-          stream().where(col("event_type") === "view"))
-      },
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "view"))
+      }),
       // flatMapGroupsWithState per-user SCD interval fold
-      bench("scd_intervals") { () =>
-        streaming.Stateful.scdIntervalsStream(spark, stream()).toDF()
-      },
+      "scd_intervals" -> (() =>
+        streaming.Stateful.scdIntervalsStream(spark, stream()).toDF()),
       // flatMapGroupsWithState per-type daily EWMA fold
-      bench("ewma_volume") { () =>
+      "ewma_volume" -> (() =>
         streaming.Stateful.ewmaVolumeStream(spark,
           stream().select(col("event_type").as("eventType"),
-            expr("unix_millis(ts)").as("timestamp"))).toDF()
-      })
+            expr("unix_millis(ts)").as("timestamp"))).toDF()))
+    val results = shapes
+      .filter { case (n, _) => onlyEnv.forall(_.contains(n)) }
+      .map { case (n, mk) => bench(n)(mk) }
 
     results.foreach(r => println(r.json))
     val head = try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
