@@ -35,8 +35,15 @@ def main(sf_dir, out_dir):
     # (observed on q239's oracle at sf1.0). 25 GB + an explicit temp dir
     # keeps the heaviest oracle (~450k-row final join over a 6M-row CF
     # chain) comfortably inside bounds.
-    con.execute("SET memory_limit='25GB'")
-    con.execute(f"SET temp_directory='{out_dir}/.duckdb_tmp'")
+    # Both caps are env-overridable: a solo retry of one heavy oracle on an
+    # otherwise idle box can afford a bigger memory limit, and pointing the
+    # temp at /dev/shm sidesteps a near-full root disk (q239's sf1.0 spill
+    # peaked >40 GB and hit ENOSPC in round 13 with 32 GB free).
+    import os
+    con.execute(
+        f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '25GB')}'")
+    tmp = os.environ.get('GRAFT_DUCKDB_TMP', f'{out_dir}/.duckdb_tmp')
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

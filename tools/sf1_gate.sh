@@ -32,6 +32,11 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
 cp verify_sf1_out/verify_hashes.json verify_hashes_sf1.json
 
 echo "== [3/5] DuckDB oracle compare =="
+# DuckDB temp on tmpfs by default: the heaviest oracle (q239) spills
+# >40 GB, more than the root disk's usual headroom; no Spark JVM runs
+# concurrently in this phase, so tmpfs is free to take it.
+export GRAFT_DUCKDB_TMP=${GRAFT_DUCKDB_TMP:-/dev/shm/duckdb_tmp}
+mkdir -p "$GRAFT_DUCKDB_TMP"
 set +e
 python3 tools/oracle_check.py "$SF1" verify_sf1_out | tee /tmp/oracle_sf1.log
 ORACLE_RC=${PIPESTATUS[0]}
@@ -51,6 +56,7 @@ json.dump({"sf": f"{sf} (10x derived)", "head": head,
           open("CORRECTNESS_sf1.json", "w"), indent=1)
 print(f"CORRECTNESS_sf1.json: {len(ok)}/{len(ok) + len(fail)} ok")
 EOF
+rm -rf "$GRAFT_DUCKDB_TMP"
 if [ "$ORACLE_RC" -ne 0 ]; then echo "oracle FAILURES — gate red"; exit 1; fi
 
 # Bench clobbers bench_samples.json / bench_last.json (the driver's sf0.1
