@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Emit a machine-checkable manifest binding round artifacts to a tree state.
+
+ADVICE r12: verdict claims (277/277 correctness, bench totals, sf1.0
+certification) were self-reported prose with no mechanical linkage to a
+commit, so a future reader can't distinguish stale artifacts from fresh
+ones. This tool records the HEAD SHA, whether the working tree is dirty,
+and the sha256 of every round artifact present, into ROUND_MANIFEST.json.
+Run it at round close (after the last artifact write, before the final
+commit) and commit the manifest; re-running it on a checkout of that
+commit must reproduce identical hashes for every tracked artifact.
+
+Usage: python3 tools/round_manifest.py [out.json]
+Local tooling only — the Scala library has no Python deps.
+"""
+import glob
+import hashlib
+import json
+import subprocess
+import sys
+
+ARTIFACT_GLOBS = [
+    "BENCH_r*.json", "BENCH_sf1.json", "BENCH_streaming*.json",
+    "CORRECTNESS_r*.json", "CORRECTNESS_sf1.json",
+    "SCALING_sf1.json", "verify_hashes_sf1.json",
+    "bench_last.json", "bench_samples*.json",
+    "LEAKCHECK.json", "COPYCHECK.json",
+]
+
+
+def sha256(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def main(out="ROUND_MANIFEST.json"):
+    head = subprocess.run(["git", "rev-parse", "HEAD"], check=True,
+                          capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"], check=True,
+                           capture_output=True, text=True).stdout
+    files = sorted({p for g in ARTIFACT_GLOBS for p in glob.glob(g)})
+    manifest = {
+        "head": head,
+        # The manifest itself is committed after generation, so "dirty"
+        # lists what was uncommitted at generation time (should be only
+        # the artifacts about to be committed alongside it).
+        "dirty_at_generation": sorted(
+            line[3:] for line in dirty.splitlines() if line.strip()),
+        "artifacts": {p: sha256(p) for p in files},
+    }
+    with open(out, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(f"{out}: {len(files)} artifacts pinned to {head[:12]}"
+          f"{' (dirty tree)' if dirty else ''}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
