@@ -47,11 +47,16 @@ object Profile {
     catch { case e: Throwable => System.err.println(s"[profile] warmup failed: ${e.getMessage}") }
     val times = names.map { name =>
       Bench.warmPageCache(sfDir) // re-warm: earlier queries evict pages
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (doExplain) df.explain("formatted")
+      // Time CONSTRUCTION + count, like Bench: graft.barrier is an EAGER
+      // localCheckpoint, so seam/barrier materialization runs while the
+      // query builder executes — timing only count() undercounted every
+      // barrier-using query (q102 read 0.7 s isolated vs its true 3.6 s)
+      // and made bench totals look inflated when they were simply right.
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
       val cnt = df.count()
       val t = (System.nanoTime() - t0) / 1e9
+      if (doExplain) df.explain("formatted")
       println(f"[profile] $name: $cnt rows in $t%.2f s")
       name -> t
     }

@@ -464,20 +464,33 @@ object Dedup {
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val tok = documents.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
       .select(col("doc_id"), md5(col("t")).as("h"))
-    // 16 hex nibbles per token, then 64 partial-agg bit votes — one shuffle
-    // of |docs|×64 ints with map-side combine.
-    val nibbled = tok.select(
-      col("doc_id") +:
-        (0 until 16).map(j => conv(substring(col("h"), j + 1, 1), 16, 10).cast("int").as(s"n$j")): _*)
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col(s"n${i / 4}"), i % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    // The 64 hash bits parsed as TWO 32-bit halves — conv cost is per
+    // CALL, so two 8-nibble parses replace sixteen 1-nibble parses — and
+    // the per-bit votes kept branchless as ones-counts: the ±1 vote sum
+    // v_i = 2·ones_i − n, so the old `v_i > 0` majority test is exactly
+    // `2·s_i > n`. Bit values (and therefore signatures, candidates, and
+    // pairs) are identical to the nibble-at-a-time form the DuckDB twin
+    // still spells out — the oracle contract is the BIT PATTERN of the
+    // md5, not the parsing strategy. Same shuffle shape: one
+    // map-side-combined aggregate of 65 longs per doc.
+    val halves = tok.select(col("doc_id"),
+      conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("lo"))
+    // hex chars index MSB-first: bit i lives in nibble j = i/4 at
+    // in-nibble position b = i%4 → shift (7−j)·4+b within its half
+    def bitOf(i: Int) = {
+      val j = i / 4; val b = i % 4
+      if (j < 8) shiftright(col("hi"), (7 - j) * 4 + b).bitwiseAND(1)
+      else shiftright(col("lo"), (15 - j) * 4 + b).bitwiseAND(1)
     }
+    val oneSums = (0 until 64).map(i => sum(bitOf(i)).as(s"s$i"))
     val chunkCols = (0 until 4).map { c =>
       (0 until 16).map { b =>
-        when(col(s"v${c * 16 + b}") > 0, lit(1 << b)).otherwise(lit(0))
+        when(col(s"s${c * 16 + b}") * 2 > col("n"), lit(1 << b)).otherwise(lit(0))
       }.reduce(_ + _).as(s"c$c")
     }
-    val sig = nibbled.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = halves.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), oneSums: _*)
       .select(col("doc_id") +: chunkCols: _*)
       .transform(graft.barrier) // chunk self-join reads it twice
     val chunked = sig.select(
