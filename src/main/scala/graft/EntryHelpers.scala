@@ -321,6 +321,22 @@ private[graft] object EntryHelpers {
     * first 8 hex digits of md5 as a BIGINT (no hex-cast builtin in DuckDB
     * 1.0; 16**i fits exactly in doubles, so the digit fold is exact).
     */
+  /** DuckDB twin of [[org.apache.spark.sql.graft.RollingPoly32Array]]: the
+    * per-position Karp–Rabin window hash as an unrolled Σ codepoint·Bʲ mod
+    * M over a codepoint list `cs` (1-based position variable `i`). The
+    * power constants are generated from [[RollingPolyUtil.powers]] so the
+    * two engines' polynomials can never drift.
+    */
+  private[graft] def rollingFpsSql(csList: String): String = {
+    import org.apache.spark.sql.graft.RollingPolyUtil
+    val terms = RollingPolyUtil.powers.zipWithIndex
+      .map { case (p, j) => s"$csList[i+$j]*$p" }.mkString(" + ")
+    s"""CASE WHEN len($csList) >= ${RollingPolyUtil.K} THEN
+       |      list_transform(range(1, len($csList) - ${RollingPolyUtil.K - 2}),
+       |        i -> ($terms) % ${RollingPolyUtil.M})
+       |    ELSE CAST([] AS BIGINT[]) END""".stripMargin
+  }
+
   private[graft] def md5Prefix32Sql(e: String): String =
     s"CAST(list_sum(list_transform(range(0, 8), hx -> " +
       s"CAST(strpos('0123456789abcdef', substring(md5($e), CAST(hx + 1 AS INTEGER), 1)) - 1 AS BIGINT)" +

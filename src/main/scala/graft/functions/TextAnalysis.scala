@@ -30,6 +30,15 @@ object TextAnalysis {
       org.apache.spark.sql.graft.Md5Prefix32Array(
         org.apache.spark.sql.graft.shim.expression(c)))
 
+  /** All K-byte-window Karp–Rabin hashes of a string column in one O(n)
+    * codegen'd pass ([[org.apache.spark.sql.graft.RollingPoly32Array]]) —
+    * the char-gram fingerprint base for q54/q64.
+    */
+  def rollingPoly32(c: Column): Column =
+    org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.RollingPoly32Array(
+        org.apache.spark.sql.graft.shim.expression(c)))
+
   /** Count of regex word matches (word-boundary alternation) in the PASSED
     * column (not a hard-coded column name).
     */
@@ -314,19 +323,18 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprints: every char k-gram hashed with the
-    * cross-engine md5-prefix (one codegen'd pass —
-    * [[org.apache.spark.sql.graft.Md5Prefix32Array]]), summarized as
+    * TRUE Karp–Rabin rolling polynomial
+    * ([[org.apache.spark.sql.graft.RollingPoly32Array]] — O(1) per
+    * position, O(n) per document), summarized as
     * count / min / max / distinct. The min-fingerprint is the winnowing
     * primitive: identical text regions produce identical minima, so near-dup
     * detection can bucket on `min_fp` the way MinHash buckets on band keys.
     * Grams are positional (rolling), unlike the word-shingle path.
     */
   def rollingFingerprints(documents: DataFrame, k: Int = 8): DataFrame = {
-    val grams = when(length(col("text")) >= k,
-      transform(sequence(lit(1), length(col("text")) - (k - 1)),
-        i => col("text").substr(i, lit(k))))
-      .otherwise(array().cast("array<string>"))
-    val fps = md5Prefix32Array(grams)
+    require(k == org.apache.spark.sql.graft.RollingPolyUtil.K,
+      s"rolling window is compiled for k=${org.apache.spark.sql.graft.RollingPolyUtil.K}")
+    val fps = rollingPoly32(col("text"))
     documents
       .select(col("doc_id"), fps.as("fps"))
       .select(
@@ -412,22 +420,15 @@ object TextAnalysis {
     * until a consumer buckets on `fp`.
     */
   def winnowedFingerprints(documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val grams = when(length(col("text")) >= k,
-      transform(sequence(lit(1), length(col("text")) - (k - 1)),
-        i => col("text").substr(i, lit(k))))
-      .otherwise(array().cast("array<string>"))
-    val fps = md5Prefix32Array(grams)
-    documents
-      .select(col("doc_id"), fps.as("fps"))
-      // barrier: the window-min lambda references `fps` per element;
-      // without it CollapseProject inlines the whole hash pipeline into the
-      // lambda and every window re-hashes the document (quadratic)
-      .transform(graft.barrier)
-      .where(size(col("fps")) >= w)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(0), size(col("fps")) - w),
-            i => array_min(slice(col("fps"), i + 1, lit(w)))))).as("fp"))
+    require(k == org.apache.spark.sql.graft.RollingPolyUtil.K,
+      s"rolling window is compiled for k=${org.apache.spark.sql.graft.RollingPolyUtil.K}")
+    // Hash, window-min, and per-doc distinct fused in one codegen'd O(n)
+    // pass (monotonic-deque sliding minimum) — no hash array materializes,
+    // so the old anti-CollapseProject barrier is gone with it.
+    val selected = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.WinnowedFps32Array(
+        org.apache.spark.sql.graft.shim.expression(col("text")), w))
+    documents.select(col("doc_id"), explode(selected).as("fp"))
   }
 
   // PII patterns: the engine-portable regex subset only (classes,

@@ -278,13 +278,13 @@ private[graft] object TextRegistry {
         |       + n_digit_tokens + n_other_tokens AS BIGINT) AS n_bpe_est
         |FROM base""".stripMargin,
     "q54_rolling_fingerprint" ->
-      s"""WITH g AS (
+      s"""WITH codes AS (
          |  SELECT doc_id,
-         |    CASE WHEN length(text) >= 8 THEN
-         |      list_transform(range(1, length(text) - 6),
-         |        i -> ${md5Prefix32Sql("substring(text, CAST(i AS INTEGER), 8)")})
-         |    ELSE CAST([] AS BIGINT[]) END AS fps
-         |  FROM documents)
+         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${rollingFpsSql("cs")} AS fps
+         |  FROM codes)
          |SELECT doc_id,
          |  CAST(len(fps) AS INTEGER) AS n_grams,
          |  list_min(fps) AS min_fp,
@@ -477,13 +477,13 @@ private[graft] object TextRegistry {
         |SELECT n.doc_id AS doc_id, p.probe_doc_id AS probe_doc_id
         |FROM n JOIN p ON contains(n.norm, p.probe)""".stripMargin,
     "q64_winnowing" ->
-      s"""WITH g AS (
+      s"""WITH codes AS (
          |  SELECT doc_id,
-         |    CASE WHEN length(text) >= 8 THEN
-         |      list_transform(range(1, length(text) - 6),
-         |        i -> ${md5Prefix32Sql("substring(text, CAST(i AS INTEGER), 8)")})
-         |    ELSE CAST([] AS BIGINT[]) END AS fps
-         |  FROM documents)
+         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${rollingFpsSql("cs")} AS fps
+         |  FROM codes)
          |SELECT doc_id,
          |  unnest(list_distinct(list_transform(range(0, len(fps) - 3),
          |    i -> list_min(fps[i+1:i+4])))) AS fp
