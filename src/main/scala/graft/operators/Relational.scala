@@ -564,16 +564,18 @@ object Relational {
     * divisions; the interval bounds are exact ranked picks (2nd and
     * 31st of 32 ≈ a 90% percentile-bootstrap CI), not float quantiles.
     *
-    * Scale shape: the ×`reps` fan-out is map-side and collapses
-    * immediately into a (type, replica) aggregate — shuffle cardinality
-    * |types|·reps, independent of row count; the ranking window runs
-    * over `reps` rows per type.
+    * Scale shape: there is NO ×`reps` row fan-out — each replica's
+    * multiplicity is an inline codegen'd expression feeding two
+    * aggregates per replica in one wide map-side-combined pass; shuffle
+    * cardinality is |types|·2·reps columns, independent of row count,
+    * and the (type, replica) rows are recovered by exploding the
+    * already-aggregated result. The ranking window runs over `reps`
+    * rows per type.
     *
     * @return per type: (event_type, n_rows, mean_micro, lo_micro,
     *         hi_micro, n_reps)
     */
   def bootstrapCI(events: DataFrame, reps: Int = 32): DataFrame = {
-    val thr = array(PoissonBoot.thresholds.map(lit): _*)
     val base = events.select(col("event_type"), col("event_id"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
       .transform(graft.barrier) // read by the point estimate and the fan
@@ -585,16 +587,33 @@ object Relational {
     // ×reps volume was the whole cost of the operator (23 s → ~2 s at
     // sf0.1), and the mixer is the same three integer ops on both
     // engines
-    val repMeans = base
+    // WIDE aggregation instead of a ×reps row explode: the explode form
+    // pushed |rows|·reps rows through an interpreted filter() lambda and a
+    // (type, rep)-keyed hash aggregate — at sf1.0 that was 320M interpreted
+    // threshold scans. Here each replica's multiplicity is an inline
+    // codegen'd expression (same mixer arithmetic, same values) feeding 2
+    // aggregates per replica, and the (type, rep) shape is recovered by
+    // exploding the ALREADY-AGGREGATED |types| rows. Map-side work per row:
+    // reps mixers + reps·|thr| compares, zero extra rows.
+    val withU = base
       .withColumn("h", graft.functions.TextAnalysis.md5Prefix32(
         concat(lit("boot:"), col("event_id").cast("string"))))
-      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("u1",
-        expr("pmod(pmod(h + rep * 2654435761, 4294967296) * 1640531527, 4294967296)"))
-      .withColumn("u", expr("u1 ^ (u1 div 65536)"))
-      .withColumn("k", size(filter(thr, t => col("u") >= t)).cast("long"))
-      .groupBy("event_type", "rep")
-      .agg(sum(col("cents") * col("k")).as("sc"), sum(col("k")).as("nk"))
+      .select(col("event_type") +: col("cents") +:
+        (0 until reps).map { r =>
+          val u1 = s"pmod(pmod(h + $r * 2654435761, 4294967296) * 1640531527, 4294967296)"
+          expr(s"($u1) ^ (($u1) div 65536)").as(s"u$r")
+        }: _*)
+    def kOf(r: Int): Column = PoissonBoot.thresholds
+      .map(t => when(col(s"u$r") >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val aggCols = (0 until reps).flatMap(r => Seq(
+      sum(col("cents") * kOf(r)).as(s"sc$r"), sum(kOf(r)).as(s"nk$r")))
+    val repMeans = withU.groupBy("event_type")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("event_type"),
+        posexplode(array((0 until reps).map(r =>
+          struct(col(s"sc$r").as("sc"), col(s"nk$r").as("nk"))): _*)))
+      .select(col("event_type"), col("pos").as("rep"),
+        col("col.sc").as("sc"), col("col.nk").as("nk"))
       .where(col("nk") > 0)
       .select(col("event_type"), col("rep"),
         expr("sc * 1000000 div nk").as("rep_mean"))
