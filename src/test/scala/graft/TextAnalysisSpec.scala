@@ -269,4 +269,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("pe_num") === 5L)
     assert(r.getAs[Long]("kappa_ppm") === 3000000L / 11L)  // (8−5)e6/(16−5)
   }
+
+  test("RollingPolyUtil: rolling hashes equal the direct polynomial at every position") {
+    import org.apache.spark.sql.graft.RollingPolyUtil
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    for (_ <- 0 until 50) {
+      val n = rnd.nextInt(40)
+      val s = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = RollingPolyUtil.hashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val bytes = s.getBytes("UTF-8")
+      val want =
+        if (n < RollingPolyUtil.K) Array.emptyLongArray
+        else (0 to n - RollingPolyUtil.K).map { i =>
+          (0 until RollingPolyUtil.K).foldLeft(0L) { (h, j) =>
+            (h * RollingPolyUtil.B + (bytes(i + j) & 0xFF)) % RollingPolyUtil.M
+          }
+        }.toArray
+      assert(got.toSeq === want.toSeq, s"text=[$s]")
+    }
+  }
+
+  test("WinnowUtil: fused deque selection equals naive distinct window-min") {
+    import org.apache.spark.sql.graft.{RollingPolyUtil, WinnowUtil}
+    val rnd = new scala.util.Random(7)
+    for (w <- Seq(2, 4, 5); _ <- 0 until 25) {
+      val n = rnd.nextInt(60)
+      val s = Array.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString // heavy repeats
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val fps = RollingPolyUtil.hashes(u)
+      val want =
+        if (fps.length < w) Set.empty[Long]
+        else fps.sliding(w).map(_.min).toSet
+      assert(WinnowUtil.select(u, w).toSet === want, s"text=[$s] w=$w")
+    }
+  }
+
+  test("rollingPoly32 codegen path equals the interpreted util") {
+    import org.apache.spark.sql.graft.RollingPolyUtil
+    val texts = Seq("", "short", "exactly8", "a longer text with spaces 123")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.rollingPoly32(col("text")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = RollingPolyUtil.hashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toSeq
+      assert(got(i.toLong) === want, s"text=[$t]")
+    }
+  }
 }
