@@ -337,6 +337,36 @@ private[graft] object EntryHelpers {
        |    ELSE CAST([] AS BIGINT[]) END""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.Corpus.hashedGrams]]: a WITH-clause
+    * prefix defining `hashed(source, g, h)` — `g` the exact base-256
+    * byte-packed 8-gram ([[org.apache.spark.sql.graft.RollingPackUtil]]:
+    * injective, so count(DISTINCT g) is the byte-exact gram count), `h`
+    * the [[org.apache.spark.sql.graft.GramMixUtil.mix32]] multiply–
+    * xorshift finalizer spelled as layered CTEs (every intermediate exact
+    * in signed 64-bit). Codepoints equal bytes on this ASCII corpus —
+    * the same cross-engine contract as the rolling-poly fingerprints,
+    * enforced by this very oracle at every scale it runs.
+    */
+  private[graft] def packedGramsSql: String = {
+    val powers = (0 until 8).map(j => (0 until 7 - j).foldLeft(1L)((a, _) => a * 256L))
+    val terms = powers.zipWithIndex.map { case (p, j) => s"cs[i+$j]*$p" }.mkString(" + ")
+    s"""codes AS (
+       |  SELECT source,
+       |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+       |  FROM documents),
+       |sh AS (
+       |  SELECT source, unnest(CASE WHEN len(cs) >= 8 THEN
+       |      list_transform(range(1, len(cs) - 6), i -> $terms)
+       |    ELSE CAST([] AS BIGINT[]) END) AS g
+       |  FROM codes),
+       |m1 AS (SELECT source, g,
+       |  ((g % 4294967296) * 1640531527 % 4294967296
+       |   + (g // 4294967296) * 2654435761 % 4294967296) % 4294967296 AS t FROM sh),
+       |m2 AS (SELECT source, g, xor(t, t // 65536) AS v FROM m1),
+       |m3 AS (SELECT source, g, v * 1103515245 % 4294967296 AS u FROM m2),
+       |hashed AS (SELECT source, g, xor(u, u // 65536) AS h FROM m3)""".stripMargin
+  }
+
   private[graft] def md5Prefix32Sql(e: String): String =
     s"CAST(list_sum(list_transform(range(0, 8), hx -> " +
       s"CAST(strpos('0123456789abcdef', substring(md5($e), CAST(hx + 1 AS INTEGER), 1)) - 1 AS BIGINT)" +

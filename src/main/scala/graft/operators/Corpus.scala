@@ -379,21 +379,34 @@ object Corpus {
       .limit(k)
   }
 
-  /** The shared heavy stage of [[hllCardinality]] and [[hllMerge]]: every
-    * char-`k`-gram of every document with its 32-bit md5-prefix hash,
-    * materialized once behind a barrier (SparkEntry memoizes this frame so
-    * q102 and q147 pay the explode+hash exactly once per session).
+  /** The shared heavy stage of the sketch family (q102/q147/q157/q185/
+    * q194): every char-`k`-gram of every document, materialized once
+    * behind a barrier (SparkEntry memoizes this frame so all five
+    * consumers pay the scan exactly once per session).
+    *
+    * `g` is the EXACT gram identity as a base-256 byte packing
+    * ([[org.apache.spark.sql.graft.RollingPack64Array]] — 8 bytes = 64
+    * bits, injective, computed rolling in O(1) per position), so every
+    * `count(DISTINCT g)` truth is byte-exact with no gram strings built,
+    * a 4× narrower shuffle row, and no per-gram digest. `h` is the
+    * 32-bit sketch-side hash from the multiply–xorshift finalizer
+    * ([[org.apache.spark.sql.graft.GramMix32]]) — the role md5-prefix32
+    * used to play, at integer-op cost.
     *
     * @return (source, g, h)
     */
   def hashedGrams(documents: DataFrame, k: Int = 8): DataFrame = {
-    val grams = when(length(col("text")) >= k,
-      transform(sequence(lit(1), length(col("text")) - (k - 1)),
-        i => col("text").substr(i, lit(k))))
-      .otherwise(array().cast("array<string>"))
+    require(k == org.apache.spark.sql.graft.RollingPackUtil.K,
+      s"gram packing is compiled for k=${org.apache.spark.sql.graft.RollingPackUtil.K}")
+    val packed = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.RollingPack64Array(
+        org.apache.spark.sql.graft.shim.expression(col("text"))))
     documents
-      .select(col("source"), explode(grams).as("g"))
-      .select(col("source"), col("g"), TextAnalysis.md5Prefix32(col("g")).as("h"))
+      .select(col("source"), explode(packed).as("g"))
+      .select(col("source"), col("g"),
+        org.apache.spark.sql.graft.shim.column(
+          org.apache.spark.sql.graft.GramMix32(
+            org.apache.spark.sql.graft.shim.expression(col("g")))).as("h"))
       .transform(graft.barrier)
   }
 

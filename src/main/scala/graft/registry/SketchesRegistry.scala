@@ -123,12 +123,7 @@ private[graft] object SketchesRegistry {
     // same gram hash stream, bottom-64 DISTINCT hashes per source, the
     // same (k-1)·2^32/h_k estimate and exact-side grading division
     "q194_kmv_sketch" ->
-      s"""WITH sh AS (
-        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
-        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS g
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT source, g, ${md5Prefix32Sql("g")} AS h FROM sh),
+      s"""WITH $packedGramsSql,
         |dh AS (SELECT DISTINCT source, h FROM hashed),
         |rn AS (
         |  SELECT source, h,

@@ -730,12 +730,7 @@ private[graft] object TextRegistry {
     // harmonic sum; bin()/conv(_,10,2) agree on minimal binary strings, and
     // the single float op is the final division by the folded constant
     "q102_hll_cardinality" ->
-      s"""WITH sh AS (
-        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
-        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS g
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT source, g, ${md5Prefix32Sql("g")} AS h FROM sh),
+      s"""WITH $packedGramsSql,
         |regs AS (
         |  SELECT source, h % 256 AS reg,
         |    max(CASE WHEN (h // 256) = 0 THEN 25
@@ -757,12 +752,7 @@ private[graft] object TextRegistry {
     // through per-source shard registers then merged by max, once directly
     // over the union — the graded row carries both plus the equality proof
     "q147_hll_merge" ->
-      s"""WITH sh AS (
-        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
-        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS g
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT source, g, ${md5Prefix32Sql("g")} AS h FROM sh),
+      s"""WITH $packedGramsSql,
         |rho AS (
         |  SELECT source, h % 256 AS reg,
         |    CASE WHEN (h // 256) = 0 THEN 25
@@ -795,12 +785,7 @@ private[graft] object TextRegistry {
     // same register algebra pairwise: scaled harmonic sums as exact
     // BIGINTs, the estimate evaluated in the same (a + b) - union order
     "q157_hll_intersection" ->
-      s"""WITH sh AS (
-        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
-        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS g
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT source, g, ${md5Prefix32Sql("g")} AS h FROM sh),
+      s"""WITH $packedGramsSql,
         |regs AS (
         |  SELECT source, h % 256 AS reg,
         |    max(CASE WHEN (h // 256) = 0 THEN 25
@@ -960,11 +945,8 @@ private[graft] object TextRegistry {
     // greedy rounds with (gain DESC, source) argmax and NOT EXISTS
     // freshness — MATERIALIZED for the q151 inlining reason
     "q185_greedy_coverage" ->
-      """WITH sh AS (
-        |  SELECT source, unnest(list_transform(range(0, GREATEST(length(text) - 7, 0)),
-        |    i -> substring(text, CAST(i + 1 AS INTEGER), 8))) AS t
-        |  FROM documents),
-        |st AS MATERIALIZED (SELECT DISTINCT source, t FROM sh),
+      s"""WITH $packedGramsSql,
+        |st AS MATERIALIZED (SELECT DISTINCT source, g AS t FROM sh),
         |g1 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM st GROUP BY 1),
         |p1 AS MATERIALIZED (
         |  SELECT source, gain FROM g1 ORDER BY gain DESC, source LIMIT 1),

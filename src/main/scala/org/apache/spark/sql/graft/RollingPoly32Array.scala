@@ -120,6 +120,106 @@ case class RollingPoly32Array(child: Expression)
     copy(child = newChild)
 }
 
+object RollingPackUtil {
+  /** All K-byte windows of a string packed EXACTLY into one long each —
+    * base-256 positional packing (8 bytes = 64 bits), computed rolling in
+    * O(1) per position. Injective on byte content: two windows pack equal
+    * iff their bytes are equal, so `count(DISTINCT packed)` IS the exact
+    * distinct-gram count, with no hash-collision caveat and no gram
+    * strings materialized. Values stay in the positive signed-64 range for
+    * any leading byte < 0x80 — i.e. all ASCII text, the same contract as
+    * [[RollingPolyUtil]] (the DuckDB twin packs codepoints; the oracle
+    * hash gate enforces the equivalence at every scale it runs).
+    */
+  val K = 8
+  private val TOPW = 1L << 56 // 256^(K-1): weight of the leaving byte
+
+  def packs(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < K) return Array.emptyLongArray
+    val out = new Array[Long](n - K + 1)
+    var h = 0L
+    var i = 0
+    while (i < K) { h = (h << 8) | (bytes(i) & 0xFFL); i += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - K) {
+      h = ((h - (bytes(p - 1) & 0xFFL) * TOPW) << 8) | (bytes(p + K - 1) & 0xFFL)
+      out(p) = h
+      p += 1
+    }
+    out
+  }
+}
+
+/** Native Catalyst expression: string → array<long> of
+  * [[RollingPackUtil.packs]] — the exact 8-byte gram identities, one O(n)
+  * compiled pass, no per-gram strings.
+  */
+case class RollingPack64Array(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_pack64_array"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(RollingPackUtil.packs(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val gad = classOf[GenericArrayData].getName
+      val util = RollingPackUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = new $gad($util.packs($s));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramMixUtil {
+  /** 64→32-bit finalizer for the packed gram: two multiply–xorshift
+    * rounds over the 32-bit halves (the classic integer-hash finalizer
+    * shape), replacing the md5 prefix as the sketch-side hash. Every
+    * intermediate is exact in signed-64 on BOTH engines — the DuckDB twin
+    * spells the same five steps with `%`/`//`/xor() (see the oracle CTE
+    * builder), so sketch registers can never drift. Uniformity serves
+    * HLL/KMV register assignment; the EXACT sides never touch it.
+    */
+  def mix32(g: Long): Long = {
+    val lo = g & 0xFFFFFFFFL
+    val hi = g >>> 32
+    val t = (lo * 1640531527L % 4294967296L + hi * 2654435761L % 4294967296L) % 4294967296L
+    val v = t ^ (t >>> 16)
+    val u = v * 1103515245L % 4294967296L
+    u ^ (u >>> 16)
+  }
+}
+
+/** Native Catalyst expression: long → long [[GramMixUtil.mix32]]. */
+case class GramMix32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_mix32"
+
+  override def nullSafeEval(input: Any): Any =
+    GramMixUtil.mix32(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => {
+      val util = GramMixUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $util.mix32($g);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression: string → array<long> of the DISTINCT
   * winnowing-selected fingerprints ([[WinnowUtil.select]]) — rolling hash,
   * sliding-window minimum, and per-document dedup fused into one O(n)

@@ -209,4 +209,61 @@ class SketchesSpec extends AnyFunSuite {
       assert(ea >= ca && eb >= cb && ok)
     }
   }
+
+  test("RollingPackUtil: rolling packs equal direct base-256 packing; injective on windows") {
+    import org.apache.spark.sql.graft.RollingPackUtil
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    for (_ <- 0 until 50) {
+      val n = rnd.nextInt(40)
+      val s = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = RollingPackUtil.packs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val bytes = s.getBytes("UTF-8")
+      val want =
+        if (n < RollingPackUtil.K) Array.emptyLongArray
+        else (0 to n - RollingPackUtil.K).map { i =>
+          (0 until RollingPackUtil.K).foldLeft(0L)((h, j) => (h << 8) | (bytes(i + j) & 0xFFL))
+        }.toArray
+      assert(got.toSeq === want.toSeq, s"text=[$s]")
+      // injectivity: distinct packed values == distinct 8-gram strings
+      if (n >= RollingPackUtil.K) {
+        val grams = (0 to n - RollingPackUtil.K).map(i => s.substring(i, i + RollingPackUtil.K))
+        assert(got.distinct.length === grams.distinct.length, s"text=[$s]")
+      }
+    }
+  }
+
+  test("GramMixUtil.mix32 equals the DuckDB-spelled %-and-// arithmetic") {
+    import org.apache.spark.sql.graft.GramMixUtil
+    val M = 4294967296L
+    val rnd = new scala.util.Random(29)
+    // ASCII-leading packs are non-negative; sample that range plus edges
+    val samples = Seq(0L, 1L, M - 1, M, Long.MaxValue) ++
+      Seq.fill(100)(rnd.nextLong() & 0x7FFFFFFFFFFFFFFFL)
+    samples.foreach { g =>
+      val t = ((g % M) * 1640531527L % M + (g / M) * 2654435761L % M) % M
+      val v = t ^ (t / 65536L)
+      val u = v * 1103515245L % M
+      val want = u ^ (u / 65536L)
+      assert(GramMixUtil.mix32(g) === want, s"g=$g")
+      assert(want >= 0L && want < M)
+    }
+  }
+
+  test("hashedGrams codegen path equals the interpreted utils") {
+    import org.apache.spark.sql.graft.{GramMixUtil, RollingPackUtil}
+    val texts = Seq("", "short", "exactly8", "a longer text with spaces 123")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, s"s$i", t) }
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.hashedGrams(docs).select("source", "g", "h")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq.sorted).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val packs = RollingPackUtil.packs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      val want = packs.map(g => (g, GramMixUtil.mix32(g))).toSeq.sorted
+      assert(got.getOrElse(s"s$i", Seq.empty) === want, s"text=[$t]")
+    }
+  }
 }
