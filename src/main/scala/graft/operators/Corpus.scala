@@ -267,26 +267,60 @@ object Corpus {
     * ([[Dedup.crossCorpusContamination]]) with exact-substring semantics
     * that survive arbitrary context around the quote.
     *
-    * The probe set is tiny by construction (benchmark suites are KBs, the
-    * corpus is TBs), so Spark broadcasts it and the scan never shuffles:
-    * the plan is scan → broadcast nested loop with a `Contains` filter —
-    * O(corpus × probes) map-side work and zero exchanges. Probes here are
-    * derived deterministically from the corpus itself (12-token windows of
-    * every 97th document) so the operator is self-contained and its output
-    * provably non-empty; swap `probes` for a read of the real benchmark
-    * table in production.
+    * Candidate generation is gram-bucketed, not a nested-loop scan (the
+    * naive broadcast `Contains` filter is O(corpus × probes) — and the
+    * probe set grows with the benchmark suite, so at scale that product
+    * explodes). The exact-substring semantics admit a token-aligned
+    * filter: a probe is 12 tokens joined by single spaces, and `norm` is
+    * the doc's tokens joined the same way, so any substring occurrence
+    * aligns the probe's INTERIOR 10 tokens (space-delimited on both sides
+    * inside the match) with 10 complete consecutive document tokens. Hash
+    * every 10-token window of every doc (linear, map-side), broadcast the
+    * probes' interior-window hashes, equi-join — zero shuffles — then
+    * verify the surviving (doc, probe) pairs with exact `contains` (hash
+    * collisions can only ADD candidates; verification removes them).
+    * Probes here are derived deterministically from the corpus itself
+    * (12-token windows of every 97th document) so the operator is
+    * self-contained and its output provably non-empty; swap `probes` for
+    * a read of the real benchmark table in production.
     *
     * @return one row per (doc, probe) hit: `doc_id`, `probe_doc_id`.
     */
   def quoteHits(documents: DataFrame): DataFrame = {
     val toks = tokensBarrier(documents)
-    val probes = toks
+    // per-token hashes once, then each 10-token window key is an
+    // order-sensitive polynomial fold over longs — no per-window string
+    // allocation (the naive array_join+hash per window builds ~|tokens|
+    // 70-char strings per doc and dominated the scan)
+    // fold kept in 32 bits each step (masked) so the multiply can never
+    // overflow under ANSI semantics; collisions only add candidates
+    def windowKey(th: org.apache.spark.sql.Column,
+        start: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(slice(th, start, lit(10)), lit(0L),
+        (acc, x) => (acc * 31 + x).bitwiseAND(lit(0xFFFFFFFFL)))
+    val hashed = toks.select(col("doc_id"), col("t"),
+      transform(col("t"), x => shiftrightunsigned(xxhash64(x), 32)).as("th"))
+    val probes = hashed
       .where(col("doc_id") % 97 === 0 && size(col("t")) >= 20)
       .select(col("doc_id").as("probe_doc_id"),
-        array_join(slice(col("t"), 9, 12), " ").as("probe"))
+        array_join(slice(col("t"), 9, 12), " ").as("probe"),
+        windowKey(col("th"), lit(10)).as("wh"))
+    // every 10-token window of every doc, keyed — distinct per doc so the
+    // candidate join emits each (doc, probe) pair at most once
+    val windows = hashed
+      .where(size(col("t")) >= 10)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 9),
+          i => windowKey(col("th"), i)))).as("wh"))
+    val cand = windows
+      .join(broadcast(probes.select(col("probe_doc_id"), col("wh"))), "wh")
+      .select(col("doc_id"), col("probe_doc_id"))
     toks
       .select(col("doc_id"), array_join(col("t"), " ").as("norm"))
-      .join(broadcast(probes), contains(col("norm"), col("probe")))
+      .join(broadcast(cand), "doc_id")
+      .join(broadcast(probes.select(col("probe_doc_id"), col("probe"))),
+        "probe_doc_id")
+      .where(contains(col("norm"), col("probe")))
       .select(col("doc_id"), col("probe_doc_id"))
   }
 

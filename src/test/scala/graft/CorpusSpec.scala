@@ -179,11 +179,13 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"document side shuffled:\n$plan")
   }
 
-  test("quoteHits probe side broadcasts — no shuffle on the corpus scan") {
+  test("quoteHits is gram-bucketed: broadcast equi-joins only, no nested loop, no shuffle") {
     val df = SparkEntry.queries("q70_quote_hits")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"probe join is not a broadcast nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate/verify joins are not broadcast equi-joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the O(corpus x probes) nested-loop shape is back:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus side shuffled for the probe join:\n$plan")
   }
