@@ -137,14 +137,18 @@ private[graft] object EntryHelpers {
         cfPairsAll(spark, dir)).cache()
     }
 
-  /** The corpus 8-gram explode+hash is the dominant cost of BOTH HLL
-    * queries (q102 per-source sketches, q147 merge proof) — one barriered
-    * materialization per session, exactly the shared scan a cluster
-    * deployment would stage.
+  /** The corpus 8-gram explode + ONE (source, g) dedup is the dominant
+    * shared cost of the sketch family (q102/q147/q157/q185/q194) — one
+    * barriered materialization per session, exactly the staged artifact a
+    * cluster deployment would persist. The frame is DISTINCT by
+    * (source, g) ([[Corpus.distinctGrams]]): every consumer is
+    * multiplicity-insensitive, so results are identical while each
+    * query's own shuffles read the ~8×-smaller deduped frame instead of
+    * re-deduplicating the raw gram stream per query.
     */
   private[graft] def hllGrams(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "hll_grams") {
-      Corpus.hashedGrams(Tables.documents(spark, dir))
+      Corpus.distinctGrams(Tables.documents(spark, dir))
     }
 
 

@@ -444,6 +444,34 @@ object Corpus {
       .transform(graft.barrier)
   }
 
+  /** The DISTINCT form of [[hashedGrams]] — one (source, g) dedup shuffle
+    * paid at materialization, with `h` computed on the already-deduped
+    * frame. Every sketch-family consumer is multiplicity-insensitive
+    * (countDistinct, max-rho registers, distinct, top-k over distinct
+    * hashes), so feeding them this frame is result-identical while their
+    * downstream shuffles read ~8× fewer rows (measured corpus dedup
+    * factor at sf0.1: 1.45M raw grams → 173k distinct (source, g) pairs).
+    * This is the seam SparkEntry memoizes: the ONE big dedup replaces the
+    * five per-query dedups the raw seam forced each consumer to repeat.
+    * (A round-9 attempt at this was slower — but that predates the packed
+    * long grams: dedup rows were 8-char strings then, 16-byte longs now.)
+    */
+  def distinctGrams(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k == org.apache.spark.sql.graft.RollingPackUtil.K,
+      s"gram packing is compiled for k=${org.apache.spark.sql.graft.RollingPackUtil.K}")
+    val packed = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.RollingPack64Array(
+        org.apache.spark.sql.graft.shim.expression(col("text"))))
+    documents
+      .select(col("source"), explode(packed).as("g"))
+      .distinct()
+      .select(col("source"), col("g"),
+        org.apache.spark.sql.graft.shim.column(
+          org.apache.spark.sql.graft.GramMix32(
+            org.apache.spark.sql.graft.shim.expression(col("g")))).as("h"))
+      .transform(graft.barrier)
+  }
+
   /** Deterministic HyperLogLog cardinality report (Flajolet et al. 2007):
     * per-source distinct char-8-gram count estimated from a 256-register
     * HLL sketch, graded against the exact distinct count — the
