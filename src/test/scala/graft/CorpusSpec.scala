@@ -250,6 +250,31 @@ class CorpusSpec extends AnyFunSuite {
       3L -> (("c", 1L, 7L))))
   }
 
+  test("sketch family is multiplicity-insensitive: distinctGrams seam equals raw hashedGrams") {
+    // The memoized seam feeds the DISTINCT (source, g) frame to all five
+    // consumers; this pins the substitution's correctness — every family
+    // result must be identical whether the input stream carries duplicate
+    // grams or not (repeat-heavy texts so the dedup factor is real).
+    val d = docs(
+      (1L, "abcabcabcabcabcabcabcabc", "s1"), // heavy 8-gram repeats
+      (2L, "abcabcabcXYZabcabcabcabc", "s2"), // shares grams with s1
+      (3L, "the quick brown fox jumps over the lazy dog again", "s3"),
+      (4L, "tiny", "s1")) // sub-k doc: contributes nothing
+    val raw = Corpus.hashedGrams(d)
+    val dedup = Corpus.distinctGrams(d)
+    // the distinct frame really is deduped, and strictly smaller here
+    assert(dedup.count() === raw.select("source", "g").distinct().count())
+    assert(dedup.count() < raw.count())
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Corpus.hllCardinalityFrom(dedup)) === rows(Corpus.hllCardinalityFrom(raw)))
+    assert(rows(Corpus.hllMergeFrom(dedup)) === rows(Corpus.hllMergeFrom(raw)))
+    assert(rows(Corpus.hllIntersectionFrom(dedup)) === rows(Corpus.hllIntersectionFrom(raw)))
+    assert(rows(Corpus.greedyCoverageFrom(dedup)) === rows(Corpus.greedyCoverageFrom(raw)))
+    assert(rows(graft.operators.Sketches.kmvCardinality(dedup)) ===
+      rows(graft.operators.Sketches.kmvCardinality(raw)))
+  }
+
   test("postingsCompression: dense postings compress to ~1 byte per gap") {
     import spark.implicits._
     // token "a" in docs 1..5 (dense: gaps 2,1,1,1,1 -> 5 varint bytes vs
