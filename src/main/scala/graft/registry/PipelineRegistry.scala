@@ -752,13 +752,24 @@ private[graft] object PipelineRegistry {
          |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) * max(n_tok) AS DOUBLE)
          |    AS efficiency
          |FROM rn GROUP BY 1, 2""".stripMargin,
-    // identical global row_number file assignment; overlap test and
-    // amplification are exact-integer until the single final division
+    // identical rank-based file assignment (a plain global row_number
+    // here; the Spark side computes the same rank distributed as day
+    // offsets + per-day rank); the hashed layout is the GramMix32
+    // multiply-xorshift finalizer over the unique (orderkey, linenumber)
+    // packing, spelled in the same layered exact-in-signed-64 steps as
+    // the packed-gram oracles; overlap test and amplification are
+    // exact-integer until the single final division
     "q124_zonemap_skipping" ->
       s"""WITH base AS (
          |  SELECT l_orderkey, l_linenumber,
-         |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS k
+         |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS k,
+         |    l_orderkey * 256 + l_linenumber AS gk
          |  FROM lineitem),
+         |m1 AS (SELECT *, ((gk % 4294967296) * 1640531527 % 4294967296
+         |  + (gk // 4294967296) * 2654435761 % 4294967296) % 4294967296 AS t FROM base),
+         |m2 AS (SELECT *, xor(t, t // 65536) AS v FROM m1),
+         |m3 AS (SELECT *, v * 1103515245 % 4294967296 AS u FROM m2),
+         |hb AS (SELECT *, xor(u, u // 65536) AS h FROM m3),
          |tot AS (SELECT (count(*) + 4095) // 4096 AS n_files FROM base),
          |layouts AS (
          |  SELECT 'sorted' AS layout,
@@ -766,9 +777,8 @@ private[graft] object PipelineRegistry {
          |  FROM base
          |  UNION ALL
          |  SELECT 'hashed' AS layout,
-         |    ${md5Prefix32Sql("'file:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")}
-         |      % (SELECT n_files FROM tot) AS file_id, k
-         |  FROM base),
+         |    h % (SELECT n_files FROM tot) AS file_id, k
+         |  FROM hb),
          |stats AS (
          |  SELECT layout, file_id, min(k) AS min_k, max(k) AS max_k,
          |    CAST(count(*) AS BIGINT) AS n_in_file

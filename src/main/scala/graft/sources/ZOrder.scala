@@ -103,12 +103,16 @@ object ZOrder {
     * layout, ~n_files for the hashed one; the gap IS the argument for
     * sort-ordered ingestion at 100 TB, quantified from stats alone.
     *
-    * The registered form assigns sorted file ids with one global
-    * row_number so the oracle reproduces it; a writer at scale gets the
-    * identical layout from repartitionByRange(key) with per-partition
-    * sequence ids (the [[writeZOrdered]] shape) — the stats math is
-    * unchanged. The file-stats aggregate is one narrow shuffle; the
-    * 3-row predicate table broadcasts.
+    * The sorted layout's global rank is computed WITHOUT a single-
+    * partition window (which would serialize the whole table through one
+    * task at any scale): per-day counts prefix-summed into day offsets —
+    * a metadata-bounded window over |distinct shipdates| rows, the
+    * q159-approved pattern — broadcast back, plus a day-PARTITIONED
+    * row_number for the within-day rank. offset(k) + local_rank is
+    * exactly the global (k, l_orderkey, l_linenumber) rank, so the
+    * assignment — and the oracle that reproduces it with a plain global
+    * row_number — is unchanged. The file-stats aggregate is one narrow
+    * shuffle; the 3-row predicate table broadcasts.
     */
   def zoneMapSkipping(lineitem: DataFrame,
       preds: Seq[(String, Long, Long)] = Seq(
@@ -122,14 +126,29 @@ object ZOrder {
       expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("k"))
     val tot = base.agg(
       ((count(lit(1)) + (rowsPerFile - 1)) / rowsPerFile).cast("long").as("n_files"))
-    val sorted = base.withColumn("file_id",
-      expr(s"(row_number() OVER (ORDER BY k, l_orderkey, l_linenumber) - 1) div $rowsPerFile"))
-      .select(lit("sorted").as("layout"), col("file_id"), col("k"))
+    val offsets = base.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("k")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("k"), col("off"))
+    val sorted = base.join(broadcast(offsets), "k")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))))
+      .select(lit("sorted").as("layout"),
+        expr(s"(off + rn - 1) div $rowsPerFile").as("file_id"), col("k"))
+    // pseudorandom file placement from the multiply–xorshift finalizer
+    // over the unique (orderkey, linenumber) packing — integer-op cost
+    // where the md5-over-string form paid a digest + two string builds
+    // per row (measured as the dominant cost of this query at sf1.0);
+    // the DuckDB twin spells the same five exact-in-signed-64 steps
     val hashed = base.crossJoin(broadcast(tot))
       .select(lit("hashed").as("layout"),
-        (graft.functions.TextAnalysis.md5Prefix32(
-          concat(lit("file:"), col("l_orderkey").cast("string"), lit(":"),
-            col("l_linenumber").cast("string"))) % col("n_files")).as("file_id"),
+        (org.apache.spark.sql.graft.shim.column(
+          org.apache.spark.sql.graft.GramMix32(
+            org.apache.spark.sql.graft.shim.expression(
+              expr("l_orderkey * 256L + l_linenumber"))))
+          % col("n_files")).as("file_id"),
         col("k"))
     val stats = sorted.union(hashed)
       .groupBy(col("layout"), col("file_id"))
