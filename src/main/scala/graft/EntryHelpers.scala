@@ -61,15 +61,27 @@ private[graft] object EntryHelpers {
     perSession.getOrElseUpdate((dir, key), build)
   }
 
+  /** The ratings VIEW is a |lineitem| ⋈ |orders| join (6M × 1.5M rows at
+    * sf1.0) that ~10 registered queries consumed independently — each
+    * re-ran the join, and some (q272's global-identity audit) ran it
+    * twice inside one query. Staged once per session behind a barrier,
+    * exactly the materialized view a deployment would keep; every
+    * consumer reads the checkpoint.
+    */
+  private[graft] def ratingsDf(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "ratings_df") {
+      Tables.ratings(spark, dir).transform(graft.barrier)
+    }
+
   private[graft] def good(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "good") {
-      Reco.goodRatings(Tables.ratings(spark, dir))
+      Reco.goodRatings(ratingsDf(spark, dir))
         .select("userId", "productId").distinct().cache()
     }
 
   private[graft] def coPairs(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "pairs") {
-      Reco.coRatingPairs(Reco.goodRatings(Tables.ratings(spark, dir))).cache()
+      Reco.coRatingPairs(Reco.goodRatings(ratingsDf(spark, dir))).cache()
     }
 
   private[graft] def communityLabels(spark: SparkSession, dir: String): DataFrame =
@@ -90,7 +102,7 @@ private[graft] object EntryHelpers {
       // barrier (eager localCheckpoint) already stops recomputation; the
       // cache() layers a columnar in-memory copy on top because q108 scans
       // this table twice more (scoring join + rated anti-join)
-      Reco.dedupedRatings(Tables.ratings(spark, dir)).cache()
+      Reco.dedupedRatings(ratingsDf(spark, dir)).cache()
     }
 
   /** The co-rated pair table WITH its train-split twin from one combined
@@ -210,11 +222,11 @@ private[graft] object EntryHelpers {
     }
 
   private[graft] def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val reviews = Tables.ratings(spark, dir).select("userId").distinct()
+    val reviews = ratingsDf(spark, dir).select("userId").distinct()
     RealTime.enrich(
       reviews,
       qRecommendations(spark, dir),
-      Reco.topProducts(Tables.ratings(spark, dir)))
+      Reco.topProducts(ratingsDf(spark, dir)))
   }
 
   // ---------------------------------------------------------------------------

@@ -67,7 +67,7 @@ private[graft] object GraphRegistry {
     // path-count integers (unnormalized power iteration, same ranking)
     "q160_hits" -> ((s, dir) =>
       plans.GraphOps.hits(
-        Reco.goodRatings(Tables.ratings(s, dir))
+        Reco.goodRatings(EntryHelpers.ratingsDf(s, dir))
           .select(col("userId"), col("productId")).distinct())),
     // J2 rows 2.9-2.11 — label propagation communities
     "q06_communities" -> ((s, dir) => communityLabels(s, dir)),

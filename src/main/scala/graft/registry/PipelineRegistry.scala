@@ -120,7 +120,7 @@ private[graft] object PipelineRegistry {
     // group-aware k-fold: rows follow their user's md5 fold, with the
     // cross-fold distinct-user identity graded as leak_free
     "q272_group_kfold" -> ((s, dir) =>
-      TrainingMix.groupKFold(Tables.ratings(s, dir))),
+      TrainingMix.groupKFold(EntryHelpers.ratingsDf(s, dir))),
     // per-shard source-distribution TVD vs the corpus — the
     // shuffle-quality audit over the q79 shard hash
     "q222_shard_balance" -> ((s, dir) =>

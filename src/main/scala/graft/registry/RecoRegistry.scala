@@ -29,12 +29,17 @@ private[graft] object RecoRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference surface: J1 (SURVEY §2 rows 1.1-1.6) ----
-    "q01_top_products" -> ((s, dir) => Reco.topProducts(Tables.ratings(s, dir))),
-    // J2 rows 2.2-2.4 — filters + projection
+    "q01_top_products" -> ((s, dir) => Reco.topProducts(EntryHelpers.ratingsDf(s, dir))),
+    // J2 rows 2.2-2.4 — filters + projection. Reads the BASE tables, not
+    // the staged ratings view: the userId<1000 filter is ~0.7%-selective
+    // and pushes to the parquet scan as LessThan(o_custkey,1000)
+    // (plan-asserted) — against the staged view it would scan the full
+    // checkpoint. Selective consumers go to base tables; full-view
+    // consumers share the seam.
     "q02_good_ratings" -> ((s, dir) =>
       Reco.goodRatings(Tables.ratings(s, dir)).select("userId", "productId", "rating")),
     // Support 4.3/4.4 — deterministic DB/stream split
-    "q05_sample_split" -> ((s, dir) => Reco.sampleSplit(Tables.ratings(s, dir))),
+    "q05_sample_split" -> ((s, dir) => Reco.sampleSplit(EntryHelpers.ratingsDf(s, dir))),
     // J2 row 2.15 — flagship recommendation generation. The library result
     // keeps the natural array<long> column (see entry()/qRecommendations);
     // the registered form serializes it to a canonical CSV string because
@@ -48,8 +53,8 @@ private[graft] object RecoRegistry {
     // specific, so the registered form emits the oracle-checkable invariants
     // of the split — exact complement cardinality and the sampled fraction.
     "q28_seeded_split" -> ((s, dir) => {
-      val base = Tables.ratings(s, dir).where(col("userId") < 1000)
-      val (db, stream) = Reco.seededSplit(Tables.ratings(s, dir))
+      val base = EntryHelpers.ratingsDf(s, dir).where(col("userId") < 1000)
+      val (db, stream) = Reco.seededSplit(EntryHelpers.ratingsDf(s, dir))
       db.agg(count(lit(1)).as("n_db"))
         .crossJoin(stream.agg(count(lit(1)).as("n_stream")))
         .crossJoin(base.agg(count(lit(1)).as("n_total")))

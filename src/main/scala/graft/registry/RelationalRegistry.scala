@@ -280,7 +280,7 @@ private[graft] object RelationalRegistry {
     // rank-sum (Mann-Whitney) AUC of item popularity predicting a good
     // rating — exact tie-aware pair counting over the score histogram
     "q208_auc_popularity" -> ((s, dir) => {
-      val r = Tables.ratings(s, dir)
+      val r = EntryHelpers.ratingsDf(s, dir)
       val pop = r.groupBy(col("productId"))
         .agg(count(lit(1)).as("score"))
       Relational.aucRankSum(
@@ -332,7 +332,7 @@ private[graft] object RelationalRegistry {
         .select("user_id").distinct()
       Relational.tombstonePurge(Seq(
         ("events", Tables.events(s, dir), "user_id"),
-        ("ratings", Tables.ratings(s, dir), "userId")), del)
+        ("ratings", EntryHelpers.ratingsDf(s, dir), "userId")), del)
     }),
     // migration validation: order-invariant md5-sum checksum per table
     // (shuffle/file-layout independent; both engines compute it equally)
