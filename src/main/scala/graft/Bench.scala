@@ -52,9 +52,19 @@ object Bench {
     * repeated fully-JIT-warm samples on an idle round-13 host (min 0.547,
     * median ≈0.60 across six samples). Ratios are relative to this;
     * override via env if the fleet hardware ever changes.
+    *
+    * `value_norm` derived from it is ADVISORY ONLY (ADVICE r13): the
+    * sentinel runs inside the suite's own JVM, so GC/heap pressure from
+    * the suite's cached seams counts as "load" too — it defends against
+    * host throttle but can also absorb self-inflicted slowdown. The raw
+    * `value` is the headline number everywhere; the artifact records the
+    * nominal's provenance so a different host can't silently reuse it.
     */
   private val SentinelNominalS =
     sys.env.getOrElse("SPARK_GRAFT_SENTINEL_NOMINAL", "0.60").toDouble
+  private val SentinelNominalSrc =
+    if (sys.env.contains("SPARK_GRAFT_SENTINEL_NOMINAL")) "env-override"
+    else "r13-idle-host-median(6 samples, min 0.547)"
 
   private[graft] def sentinel(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
@@ -70,11 +80,17 @@ object Bench {
   }
 
   /** Commit the artifact is measuring — ties every bench JSON to a tree
-    * state (ADVICE r12: artifacts must be mechanically anchored).
+    * state (ADVICE r12: artifacts must be mechanically anchored). A dirty
+    * working tree gets a "-dirty" suffix (ADVICE r13: an artifact must not
+    * claim a commit its tree wasn't actually built from).
     */
-  private def headSha: String =
-    try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
-    catch { case _: Throwable => "unknown" }
+  private[graft] def headSha: String =
+    try {
+      val sha = scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
+      val dirty = scala.sys.process.Process(
+        Seq("git", "status", "--porcelain", "--untracked-files=no")).!!.trim.nonEmpty
+      if (dirty) sha + "-dirty" else sha
+    } catch { case _: Throwable => "unknown" }
 
   private def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -191,11 +207,21 @@ object Bench {
     // never awards a bonus for a fast host (load clamps at 1 from below) —
     // the defensible number when the sentinel shows the host was throttled.
     val totalNorm = total / math.max(load, 1.0)
+    // cpus recorded because the nominal is a local[32] constant — a
+    // SPARK_GRAFT_CPUS-reduced run reads load ~4/cpus× high by construction
     val sentJson = s""""sentinel":{"nominal_s":${fmt(SentinelNominalS)},""" +
+      s""""nominal_src":"$SentinelNominalSrc","nominal_cpus":32,"cpus":$cpus,""" +
+      s""""advisory":true,""" +
       s""""load":${fmt(load)},"samples_s":${sentSamples.map(fmt).mkString("[", ",", "]")}}"""
     val head = headSha
+    // A SPARK_GRAFT_ONLY-filtered run is a PARTIAL suite: stamp the filter
+    // into the JSON and land it in subset-suffixed files so it can never
+    // clobber or masquerade as the full-suite artifact (ADVICE r13 on the
+    // analogous StreamBench seam).
+    val onlyJson = onlyEnv.map(s =>
+      s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""value_norm":${fmt(totalNorm)},$sentJson,"head":"$head","queries":$qs,"sf":"$sfDir"}"""
+      s""""value_norm":${fmt(totalNorm)},$onlyJson$sentJson,"head":"$head","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the last ~2000 chars of stdout and parses a
     // JSON line out of that window. At 227 queries the full-map line above
@@ -218,9 +244,11 @@ object Bench {
       .mkString("{", ",", "}")
     val retriedJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
     val audit = s"""{"samples":$samplesJson,"retried":$retriedJson,"passes":2,""" +
-      s""""total":${fmt(total)},"total_norm":${fmt(totalNorm)},$sentJson,""" +
+      s""""total":${fmt(total)},"total_norm":${fmt(totalNorm)},$onlyJson$sentJson,""" +
       s""""head":"$head","sf":"$sfDir"}"""
-    for ((path, line) <- Seq("bench_last.json" -> json, "bench_samples.json" -> audit))
+    val suffix = if (onlyEnv.isDefined) "_subset" else ""
+    for ((path, line) <- Seq(s"bench_last$suffix.json" -> json,
+        s"bench_samples$suffix.json" -> audit))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
       catch { case _: Throwable => () }
   }

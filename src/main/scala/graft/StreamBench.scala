@@ -149,12 +149,19 @@ object StreamBench {
     results.foreach(r => println(r.json))
     val head = try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
       catch { case _: Throwable => "unknown" }
+    // A STREAM_ONLY-filtered run is partial: stamp the filter into the JSON
+    // and default its output to a subset-suffixed path so it can never
+    // silently clobber the full-suite artifact (ADVICE r13).
+    val onlyJson = onlyEnv.map(s =>
+      s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
     val combined = s"""{"sf":"$sfDir","events":$totalRows,"chunks":$chunks,""" +
-      s""""shuffle":$streamShuffle,"head":"$head",""" +
+      s""""shuffle":$streamShuffle,$onlyJson"head":"$head",""" +
       s""""queries":[${results.map(_.json).mkString(",")}]}"""
     // Output path is env-selectable so the sf1.0 run lands in its own
     // artifact (BENCH_streaming_sf1.json) instead of clobbering the sf0.1 one.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_streaming.json")
+    val defaultOut =
+      if (onlyEnv.isDefined) "BENCH_streaming_subset.json" else "BENCH_streaming.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", defaultOut)
     try Files.writeString(Paths.get(outPath), combined + "\n")
     catch { case _: Throwable => () }
     // best-effort scratch cleanup (tmpfs)

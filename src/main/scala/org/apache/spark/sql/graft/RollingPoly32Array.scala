@@ -23,6 +23,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * lowercase ASCII — the oracle hash-gate enforces this equivalence at
   * every scale it runs.
   */
+/** The rolling-gram family's cross-engine equality with its DuckDB twins
+  * holds only for pure-ASCII text: Spark hashes UTF-8 BYTES while the
+  * oracle hashes CODEPOINTS (equal iff every byte < 0x80), and
+  * [[RollingPackUtil]]'s base-256 signed-64 packing additionally needs the
+  * leading byte's high bit clear. A non-ASCII document would silently
+  * diverge the engines (ADVICE r13) — so the contract is asserted here at
+  * the source, once per document, as one branch-predictable scan.
+  */
+private[graft] object AsciiGuard {
+  def require(bytes: Array[Byte]): Unit = {
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) < 0) throw new IllegalArgumentException(
+        s"rolling-gram functions require pure-ASCII text (oracle twins hash " +
+          s"codepoints, Spark hashes UTF-8 bytes); found byte 0x${(bytes(i) & 0xFF).toHexString} at offset $i")
+      i += 1
+    }
+  }
+}
+
 object RollingPolyUtil {
   val K = 8
   val B = 257L
@@ -42,6 +62,7 @@ object RollingPolyUtil {
   def hashes(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
     val n = bytes.length
+    AsciiGuard.require(bytes)
     if (n < K) return Array.emptyLongArray
     val out = new Array[Long](n - K + 1)
     var h = 0L
@@ -137,6 +158,7 @@ object RollingPackUtil {
   def packs(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
     val n = bytes.length
+    AsciiGuard.require(bytes)
     if (n < K) return Array.emptyLongArray
     val out = new Array[Long](n - K + 1)
     var h = 0L

@@ -306,6 +306,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("AsciiGuard: non-ASCII text fails loudly in both rolling-gram utils") {
+    import org.apache.spark.sql.graft.{RollingPackUtil, RollingPolyUtil}
+    val bad = org.apache.spark.unsafe.types.UTF8String.fromString("café latte")
+    val e1 = intercept[IllegalArgumentException](RollingPolyUtil.hashes(bad))
+    assert(e1.getMessage.contains("pure-ASCII"))
+    val e2 = intercept[IllegalArgumentException](RollingPackUtil.packs(bad))
+    assert(e2.getMessage.contains("pure-ASCII"))
+    // ASCII passes untouched
+    val ok = org.apache.spark.unsafe.types.UTF8String.fromString("cafe latte")
+    assert(RollingPolyUtil.hashes(ok).nonEmpty && RollingPackUtil.packs(ok).nonEmpty)
+  }
+
   test("rollingPoly32 codegen path equals the interpreted util") {
     import org.apache.spark.sql.graft.RollingPolyUtil
     val texts = Seq("", "short", "exactly8", "a longer text with spaces 123")
