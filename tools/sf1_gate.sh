@@ -22,6 +22,50 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF1=${SF1_DIR:-testdata_sf1.0}
 HEAD_SHA=$(git rev-parse HEAD)
+if [ -n "$(git status --porcelain --untracked-files=no)" ]; then
+  HEAD_SHA="$HEAD_SHA-dirty"
+fi
+
+# --recert: make the certificate mechanically track HEAD (VERDICT r13 #1).
+# Re-runs Verify at HEAD, hash-diffs against the certified set
+# (verify_hashes_sf1.json), inherits the oracle verdict for every query
+# whose Spark output is bit-identical, and re-oracles ONLY the changed
+# ones. Cost: one sf1.0 Verify sweep (~15 min) + oracle time proportional
+# to what actually changed — vs the full gate's 60-90 min.
+if [ "${1:-}" = "--recert" ]; then
+  if [ ! -d "$SF1" ]; then
+    echo "== recert: $SF1 missing — deriving =="
+    sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 $SF1 10"
+  fi
+  echo "== recert [1/3] Verify sweep at HEAD =="
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+    sbt -batch "runMain graft.Verify $SF1 verify_sf1_out"
+  echo "== recert [2/3] hash-diff vs certified set =="
+  CHANGED=$(python3 tools/recert.py diff verify_hashes_sf1.json \
+    verify_sf1_out/verify_hashes.json)
+  LOG_ARG=()
+  if [ -n "$CHANGED" ]; then
+    N=$(echo "$CHANGED" | tr ',' '\n' | wc -l)
+    echo "== recert [3/3] oracle re-run for $N changed queries =="
+    export GRAFT_DUCKDB_TMP=${GRAFT_DUCKDB_TMP:-/dev/shm/duckdb_tmp}
+    mkdir -p "$GRAFT_DUCKDB_TMP"
+    set +e
+    python3 tools/oracle_check.py "$SF1" verify_sf1_out "$CHANGED" \
+      | tee /tmp/oracle_recert.log
+    set -e
+    rm -rf "$GRAFT_DUCKDB_TMP"
+    LOG_ARG=(/tmp/oracle_recert.log)
+  else
+    echo "== recert [3/3] zero hash changes — pure transfer =="
+  fi
+  # exits non-zero (aborting before the baseline update) if any failed
+  python3 tools/recert.py write CORRECTNESS_sf1.json verify_hashes_sf1.json \
+    verify_sf1_out/verify_hashes.json "$HEAD_SHA" "$SF1 (10x derived)" \
+    "${LOG_ARG[@]}"
+  cp verify_sf1_out/verify_hashes.json verify_hashes_sf1.json
+  echo "recert green at $HEAD_SHA"
+  exit 0
+fi
 
 echo "== [1/5] derive $SF1 from sf0.1 (reps=10) =="
 sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 $SF1 10"
