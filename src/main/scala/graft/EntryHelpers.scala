@@ -476,7 +476,14 @@ private[graft] object EntryHelpers {
     s"""$rDef,
        |norms AS (
        |  SELECT productId, CAST(sum(rv * rv) AS BIGINT) AS s2 FROM r GROUP BY 1),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
+       |  -- MATERIALIZED: the chain's one Σdeg² blowup. Every consumer
+       |  -- reads it at least twice (mir's UNION ALL; q239 a third time
+       |  -- for the cos² pair lookup) — inlined, DuckDB re-derives the
+       |  -- self-join per reference and its sf1.0 join order spilled >40 GB
+       |  -- on q239 (the round-13 gate had to route temp to tmpfs).
+       |  -- Materialized once, the aggregate output is ~1e6 rows. Pure
+       |  -- hint — results identical.
        |  SELECT a.productId AS pa, b.productId AS pb,
        |    CAST(sum(a.rv * b.rv) AS BIGINT) AS dot,
        |    CAST(count(*) AS BIGINT) AS support,

@@ -76,10 +76,10 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
 cp verify_sf1_out/verify_hashes.json verify_hashes_sf1.json
 
 echo "== [3/5] DuckDB oracle compare =="
-# DuckDB temp on tmpfs by default: the heaviest oracle (q239) spills
-# >40 GB, more than the root disk's usual headroom; no Spark JVM runs
-# concurrently in this phase, so tmpfs is free to take it.
-export GRAFT_DUCKDB_TMP=${GRAFT_DUCKDB_TMP:-/dev/shm/duckdb_tmp}
+# DuckDB temp on plain disk: the former >40 GB q239 spill that forced
+# tmpfs routing is gone (the CF chain's `pairs` CTE is MATERIALIZED, so
+# the Σdeg² self-join runs once — measured 57 s / <1 MB spill at sf1.0).
+export GRAFT_DUCKDB_TMP=${GRAFT_DUCKDB_TMP:-$(pwd)/.duckdb_tmp}
 mkdir -p "$GRAFT_DUCKDB_TMP"
 set +e
 python3 tools/oracle_check.py "$SF1" verify_sf1_out | tee /tmp/oracle_sf1.log
