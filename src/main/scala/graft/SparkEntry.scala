@@ -52,6 +52,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.iterator.map(_._2).reduce(_ ++ _)
 
+  /** Sketch-only production twins (same keys as their graded forms) —
+    * benched separately via SPARK_GRAFT_SKETCH_PROD=1, never driver-graded.
+    */
+  def prodQueries: Map[String, (SparkSession, String) => DataFrame] =
+    TextRegistry.prodQueries
+
   def oracleSql: Map[String, String] =
     registries.iterator.map(_._3).reduce(_ ++ _)
 }

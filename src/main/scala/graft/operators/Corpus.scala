@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -502,23 +502,73 @@ object Corpus {
   def hllCardinality(documents: DataFrame, k: Int = 8): DataFrame =
     hllCardinalityFrom(hashedGrams(documents, k))
 
+  /** alpha_256 * 256^2 * 2^40 = (0.7213/(1 + 1.079/256)) * 2^56, folded to
+    * one double literal so every HLL estimate is a single division.
+    */
+  private[graft] val HllC = 5.175699493294551e16
+
+  /** (source, reg, rho) from a hashed-gram stream — the one register
+    * derivation all HLL forms share: register = low 8 bits of the 32-bit
+    * hash, rho = leading-zero rank of the remaining 24 bits via
+    * binary-string length (no float log; see [[hllCardinality]]).
+    */
+  private def hllRhoRows(sh: DataFrame): DataFrame = sh
+    .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
+    .select(col("source"), col("reg"),
+      when(col("w") === 0, lit(25))
+        .otherwise(lit(25) - length(conv(col("w"), 10, 2))).as("rho"))
+
+  /** The exact scaled harmonic sum Σ2^(40−ρ) + empty-register term, as an
+    * aggregate over (…, rho) rows (order-invariant BIGINT addition).
+    */
+  private def hllSScaled: Column =
+    sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)")) +
+      (lit(256L) - count(lit(1))) * lit(1099511627776L)
+
   def hllCardinalityFrom(sh: DataFrame): DataFrame = {
-    val regs = sh
-      .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
-      .select(col("source"), col("reg"),
-        when(col("w") === 0, lit(25))
-          .otherwise(lit(25) - length(conv(col("w"), 10, 2))).as("rho"))
-      .groupBy("source", "reg").agg(max(col("rho")).as("rho"))
+    val regs = hllRhoRows(sh).groupBy("source", "reg").agg(max(col("rho")).as("rho"))
     val sketch = regs.groupBy("source").agg(
-      (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
-        + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_scaled"),
-      count(lit(1)).as("occupied"))
+      hllSScaled.as("s_scaled"), count(lit(1)).as("occupied"))
     val exact = sh.groupBy("source").agg(countDistinct(col("g")).as("n_exact"))
     exact.join(broadcast(sketch), "source")
       .select(col("source"), col("n_exact"), col("occupied"), col("s_scaled"),
-        // alpha_256 * 256^2 * 2^40 = (0.7213/(1 + 1.079/256)) * 2^56,
-        // folded to one double literal so the estimate is a single division
-        (lit(5.175699493294551e16) / col("s_scaled").cast("double")).as("est"))
+        (lit(HllC) / col("s_scaled").cast("double")).as("est"))
+  }
+
+  /** PRODUCTION form of [[hllCardinality]]: the sketch alone, straight off
+    * the RAW gram stream — no exact-distinct twin, no (source, g) dedup
+    * shuffle, no barrier. Register max is multiplicity-insensitive, so the
+    * whole query is one scan with map-side combine down to ≤256 rows per
+    * source before the only exchange; this is the path a 100-TB pipeline
+    * runs, with the graded [[hllCardinalityFrom]] kept for certification
+    * (its est column is spec-pinned equal to this one).
+    *
+    * @return (source, occupied, s_scaled, est)
+    */
+  def hllCardinalityProd(documents: DataFrame, k: Int = 8): DataFrame =
+    hllRhoRows(rawHashedGrams(documents, k))
+      .groupBy("source", "reg").agg(max(col("rho")).as("rho"))
+      .groupBy("source").agg(
+        hllSScaled.as("s_scaled"), count(lit(1)).as("occupied"))
+      .select(col("source"), col("occupied"), col("s_scaled"),
+        (lit(HllC) / col("s_scaled").cast("double")).as("est"))
+
+  /** [[hashedGrams]] without the barrier or any dedup — the production
+    * scan: register aggregation collapses map-side, so materializing or
+    * deduplicating the gram stream would only add cost.
+    */
+  private def rawHashedGrams(documents: DataFrame, k: Int): DataFrame = {
+    require(k == org.apache.spark.sql.graft.RollingPackUtil.K,
+      s"gram packing is compiled for k=${org.apache.spark.sql.graft.RollingPackUtil.K}")
+    val packed = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.RollingPack64Array(
+        org.apache.spark.sql.graft.shim.expression(col("text"))))
+    documents
+      .select(col("source"), explode(packed).as("g"))
+      .select(col("source"),
+        org.apache.spark.sql.graft.shim.column(
+          org.apache.spark.sql.graft.GramMix32(
+            org.apache.spark.sql.graft.shim.expression(col("g")))).as("h"))
   }
 
   /** HLL mergeability proof (q147) — the property that makes the sketch a
@@ -539,27 +589,17 @@ object Corpus {
     hllMergeFrom(hashedGrams(documents, k))
 
   def hllMergeFrom(sh: DataFrame): DataFrame = {
-    val rhoRows = sh
-      .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
-      .select(col("source"), col("reg"),
-        when(col("w") === 0, lit(25))
-          .otherwise(lit(25) - length(conv(col("w"), 10, 2))).as("rho"))
+    val rhoRows = hllRhoRows(sh)
       .transform(graft.barrier) // feeds the per-shard and the direct path
     // shard sketches (one register vector per source), then the merge
     val merged = rhoRows
       .groupBy("source", "reg").agg(max(col("rho")).as("rho"))
       .groupBy("reg").agg(max(col("rho")).as("rho"))
-      .agg(
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
-          + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_merged"),
-        count(lit(1)).as("occ_merged"))
+      .agg(hllSScaled.as("s_merged"), count(lit(1)).as("occ_merged"))
     // direct global registers from the same hashed grams
     val direct = rhoRows
       .groupBy("reg").agg(max(col("rho")).as("rho"))
-      .agg(
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
-          + (lit(256L) - count(lit(1))) * lit(1099511627776L)).as("s_direct"),
-        count(lit(1)).as("occ_direct"))
+      .agg(hllSScaled.as("s_direct"), count(lit(1)).as("occ_direct"))
     val exact = sh.agg(
       countDistinct(col("g")).as("n_exact"),
       countDistinct(col("source")).as("n_shards"))
@@ -568,7 +608,27 @@ object Corpus {
         col("occ_merged"), col("s_merged"), col("occ_direct"), col("s_direct"),
         (col("s_merged") === col("s_direct") &&
           col("occ_merged") === col("occ_direct")).as("merge_eq_direct"),
-        (lit(5.175699493294551e16) / col("s_merged").cast("double")).as("est"))
+        (lit(HllC) / col("s_merged").cast("double")).as("est"))
+  }
+
+  /** PRODUCTION form of [[hllMerge]]: per-shard register vectors merged by
+    * element-wise max — exactly what coordinators run at 100 TB (256
+    * numbers per shard cross the wire, never the gram stream). No direct-
+    * path proof recomputation, no exact distinct; one raw scan.
+    *
+    * @return (n_shards, occ_merged, s_merged, est)
+    */
+  def hllMergeProd(documents: DataFrame, k: Int = 8): DataFrame = {
+    val shard = hllRhoRows(rawHashedGrams(documents, k))
+      .groupBy("source", "reg").agg(max(col("rho")).as("rho"))
+      .transform(graft.barrier) // shard count + merged registers
+    val merged = shard
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+      .agg(hllSScaled.as("s_merged"), count(lit(1)).as("occ_merged"))
+    shard.agg(countDistinct(col("source")).as("n_shards"))
+      .crossJoin(merged)
+      .select(col("n_shards"), col("occ_merged"), col("s_merged"),
+        (lit(HllC) / col("s_merged").cast("double")).as("est"))
   }
 
   /** HLL set algebra (q157) — pairwise source-overlap estimation by
@@ -607,16 +667,11 @@ object Corpus {
     // with q102/q147's countDistinct folds) measured ~1.7 s slower across
     // the family at sf0.1 than this form
     val dg = sh.select("source", "g").distinct()
-    val C = 5.175699493294551e16 // alpha_256 * 256^2 * 2^40 (see hllCardinality)
-    def sScaled = (sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)"))
-      + (lit(256L) - count(lit(1))) * lit(1099511627776L))
+    val C = HllC
+    def sScaled = hllSScaled
     // per-source register vectors: ≤ |sources|·256 rows, barriered because
     // the singles, the pair fan-out, and the union sketch all read them
-    val rho = sh
-      .select(col("source"), (col("h") % 256).as("reg"), expr("h div 256").as("w"))
-      .select(col("source"), col("reg"),
-        when(col("w") === 0, lit(25))
-          .otherwise(lit(25) - length(conv(col("w"), 10, 2))).as("rho"))
+    val rho = hllRhoRows(sh)
       .groupBy("source", "reg").agg(max(col("rho")).as("rho"))
       .transform(graft.barrier)
     val single = rho.groupBy("source").agg(sScaled.as("s"))
@@ -647,6 +702,37 @@ object Corpus {
         col("s_a"), col("s_b"), col("s_union"),
         ((lit(C) / col("s_a").cast("double") + lit(C) / col("s_b").cast("double"))
           - lit(C) / col("s_union").cast("double")).as("est_inter"))
+  }
+
+  /** PRODUCTION form of [[hllIntersection]]: the overlap matrix from
+    * register arithmetic alone — no exact pair join, no gram dedup. One
+    * raw scan → ≤ |sources|·256 register rows, then every pairwise
+    * estimate is inclusion–exclusion over two tiny broadcast vectors:
+    * the constant-size path that keeps the n² overlap matrix affordable
+    * at 100 TB.
+    *
+    * @return (sa, sb, s_a, s_b, s_union, est_inter)
+    */
+  def hllIntersectionProd(documents: DataFrame, k: Int = 8): DataFrame = {
+    val rho = hllRhoRows(rawHashedGrams(documents, k))
+      .groupBy("source", "reg").agg(max(col("rho")).as("rho"))
+      .transform(graft.barrier) // singles, pair fan-out, union sketch
+    val single = rho.groupBy("source").agg(hllSScaled.as("s"))
+    val srcs = rho.select("source").distinct()
+    val pairs = srcs.as("x").join(srcs.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("sa"), col("y.source").as("sb"))
+    val unionSk = rho
+      .join(broadcast(pairs),
+        col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy("sa", "sb", "reg").agg(max(col("rho")).as("rho"))
+      .groupBy("sa", "sb").agg(hllSScaled.as("s_union"))
+    unionSk
+      .join(broadcast(single.select(col("source").as("sa"), col("s").as("s_a"))), "sa")
+      .join(broadcast(single.select(col("source").as("sb"), col("s").as("s_b"))), "sb")
+      .select(col("sa"), col("sb"), col("s_a"), col("s_b"), col("s_union"),
+        ((lit(HllC) / col("s_a").cast("double") + lit(HllC) / col("s_b").cast("double"))
+          - lit(HllC) / col("s_union").cast("double")).as("est_inter"))
   }
 
   /** Quantile normalization (q186) — the batch-effect remover: map each
@@ -1010,6 +1096,36 @@ object Corpus {
     est.join(exact, Seq("source", "p"))
       .select(col("source"), col("p"), col("exact_v"), col("est_v"),
         (col("est_v") - col("exact_v")).as("err"))
+  }
+
+  /** PRODUCTION form of [[histogramQuantiles]]: the histogram estimate
+    * alone — no exact order statistic, so no per-source sort anywhere;
+    * the whole query is two broadcast-joined map-combinable aggregates.
+    *
+    * @return (source, p, est_v)
+    */
+  def histogramQuantilesProd(documents: DataFrame, buckets: Int = 256,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val docs = documents.select(col("source"), col("n_chars"))
+    val mm = docs.groupBy("source").agg(
+      min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+      count(lit(1)).as("n"))
+    val hist = docs
+      .join(broadcast(mm), "source")
+      .groupBy(col("source"),
+        expr(s"((n_chars - lo) * $buckets) div (hi - lo + 1)").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cm",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("b")))
+    val th = mm.select(col("source"), col("lo"), col("hi"), col("n"),
+        explode(lit(ps.toArray)).as("p"))
+      .withColumn("t", expr("(p * n + 99) div 100"))
+    th.join(cum, "source").where(col("cm") >= col("t"))
+      .groupBy(col("source"), col("p"), col("lo"), col("hi"))
+      .agg(min(col("b")).as("eb"))
+      .select(col("source"), col("p"),
+        expr(s"lo + ((eb + 1) * (hi - lo + 1)) div $buckets - 1").as("est_v"))
   }
 
   /** TF-IDF keyword search (q197) — rank documents for a fixed term set

@@ -27,6 +27,23 @@ import graft.EntryHelpers._
   */
 private[graft] object TextRegistry {
 
+  /** Sketch-only PRODUCTION forms of the graded sketch queries — the path
+    * a 100-TB pipeline actually runs (no exact-truth twin, no dedup
+    * shuffle, no per-source sort). Benched by `SPARK_GRAFT_SKETCH_PROD=1`
+    * into its own artifact; NOT part of the driver-graded suite — their
+    * correctness rests on SketchProdSpec pinning each estimate column
+    * equal to its graded twin's.
+    */
+  def prodQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_hll_cardinality" -> ((s, dir) =>
+      Corpus.hllCardinalityProd(Tables.documents(s, dir))),
+    "q147_hll_merge" -> ((s, dir) =>
+      Corpus.hllMergeProd(Tables.documents(s, dir))),
+    "q157_hll_intersection" -> ((s, dir) =>
+      Corpus.hllIntersectionProd(Tables.documents(s, dir))),
+    "q109_hist_quantiles" -> ((s, dir) =>
+      Corpus.histogramQuantilesProd(Tables.documents(s, dir))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "q33_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
