@@ -406,6 +406,84 @@ object Reco {
       .select("userId", "item", "num", "den", "pred")
   }
 
+  /** CF cap-quality report (q280) — grades the PRODUCTION guardrail the
+    * itemKNN family needs before 100 TB: the pair fan-out is Σ_u deg(u)²,
+    * so one pathological user with a million ratings contributes 10¹²
+    * pairs unless per-user degree is capped. The standard fix keeps each
+    * user's `cap` highest ratings for PAIR GENERATION ONLY (the quadratic
+    * term); norms, scoring, and the anti-join stay on the full linear-cost
+    * rating table. This report measures exactly what that cap costs in
+    * output quality, so a deployment can justify its budget:
+    *
+    *  - neighbor fidelity: precision/recall of the capped top-k neighbor
+    *    set against the exact one (ppm, integer division);
+    *  - recommendation fidelity: overlap of the capped top-`top` rec sets
+    *    with the exact ones (ppm);
+    *  - prediction drift: Σ ⌊10⁶·|pred_cap − pred_exact|⌋ over the recs
+    *    both paths agree on — per-row IEEE ops on identically-derived
+    *    doubles, floored to BIGINT so the sum is order-invariant;
+    *  - cost side: exact vs capped pair-table sizes (the shuffle the cap
+    *    actually buys down).
+    *
+    * Everything else reuses the session-memoized exact seams, so the
+    * report pays only the CAPPED chain on top of what q107/q108 already
+    * computed — the same incremental shape a production A/B would run.
+    *
+    * Determinism: the cap itself is a row_number over (rv DESC, productId)
+    * — a total order both engines share; every metric is a count or an
+    * integer-floored sum.
+    *
+    * @param deduped        [[dedupedRatings]] (cf_deduped seam)
+    * @param pairsExact     [[itemPairs]] over the full table (cfPairs seam)
+    * @param neighborsExact [[itemNeighborsFromPairs]] output (cfNeighbors)
+    * @param predsExact     [[cfPredictionsFrom]] output (cfPreds seam)
+    * @return one row: (cap, k, n_pairs_exact, n_pairs_capped, n_nb_exact,
+    *         n_nb_capped, n_nb_inter, nb_precision_ppm, nb_recall_ppm,
+    *         n_rec_exact, n_rec_capped, n_rec_inter, rec_overlap_ppm,
+    *         n_common_rec, drift_micro_sum)
+    */
+  def cfCapReport(deduped: DataFrame, pairsExact: DataFrame,
+      neighborsExact: DataFrame, predsExact: DataFrame,
+      cap: Int = 64, k: Int = 5, top: Int = 3): DataFrame = {
+    val rCap = deduped
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("userId").orderBy(desc("rv"), asc("productId"))))
+      .where(col("crn") <= cap).select("userId", "productId", "rv")
+    val pairsCap = itemPairs(rCap) // barriered inside
+    val nbCap = itemNeighborsFromPairs(deduped, pairsCap, k)
+    val predsCap = cfPredictionsFrom(deduped, nbCap, top)
+
+    def one(df: DataFrame, as: String) =
+      broadcast(df.agg(count(lit(1)).cast("long").as(as)))
+    val nbE = neighborsExact.select("item", "neighbor")
+    val nbC = nbCap.select("item", "neighbor")
+    val recE = predsExact.select(col("userId"), col("item"), col("pred").as("pe"))
+    val recC = predsCap.select(col("userId"), col("item"), col("pred").as("pc"))
+    val common = recE.join(recC, Seq("userId", "item"))
+      .select(floor(abs(col("pe") - col("pc")) * lit(1000000.0)).cast("long").as("d"))
+    one(pairsExact, "n_pairs_exact")
+      .crossJoin(one(pairsCap, "n_pairs_capped"))
+      .crossJoin(one(nbE, "n_nb_exact"))
+      .crossJoin(one(nbC, "n_nb_capped"))
+      .crossJoin(one(nbE.join(nbC, Seq("item", "neighbor"), "left_semi"), "n_nb_inter"))
+      .crossJoin(one(recE, "n_rec_exact"))
+      .crossJoin(one(recC, "n_rec_capped"))
+      .crossJoin(one(recE.select("userId", "item")
+        .join(recC.select("userId", "item"), Seq("userId", "item"), "left_semi"),
+        "n_rec_inter"))
+      .crossJoin(broadcast(common.agg(
+        count(lit(1)).cast("long").as("n_common_rec"),
+        coalesce(sum(col("d")), lit(0L)).as("drift_micro_sum"))))
+      .select(lit(cap.toLong).as("cap"), lit(k.toLong).as("k"),
+        col("n_pairs_exact"), col("n_pairs_capped"),
+        col("n_nb_exact"), col("n_nb_capped"), col("n_nb_inter"),
+        expr("1000000 * n_nb_inter div n_nb_capped").as("nb_precision_ppm"),
+        expr("1000000 * n_nb_inter div n_nb_exact").as("nb_recall_ppm"),
+        col("n_rec_exact"), col("n_rec_capped"), col("n_rec_inter"),
+        expr("1000000 * n_rec_inter div n_rec_exact").as("rec_overlap_ppm"),
+        col("n_common_rec"), col("drift_micro_sum"))
+  }
+
   /** Slope One predictions (q191) — the other classic item-based
     * recommender beside the cosine itemKNN (q107/q108): for each unrated
     * item t reachable from a user's rated items, predict

@@ -101,6 +101,11 @@ private[graft] object RecoRegistry {
     // from the memoized pair table — the echo-chamber audit beside q218
     "q239_intra_list_diversity" -> ((s, dir) =>
       Reco.intraListDiversity(cfDeduped(s, dir), cfPreds(s, dir), cfPairs(s, dir))),
+    // per-user degree cap A/B: capped pair generation vs the exact seams —
+    // neighbor precision/recall, rec overlap, prediction drift, pair cost
+    "q280_cf_cap_quality" -> ((s, dir) =>
+      Reco.cfCapReport(cfDeduped(s, dir), cfPairs(s, dir),
+        cfNeighbors(s, dir), cfPreds(s, dir))),
     // nDCG@5 over the SAME memoized holdout + retrained predictions —
     // one-JVM literal discount table, no per-row float logs
     "q269_ndcg_eval" -> ((s, dir) =>
@@ -229,6 +234,107 @@ private[graft] object RecoRegistry {
         |      // (CAST(s2a AS HUGEINT) * s2b), 0)), 0)
         |    // count(*) AS BIGINT) AS mean_cos2_ppm
         |FROM jj""".stripMargin,
+    // the full itemKNN chain twice — exact (the shared CTEs) and with a
+    // per-user top-32 cap on PAIR GENERATION only (row_number over
+    // (rv DESC, productId)) — then integer set-overlap and floored-micro
+    // drift metrics; MATERIALIZED on both pair tables and both scoring
+    // aggregates (the q239 lesson: inlined, DuckDB's join order re-derives
+    // the Σdeg² self-join per reference)
+    "q280_cf_cap_quality" ->
+      s"""WITH $itemCfCtes,
+        |nb5 AS MATERIALIZED (
+        |  SELECT item, neighbor, cos FROM (
+        |    SELECT item, neighbor, cos,
+        |      row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |nbw AS (SELECT item, neighbor,
+        |    CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM nb5),
+        |sc AS MATERIALIZED (
+        |  SELECT r.userId, nbw.item,
+        |    CAST(sum(nbw.w * r.rv) AS BIGINT) AS num, CAST(sum(nbw.w) AS BIGINT) AS den
+        |  FROM r JOIN nbw ON r.productId = nbw.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nbw.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand),
+        |topk_e AS MATERIALIZED (
+        |  SELECT userId, item, pred FROM (
+        |    SELECT userId, item, pred,
+        |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |    FROM predt) WHERE rn <= 3),
+        |rcap AS (
+        |  SELECT userId, productId, rv FROM (
+        |    SELECT userId, productId, rv,
+        |      row_number() OVER (PARTITION BY userId ORDER BY rv DESC, productId) AS crn
+        |    FROM r) WHERE crn <= 64),
+        |pairs_cap AS MATERIALIZED (
+        |  SELECT a.productId AS pa, b.productId AS pb,
+        |    CAST(sum(a.rv * b.rv) AS BIGINT) AS dot
+        |  FROM rcap a JOIN rcap b
+        |    ON a.userId = b.userId AND a.productId < b.productId
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |mir_cap AS (
+        |  SELECT pa AS item, pb AS neighbor, dot FROM pairs_cap
+        |  UNION ALL
+        |  SELECT pb, pa, dot FROM pairs_cap),
+        |scored_cap AS (
+        |  SELECT item, neighbor,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 * nb.s2 AS DOUBLE)) AS cos
+        |  FROM mir_cap JOIN norms na ON na.productId = item
+        |               JOIN norms nb ON nb.productId = neighbor),
+        |nb5c AS MATERIALIZED (
+        |  SELECT item, neighbor, cos FROM (
+        |    SELECT item, neighbor, cos,
+        |      row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored_cap) WHERE rn <= 5),
+        |nbwc AS (SELECT item, neighbor,
+        |    CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM nb5c),
+        |scc AS MATERIALIZED (
+        |  SELECT r.userId, nbwc.item,
+        |    CAST(sum(nbwc.w * r.rv) AS BIGINT) AS num, CAST(sum(nbwc.w) AS BIGINT) AS den
+        |  FROM r JOIN nbwc ON r.productId = nbwc.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nbwc.w) > 0),
+        |candc AS (
+        |  SELECT scc.* FROM scc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = scc.userId AND r.productId = scc.item)),
+        |predtc AS (
+        |  SELECT userId, item,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM candc),
+        |topk_c AS MATERIALIZED (
+        |  SELECT userId, item, pred FROM (
+        |    SELECT userId, item, pred,
+        |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |    FROM predtc) WHERE rn <= 3),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM pairs) AS n_pairs_exact,
+        |  (SELECT count(*) FROM pairs_cap) AS n_pairs_capped,
+        |  (SELECT count(*) FROM nb5) AS n_nb_exact,
+        |  (SELECT count(*) FROM nb5c) AS n_nb_capped,
+        |  (SELECT count(*) FROM nb5 a JOIN nb5c b
+        |     ON a.item = b.item AND a.neighbor = b.neighbor) AS n_nb_inter,
+        |  (SELECT count(*) FROM topk_e) AS n_rec_exact,
+        |  (SELECT count(*) FROM topk_c) AS n_rec_capped,
+        |  (SELECT count(*) FROM topk_e e JOIN topk_c c
+        |     ON e.userId = c.userId AND e.item = c.item) AS n_rec_inter,
+        |  (SELECT count(*) FROM topk_e e JOIN topk_c c
+        |     ON e.userId = c.userId AND e.item = c.item) AS n_common_rec,
+        |  (SELECT COALESCE(CAST(sum(CAST(floor(abs(e.pred - c.pred) * 1000000.0)
+        |       AS BIGINT)) AS BIGINT), 0)
+        |     FROM topk_e e JOIN topk_c c
+        |     ON e.userId = c.userId AND e.item = c.item) AS drift_micro_sum)
+        |SELECT CAST(64 AS BIGINT) AS cap, CAST(5 AS BIGINT) AS k,
+        |  n_pairs_exact, n_pairs_capped, n_nb_exact, n_nb_capped, n_nb_inter,
+        |  1000000 * n_nb_inter // n_nb_capped AS nb_precision_ppm,
+        |  1000000 * n_nb_inter // n_nb_exact AS nb_recall_ppm,
+        |  n_rec_exact, n_rec_capped, n_rec_inter,
+        |  1000000 * n_rec_inter // n_rec_exact AS rec_overlap_ppm,
+        |  n_common_rec, drift_micro_sum
+        |FROM m""".stripMargin,
     // identical md5 candidate draws, earliest-draw dedup, NOT EXISTS
     // anti-join, first-k by draw order
     "q148_negative_sampling" ->

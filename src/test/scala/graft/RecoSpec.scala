@@ -445,4 +445,34 @@ class RecoSpec extends AnyFunSuite {
     assert(m.getAs[Long]("n_corated_pairs") === 1L)
     assert(m.getAs[Long]("mean_cos2_ppm") === 500000L) // (1e6 + 0) / 2
   }
+
+  test("cfCapReport: an un-binding cap reproduces the exact chain exactly") {
+    val deduped = Reco.dedupedRatings(graft.Tables.ratings(spark, TestSpark.sf))
+    val pairs = Reco.itemPairs(deduped)
+    val nb = Reco.itemNeighborsFromPairs(deduped, pairs)
+    val preds = Reco.cfPredictionsFrom(deduped, nb)
+    // cap far above any user's degree: the capped chain IS the exact chain
+    val r = Reco.cfCapReport(deduped, pairs, nb, preds, cap = 1 << 20).head()
+    assert(r.getAs[Long]("n_pairs_capped") === r.getAs[Long]("n_pairs_exact"))
+    assert(r.getAs[Long]("n_nb_inter") === r.getAs[Long]("n_nb_exact"))
+    assert(r.getAs[Long]("nb_precision_ppm") === 1000000L)
+    assert(r.getAs[Long]("nb_recall_ppm") === 1000000L)
+    assert(r.getAs[Long]("rec_overlap_ppm") === 1000000L)
+    assert(r.getAs[Long]("drift_micro_sum") === 0L)
+    assert(r.getAs[Long]("n_pairs_exact") > 0L)
+  }
+
+  test("cfCapReport: a binding cap bounds the pair table and reports sane ppms") {
+    val deduped = Reco.dedupedRatings(graft.Tables.ratings(spark, TestSpark.sf))
+    val pairs = Reco.itemPairs(deduped)
+    val nb = Reco.itemNeighborsFromPairs(deduped, pairs)
+    val preds = Reco.cfPredictionsFrom(deduped, nb)
+    val r = Reco.cfCapReport(deduped, pairs, nb, preds, cap = 4).head()
+    assert(r.getAs[Long]("n_pairs_capped") < r.getAs[Long]("n_pairs_exact"))
+    val prec = r.getAs[Long]("nb_precision_ppm")
+    val rec = r.getAs[Long]("nb_recall_ppm")
+    assert(prec >= 0L && prec <= 1000000L)
+    assert(rec >= 0L && rec <= 1000000L)
+    assert(r.getAs[Long]("n_common_rec") <= r.getAs[Long]("n_rec_exact"))
+  }
 }
