@@ -802,7 +802,8 @@ object Relational {
     val mm = pts.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
     val bucketed = pts.crossJoin(broadcast(mm))
       .withColumn("b", expr(s"((x - lo) * $buckets) div (hi - lo + 1)"))
-    // thr(b) = max y over strictly higher buckets; NULL for the top bucket
+    // thr(b) = max y over strictly higher buckets; NULL for the top bucket.
+    // Unpartitioned window over <= `buckets` rows (GlobalWindowSpec-pinned)
     val thr = bucketed.groupBy("b").agg(max(col("y")).as("by"))
       .withColumn("thr", max(col("by")).over(Window.orderBy(col("b").desc)
         .rowsBetween(Window.unboundedPreceding, -1)))
@@ -1098,12 +1099,19 @@ object Relational {
     *
     * @return (event_type, true_cnt, obs_cnt, est_cnt, err)
     */
-  def randomizedResponse(events: DataFrame): DataFrame = {
-    val types = events.select(col("event_type")).distinct()
+  /** The |types|-row index frame BEFORE its barrier — split out so
+    * GlobalWindowSpec can count the unpartitioned window's input (the
+    * barrier materializes at construction, hiding the window from the
+    * registered query's final plan).
+    */
+  private[graft] def typesIndexed(events: DataFrame): DataFrame =
+    events.select(col("event_type")).distinct()
       // |types| rows — the one unpartitioned window, driver-sized
       .withColumn("t_idx",
         row_number().over(Window.orderBy("event_type")).cast("long") - 1)
-      .transform(graft.barrier)
+
+  def randomizedResponse(events: DataFrame): DataFrame = {
+    val types = typesIndexed(events).transform(graft.barrier)
     val k = types.agg(count(lit(1)).as("kk"))
     val reported = events.select(col("event_id"), col("event_type"))
       .crossJoin(broadcast(k))

@@ -813,6 +813,8 @@ object TimeWindows {
       .groupBy("dday").agg(count(lit(1)).as("deaths"))
       .transform(graft.barrier) // read by the total and the scan
     val total = deaths.agg(sum(col("deaths")).as("n_users"))
+    // both unpartitioned windows run over the |days|-row death table
+    // (GlobalWindowSpec-pinned), never the event stream
     val before = Window.orderBy("dday").rowsBetween(Window.unboundedPreceding, -1)
     val upTo = Window.orderBy("dday").rowsBetween(Window.unboundedPreceding, 0)
     deaths.crossJoin(broadcast(total))

@@ -356,6 +356,8 @@ object Multimodal {
       .transform(graft.barrier) // read by the totals and the scan
     val tot = hist.agg(sum(col("cnt")).as("n"),
       sum(col("v") * col("cnt")).as("s"))
+    // unpartitioned windows over the <= 256-value gray-level histogram
+    // (GlobalWindowSpec-pinned), never the pixel stream
     val upTo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     val cand = hist
       .withColumn("w0", sum(col("cnt")).over(upTo))

@@ -266,6 +266,8 @@ object ZOrder {
       .agg(sum(col("n_chars")).as("seg_bytes"))
       .transform(graft.barrier) // read by the total and the pack
     val tot = segs.agg(sum(col("seg_bytes")).as("total"))
+    // unpartitioned packing window over |sources| x `buckets` segment rows
+    // (GlobalWindowSpec-pinned) — segment metadata, never documents
     val w = Window.orderBy(col("seg_bytes").desc, col("source"), col("bucket"))
     segs.crossJoin(broadcast(tot))
       .withColumn("target", expr(s"(total + ${bins - 1}) div $bins"))

@@ -13,4 +13,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The input frames of every UNPARTITIONED window in `df`'s optimized
+    * plan, as runnable DataFrames (Dataset.ofRows is private[sql]; this
+    * re-export exists so GlobalWindowSpec can COUNT the rows entering
+    * each intentional global window and pin the metadata-bounded claim —
+    * every `Window.orderBy` site in this library must prove its input is
+    * bounded by dimensions (days, sources, buckets, k), never facts).
+    */
+  def globalWindowInputs(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty =>
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, w.child)
+    }
+  }
 }
