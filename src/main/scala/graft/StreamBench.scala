@@ -75,22 +75,36 @@ object StreamBench {
     import java.nio.file.{Files, Paths}
 
     // ---- stage: time-ordered replayable chunks -------------------------
-    val ev = Tables.events(spark, sfDir)
-    ev.repartitionByRange(chunks, col("ts"))
-      .write.mode("overwrite").parquet(stage)
     // FileStreamSource orders by (modification time, path); same-second
     // mtimes would leave chunk order unspecified, so stamp them strictly
     // increasing in range-partition (= event-time) order.
-    val parts = Files.list(Paths.get(stage)).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet")).sorted
-    parts.zipWithIndex.foreach { case (p, i) =>
-      Files.setLastModifiedTime(Paths.get(p),
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+    def stageChunks(df: DataFrame, dir: String): (Long, () => DataFrame) = {
+      df.repartitionByRange(chunks, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val parts = Files.list(Paths.get(dir)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(Paths.get(p),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+      }
+      val schema = spark.read.parquet(dir).schema
+      val total = spark.read.parquet(dir).count()
+      (total, () => spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
     }
-    val schema = spark.read.parquet(stage).schema
-    val totalRows = spark.read.parquet(stage).count()
-    def stream(): DataFrame = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val (totalRows, stream) = stageChunks(Tables.events(spark, sfDir), stage)
+    // the LSH shape streams DOCUMENTS; they carry no event time, so one is
+    // synthesized deterministically — ingest spread uniformly over 24 h in
+    // doc_id order, the "crawler discovers pages over a day" replay. The
+    // 60-min join horizon then buffers ~1/24th of the corpus per side.
+    val docsRaw = Tables.documents(spark, sfDir)
+    val maxDocId = docsRaw.agg(max(col("doc_id"))).head().getLong(0)
+    val (docRows, docStream) = stageChunks(
+      docsRaw.select(col("doc_id"),
+        expr(s"timestamp_micros(1700000000000000 + doc_id * 86400000000 div " +
+          s"${maxDocId + 1})").as("ts"),
+        col("text")),
+      s"$work/docs")
 
     // ---- harness --------------------------------------------------------
     def bench(name: String)(mk: () => DataFrame): Result = {
@@ -141,7 +155,23 @@ object StreamBench {
       "ewma_volume" -> (() =>
         streaming.Stateful.ewmaVolumeStream(spark,
           stream().select(col("event_type").as("eventType"),
-            expr("unix_millis(ts)").as("timestamp"))).toDF()))
+            expr("unix_millis(ts)").as("timestamp"))).toDF()),
+      // stream-stream LEFT OUTER interval join: the view-less-click audit.
+      // Null-padded rows complete only when eviction PROVES no in-horizon
+      // view can still arrive — the outer join's extra cost over the inner
+      // form is exactly this eviction bookkeeping
+      "click_view_left_outer" -> (() => {
+        val ev = stream()
+        streaming.RealTime.clickViewPairsStream(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "view"),
+          joinType = "left_outer")
+      }),
+      // watermarked MinHash+LSH band self-join over the document stream —
+      // the ingest-time near-dup gate; per-doc signature hashing is the
+      // map cost, the 60-min horizon bounds both join buffers
+      "lsh_neardup" -> (() =>
+        streaming.RealTime.nearDupPairsStream(docStream())))
     val results = shapes
       .filter { case (n, _) => onlyEnv.forall(_.contains(n)) }
       .map { case (n, mk) => bench(n)(mk) }
@@ -154,7 +184,7 @@ object StreamBench {
     // silently clobber the full-suite artifact (ADVICE r13).
     val onlyJson = onlyEnv.map(s =>
       s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
-    val combined = s"""{"sf":"$sfDir","events":$totalRows,"chunks":$chunks,""" +
+    val combined = s"""{"sf":"$sfDir","events":$totalRows,"docs":$docRows,"chunks":$chunks,""" +
       s""""shuffle":$streamShuffle,$onlyJson"head":"$head",""" +
       s""""queries":[${results.map(_.json).mkString(",")}]}"""
     // Output path is env-selectable so the sf1.0 run lands in its own
