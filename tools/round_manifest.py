@@ -25,7 +25,15 @@ ARTIFACT_GLOBS = [
     "SCALING_sf1.json", "verify_hashes_sf1.json",
     "bench_last.json", "bench_samples*.json",
     "LEAKCHECK.json", "COPYCHECK.json",
+    # round-14 additions: the 100x probe, the production sketch bench
+    "BENCH_sf10_subset.json", "SCALING_sf10.json", "BENCH_sketch_prod*.json",
 ]
+
+# Head-stamp convention (VERDICT r13 #7): the manifest is regenerated as
+# the LAST action before the round's closing commit, so its `head` is
+# always the PARENT of the commit that ships it — a commit cannot contain
+# its own hash. A verifier checks: for the snapshot commit S,
+# manifest.head == S^ and every artifact hash matches `git show S:<file>`.
 
 
 def sha256(path):
