@@ -170,11 +170,17 @@ object Bench {
         val half = passNames.size / 2
         val timings = passNames.zipWithIndex.map { case (name, i) =>
           if (i == half && passNames.size >= 4) sent += sentinel(spark)
+          // Progress to stderr: long runs (sf1.0+) are otherwise opaque from
+          // outside the JVM — a stalled or spilling query should name itself
+          // while it runs, not only in the post-mortem.
+          System.err.println(s"[bench] start $name (${i + 1}/${passNames.size})")
           val t0 = System.nanoTime()
           try queryMap(name)(spark, sfDir).count() catch {
             case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          name -> (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] done  $name ($sec%.1f s)")
+          name -> sec
         }.toMap
         sent += sentinel(spark)
         (timings, sent.toSeq)

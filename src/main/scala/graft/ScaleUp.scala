@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   *    duplicates, while each replica retains the generator's own planted
   *    dup structure at the original density. `n_chars` is recomputed to
   *    keep the n_chars = len(text) invariant.
+  *  - embeddings are perturbed per replica by a signed permutation of the
+  *    dimensions (orthogonal: within-replica geometry exact, cross-replica
+  *    similarity ~0) — identity replication collapsed IVF cells by reps
+  *    and made cell self-joins quadratic (the round-14 sf10 finding);
   *  - timestamps are written back as TIMESTAMP_NTZ microseconds — the
   *    exact parquet encoding the driver's generator used, so both Spark's
   *    loaders and the DuckDB oracle read sf1.0 identically to sf0.1.
@@ -156,6 +160,31 @@ object ScaleUp {
           col("new_text").as("text"), col("lang"), col("source"),
           length(col("new_text")).cast("long").as("n_chars")))
 
-    writeOne("embeddings", shifted(embeddings, Map("vec_id" -> vS)))
+    // replica embeddings are NEW vectors: a per-replica SIGNED PERMUTATION
+    // of the dimensions. An orthogonal transform preserves every
+    // within-replica inner product and cosine (planted near-dup structure
+    // survives; sign flips wobble the 1e-6 micro-quantization grid but
+    // nothing near any threshold), while a cross-replica copy decorrelates
+    // to ~0 similarity. Identity-replicated values — the pre-round-14
+    // form — collapsed every distance-based operator at scale: with reps
+    // replicas of the same 2k vectors, nearest-centroid ties sent all
+    // copies of a value into the SAME IVF cell, so cell populations grew
+    // by reps and cell self-joins by reps² (the sf10 probe measured q200
+    // quadratic for exactly this reason — a defect of the DATA, not the
+    // plans). Permutation = argsort of xxhash64("rep:dim"); sign = parity
+    // of xxhash64("dim;rep"). Deterministic, no RNG; replica 0 is the
+    // original, like text.
+    val keyed = transform(sequence(lit(0), size(col("embedding")) - 1), i =>
+      struct(
+        xxhash64(concat_ws(":", col("rep"), i)).as("k"),
+        when(xxhash64(concat_ws(";", i, col("rep"))) % 2 === 0,
+          element_at(col("embedding"), i + 1))
+          .otherwise(-element_at(col("embedding"), i + 1)).as("x")))
+    val permEmb = when(col("rep") === 0, col("embedding"))
+      .otherwise(transform(array_sort(keyed), p => p.getField("x")))
+    writeOne("embeddings",
+      embeddings.crossJoin(rep).select(
+        (col("vec_id") + col("rep") * vS).as("vec_id"),
+        permEmb.as("embedding"), col("label")))
   }
 }

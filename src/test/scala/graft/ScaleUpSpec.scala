@@ -82,6 +82,53 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(q36(spark, out).count() === srcPairs * reps)
   }
 
+  test("replica embeddings are new vectors with within-replica geometry intact") {
+    val vS = srcStride("embeddings", "vec_id")
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nSrc = srcEmb.count()
+    // de-collapsed: every replica's vectors are distinct VALUES (identity
+    // replication left |distinct| = |source| at any reps — the sf10 defect)
+    assert(emb.select(col("embedding")).distinct().count() === nSrc * reps)
+
+    // exact micro-grid cosine numerator/norms, all-integer like the
+    // Similarity operators' arithmetic
+    def microDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * 1000000L).cast("long") *
+          floor(y.cast("double") * 1000000L).cast("long")), lit(0L), _ + _)
+
+    // cross-replica: a replica's copy of a vector is DECORRELATED from the
+    // original — |cos| far below every near-dup threshold (identity
+    // replication had cos = 1 for all reps·|src| such pairs)
+    val copies = emb.where(col("vec_id") >= vS) // replicas 1..reps-1
+      .select((col("vec_id") % vS).as("vec_id"), col("embedding").as("e1"))
+      .join(srcEmb.select(col("vec_id"), col("embedding").as("e0")), "vec_id")
+      .select((microDot(col("e0"), col("e1")).cast("double") /
+        sqrt(microDot(col("e0"), col("e0")).cast("double")) /
+        sqrt(microDot(col("e1"), col("e1")).cast("double"))).as("cos"))
+    assert(copies.agg(max(abs(col("cos")))).head().getDouble(0) < 0.7)
+
+    // within-replica: the signed permutation is orthogonal, so pairwise
+    // cosines inside replica r match replica 0's (1e-5 tolerance covers
+    // the micro-grid wobble of sign-flipped components)
+    val r1 = emb.where(col("vec_id") >= vS && col("vec_id") < 2 * vS)
+      .select((col("vec_id") % vS).as("vid"), col("embedding"))
+    def pairCos(df: org.apache.spark.sql.DataFrame) = df.as("a")
+      .join(df.as("b"), col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("i"), col("b.vid").as("j"),
+        (microDot(col("a.embedding"), col("b.embedding")).cast("double") /
+          sqrt(microDot(col("a.embedding"), col("a.embedding")).cast("double")) /
+          sqrt(microDot(col("b.embedding"), col("b.embedding")).cast("double")))
+          .as("cos"))
+    val r0 = srcEmb.limit(30).select(col("vec_id").as("vid"), col("embedding"))
+    val r1s = r1.join(r0.select(col("vid")), "vid")
+    val drift = pairCos(r0).as("p0")
+      .join(pairCos(r1s).as("p1"), Seq("i", "j"))
+      .agg(max(abs(col("p0.cos") - col("p1.cos")))).head().getDouble(0)
+    assert(drift < 1e-5, s"within-replica cosine drift $drift")
+  }
+
   test("events.user_id keeps within-replica referential integrity") {
     val cS = srcStride("customer", "c_custkey")
     val eS = srcStride("events", "event_id")
