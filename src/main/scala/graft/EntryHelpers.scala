@@ -267,16 +267,46 @@ private[graft] object EntryHelpers {
     */
   private[graft] def ivfTopkOracle: String = ivfTopkOracleN(4)
 
-  private[graft] def ivfTopkOracleN(nprobe: Int): String =
-    s"""WITH cents AS (
+  /** Two-level assignment CTE chain — the DuckDB twin of
+    * [[graft.operators.Similarity.ivfAssign]]'s hierarchical rule
+    * (supers = `(c_id // 37) % ⌈√|cents|⌉ = 0 OR min(c_id)`; centroid and
+    * vector each rank against supers top-2; final top-`nprobe` over the
+    * shared-super candidates; every tie-break (sim DESC, id ASC)).
+    * Emits CTEs `cents, kk, sup, ca, va, cand, assign`; `assign` has
+    * (vec_id, embedding, cell). Consumers splice it after WITH.
+    */
+  private[graft] def hierAssignSql(nprobe: Int): String =
+    s"""cents AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
+       |kk AS (
+       |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k, min(c_id) AS mn FROM cents),
+       |sup AS (
+       |  SELECT c_id AS s_id, c_emb AS s_emb FROM cents, kk
+       |  WHERE (c_id // 37) % kk.k = 0 OR c_id = kk.mn),
+       |ca AS (
+       |  SELECT c_id, s_id FROM (
+       |    SELECT c.c_id, s.s_id,
+       |      row_number() OVER (PARTITION BY c.c_id
+       |        ORDER BY ${cosineSql("c.c_emb", "s.s_emb")} DESC, s.s_id) AS rn
+       |    FROM cents c CROSS JOIN sup s) WHERE rn <= 2),
+       |va AS (
+       |  SELECT vec_id, s_id FROM (
+       |    SELECT e.vec_id, s.s_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "s.s_emb")} DESC, s.s_id) AS rn
+       |    FROM embeddings e CROSS JOIN sup s) WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT va.vec_id, ca.c_id FROM va JOIN ca USING (s_id)),
        |assign AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-       |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE rn = 1),
+       |    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+       |              JOIN cents c ON c.c_id = cand.c_id)
+       |  WHERE rn <= $nprobe)""".stripMargin
+
+  private[graft] def ivfTopkOracleN(nprobe: Int): String =
+    s"""WITH ${hierAssignSql(1)},
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),
        |probes AS (
        |  SELECT q_id, q_emb, cell FROM (

@@ -84,20 +84,82 @@ object Similarity {
         explode(transform(col("cells"), e => e.getField("payload"))).as("cell"))
   }
 
-  /** IVF cell assignment: nearest of the deterministic seed centroids.
+  /** Two-level (coarse-quantized) assignment of `vecs` to their top-nprobe
+    * `centroids` — the FAISS-style hierarchy that keeps corpus-wide
+    * assignment from going quadratic when the centroid count grows with
+    * the corpus (the round-14 sf10 probe measured the flat N×|cells| scan
+    * at 70G multiply-adds for 200k vectors: N²·d/stride).
+    *
+    * Level 1: ~√|cells| SUPER-centroids, picked by the deterministic rule
+    * `(c_id div stride) % ⌈√|cells|⌉ == 0 OR c_id == min(c_id)` (the min
+    * term makes the set provably non-empty at toy scale; no RNG, no
+    * global window — the DuckDB twin computes the same rule from the same
+    * data). Every centroid and every vector ranks against the supers only
+    * (N·√|cells| work); candidates are the centroids sharing a top-2
+    * super with the vector (~2√|cells| each); the final top-nprobe ranks
+    * candidates exactly. Total O(N·√|cells|·d) vs the flat O(N·|cells|·d).
+    *
+    * The hierarchy is part of the operator's SEMANTICS (a vector's true
+    * nearest centroid can sit outside its top-2 supers — the standard IVF
+    * approximation, graded as such by the q83/q225 recall reports), so
+    * the oracle twins encode the identical two-level rule.
+    *
+    * Tie-breaks everywhere: (cosine DESC, id ASC) — the ExactTopK
+    * contract. The supers table is √|cells| rows (always broadcastable);
+    * the centroid→super map grows with |cells|, so its join is left
+    * unhinted — Spark broadcasts it while it fits and shuffles on the
+    * super key beyond that.
+    */
+  private def hierCells(vecs: DataFrame, centroids: DataFrame,
+                        idCol: String, embCol: String, nprobe: Int,
+                        stride: Int): DataFrame = {
+    val row = centroids.agg(count(lit(1)), min(col("c_id"))).head()
+    if (row.getLong(0) == 0L)
+      return nearestCells(vecs, centroids, idCol, embCol, nprobe) // empty in, empty out
+    val (nc, minC) = (row.getLong(0), row.getLong(1))
+    val k = math.max(1L, math.ceil(math.sqrt(nc.toDouble)).toLong)
+    val supers = centroids
+      .where((expr(s"c_id div $stride") % k === 0) || col("c_id") === minC)
+      .select(col("c_id"), col("c_emb"))
+    // centroid -> top-2 supers
+    val centSup = nearestCells(
+      centroids.select(col("c_id").as("cc_id"), col("c_emb").as("cc_emb")),
+      supers, "cc_id", "cc_emb", nprobe = 2)
+      .select(col("cc_id").as("c_id"), col("cc_emb").as("c_emb"),
+        col("cell").as("s_cell"))
+    // vector -> top-2 supers
+    val vecSup = nearestCells(vecs, supers, idCol, embCol, nprobe = 2)
+      .select(col(idCol), col(embCol), col("cell").as("s_cell"))
+    // candidates: distinct (vector, centroid) sharing a super; the non-key
+    // columns are functionally determined by the keys, so dropDuplicates'
+    // arbitrary-row pick is deterministic in value
+    val cand = vecSup.join(centSup, "s_cell")
+      .dropDuplicates(idCol, "c_id")
+    val top = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("c_sim")),
+        org.apache.spark.sql.graft.shim.expression(col("c_id")),
+        nprobe).toAggregateExpression())
+    cand.withColumn("c_sim", cosine(col(embCol), col("c_emb")))
+      .groupBy(col(idCol))
+      .agg(first(col(embCol)).as(embCol), top.as("cells"))
+      .select(col(idCol), col(embCol),
+        explode(transform(col("cells"), e => e.getField("payload"))).as("cell"))
+  }
+
+  /** IVF cell assignment: nearest of the deterministic seed centroids,
+    * via the two-level [[hierCells]] hierarchy.
     *
     * Centroid selection is data-deterministic (every vec_id divisible by
     * `centroidStride`) rather than trained k-means — the partition/bucket
     * mechanics (the part that matters for the Spark plan) are identical,
-    * and swapping in trained centroids is a drop-in. The centroid set is
-    * broadcast; assignment is a map-side broadcast join + per-row argmax —
-    * no shuffle of the corpus.
+    * and swapping in trained centroids is a drop-in.
     */
   def ivfAssign(corpus: DataFrame, centroidStride: Int = 37, nprobe: Int = 1): DataFrame =
-    nearestCells(corpus,
+    hierCells(corpus,
       corpus.where(col("vec_id") % centroidStride === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
-      "vec_id", "embedding", nprobe)
+      "vec_id", "embedding", nprobe, centroidStride)
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, scan only those
     * cells' vectors. At scale the corpus is written bucketed by `cell`, so a
@@ -105,11 +167,23 @@ object Similarity {
     * / nCells) work per query instead of O(N).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5, nprobe: Int = 4,
-              centroidStride: Int = 37): DataFrame =
-    ivfTopKWithCentroids(queries, corpus,
-      corpus.where(col("vec_id") % centroidStride === 0)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
-      k, nprobe)
+              centroidStride: Int = 37): DataFrame = {
+    val cents = corpus.where(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // corpus side: hierarchical (N×|cells| flat assignment is the scale
+    // bottleneck); probe side: flat exact top-nprobe — the query set is
+    // metadata-sized (bounded q_id subset), so |queries|×|cells| is cheap
+    val assigned = hierCells(corpus, cents, "vec_id", "embedding",
+      nprobe = 1, stride = centroidStride)
+    val probes = nearestCells(queries, cents, "q_id", "q_emb", nprobe)
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    probes.join(assigned, "cell")
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
 
   /** IVF with trained coarse quantizer: MLlib KMeans centroids instead of
     * the deterministic stride seeds — better-balanced cells on clustered
@@ -202,7 +276,11 @@ object Similarity {
       .select(col("cell").as("c_id"),
         transform(array_sort(col("dims")),
           x => (x.getField("centroid_micro") / lit(1e6)).cast("float")).as("c_emb"))
-    nearestCells(corpus, centroids, "vec_id", "embedding", nprobe = 1)
+    // updated centroid ids are the original stride seeds' cell ids, so the
+    // same two-level rule applies — the re-assignment must not reintroduce
+    // the flat N×|cells| scan the E-step just avoided
+    hierCells(corpus, centroids, "vec_id", "embedding", nprobe = 1,
+      stride = centroidStride)
   }
 
   /** Scalar (int8) quantization of embeddings — the vector-compression

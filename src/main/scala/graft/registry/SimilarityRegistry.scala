@@ -109,27 +109,16 @@ private[graft] object SimilarityRegistry {
         |    least(255, CAST(floor((CAST(x AS DOUBLE) - q_min) / scale * 256.0) AS BIGINT))))
         |    AS BIGINT) AS code_sum
         |FROM s""".stripMargin,
-    // q71's assignment + aligned-unnest explode onto the micro-unit grid;
-    // integer (cell, dim) sums, one final division, list ordered by dim
+    // q71's two-level assignment + aligned-unnest explode onto the
+    // micro-unit grid; integer (cell, dim) sums, one final division
     "q127_kmeans_update" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id % 37 = 0),
-         |a AS (
-         |  SELECT e.vec_id, c.c_id,
-         |    ${cosineSql("e.embedding", "c.c_emb")} AS c_sim
-         |  FROM embeddings e CROSS JOIN c),
-         |r AS (
-         |  SELECT vec_id, c_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
-         |  FROM a),
-         |asg AS (SELECT vec_id, c_id AS cell FROM r WHERE rn = 1),
+      s"""WITH ${hierAssignSql(1)},
          |x AS (
-         |  SELECT asg.cell,
-         |    unnest(range(0, len(e.embedding))) AS dim,
-         |    unnest(list_transform(e.embedding,
+         |  SELECT cell,
+         |    unnest(range(0, len(embedding))) AS dim,
+         |    unnest(list_transform(embedding,
          |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS micro
-         |  FROM asg JOIN embeddings e USING (vec_id)),
+         |  FROM assign),
          |g AS (
          |  SELECT cell, dim, CAST(sum(micro) AS BIGINT) AS s, count(*) AS n
          |  FROM x GROUP BY 1, 2)
@@ -138,29 +127,11 @@ private[graft] object SimilarityRegistry {
          |FROM g""".stripMargin,
     // same bit-identical cosine + (DESC sim, ASC id) argmax contract as q41
     "q71_kmeans_assign" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id % 37 = 0),
-         |a AS (
-         |  SELECT e.vec_id, c.c_id,
-         |    ${cosineSql("e.embedding", "c.c_emb")} AS c_sim
-         |  FROM embeddings e CROSS JOIN c),
-         |r AS (
-         |  SELECT vec_id, c_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
-         |  FROM a)
-         |SELECT vec_id, c_id AS cell FROM r WHERE rn = 1""".stripMargin,
+      s"""WITH ${hierAssignSql(1)}
+         |SELECT vec_id, cell FROM assign""".stripMargin,
     "q37_sim_topk_brute" -> bruteTopkOracle,
     "q38_embedding_neardup" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
-         |assign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-         |    FROM embeddings e CROSS JOIN cents c)
-         |  WHERE rn <= 4)
+      s"""WITH ${hierAssignSql(4)}
          |SELECT DISTINCT a_id, b_id, sim FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |         ${cosineSql("a.embedding", "b.embedding")} AS sim
@@ -171,15 +142,7 @@ private[graft] object SimilarityRegistry {
     // argmax = row_number over (sim DESC, train_id ASC), the ExactTopK
     // tie-break contract
     "q98_semantic_contamination" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
-         |assign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-         |    FROM embeddings e CROSS JOIN cents c)
-         |  WHERE rn <= 4),
+      s"""WITH ${hierAssignSql(4)},
          |pairs AS (
          |  SELECT DISTINCT test_id, train_id, sim FROM (
          |    SELECT t.vec_id AS test_id, r.vec_id AS train_id,
@@ -241,18 +204,10 @@ private[graft] object SimilarityRegistry {
     // q71's stride-seeded assignment, label lookup, per-cell plurality
     // with (cnt DESC, label) ties, exact ppm purity
     "q243_cell_purity" ->
-      s"""WITH c AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  WHERE vec_id % 37 = 0),
-        |a AS (
-        |  SELECT e.vec_id, e.label, c.c_id,
-        |    ${cosineSql("e.embedding", "c.c_emb")} AS c_sim
-        |  FROM embeddings e CROSS JOIN c),
+      s"""WITH ${hierAssignSql(1)},
         |asn AS (
-        |  SELECT vec_id, label, c_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY c_sim DESC, c_id) AS rn FROM a)
-        |  WHERE rn = 1),
+        |  SELECT a.vec_id, e.label, a.cell
+        |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
         |cl AS (
         |  SELECT cell, label, CAST(count(*) AS BIGINT) AS cnt
         |  FROM asn GROUP BY 1, 2),
@@ -364,21 +319,13 @@ private[graft] object SimilarityRegistry {
     // same stride centroids, same rn<=2 probe assignment, same DISTINCT
     // cell candidates, (sim DESC, b_id) top-5, broadcast label lookups
     "q200_knn_label_consistency" ->
-      s"""WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
-        |assign AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c.c_id AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings e CROSS JOIN cents c)
-        |  WHERE rn <= 2),
-        |cand AS (
+      s"""WITH ${hierAssignSql(2)},
+        |nbrc AS (
         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         |sims AS (
         |  SELECT c.a_id, c.b_id, ${cosineSql("ea.embedding", "eb.embedding")} AS sim
-        |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+        |  FROM nbrc c JOIN embeddings ea ON ea.vec_id = c.a_id
         |              JOIN embeddings eb ON eb.vec_id = c.b_id),
         |top AS (
         |  SELECT a_id, b_id FROM (
