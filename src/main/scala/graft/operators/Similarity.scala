@@ -132,8 +132,12 @@ object Similarity {
       .select(col(idCol), col(embCol), col("cell").as("s_cell"))
     // candidates: distinct (vector, centroid) sharing a super; the non-key
     // columns are functionally determined by the keys, so dropDuplicates'
-    // arbitrary-row pick is deterministic in value
+    // arbitrary-row pick is deterministic in value. One explicit
+    // repartition by the vector id serves BOTH the dedup (hash(id)
+    // co-locates every (id, c_id) group) and the final top-nprobe
+    // aggregation — two shuffles collapse into one.
     val cand = vecSup.join(centSup, "s_cell")
+      .repartition(col(idCol))
       .dropDuplicates(idCol, "c_id")
     val top = org.apache.spark.sql.graft.shim.column(
       org.apache.spark.sql.graft.ExactTopK(
