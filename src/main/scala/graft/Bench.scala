@@ -276,8 +276,10 @@ object Bench {
     val audit = s"""{"samples":$samplesJson,"retried":$retriedJson,"passes":$nPasses,""" +
       s""""total":${fmt(total)},"total_norm":${fmt(totalNorm)},$onlyJson$sentJson,""" +
       s""""head":"$head","sf":"$sfDir"}"""
-    val suffix =
-      if (prodMode) "_prod" else if (onlyEnv.isDefined) "_subset" else ""
+    // Suffixes COMPOSE: a SPARK_GRAFT_ONLY-filtered prod run is a partial
+    // prod suite and must not clobber the full _prod artifact (ADVICE r14).
+    val suffix = (if (prodMode) "_prod" else "") +
+      (if (onlyEnv.isDefined) "_subset" else "")
     for ((path, line) <- Seq(s"bench_last$suffix.json" -> json,
         s"bench_samples$suffix.json" -> audit))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")

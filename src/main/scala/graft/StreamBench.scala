@@ -177,8 +177,9 @@ object StreamBench {
       .map { case (n, mk) => bench(n)(mk) }
 
     results.foreach(r => println(r.json))
-    val head = try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
-      catch { case _: Throwable => "unknown" }
+    // Reuse Bench.headSha so streaming artifacts get the same "-dirty"
+    // honesty suffix as the batch bench (ADVICE r14).
+    val head = Bench.headSha
     // A STREAM_ONLY-filtered run is partial: stamp the filter into the JSON
     // and default its output to a subset-suffixed path so it can never
     // silently clobber the full-suite artifact (ADVICE r13).

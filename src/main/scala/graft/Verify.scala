@@ -110,8 +110,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query hash of the oracle SQL TEXT alongside the output hash:
+    // recert's hash-transfer keys on this whole record, so a changed
+    // oracle twin forces a fresh DuckDB run even when the Spark output is
+    // bit-identical (ADVICE r14: a cert must never claim oracle-green
+    // against an oracle that never executed). Queries without an oracle
+    // twin (rows-only checks) omit the key on both sides.
+    def sqlSha(name: String): String = SparkEntry.oracleSql.get(name).map { s =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.map(h => s", \"oracle_sha256\": ${q(h)}").getOrElse("")
     val hj = hashes
-      .map { case (k, (n, h)) => s"${q(k)}: {\"rows\": $n, \"sha256\": ${q(h)}}" }
+      .map { case (k, (n, h)) =>
+        s"${q(k)}: {\"rows\": $n, \"sha256\": ${q(h)}${sqlSha(k)}}" }
       .mkString("{", ",", "}")
     // Filtered (local-iteration) runs write to a SUFFIXED file: a full
     // verify_hashes.json overwritten with the filtered subset while

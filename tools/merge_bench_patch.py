@@ -27,18 +27,32 @@ def write_atomic(path, obj):
         os.unlink(tmp)
         raise
 
+def sentinel_load(audit):
+    return max(float(audit.get("sentinel", {}).get("load", 1.0)), 1.0)
+
 def main(full_path, patch_path, bench_path):
     full = json.load(open(full_path))
     patch = json.load(open(patch_path))
+    # Per-query sentinel load of the run each query's CURRENT samples came
+    # from — a patched query was measured under the patch run's load, not
+    # the base run's, and the normalized total must reflect that
+    # (ADVICE/VERDICT r14: a merge that leaves value_norm stale makes the
+    # summary self-inconsistent).
+    loads = full.get("loads",
+                     {q: sentinel_load(full) for q in full["samples"]})
     for q, ss in patch["samples"].items():
         if q not in full["samples"]:
             raise SystemExit(f"patch query {q} not in full audit")
         print(f"{q}: {min(full['samples'][q]):.3f}s -> {min(ss):.3f}s")
         full["samples"][q] = ss
+        loads[q] = sentinel_load(patch)
+    full["loads"] = loads
     full["patched"] = sorted(set(full.get("patched", [])) | set(patch["samples"]))
     best = {k: min(v) for k, v in full["samples"].items()}
     total = sum(best.values())
+    total_norm = sum(v / loads[k] for k, v in best.items())
     full["total"] = f"{total:.3f}"
+    full["total_norm"] = f"{total_norm:.3f}"
     write_atomic(full_path, full)
     # Rebuild the summary line (short qNN keys, like Bench's stdout line).
     # The qNN prefixes must be unique or the dict silently drops queries
@@ -52,6 +66,8 @@ def main(full_path, patch_path, bench_path):
     qs = {k.split("_")[0]: round(v, 3) for k, v in sorted(best.items())}
     bench["queries"] = qs
     bench["value"] = round(total, 3)
+    bench["value_norm"] = round(total_norm, 3)
+    bench["patched"] = full["patched"]
     write_atomic(bench_path, bench)
     print(f"total: {total:.3f}s over {len(best)} queries -> {full_path}, {bench_path}")
 

@@ -8,9 +8,12 @@ oracle verdict transfers") lived only in prose. This tool makes that
 argument mechanical:
 
   1. Compare a HEAD-fresh Verify hash file against the certified one.
-  2. Queries with identical (rows, sha256) inherit their oracle verdict —
-     the Spark output is bit-identical, so re-running DuckDB on it would
-     reproduce the same comparison.
+  2. Queries with identical (rows, sha256, oracle_sha256) inherit their
+     oracle verdict — the Spark output is bit-identical AND the oracle SQL
+     text is unchanged, so re-running DuckDB would reproduce the same
+     comparison. The oracle_sha256 field (ADVICE r14) closes the hole
+     where a changed oracle twin silently inherited a verdict the new SQL
+     never produced.
   3. Queries whose hashes changed (or are new) are listed for a targeted
      oracle re-run; the caller passes the oracle log back in and the
      certificate is rewritten at the new HEAD with full provenance:
