@@ -133,6 +133,41 @@ private[graft] object EntryHelpers {
       Reco.cfPredictionsFrom(cfDeduped(spark, dir), cfNeighbors(spark, dir)).cache()
     }
 
+  /** The CF PRODUCTION seams — the [[Reco.CfPairCap]] per-user degree cap
+    * on pair generation only, graded harmless by q280 (neighbor precision
+    * 98.7%, rec overlap 98.6%, zero drift on common recs) and required by
+    * the sf10 measurement (exact family ~19× growth on 10× data once the
+    * Σdeg² fan-out starts spilling). Benched via SPARK_GRAFT_SKETCH_PROD=1
+    * like the sketch prod twins; never driver-graded — `CfProdSpec` pins
+    * the capped outputs against the exact seams instead.
+    */
+  private[graft] def cfCapped(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_capped") {
+      graft.barrier(Reco.capRatings(cfDeduped(spark, dir)))
+    }
+
+  private[graft] def cfPairsCapped(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_pairs_capped") {
+      Reco.itemPairs(cfCapped(spark, dir)) // barriered inside
+    }
+
+  private[graft] def cfNeighborsCapped(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_neighbors_capped") {
+      Reco.itemNeighborsFromPairs(cfDeduped(spark, dir),
+        cfPairsCapped(spark, dir)).cache()
+    }
+
+  private[graft] def cfPredsCapped(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_preds_capped") {
+      Reco.cfPredictionsFrom(cfDeduped(spark, dir),
+        cfNeighborsCapped(spark, dir)).cache()
+    }
+
+  private[graft] def holdoutRankedCapped(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "holdout_ranked_capped") {
+      Reco.holdoutRankedPredsCapped(holdoutSplitDf(spark, dir)).cache()
+    }
+
   /** The offline-eval holdout stages, memoized so q201 (hit rate) and
     * q212 (MRR) pay the retrained pair fan-out once per session: the
     * md5 split is barriered, the ranked top-k prediction table is

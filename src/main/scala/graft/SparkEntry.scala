@@ -52,11 +52,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.iterator.map(_._2).reduce(_ ++ _)
 
-  /** Sketch-only production twins (same keys as their graded forms) —
-    * benched separately via SPARK_GRAFT_SKETCH_PROD=1, never driver-graded.
+  /** Production twins (same keys as their graded forms): the sketch-only
+    * register-algebra forms and the degree-capped CF family — benched
+    * separately via SPARK_GRAFT_SKETCH_PROD=1, never driver-graded
+    * (SketchProdSpec / CfProdSpec pin them to the graded outputs).
     */
   def prodQueries: Map[String, (SparkSession, String) => DataFrame] =
-    TextRegistry.prodQueries
+    TextRegistry.prodQueries ++ RecoRegistry.prodQueries
 
   def oracleSql: Map[String, String] =
     registries.iterator.map(_._3).reduce(_ ++ _)

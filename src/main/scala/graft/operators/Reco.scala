@@ -14,6 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Reco {
 
+  /** The production per-user degree cap for CF PAIR GENERATION — the ONE
+    * constant both the Scala chain and the q280 DuckDB oracle derive
+    * from (ADVICE r14: twins must share it, not restate it). 64 was
+    * graded by q280: neighbor precision 98.7%, rec overlap 98.6%, zero
+    * drift on common recs at sf0.01; oracle-green at sf1.0.
+    */
+  val CfPairCap = 64
+
+  /** Per-user degree cap for pair generation — the guardrail the Σdeg²
+    * fan-out needs at 100 TB (sf10 measured the exact family at ~19×
+    * growth on 10× data once shuffle spill starts): keep each user's
+    * `cap` highest ratings by (rv DESC, productId) — a total order both
+    * engines share — so the fan-out becomes Σ min(deg,cap)², linear in
+    * users. Applies to PAIR GENERATION ONLY: norms, scoring, and the
+    * rated anti-join stay on the full linear-cost table (exactly the
+    * capped chain [[cfCapReport]] grades).
+    */
+  def capRatings(deduped: DataFrame, cap: Int = CfPairCap): DataFrame =
+    deduped
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("userId").orderBy(desc("rv"), asc("productId"))))
+      .where(col("crn") <= cap).select("userId", "productId", "rv")
+
   /** J1 — global top-K products by mean rating, HAVING count > minReviews.
     *
     * Reference: `batch/ProductReviewAggregation.java:37-51` (manual sum/count
@@ -444,11 +467,8 @@ object Reco {
     */
   def cfCapReport(deduped: DataFrame, pairsExact: DataFrame,
       neighborsExact: DataFrame, predsExact: DataFrame,
-      cap: Int = 64, k: Int = 5, top: Int = 3): DataFrame = {
-    val rCap = deduped
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("userId").orderBy(desc("rv"), asc("productId"))))
-      .where(col("crn") <= cap).select("userId", "productId", "rv")
+      cap: Int = CfPairCap, k: Int = 5, top: Int = 3): DataFrame = {
+    val rCap = capRatings(deduped, cap)
     val pairsCap = itemPairs(rCap) // barriered inside
     val nbCap = itemNeighborsFromPairs(deduped, pairsCap, k)
     val predsCap = cfPredictionsFrom(deduped, nbCap, top)
@@ -746,6 +766,23 @@ object Reco {
       .select(col("pa"), col("pb"), col("dot_train").as("dot"),
         col("support_train").as("support"), col("dsum_train").as("dsum"))
       .where(col("support") >= minSupport)
+    val preds = cfPredictionsFrom(train,
+      itemNeighborsFromPairs(train, pairs, k), top = k)
+    val w = Window.partitionBy("userId").orderBy(desc("pred"), asc("item"))
+    preds.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** [[holdoutRankedPreds]] with the [[CfPairCap]] production cap on the
+    * TRAIN pair generation — the scale path for q201/q212 (the holdout
+    * retrain rides the same Σdeg² fan-out as q107, so it inherits the
+    * same super-linear regime at 100×). Only the pair generator reads
+    * the capped table; train norms, scoring, the rated anti-join, and
+    * the metric denominators stay on the full train slice.
+    */
+  def holdoutRankedPredsCapped(split: DataFrame, cap: Int = CfPairCap,
+      k: Int = 5, minSupport: Long = 2): DataFrame = {
+    val train = split.where(!col("is_test")).select("userId", "productId", "rv")
+    val pairs = itemPairs(capRatings(train, cap), minSupport)
     val preds = cfPredictionsFrom(train,
       itemNeighborsFromPairs(train, pairs, k), top = k)
     val w = Window.partitionBy("userId").orderBy(desc("pred"), asc("item"))

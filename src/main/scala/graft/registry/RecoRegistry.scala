@@ -27,6 +27,24 @@ import graft.EntryHelpers._
   */
 private[graft] object RecoRegistry {
 
+  /** PRODUCTION twins of the exact CF family — the [[Reco.CfPairCap]]
+    * per-user degree cap on PAIR GENERATION only, the plan a 100-TB run
+    * would execute (the exact chain stays the graded truth: sf10 measured
+    * it at ~19× growth on 10× data, and q280 graded the cap harmless —
+    * neighbor precision 98.7%, rec overlap 98.6%, zero common-rec drift).
+    * Benched under SPARK_GRAFT_SKETCH_PROD=1, quality-pinned by
+    * CfProdSpec against the exact seams; never driver-graded.
+    */
+  def prodQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_item_cf" -> ((s, dir) => cfNeighborsCapped(s, dir)),
+    "q108_cf_predict" -> ((s, dir) => cfPredsCapped(s, dir)),
+    "q191_slope_one" -> ((s, dir) =>
+      Reco.slopeOnePredictions(cfDeduped(s, dir), cfPairsCapped(s, dir))),
+    "q201_hitrate_eval" -> ((s, dir) =>
+      Reco.hitRateFromRanked(holdoutSplitDf(s, dir), holdoutRankedCapped(s, dir))),
+    "q212_mrr_eval" -> ((s, dir) =>
+      Reco.mrrFromRanked(holdoutSplitDf(s, dir), holdoutRankedCapped(s, dir))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference surface: J1 (SURVEY §2 rows 1.1-1.6) ----
     "q01_top_products" -> ((s, dir) => Reco.topProducts(EntryHelpers.ratingsDf(s, dir))),
@@ -235,7 +253,7 @@ private[graft] object RecoRegistry {
         |    // count(*) AS BIGINT) AS mean_cos2_ppm
         |FROM jj""".stripMargin,
     // the full itemKNN chain twice — exact (the shared CTEs) and with a
-    // per-user top-32 cap on PAIR GENERATION only (row_number over
+    // per-user top-64 cap on PAIR GENERATION only (row_number over
     // (rv DESC, productId)) — then integer set-overlap and floored-micro
     // drift metrics; MATERIALIZED on both pair tables and both scoring
     // aggregates (the q239 lesson: inlined, DuckDB's join order re-derives
@@ -270,7 +288,7 @@ private[graft] object RecoRegistry {
         |  SELECT userId, productId, rv FROM (
         |    SELECT userId, productId, rv,
         |      row_number() OVER (PARTITION BY userId ORDER BY rv DESC, productId) AS crn
-        |    FROM r) WHERE crn <= 64),
+        |    FROM r) WHERE crn <= ${Reco.CfPairCap}),
         |pairs_cap AS MATERIALIZED (
         |  SELECT a.productId AS pa, b.productId AS pb,
         |    CAST(sum(a.rv * b.rv) AS BIGINT) AS dot
@@ -327,7 +345,7 @@ private[graft] object RecoRegistry {
         |       AS BIGINT)) AS BIGINT), 0)
         |     FROM topk_e e JOIN topk_c c
         |     ON e.userId = c.userId AND e.item = c.item) AS drift_micro_sum)
-        |SELECT CAST(64 AS BIGINT) AS cap, CAST(5 AS BIGINT) AS k,
+        |SELECT CAST(${Reco.CfPairCap} AS BIGINT) AS cap, CAST(5 AS BIGINT) AS k,
         |  n_pairs_exact, n_pairs_capped, n_nb_exact, n_nb_capped, n_nb_inter,
         |  1000000 * n_nb_inter // n_nb_capped AS nb_precision_ppm,
         |  1000000 * n_nb_inter // n_nb_exact AS nb_recall_ppm,
