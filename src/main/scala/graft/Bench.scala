@@ -232,6 +232,15 @@ object Bench {
     val qs = best.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = best.map(_._2).sum
+    // GRADING-TIER split: queries whose job is to run a chain twice to
+    // grade a production knob (q280 runs the full exact itemKNN chain PLUS
+    // the capped one by construction) are real suite members for
+    // correctness, but mixing their run-it-twice cost into the headline
+    // total muddies round-over-round comparisons against the ~120 s bar.
+    // `value` stays the FULL total (continuity with BENCH_r01..r14);
+    // value_grade / value_prod make the decomposition explicit.
+    val gradeSet = Set("q280_cf_cap_quality")
+    val totalGrade = best.collect { case (k, v) if gradeSet.contains(k) => v }.sum
     // Load-normalized total: divides out MEASURED slowdown vs nominal but
     // never awards a bonus for a fast host (load clamps at 1 from below) —
     // the defensible number when the sentinel shows the host was throttled.
@@ -250,8 +259,10 @@ object Bench {
     val onlyJson = onlyEnv.map(s =>
       s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("") +
       (if (prodMode) """"mode":"sketch_prod",""" else "")
+    val gradeJson = s""""value_grade":${fmt(totalGrade)},""" +
+      s""""value_prod":${fmt(total - totalGrade)},"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""value_norm":${fmt(totalNorm)},$onlyJson$sentJson,"head":"$head","queries":$qs,"sf":"$sfDir"}"""
+      s""""value_norm":${fmt(totalNorm)},$gradeJson$onlyJson$sentJson,"head":"$head","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver records only the last ~2000 chars of stdout and parses a
     // JSON line out of that window. At 227 queries the full-map line above
@@ -265,7 +276,7 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""value_norm":${fmt(totalNorm)},"sentinel_load":${fmt(load)},""" +
+      s""""value_norm":${fmt(totalNorm)},$gradeJson"sentinel_load":${fmt(load)},""" +
       s""""n_queries":${best.size},"queries":$top10,"sf":"$sfDir"}""")
     // Full audit record — every raw sample per pass plus the retried list —
     // goes to a sidecar file where line length doesn't matter.
@@ -274,7 +285,7 @@ object Bench {
       .mkString("{", ",", "}")
     val retriedJson = outliers.map("\"" + _ + "\"").mkString("[", ",", "]")
     val audit = s"""{"samples":$samplesJson,"retried":$retriedJson,"passes":$nPasses,""" +
-      s""""total":${fmt(total)},"total_norm":${fmt(totalNorm)},$onlyJson$sentJson,""" +
+      s""""total":${fmt(total)},"total_norm":${fmt(totalNorm)},$gradeJson$onlyJson$sentJson,""" +
       s""""head":"$head","sf":"$sfDir"}"""
     // Suffixes COMPOSE: a SPARK_GRAFT_ONLY-filtered prod run is a partial
     // prod suite and must not clobber the full _prod artifact (ADVICE r14).

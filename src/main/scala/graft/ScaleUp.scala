@@ -46,6 +46,10 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("testdata_sf1.0")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset (e.g. "documents" for
+    // the q36 next-decade candidate-volume probe, where deriving 1000×
+    // lineitem would cost hours for data the probe never reads)
+    val tables = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,7 +60,7 @@ object ScaleUp {
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    derive(spark, src, out, reps)
+    derive(spark, src, out, reps, tables)
     spark.stop()
   }
 
@@ -64,13 +68,24 @@ object ScaleUp {
     * `reps=3` derivation under the shared test session and assert the
     * invariants the sf1.0 certificate rests on.
     */
-  def derive(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+  def derive(spark: SparkSession, src: String, out: String, reps: Int,
+      tables: Option[Set[String]] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(out))
 
-    def writeOne(name: String, df: DataFrame): Unit = {
+    def writeOne(name: String, df: => DataFrame): Unit =
+      if (tables.forall(_.contains(name))) writeOneAll(name, df)
+
+    def writeOneAll(name: String, df: DataFrame): Unit = {
       val tmp = s"$out/.tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // repartition(1), NOT coalesce(1) (the Verify.scala lesson): coalesce
+      // collapses the whole shuffle-free derivation — source scan is ONE
+      // small file, crossJoin(rep) is broadcast — into a single task, which
+      // at reps=1000 means ~10⁹ md5 calls on one core. repartition keeps
+      // the perturbation parallel and funnels only the write through one
+      // task (single-file contract preserved; row order within the file is
+      // not part of any content contract — Verify hashes sort rows).
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).head
       Files.move(Paths.get(part), Paths.get(s"$out/$name.parquet"),
@@ -153,8 +168,13 @@ object ScaleUp {
         when(functions.TextAnalysis.md5Prefix32(
             concat(t, lit(":"), col("rep"))) % 2 === 0,
           concat(t, col("rep"))).otherwise(t)), " "))
+    // fan the single-file source scan out BEFORE the broadcast crossJoin:
+    // without this the whole reps× token-md5 perturbation runs in the one
+    // scan task (1 small parquet = 1 input split), which at reps=1000 is
+    // ~10⁹ single-core md5 calls
+    val par = spark.sparkContext.defaultParallelism
     writeOne("documents",
-      documents.crossJoin(rep)
+      documents.repartition(par).crossJoin(rep)
         .withColumn("new_text", perturbedText)
         .select((col("doc_id") + col("rep") * dS).as("doc_id"),
           col("new_text").as("text"), col("lang"), col("source"),
@@ -183,7 +203,7 @@ object ScaleUp {
     val permEmb = when(col("rep") === 0, col("embedding"))
       .otherwise(transform(array_sort(keyed), p => p.getField("x")))
     writeOne("embeddings",
-      embeddings.crossJoin(rep).select(
+      embeddings.repartition(par).crossJoin(rep).select(
         (col("vec_id") + col("rep") * vS).as("vec_id"),
         permEmb.as("embedding"), col("label")))
   }

@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# sf10 correctness gate over the heavy-tail subset (VERDICT r14 Next #4):
+# the 100x decade was bench-only, and sf10 is exactly where the embedding
+# derivation defect and the quadratic IVF assignment hid -- a wrong ANSWER
+# would hide there next. Runs graft.Verify at sf10 for the 17-query
+# BENCH_sf10 subset, then the DuckDB oracle over the same parquet, and
+# writes CORRECTNESS_sf10_subset.json stamped with HEAD.
+#
+# Cost: one filtered sf10 Verify pass (the q107 family dominates) plus
+# DuckDB oracle time; run in tmux. DuckDB temp goes to disk by default
+# (GRAFT_DUCKDB_TMP to override; /dev/shm if root is tight).
+#
+# Env: SF10_DIR (default testdata_sf10), SPARK_GRAFT_CPUS (default 24),
+#      SF10_SUBSET (comma list; default = the BENCH_sf10 17).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF10=${SF10_DIR:-testdata_sf10}
+SUBSET=${SF10_SUBSET:-q36_ngram_jaccard,q38_embedding_neardup,q40_dedup_simhash,q45_dedup_clusters,q69_source_overlap,q102_hll_cardinality,q106_ppjoin,q107_item_cf,q108_cf_predict,q110_edit_distance,q191_slope_one,q193_waiting_suppliers,q200_knn_label_consistency,q201_hitrate_eval,q214_ktruss,q225_ann_tuning,q262_rerank_candidates}
+HEAD_SHA=$(git rev-parse HEAD)
+if [ -n "$(git status --porcelain --untracked-files=no)" ]; then
+  HEAD_SHA="$HEAD_SHA-dirty"
+fi
+if [ ! -d "$SF10" ]; then
+  echo "== sf10 gate: $SF10 missing -- deriving (reps=100) =="
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+    tools/run_main.sh graft.ScaleUp /root/testdata/sf0.1 "$SF10" 100
+fi
+
+echo "== [1/2] Verify subset at sf10 =="
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} SPARK_DRIVER_MEM=64g \
+  tools/run_main.sh graft.Verify "$SF10" verify_sf10_out "$SUBSET"
+
+echo "== [2/2] DuckDB oracle compare =="
+export GRAFT_DUCKDB_TMP=${GRAFT_DUCKDB_TMP:-$(pwd)/.duckdb_tmp_sf10}
+mkdir -p "$GRAFT_DUCKDB_TMP"
+set +e
+python3 tools/oracle_check.py "$SF10" verify_sf10_out "$SUBSET" \
+  | tee /tmp/oracle_sf10.log
+ORACLE_RC=${PIPESTATUS[0]}
+set -e
+rm -rf "$GRAFT_DUCKDB_TMP"
+python3 - "$SF10" "$HEAD_SHA" "$SUBSET" <<'EOF'
+import sys, json, re
+sf, head, subset = sys.argv[1], sys.argv[2], sorted(sys.argv[3].split(","))
+ok, fail = [], []
+for line in open('/tmp/oracle_sf10.log'):
+    m = re.match(r'(OK|FAIL)\s+(\S+?):', line)
+    if m:
+        (ok if m.group(1) == 'OK' else fail).append(m.group(2))
+missing = sorted(set(subset) - set(ok) - set(fail))
+json.dump({"sf": f"{sf} (100x derived)", "head": head,
+           "subset": subset, "total": len(subset),
+           "ok": len(ok), "fail": len(fail) + len(missing),
+           "failed": sorted(fail), "not_run": missing,
+           "generated_by": "tools/sf10_gate.sh"},
+          open("CORRECTNESS_sf10_subset.json", "w"), indent=1)
+print(f"CORRECTNESS_sf10_subset.json: {len(ok)}/{len(subset)} ok")
+EOF
+if [ "$ORACLE_RC" -ne 0 ]; then echo "oracle FAILURES -- sf10 gate red"; exit 1; fi
+echo "sf10 subset gate green at $HEAD_SHA"
