@@ -43,7 +43,16 @@ private[graft] object RecoRegistry {
     "q201_hitrate_eval" -> ((s, dir) =>
       Reco.hitRateFromRanked(holdoutSplitDf(s, dir), holdoutRankedCapped(s, dir))),
     "q212_mrr_eval" -> ((s, dir) =>
-      Reco.mrrFromRanked(holdoutSplitDf(s, dir), holdoutRankedCapped(s, dir))))
+      Reco.mrrFromRanked(holdoutSplitDf(s, dir), holdoutRankedCapped(s, dir))),
+    "q269_ndcg_eval" -> ((s, dir) =>
+      Reco.ndcgFromRanked(holdoutSplitDf(s, dir), holdoutRankedCapped(s, dir))),
+    "q173_basket_lift" -> ((s, dir) =>
+      Reco.basketLift(cfDeduped(s, dir), cfPairsCapped(s, dir))),
+    "q218_rec_coverage" -> ((s, dir) =>
+      Reco.recCoverage(cfDeduped(s, dir), cfPredsCapped(s, dir))),
+    "q239_intra_list_diversity" -> ((s, dir) =>
+      Reco.intraListDiversity(cfDeduped(s, dir), cfPredsCapped(s, dir),
+        cfPairsCapped(s, dir))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference surface: J1 (SURVEY §2 rows 1.1-1.6) ----
