@@ -171,7 +171,15 @@ object StreamBench {
       // the ingest-time near-dup gate; per-doc signature hashing is the
       // map cost, the 60-min horizon bounds both join buffers
       "lsh_neardup" -> (() =>
-        streaming.RealTime.nearDupPairsStream(docStream())))
+        streaming.RealTime.nearDupPairsStream(docStream())),
+      // DIAGNOSTIC twin of lsh_neardup: the banded-signature map stage
+      // alone (no join, no state store) — attributes the neardup gate's
+      // batch cost between signature computation and the stateful join.
+      // A stream-stream self-join evaluates its input subtree once PER
+      // SIDE, so lsh_neardup pays ~2x this shape's per-batch map cost
+      // before any join work starts.
+      "lsh_signatures" -> (() =>
+        graft.operators.Dedup.bandedSignaturesStream(docStream())))
     val results = shapes
       .filter { case (n, _) => onlyEnv.forall(_.contains(n)) }
       .map { case (n, mk) => bench(n)(mk) }

@@ -213,13 +213,21 @@ object Dedup {
     * pass through untouched.
     */
   def bandedSignaturesStream(docs: DataFrame, n: Int = 3, k: Int = 64,
-                             bands: Int = 16): DataFrame = {
+                             bands: Int = 16, fanout: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val hs = TextAnalysis.md5Prefix32Array(
       TextAnalysis.shinglesOfTokens(TextAnalysis.tokens(col("text")), n))
     val passThrough = docs.columns.filterNot(_ == "text").map(col).toSeq
-    docs
+    // Fan the micro-batch out BEFORE the signature map: a file-replay (or
+    // low-partition Kafka) source delivers each trigger as ~1 input split,
+    // so without this the per-doc tokenize+shingle+md5+minhash chain — the
+    // shape's dominant cost, ~1.3 ms/doc single-core — runs on ONE core
+    // per batch (measured: 2.7 s/batch at 2k docs, the whole lsh_neardup
+    // bottleneck at sf1.0). One narrow-row shuffle (~350 B/doc) buys full
+    // map parallelism; sources already partitioned can pass fanout=false.
+    val src = if (fanout) docs.repartition(col("doc_id")) else docs
+    src
       .select(passThrough :+ hs.as("hs"): _*)
       .where(size(col("hs")) > 0)
       .select(passThrough :+

@@ -27,6 +27,9 @@ ARTIFACT_GLOBS = [
     "LEAKCHECK.json", "COPYCHECK.json",
     # round-14 additions: the 100x probe, the production sketch bench
     "BENCH_sf10_subset.json", "SCALING_sf10.json", "BENCH_sketch_prod*.json",
+    # round-15 additions: the q36 next-decade probe, the sf10 oracle
+    # subset certificate, the capped-CF production benches
+    "SCALING_q36.json", "CORRECTNESS_sf10_subset.json", "BENCH_cf_prod*.json",
 ]
 
 # Head-stamp convention (VERDICT r13 #7): the manifest is regenerated as
