@@ -169,7 +169,14 @@ object Bench {
           Seq(Tables.lineitem _, Tables.orders _, Tables.customer _, Tables.nation _,
             Tables.events _, Tables.documents _, Tables.embeddings _)
             .foreach(load => load(spark, sfDir).count())
-          queryMap.getOrElse("q01_top_products", queryMap(names.head))(spark, sfDir).count()
+          // Query pre-run ONLY when q01 is in the map (the full graded
+          // suite): in prod mode the map's own first query would run here
+          // untimed and — because the CF prod twins share memoized seams —
+          // absorb the capped pair fan-out into the warmup, leaving the
+          // first timed query a cache read (observed: q107-capped 0.097 s).
+          // Prod passes instead let the first timed query pay its codegen,
+          // which is comparable to what each graded query pays after q01.
+          queryMap.get("q01_top_products").foreach(_(spark, sfDir).count())
           sentinel(spark) // untimed: JIT-warms the sentinel's own codegen
         } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
         val sent = scala.collection.mutable.ArrayBuffer(sentinel(spark))

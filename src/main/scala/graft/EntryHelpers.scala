@@ -141,15 +141,23 @@ private[graft] object EntryHelpers {
     * like the sketch prod twins; never driver-graded — `CfProdSpec` pins
     * the capped outputs against the exact seams instead.
     */
-  private[graft] def cfCapped(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "cf_capped") {
-      graft.barrier(Reco.capRatings(cfDeduped(spark, dir)))
+  /** The capped split: [[Reco.capRatings]] over the holdout split (is_test
+    * passes through), so ONE capped Σ min(deg,cap)² fan-out serves the
+    * full-corpus pair table AND the train retrain — the same combined
+    * shape the exact path uses ([[cfPairsAll]]).
+    */
+  private[graft] def cfCappedSplit(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_capped_split") {
+      graft.barrier(Reco.capRatings(holdoutSplitDf(spark, dir)))
+    }
+
+  private[graft] def cfPairsCappedAll(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_pairs_capped_all") {
+      Reco.itemPairsWithHoldout(cfCappedSplit(spark, dir)) // barriered inside
     }
 
   private[graft] def cfPairsCapped(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "cf_pairs_capped") {
-      Reco.itemPairs(cfCapped(spark, dir)) // barriered inside
-    }
+    cfPairsCappedAll(spark, dir).select("pa", "pb", "dot", "support", "dsum")
 
   private[graft] def cfNeighborsCapped(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "cf_neighbors_capped") {
@@ -165,7 +173,8 @@ private[graft] object EntryHelpers {
 
   private[graft] def holdoutRankedCapped(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "holdout_ranked_capped") {
-      Reco.holdoutRankedPredsCapped(holdoutSplitDf(spark, dir)).cache()
+      Reco.holdoutRankedPredsFromPairs(holdoutSplitDf(spark, dir),
+        cfPairsCappedAll(spark, dir)).cache()
     }
 
   /** The offline-eval holdout stages, memoized so q201 (hit rate) and

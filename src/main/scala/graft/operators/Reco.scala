@@ -32,10 +32,13 @@ object Reco {
     * capped chain [[cfCapReport]] grades).
     */
   def capRatings(deduped: DataFrame, cap: Int = CfPairCap): DataFrame =
+    // drop("crn"), not a positive select: extra columns (the holdout
+    // split's is_test flag) pass through, so ONE capped frame can feed
+    // the combined full+train pair fan-out exactly like the exact path
     deduped
       .withColumn("crn", row_number().over(
         Window.partitionBy("userId").orderBy(desc("rv"), asc("productId"))))
-      .where(col("crn") <= cap).select("userId", "productId", "rv")
+      .where(col("crn") <= cap).drop("crn")
 
   /** J1 — global top-K products by mean rating, HAVING count > minReviews.
     *
@@ -772,22 +775,6 @@ object Reco {
     preds.withColumn("rn", row_number().over(w).cast("long"))
   }
 
-  /** [[holdoutRankedPreds]] with the [[CfPairCap]] production cap on the
-    * TRAIN pair generation — the scale path for q201/q212 (the holdout
-    * retrain rides the same Σdeg² fan-out as q107, so it inherits the
-    * same super-linear regime at 100×). Only the pair generator reads
-    * the capped table; train norms, scoring, the rated anti-join, and
-    * the metric denominators stay on the full train slice.
-    */
-  def holdoutRankedPredsCapped(split: DataFrame, cap: Int = CfPairCap,
-      k: Int = 5, minSupport: Long = 2): DataFrame = {
-    val train = split.where(!col("is_test")).select("userId", "productId", "rv")
-    val pairs = itemPairs(capRatings(train, cap), minSupport)
-    val preds = cfPredictionsFrom(train,
-      itemNeighborsFromPairs(train, pairs, k), top = k)
-    val w = Window.partitionBy("userId").orderBy(desc("pred"), asc("item"))
-    preds.withColumn("rn", row_number().over(w).cast("long"))
-  }
 
   /** Beyond-accuracy recommendation audit (q218) — the two numbers that
     * catch a recommender gaming its accuracy metric: CATALOG COVERAGE

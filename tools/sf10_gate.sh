@@ -30,15 +30,29 @@ echo "== [1/2] Verify subset at sf10 =="
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} SPARK_DRIVER_MEM=64g \
   tools/run_main.sh graft.Verify "$SF10" verify_sf10_out "$SUBSET"
 
-echo "== [2/2] DuckDB oracle compare =="
+echo "== [2/2] DuckDB oracle compare (one connection per query) =="
+# ONE oracle_check invocation PER QUERY: DuckDB's temp storage files grow
+# monotonically within a connection (blocks are reused logically but the
+# files are never shrunk), so at sf10 a single 17-query connection
+# accumulated >70 GB of dead temp and ENOSPC'd queries that pass fine
+# alone. A fresh connection per query frees temp between queries. The CF
+# family (q107/q108/q191/q201) legitimately spills ~50 GB each: give the
+# oracle a bigger memory cap than the 25 GB co-tenant default -- nothing
+# else heavy should run during this gate.
 export GRAFT_DUCKDB_TMP=${GRAFT_DUCKDB_TMP:-$(pwd)/.duckdb_tmp_sf10}
-mkdir -p "$GRAFT_DUCKDB_TMP"
-set +e
-python3 tools/oracle_check.py "$SF10" verify_sf10_out "$SUBSET" \
-  | tee /tmp/oracle_sf10.log
-ORACLE_RC=${PIPESTATUS[0]}
-set -e
-rm -rf "$GRAFT_DUCKDB_TMP"
+export GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-70GB}
+ORACLE_RC=0
+: > /tmp/oracle_sf10.log
+for q in ${SUBSET//,/ }; do
+  mkdir -p "$GRAFT_DUCKDB_TMP"
+  set +e
+  python3 tools/oracle_check.py "$SF10" verify_sf10_out "$q" \
+    | tee -a /tmp/oracle_sf10.log
+  rc=${PIPESTATUS[0]}
+  set -e
+  [ "$rc" -ne 0 ] && ORACLE_RC=1
+  rm -rf "$GRAFT_DUCKDB_TMP"
+done
 python3 - "$SF10" "$HEAD_SHA" "$SUBSET" <<'EOF'
 import sys, json, re
 sf, head, subset = sys.argv[1], sys.argv[2], sorted(sys.argv[3].split(","))
