@@ -31,14 +31,37 @@ object Reco {
     * rated anti-join stay on the full linear-cost table (exactly the
     * capped chain [[cfCapReport]] grades).
     */
-  def capRatings(deduped: DataFrame, cap: Int = CfPairCap): DataFrame =
-    // drop("crn"), not a positive select: extra columns (the holdout
-    // split's is_test flag) pass through, so ONE capped frame can feed
-    // the combined full+train pair fan-out exactly like the exact path
-    deduped
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("userId").orderBy(desc("rv"), asc("productId"))))
-      .where(col("crn") <= cap).drop("crn")
+  def capRatings(deduped: DataFrame, cap: Int = CfPairCap): DataFrame = {
+    // ExactTopK aggregate, NOT a row_number window: the window form must
+    // shuffle and SORT every user's rows — at 100 TB that ships the
+    // pathological user's millions of ratings into one partition, the
+    // exact skew the cap exists to neutralize. The aggregate keeps a
+    // bounded (rv DESC, productId ASC) heap per user with map-side
+    // partial aggregation, so each mapper ships ≤ cap entries per user
+    // into the shuffle. Same selected set as the window (spec-proven):
+    // TopKBuffer's order is (score DESC, payload ASC) and productId is
+    // unique per user after dedup. The holdout split's is_test flag packs
+    // into the payload's low bit (productId << 1 | is_test) — uniqueness
+    // of productId per user means the pack never changes the tiebreak.
+    val hasTest = deduped.columns.contains("is_test")
+    val payload =
+      if (hasTest) shiftleft(col("productId"), 1) + col("is_test").cast("long")
+      else shiftleft(col("productId"), 1)
+    val tk = org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.ExactTopK(
+        org.apache.spark.sql.graft.shim.expression(col("rv").cast("double")),
+        org.apache.spark.sql.graft.shim.expression(payload),
+        cap).toAggregateExpression())
+    val unpacked = deduped.groupBy(col("userId")).agg(tk.as("tk"))
+      .select(col("userId"), explode(col("tk")).as("e"))
+      .select(col("userId") +:
+        shiftright(col("e.payload"), 1).as("productId") +:
+        col("e.score").cast("long").as("rv") +:
+        (if (hasTest) Seq((col("e.payload").bitwiseAND(1L) === 1L).as("is_test"))
+         else Seq.empty): _*)
+    // column ORDER matches the input contract (userId, productId, rv[, is_test])
+    unpacked.select(deduped.columns.map(col): _*)
+  }
 
   /** J1 — global top-K products by mean rating, HAVING count > minReviews.
     *

@@ -30,6 +30,23 @@ class CfProdSpec extends AnyFunSuite {
     assert(capped.count() < deduped.count())
   }
 
+  test("capRatings (ExactTopK aggregate) equals the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 8
+    val viaWindow = deduped
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("userId").orderBy(desc("rv"), asc("productId"))))
+      .where(col("crn") <= cap).select("userId", "productId", "rv")
+    val viaAgg = Reco.capRatings(deduped, cap)
+    assert(viaAgg.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaAgg).count() === 0)
+    // split variant: is_test packs through the payload's low bit unchanged
+    val split = EntryHelpers.holdoutSplitDf(spark, sf)
+    val capped = Reco.capRatings(split, cap)
+    assert(capped.columns.toSeq === split.columns.toSeq)
+    assert(capped.exceptAll(split).count() === 0) // rows drawn verbatim
+  }
+
   test("capRatings keeps each user's highest ratings (rv DESC, productId ASC)") {
     val cap = 8
     val capped = Reco.capRatings(deduped, cap)
