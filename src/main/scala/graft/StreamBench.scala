@@ -90,7 +90,15 @@ object StreamBench {
       val schema = spark.read.parquet(dir).schema
       val total = spark.read.parquet(dir).count()
       (total, () => spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir))
+        // files-per-trigger is the harness's SOURCE-PARALLELISM knob: each
+        // staged chunk is one parquet file = one input split, so 1 file
+        // per trigger serializes every per-row map stage onto one core
+        // (the lsh_neardup signature bottleneck); N files = N-way map
+        // parallelism per batch, the shape a multi-partition Kafka source
+        // gives for free.
+        .option("maxFilesPerTrigger",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "1"))
+        .parquet(dir))
     }
     val (totalRows, stream) = stageChunks(Tables.events(spark, sfDir), stage)
     // the LSH shape streams DOCUMENTS; they carry no event time, so one is
