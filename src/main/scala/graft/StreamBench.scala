@@ -39,12 +39,27 @@ object StreamBench {
     */
   private val streamShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
 
+  /** Source-parallelism knob: staged files delivered per trigger. Stamped
+    * into the combined JSON and (when non-default) into the output path —
+    * it changes measured throughput directly, so a non-default run must
+    * never masquerade as the default artifact (ADVICE r15).
+    */
+  private val filesPerTrigger =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "1")
+
   private def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", streamShuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // One staged file = one input split: by default FileSourceScan
+      // bin-packs small files into maxPartitionBytes bins (openCost 4 MB),
+      // so maxFilesPerTrigger=N still arrived as ~1 split and the per-doc
+      // map chain serialized regardless of N. An open cost equal to the
+      // bin size forces file-per-split — the multi-partition-Kafka shape
+      // the harness is standing in for.
+      .config("spark.sql.files.openCostInBytes", (128L << 20).toString)
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .getOrCreate()
@@ -68,8 +83,18 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "24").toInt
-    val work = java.nio.file.Files
-      .createTempDirectory("graft-streambench").toString
+    // Staging AND checkpoints live on tmpfs, not java.io.tmpdir: every
+    // micro-batch commits offsets/commit files to the checkpoint dir, and
+    // with /tmp behind this VM's cgroup block-IO throttle those fsyncs were
+    // ~2 s of FIXED cost per trigger — the dominant term of every
+    // small-batch shape (r15's lsh cost model measured the intercept at
+    // ~2.0 s/batch; on tmpfs it is milliseconds). A real cluster would put
+    // checkpoints on a fast DFS, not a throttled local disk.
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
+        .getParent,
+      "graft-streambench").toString
     val stage = s"$work/events"
     val spark = build(cpus)
     import java.nio.file.{Files, Paths}
@@ -96,8 +121,7 @@ object StreamBench {
         // (the lsh_neardup signature bottleneck); N files = N-way map
         // parallelism per batch, the shape a multi-partition Kafka source
         // gives for free.
-        .option("maxFilesPerTrigger",
-          sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "1"))
+        .option("maxFilesPerTrigger", filesPerTrigger)
         .parquet(dir))
     }
     val (totalRows, stream) = stageChunks(Tables.events(spark, sfDir), stage)
@@ -202,12 +226,17 @@ object StreamBench {
     val onlyJson = onlyEnv.map(s =>
       s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
     val combined = s"""{"sf":"$sfDir","events":$totalRows,"docs":$docRows,"chunks":$chunks,""" +
-      s""""shuffle":$streamShuffle,$onlyJson"head":"$head",""" +
+      s""""shuffle":$streamShuffle,"files_per_trigger":$filesPerTrigger,$onlyJson"head":"$head",""" +
       s""""queries":[${results.map(_.json).mkString(",")}]}"""
     // Output path is env-selectable so the sf1.0 run lands in its own
     // artifact (BENCH_streaming_sf1.json) instead of clobbering the sf0.1 one.
+    // A non-default files-per-trigger run is a different harness
+    // configuration — route it to a suffixed path like subset runs
+    // (ADVICE r15) so it can never silently clobber the default artifact.
+    val fptSuffix = if (filesPerTrigger != "1") s"_fpt$filesPerTrigger" else ""
     val defaultOut =
-      if (onlyEnv.isDefined) "BENCH_streaming_subset.json" else "BENCH_streaming.json"
+      if (onlyEnv.isDefined) s"BENCH_streaming_subset$fptSuffix.json"
+      else s"BENCH_streaming$fptSuffix.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", defaultOut)
     try Files.writeString(Paths.get(outPath), combined + "\n")
     catch { case _: Throwable => () }

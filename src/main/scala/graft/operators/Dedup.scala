@@ -226,7 +226,17 @@ object Dedup {
     // per batch (measured: 2.7 s/batch at 2k docs, the whole lsh_neardup
     // bottleneck at sf1.0). One narrow-row shuffle (~350 B/doc) buys full
     // map parallelism; sources already partitioned can pass fanout=false.
-    val src = if (fanout) docs.repartition(col("doc_id")) else docs
+    // Fan out to CORE count, not spark.sql.shuffle.partitions: streaming
+    // jobs size shuffle.partitions to STATE volume (8 here — each stateful
+    // operator commits one store per partition per batch), which would
+    // leave 3/4 of a 32-core box idle through the map stage. The band join
+    // downstream re-shuffles to the state partitioning regardless, so the
+    // map width is a free variable.
+    val src =
+      if (fanout)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+          col("doc_id"))
+      else docs
     src
       .select(passThrough :+ hs.as("hs"): _*)
       .where(size(col("hs")) > 0)

@@ -30,6 +30,14 @@ object Reco {
     * users. Applies to PAIR GENERATION ONLY: norms, scoring, and the
     * rated anti-join stay on the full linear-cost table (exactly the
     * capped chain [[cfCapReport]] grades).
+    *
+    * PRECONDITION: `rv` and `productId` must be non-null. ExactTopK.update
+    * drops null score/payload rows entirely, while the row_number window
+    * form this is spec-proven equivalent to would still keep a NULL-rv row
+    * for a user with fewer than `cap` ratings — so a nullable caller would
+    * silently lose rows relative to the graded form. True for every current
+    * caller ([[dedupedRatings]] builds rv via max(rating).cast(long)), and
+    * guarded below with a codegen'd per-row assert (ADVICE r15).
     */
   def capRatings(deduped: DataFrame, cap: Int = CfPairCap): DataFrame = {
     // ExactTopK aggregate, NOT a row_number window: the window form must
@@ -44,6 +52,13 @@ object Reco {
     // into the payload's low bit (productId << 1 | is_test) — uniqueness
     // of productId per user means the pack never changes the tiebreak.
     val hasTest = deduped.columns.contains("is_test")
+    // Null guard (ADVICE r15): fail loudly instead of silently dropping a
+    // NULL-rv/productId row the window form would have kept. One codegen'd
+    // branch per row; never fires on the library's own callers.
+    val guarded = deduped.where(
+      when(col("rv").isNotNull && col("productId").isNotNull, lit(true))
+        .otherwise(raise_error(lit(
+          "capRatings: null rv/productId (would drop rows vs the graded window form)"))))
     val payload =
       if (hasTest) shiftleft(col("productId"), 1) + col("is_test").cast("long")
       else shiftleft(col("productId"), 1)
@@ -52,7 +67,7 @@ object Reco {
         org.apache.spark.sql.graft.shim.expression(col("rv").cast("double")),
         org.apache.spark.sql.graft.shim.expression(payload),
         cap).toAggregateExpression())
-    val unpacked = deduped.groupBy(col("userId")).agg(tk.as("tk"))
+    val unpacked = guarded.groupBy(col("userId")).agg(tk.as("tk"))
       .select(col("userId"), explode(col("tk")).as("e"))
       .select(col("userId") +:
         shiftright(col("e.payload"), 1).as("productId") +:

@@ -50,7 +50,12 @@ def main(full_path, patch_path, bench_path):
     full["patched"] = sorted(set(full.get("patched", [])) | set(patch["samples"]))
     best = {k: min(v) for k, v in full["samples"].items()}
     total = sum(best.values())
-    total_norm = sum(v / loads[k] for k, v in best.items())
+    # loads.get with the base run's sentinel fallback: a pre-existing
+    # "loads" dict may lack entries for samples an older tool version
+    # added after a newer-version merge (ADVICE r15) — missing keys take
+    # the base run's load instead of raising KeyError.
+    total_norm = sum(v / loads.get(k, sentinel_load(full))
+                     for k, v in best.items())
     full["total"] = f"{total:.3f}"
     full["total_norm"] = f"{total_norm:.3f}"
     write_atomic(full_path, full)
@@ -67,6 +72,15 @@ def main(full_path, patch_path, bench_path):
     bench["queries"] = qs
     bench["value"] = round(total, 3)
     bench["value_norm"] = round(total_norm, 3)
+    # Keep the grading-tier decomposition in sync with the recomputed
+    # value (ADVICE r15): a patched grade-set query would otherwise leave
+    # value_grade/value_prod stale against the new total. The grade set
+    # mirrors Bench.scala's (q280_cf_cap_quality).
+    if "value_grade" in bench or "value_prod" in bench:
+        grade_set = {"q280_cf_cap_quality"}
+        total_grade = sum(v for k, v in best.items() if k in grade_set)
+        bench["value_grade"] = round(total_grade, 3)
+        bench["value_prod"] = round(total - total_grade, 3)
     bench["patched"] = full["patched"]
     write_atomic(bench_path, bench)
     print(f"total: {total:.3f}s over {len(best)} queries -> {full_path}, {bench_path}")
