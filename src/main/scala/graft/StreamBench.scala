@@ -199,19 +199,28 @@ object StreamBench {
           ev.where(col("event_type") === "view"),
           joinType = "left_outer")
       }),
-      // watermarked MinHash+LSH band self-join over the document stream —
-      // the ingest-time near-dup gate; per-doc signature hashing is the
-      // map cost, the 60-min horizon bounds both join buffers
+      // watermarked MinHash+LSH near-dup gate over the document stream —
+      // the PRODUCTION custom-state form (flatMapGroupsWithState keyed on
+      // the band bucket: one state row per (doc, band), one source
+      // subtree, per-group eviction — see its scaladoc for the measured
+      // why); spec-equal to the join twin below on closed inputs
       "lsh_neardup" -> (() =>
+        streaming.Stateful.nearDupPairsStatefulStream(spark, docStream())),
+      // declarative stream-stream self-join twin of the gate (the r14/r15
+      // lsh_neardup shape) — kept measured so the custom-state form's win
+      // stays an artifact, not an anecdote
+      "lsh_neardup_join" -> (() =>
         streaming.RealTime.nearDupPairsStream(docStream())),
       // DIAGNOSTIC twin of lsh_neardup: the banded-signature map stage
       // alone (no join, no state store) — attributes the neardup gate's
       // batch cost between signature computation and the stateful join.
       // A stream-stream self-join evaluates its input subtree once PER
       // SIDE, so lsh_neardup pays ~2x this shape's per-batch map cost
-      // before any join work starts.
+      // before any join work starts. Uses the COMPACT banded form so it
+      // stays the gate's true map stage (nearDupPairsStream switched to
+      // it when state volume proved to be the commit-cost floor).
       "lsh_signatures" -> (() =>
-        graft.operators.Dedup.bandedSignaturesStream(docStream())))
+        graft.operators.Dedup.bandedSignaturesStreamCompact(docStream())))
     val results = shapes
       .filter { case (n, _) => onlyEnv.forall(_.contains(n)) }
       .map { case (n, mk) => bench(n)(mk) }

@@ -30,6 +30,18 @@ object TextAnalysis {
       org.apache.spark.sql.graft.Md5Prefix32Array(
         org.apache.spark.sql.graft.shim.expression(c)))
 
+  /** Fused tokens → per-shingle [[md5Prefix32]] (every occurrence, no
+    * dedup) via [[org.apache.spark.sql.graft.Md5ShingleHash32]] — the
+    * MinHash ingest path. Byte-identical hashes to
+    * `md5Prefix32Array(shinglesOfTokensAll(t, n))` (property-tested)
+    * without materializing a string per shingle; multiset-invariance of
+    * min() makes signatures equal to the distinct form's too.
+    */
+  def md5ShingleHashes(t: Column, n: Int): Column =
+    org.apache.spark.sql.graft.shim.column(
+      org.apache.spark.sql.graft.Md5ShingleHash32(
+        org.apache.spark.sql.graft.shim.expression(t), n))
+
   /** All K-byte-window Karp–Rabin hashes of a string column in one O(n)
     * codegen'd pass ([[org.apache.spark.sql.graft.RollingPoly32Array]]) —
     * the char-gram fingerprint base for q54/q64.

@@ -42,7 +42,7 @@ object Corpus {
   def distinctNgramRatio(documents: DataFrame, n: Int = 3): DataFrame =
     tokensBarrier(documents)
       .select(col("source"),
-        explode(TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokensAll(col("t"), n))).as("g"))
+        explode(TextAnalysis.md5ShingleHashes(col("t"), n)).as("g")) // fused kernel, all occurrences
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("g")).as("n_distinct"))
@@ -67,7 +67,7 @@ object Corpus {
     // without it the explode + distinct runs twice (q36 precedent)
     val sg = tokensBarrier(documents)
       .select(col("source"),
-        explode(TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))).as("g"))
+        explode(array_distinct(TextAnalysis.md5ShingleHashes(col("t"), n))).as("g")) // fused kernel + distinct
       .distinct()
       .transform(graft.barrier)
     sg.as("a")

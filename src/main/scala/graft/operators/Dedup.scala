@@ -62,7 +62,10 @@ object Dedup {
     * consumer branch from re-running the shingle+hash lambdas.
     */
   def shingleSets(documents: DataFrame, n: Int = 3): DataFrame = {
-    val hashed = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))
+    // fused tokens->shingle-hash kernel; array_distinct over the hashes
+    // equals the old distinct-strings->hash->distinct pipeline exactly
+    // (same set, same first-occurrence order), ~10x less map-side work
+    val hashed = TextAnalysis.md5ShingleHashes(col("t"), n)
     tokensBarrier(documents)
       .select(col("doc_id"), array_distinct(hashed).as("sh"))
       .transform(graft.barrier)
@@ -181,7 +184,9 @@ object Dedup {
   private def bandedSignatures(documents: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val hs = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n)) // [0, 2^32)
+    // fused tokens->shingle-hash kernel, ALL occurrences: min() is
+    // multiset-invariant, so signatures equal the distinct form's exactly
+    val hs = TextAnalysis.md5ShingleHashes(col("t"), n) // [0, 2^32)
     // Barrier after the shingle-hash lambdas: band joins read the signature
     // table twice (or once per side), and CollapseProject would otherwise
     // inline (and re-run) the whole shingle pipeline into every branch.
@@ -216,8 +221,26 @@ object Dedup {
                              bands: Int = 16, fanout: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val hs = TextAnalysis.md5Prefix32Array(
-      TextAnalysis.shinglesOfTokens(TextAnalysis.tokens(col("text")), n))
+    val sig = streamSignatures(docs, n, k, fanout)
+    val passThrough = docs.columns.filterNot(_ == "text").map(col).toSeq
+    sig
+      .select(passThrough ++ Seq(col("sig"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => array_join(
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"),
+              "_")))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+  }
+
+  /** Shared map stage of the streaming LSH forms: per-doc tokenize →
+    * shingle → md5 → k-permutation MinHash, emitted as
+    * (passthrough..., sig: array<long>). Fanned out to core width first —
+    * see the comment inside (the measured lsh_neardup bottleneck).
+    */
+  private def streamSignatures(docs: DataFrame, n: Int, k: Int,
+                               fanout: Boolean): DataFrame = {
+    val hs = TextAnalysis.md5ShingleHashes(TextAnalysis.tokens(col("text")), n)
     val passThrough = docs.columns.filterNot(_ == "text").map(col).toSeq
     // Fan the micro-batch out BEFORE the signature map: a file-replay (or
     // low-partition Kafka) source delivers each trigger as ~1 input split,
@@ -244,13 +267,40 @@ object Dedup {
         org.apache.spark.sql.graft.shim.column(
           org.apache.spark.sql.graft.MinHashSignature(
             org.apache.spark.sql.graft.shim.expression(col("hs")), k)).as("sig"): _*)
-      .select(passThrough ++ Seq(col("sig"),
+  }
+
+  /** COMPACT [[bandedSignaturesStream]] for the stateful streaming gate —
+    * same shingle → minhash → band pipeline, but sized for what a
+    * stream-stream join must BUFFER rather than for engine-portable
+    * oracle keys (the batch form's content-string keys + array<long> sigs
+    * measured ~1.9 KB of state per (doc, band) row; this form is ~350 B,
+    * and state commit volume was the measured per-batch cost floor of
+    * the lsh_neardup gate):
+    *
+    *   - `sig32: array<int>` — each minhash value lives in [0, 2^32), so
+    *     the int cast is the mod-2^32 WRAP, a bijection per element:
+    *     int equality ⇔ long equality, and the agreement-fraction
+    *     estimate downstream is unchanged. Half the bytes.
+    *   - `key: long` — xxhash64 of the band's sig32 slice instead of the
+    *     band-content string. A 64-bit key can collide where content
+    *     keys cannot, so consumers that need exactness re-verify band
+    *     content post-join from the sig32 slices they already carry
+    *     (see [[graft.streaming.RealTime.nearDupPairsStream]]) — the
+    *     collision only ever costs a discarded candidate, never a wrong
+    *     emit.
+    */
+  def bandedSignaturesStreamCompact(docs: DataFrame, n: Int = 3, k: Int = 64,
+                                    bands: Int = 16, fanout: Boolean = true): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val passThrough = docs.columns.filterNot(_ == "text").map(col).toSeq
+    streamSignatures(docs, n, k, fanout)
+      .select(passThrough :+ col("sig").cast("array<int>").as("sig32"): _*)
+      .select(passThrough ++ Seq(col("sig32"),
         posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
-            b => array_join(
-              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"),
-              "_")))): _*)
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+            b => xxhash64(slice(col("sig32"), b * rowsPerBand + 1, lit(rowsPerBand)))))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
   }
 
   /** MinHash signature + LSH banding near-dup candidates.
@@ -452,7 +502,7 @@ object Dedup {
     */
   def crossCorpusContamination(train: DataFrame, test: DataFrame, n: Int = 8): DataFrame = {
     def grams(df: DataFrame): DataFrame = {
-      val hashed = TextAnalysis.md5Prefix32Array(TextAnalysis.shinglesOfTokens(col("t"), n))
+      val hashed = TextAnalysis.md5ShingleHashes(col("t"), n) // fused kernel
       tokensBarrier(df).select(col("doc_id"), explode(array_distinct(hashed)).as("g"))
     }
     grams(train).as("tr")

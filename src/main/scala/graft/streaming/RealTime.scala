@@ -529,12 +529,19 @@ object RealTime {
                          watermarkDelay: String = "10 minutes",
                          n: Int = 3, k: Int = 64, bands: Int = 16,
                          minEstJaccard: Double = 0.5): DataFrame = {
-    val banded = graft.operators.Dedup.bandedSignaturesStream(docs, n, k, bands)
+    // COMPACT banded form (sig32 + 64-bit band keys): the join must BUFFER
+    // every in-horizon (doc, band) row on both sides, and the batch form's
+    // content-string keys + array<long> sigs measured ~1.9 KB of state per
+    // row — state-commit volume, not join compute, was the gate's measured
+    // per-batch cost floor. The compact row is ~350 B for the same
+    // semantics (see bandedSignaturesStreamCompact's scaladoc).
+    val rowsPerBand = k / bands
+    val banded = graft.operators.Dedup.bandedSignaturesStreamCompact(docs, n, k, bands)
     val a = banded.select(col("doc_id").as("a_id"), col("ts").as("a_ts"),
-        col("band").as("a_band"), col("bandHash").as("a_key"), col("sig").as("sig_a"))
+        col("band").as("a_band"), col("key").as("a_key"), col("sig32").as("sig_a"))
       .withWatermark("a_ts", watermarkDelay)
     val b = banded.select(col("doc_id").as("b_id"), col("ts").as("b_ts"),
-        col("band").as("b_band"), col("bandHash").as("b_key"), col("sig").as("sig_b"))
+        col("band").as("b_band"), col("key").as("b_key"), col("sig32").as("sig_b"))
       .withWatermark("b_ts", watermarkDelay)
     // `a_id < b_id` cannot live in the join condition: Spark's
     // StreamingJoinHelper probes every `<` predicate for a state
@@ -546,6 +553,14 @@ object RealTime {
           col("a_id") =!= col("b_id") &&
           col("b_ts") >= col("a_ts") - expr(s"INTERVAL $horizonMinutes MINUTES") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      // exactness restored post-join: the 64-bit band key can collide where
+      // the batch form's content key cannot, so re-verify the band CONTENT
+      // from the sig32 slices both sides already carry (int equality ⇔
+      // long equality under the mod-2^32 wrap). A collision costs only a
+      // discarded candidate here — never a wrong emit — keeping the
+      // closed-input replay exactly equal to batch minhashPairs.
+      .where(slice(col("sig_a"), col("a_band") * rowsPerBand + 1, lit(rowsPerBand)) ===
+        slice(col("sig_b"), col("a_band") * rowsPerBand + 1, lit(rowsPerBand)))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           .cast("double") / k)

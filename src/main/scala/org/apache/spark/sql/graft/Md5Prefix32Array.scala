@@ -26,6 +26,44 @@ object Md5Util {
     val b = d.digest(s.getBytes)
     ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) | ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
   }
+
+  /** One-pass [[prefix32]] over every n-token shingle of a token array —
+    * the kernel of [[Md5ShingleHash32]] (see its scaladoc for the exact
+    * composed-form equivalence). The digest consumes each shingle's token
+    * bytes with single-space separators, so the hashed bytes are exactly
+    * the composed form's `array_join(slice(t, i+1, n), " ")` string. Token
+    * bytes are extracted once per token (not once per shingle ×n); null
+    * elements hash as empty strings, as in [[Md5Prefix32Array]].
+    */
+  def shingleHashes(tokens: ArrayData, n: Int): Array[Long] = {
+    val m = tokens.numElements()
+    if (m < n) return Array.emptyLongArray
+    val bytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      bytes(i) =
+        if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val d = md.get()
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      d.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) d.update(' '.toByte)
+        d.update(bytes(i + j))
+        j += 1
+      }
+      val b = d.digest()
+      out(i) = ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) |
+        ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
+      i += 1
+    }
+    out
+  }
 }
 
 /** Native Catalyst expression: element-wise cross-engine hash of a string

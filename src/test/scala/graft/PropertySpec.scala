@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{array_distinct, col}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -237,6 +238,34 @@ class PropertySpec extends AnyFunSuite {
         java.lang.Long.parseLong(md5.take(4).map("%02x".format(_)).mkString, 16)
       }.sum
       assert(base === expected)
+    }
+  }
+
+  test("fused md5ShingleHashes equals the composed shingle->md5 pipeline") {
+    import graft.functions.TextAnalysis
+    val wordGen = Gen.listOfN(30, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "x", "", "longword" * 3))
+    for (seed <- 1 to 8; words <- wordGen(Gen.Parameters.default, Seed(seed.toLong));
+         n <- Seq(1, 2, 3, 8)) {
+      val text = words.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+      // ALL-occurrence equality: fused == md5Prefix32Array ∘ shinglesOfTokensAll
+      val fused = df.select(TextAnalysis.md5ShingleHashes(col("t"), n).as("h"))
+        .head().getSeq[Long](0)
+      val composed = df.select(TextAnalysis.md5Prefix32Array(
+          TextAnalysis.shinglesOfTokensAll(col("t"), n)).as("h"))
+        .head().getSeq[Long](0)
+      assert(fused === composed, s"seed=$seed n=$n text='$text'")
+      // distinct-form equality: array_distinct over both sides agrees
+      // (the substitution shingleSets/bandedSignatures relies on)
+      val fusedD = df.select(array_distinct(
+          TextAnalysis.md5ShingleHashes(col("t"), n)).as("h"))
+        .head().getSeq[Long](0)
+      val composedD = df.select(array_distinct(TextAnalysis.md5Prefix32Array(
+          TextAnalysis.shinglesOfTokens(col("t"), n))).as("h"))
+        .head().getSeq[Long](0)
+      assert(fusedD === composedD, s"distinct seed=$seed n=$n")
     }
   }
 

@@ -981,6 +981,26 @@ class StreamingSpec extends AnyFunSuite {
     // the flush sentinels (9, 10) pair with each other — exclude them
     assert(streamed.filterNot(p => p._1 >= 9L) === batch)
     assert(batch.exists(p => (p._1, p._2) == (0L, 3L) && p._3 == 1.0)) // exact dup
+
+    // the custom-state PRODUCTION gate (flatMapGroupsWithState on the band
+    // bucket) emits the same pair set on the same closed input
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocEv](spark)
+    val q2 = streaming.Stateful.nearDupPairsStatefulStream(spark, input2.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_pairs_stateful")
+      .option("checkpointLocation", tmp("neardup-stateful-ck"))
+      .start()
+    input2.addData(docs: _*)
+    q2.processAllAvailable()
+    input2.addData(DocEv(9L, t(2000), distinctDoc))
+    q2.processAllAvailable()
+    input2.addData(DocEv(10L, t(2001), distinctDoc))
+    q2.processAllAvailable()
+    q2.stop()
+    val stateful = spark.table("neardup_pairs_stateful")
+      .select("a_id", "b_id", "est_jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stateful.filterNot(p => p._1 >= 9L) === batch)
   }
 
   test("streamed daily counts close through kendallFromDaily to the batch counts") {
