@@ -49,7 +49,10 @@ object ScaleUp {
     // optional 4th arg: comma-separated table subset (e.g. "documents" for
     // the q36 next-decade candidate-volume probe, where deriving 1000×
     // lineitem would cost hours for data the probe never reads)
-    val tables = args.lift(3).map(_.split(",").toSet)
+    val tables = args.lift(3).map(_.split(",").toSet).filterNot(_.contains("-"))
+    // optional 5th/6th args: power-law skew mode — headUsers zipfPermille
+    // (see [[skewedCustkey]]); "-" as the 4th arg = all tables + skew
+    val skew = args.lift(5).map(p => (args(4).toInt, p.toInt))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,8 +63,34 @@ object ScaleUp {
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    derive(spark, src, out, reps, tables)
+    derive(spark, src, out, reps, tables, skew)
     spark.stop()
+  }
+
+  /** Power-law (zipf s≈1) reassignment of a replica order's customer onto a
+    * HEAD user — the skew mode (round-16 VERDICT #1). The plain derivation
+    * replicates the key space, so per-user degree is scale-invariant BY
+    * CONSTRUCTION and the CF degree cap can never be observed winning on
+    * it; real corpora grow hot keys too. In skew mode each replica-r≥1
+    * order keeps its shifted customer except for `permille`/1000 of them
+    * (md5 gate on (orderkey, rep) — deterministic, no RNG), which are
+    * reassigned to head user `rank` = ⌊H^u⌋ with u uniform from a second
+    * md5 draw: P(rank = j) = log_H((j+1)/j) ≈ 1/(j·ln H), the classic
+    * zipf-1 inverse-CDF. Head users are source custkeys 1..H (replica 0),
+    * so referential integrity holds at any reps; all other tables —
+    * including lineitem — are untouched, so |ratings| is conserved
+    * (reassignment, not addition) and the exact-vs-capped A/B isolates
+    * the DEGREE DISTRIBUTION as the only variable.
+    */
+  private def skewedCustkey(base: Column, headUsers: Int, permille: Int): Column = {
+    val gate = functions.TextAnalysis.md5Prefix32(
+      concat(lit("skew:"), col("o_orderkey"), lit(":"), col("rep")))
+    val u = functions.TextAnalysis.md5Prefix32(
+      concat(lit("zipf:"), col("o_orderkey"), lit(":"), col("rep")))
+      .cast("double") / 4294967296.0
+    val rank = least(floor(pow(lit(headUsers.toDouble), u)).cast("long"),
+      lit(headUsers.toLong))
+    when(col("rep") > 0 && gate % 1000 < permille, rank).otherwise(base)
   }
 
   /** The derivation itself, session-injected so ScaleUpSpec can run a small
@@ -69,7 +98,8 @@ object ScaleUp {
     * invariants the sf1.0 certificate rests on.
     */
   def derive(spark: SparkSession, src: String, out: String, reps: Int,
-      tables: Option[Set[String]] = None): Unit = {
+      tables: Option[Set[String]] = None,
+      skew: Option[(Int, Int)] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(out))
 
@@ -138,7 +168,10 @@ object ScaleUp {
     writeOne("supplier", shifted(supplier, Map("s_suppkey" -> sS)))
     writeOne("part", shifted(part, Map("p_partkey" -> pS)))
     writeOne("orders", shifted(orders,
-      Map("o_orderkey" -> oS, "o_custkey" -> cS)))
+      Map("o_orderkey" -> oS, "o_custkey" -> cS),
+      extra = skew.map { case (h, p) =>
+        "o_custkey" -> skewedCustkey(col("o_custkey") + col("rep") * cS, h, p)
+      }.toMap))
     writeOne("lineitem", shifted(lineitem,
       Map("l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS)))
     // user_id shifts by the CUSTOMER stride, not its own: the generator's

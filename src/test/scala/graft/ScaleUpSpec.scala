@@ -129,6 +129,58 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(drift < 1e-5, s"within-replica cosine drift $drift")
   }
 
+  test("skew mode: zipf head reassignment conserves rows, keys, and replica 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaleup-skew").toString
+    val (h, pm) = (20, 200) // strong skew on the tiny fixture
+    ScaleUp.derive(spark, src, dir, reps, skew = Some((h, pm)))
+    val oS = srcStride("orders", "o_orderkey")
+    val srcOrders = spark.read.parquet(s"$src/orders.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val plainOrders = spark.read.parquet(s"$out/orders.parquet")
+
+    // row conservation: reassignment, not addition
+    assert(orders.count() === srcOrders.count() * reps)
+    assert(spark.read.parquet(s"$dir/lineitem.parquet").count() ===
+      spark.read.parquet(s"$out/lineitem.parquet").count())
+
+    // referential integrity: every order customer exists
+    val cust = spark.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"))
+    assert(orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_anti")
+      .count() === 0L)
+
+    // replica 0 is bit-identical to the source
+    val r0 = orders.where(col("o_orderkey") < oS).select("o_orderkey", "o_custkey")
+    assert(r0.exceptAll(srcOrders.select("o_orderkey", "o_custkey")).count() === 0L)
+
+    // determinism: a second derivation produces identical orders
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-scaleup-skew2").toString
+    ScaleUp.derive(spark, src, dir2, reps, tables = Some(Set("orders")),
+      skew = Some((h, pm)))
+    assert(orders.exceptAll(spark.read.parquet(s"$dir2/orders.parquet")).count() === 0L)
+
+    // the reassigned mass is ~permille of replica>=1 orders, and its rank
+    // histogram is zipf-shaped: P(rank=1) = log_H(2), and rank 1 gets
+    // more than ranks 2.. individually (monotone head)
+    val cS = srcStride("customer", "c_custkey")
+    val reassigned = orders.where(col("o_orderkey") >= oS && col("o_custkey") <= h)
+      .groupBy("o_custkey").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nRe = reassigned.values.sum.toDouble
+    val nRep = srcOrders.count().toDouble * (reps - 1)
+    assert(math.abs(nRe / nRep - pm / 1000.0) < 0.05, s"gate rate ${nRe / nRep}")
+    val p1 = reassigned.getOrElse(1L, 0L) / nRe
+    val expected1 = math.log(2) / math.log(h)
+    assert(math.abs(p1 - expected1) < 0.08, s"rank-1 share $p1 vs $expected1")
+    assert(reassigned.getOrElse(1L, 0L) > reassigned.getOrElse(2L, 0L))
+    assert(reassigned.getOrElse(2L, 0L) > reassigned.getOrElse(8L, 0L))
+
+    // the point of the mode: the max per-user rating degree explodes vs
+    // the plain derivation's scale-invariant head
+    def maxDeg(d: String) = Tables.ratings(spark, d)
+      .groupBy("userId").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg(dir) > 4 * maxDeg(out),
+      s"skew head ${maxDeg(dir)} vs plain ${maxDeg(out)}")
+  }
+
   test("events.user_id keeps within-replica referential integrity") {
     val cS = srcStride("customer", "c_custkey")
     val eS = srcStride("events", "event_id")
