@@ -193,6 +193,56 @@ private[graft] object EntryHelpers {
         cfPairsAll(spark, dir)).cache()
     }
 
+  /** SLICE twins of the CF family (q281-q284): the IDENTICAL chains over
+    * the deterministic `userId % 16 == 0` sub-population. Purpose: the
+    * sf10 oracle gate — the full-population CF oracles exceed DuckDB's
+    * disk there (≥60-70 GB spill, CORRECTNESS_sf10_subset r15), while the
+    * slice keeps every operator, every shuffle shape, and the Σdeg²
+    * fan-out exercised on the same sf10 parquet at ~1/16 the user count
+    * (pair volume ~1/16 — per-user degree is unchanged, so the slice cuts
+    * users, not the per-user work profile). Modulo on the USER key keeps
+    * each kept user's rating set complete — the chain's semantics per
+    * user are untouched, unlike a row-level sample.
+    */
+  private[graft] val CfSliceMod = 16
+
+  private[graft] def cfDedupedSlice(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_deduped_slice") {
+      Reco.dedupedRatings(
+        ratingsDf(spark, dir).where(col("userId") % CfSliceMod === 0)).cache()
+    }
+
+  private[graft] def holdoutSplitSliceDf(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "holdout_split_slice") {
+      Reco.holdoutSplit(cfDedupedSlice(spark, dir))
+    }
+
+  private[graft] def cfPairsSliceAll(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_pairs_slice_all") {
+      Reco.itemPairsWithHoldout(holdoutSplitSliceDf(spark, dir))
+    }
+
+  private[graft] def cfPairsSlice(spark: SparkSession, dir: String): DataFrame =
+    cfPairsSliceAll(spark, dir).select("pa", "pb", "dot", "support", "dsum")
+
+  private[graft] def cfNeighborsSlice(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_neighbors_slice") {
+      Reco.itemNeighborsFromPairs(cfDedupedSlice(spark, dir),
+        cfPairsSlice(spark, dir)).cache()
+    }
+
+  private[graft] def cfPredsSlice(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "cf_preds_slice") {
+      Reco.cfPredictionsFrom(cfDedupedSlice(spark, dir),
+        cfNeighborsSlice(spark, dir)).cache()
+    }
+
+  private[graft] def holdoutRankedSlice(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "holdout_ranked_slice") {
+      Reco.holdoutRankedPredsFromPairs(holdoutSplitSliceDf(spark, dir),
+        cfPairsSliceAll(spark, dir)).cache()
+    }
+
   /** The corpus 8-gram explode + ONE (source, g) dedup is the dominant
     * shared cost of the sketch family (q102/q147/q157/q185/q194) — one
     * barriered materialization per session, exactly the staged artifact a
@@ -293,12 +343,18 @@ private[graft] object EntryHelpers {
   /** DuckDB twin of [[graft.operators.Similarity.bruteForceTopK]] over the
     * q37 query subset — shared by the q37 oracle and the q83 recall oracle.
     */
-  private[graft] def bruteTopkOracle: String =
+  private[graft] def bruteTopkOracle: String = bruteTopkOracleFrom("embeddings")
+
+  /** [[bruteTopkOracle]] with the CORPUS side parameterized (the query
+    * panel stays the full-table q37 panel) — `src` may be a CTE name, so
+    * the q285 slice twin can rank against a reduced corpus.
+    */
+  private[graft] def bruteTopkOracleFrom(src: String): String =
     s"""WITH q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),
        |scored AS (
        |  SELECT q_id, e.vec_id, ${cosineSql("q_emb", "e.embedding")} AS sim
-       |  FROM q CROSS JOIN embeddings e WHERE q_id <> e.vec_id)
+       |  FROM q CROSS JOIN $src e WHERE q_id <> e.vec_id)
        |SELECT q_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT q_id, vec_id, sim,
        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
@@ -319,9 +375,9 @@ private[graft] object EntryHelpers {
     * Emits CTEs `cents, kk, sup, ca, va, cand, assign`; `assign` has
     * (vec_id, embedding, cell). Consumers splice it after WITH.
     */
-  private[graft] def hierAssignSql(nprobe: Int): String =
+  private[graft] def hierAssignSql(nprobe: Int, src: String = "embeddings"): String =
     s"""cents AS (
-       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0),
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM $src WHERE vec_id % 37 = 0),
        |kk AS (
        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k, min(c_id) AS mn FROM cents),
        |sup AS (
@@ -338,19 +394,19 @@ private[graft] object EntryHelpers {
        |    SELECT e.vec_id, s.s_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosineSql("e.embedding", "s.s_emb")} DESC, s.s_id) AS rn
-       |    FROM embeddings e CROSS JOIN sup s) WHERE rn <= 2),
+       |    FROM $src e CROSS JOIN sup s) WHERE rn <= 2),
        |cand AS (SELECT DISTINCT va.vec_id, ca.c_id FROM va JOIN ca USING (s_id)),
        |assign AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosineSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-       |    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+       |    FROM cand JOIN $src e ON e.vec_id = cand.vec_id
        |              JOIN cents c ON c.c_id = cand.c_id)
        |  WHERE rn <= $nprobe)""".stripMargin
 
-  private[graft] def ivfTopkOracleN(nprobe: Int): String =
-    s"""WITH ${hierAssignSql(1)},
+  private[graft] def ivfTopkOracleN(nprobe: Int, src: String = "embeddings"): String =
+    s"""WITH ${hierAssignSql(1, src)},
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),
        |probes AS (
        |  SELECT q_id, q_emb, cell FROM (
@@ -582,6 +638,15 @@ private[graft] object EntryHelpers {
        |r AS MATERIALIZED (
        |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
        |  FROM ratings GROUP BY 1, 2)""".stripMargin)
+
+  /** [[itemCfCtes]] over the q281-q284 slice population (userId %
+    * [[CfSliceMod]]) — the sf10-oracle-sized twin chain.
+    */
+  private[graft] def itemCfSliceCtes: String = itemCfChainFrom(
+    s"""$ratingsCte,
+       |r AS MATERIALIZED (
+       |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
+       |  FROM ratings WHERE userId % $CfSliceMod = 0 GROUP BY 1, 2)""".stripMargin)
 
   /** DuckDB twin of [[graft.operators.Dedup.ngramJaccardPairs]] — shared by
     * the q36 oracle and the q85 LSH-quality oracle (where it is the exact

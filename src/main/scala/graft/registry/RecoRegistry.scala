@@ -148,6 +148,16 @@ private[graft] object RecoRegistry {
     // predictions — the beyond-accuracy report beside q201/q212
     "q218_rec_coverage" -> ((s, dir) =>
       Reco.recCoverage(cfDeduped(s, dir), cfPreds(s, dir))),
+    // ---- SLICE twins (sf10 oracle gate; see EntryHelpers.CfSliceMod) ----
+    // the identical CF chains over userId % 16 == 0: every operator and
+    // shuffle shape exercised on the same parquet, sized so DuckDB's
+    // oracle fits where the full-population chain spills ≥60-70 GB at sf10
+    "q281_item_cf_slice" -> ((s, dir) => cfNeighborsSlice(s, dir)),
+    "q282_cf_predict_slice" -> ((s, dir) => cfPredsSlice(s, dir)),
+    "q283_slope_one_slice" -> ((s, dir) =>
+      Reco.slopeOnePredictions(cfDedupedSlice(s, dir), cfPairsSlice(s, dir))),
+    "q284_hitrate_slice" -> ((s, dir) =>
+      Reco.hitRateFromRanked(holdoutSplitSliceDf(s, dir), holdoutRankedSlice(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -669,6 +679,106 @@ private[graft] object RecoRegistry {
         |  CAST(sum(ndcg_ppm) AS BIGINT) AS ndcg_ppm_sum,
         |  CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS ndcg_mean_ppm
         |FROM pu""".stripMargin,
+    // q107's oracle over the slice population — same CTE chain, sliced r
+    "q281_item_cf_slice" ->
+      s"""WITH $itemCfSliceCtes
+        |SELECT item, neighbor, dot, support, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
+    // q108's oracle over the slice population
+    "q282_cf_predict_slice" ->
+      s"""WITH $itemCfSliceCtes,
+        |nb AS (
+        |  SELECT item, neighbor, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |sc AS (
+        |  SELECT r.userId, nb.item,
+        |    CAST(sum(nb.w * r.rv) AS BIGINT) AS num, CAST(sum(nb.w) AS BIGINT) AS den
+        |  FROM r JOIN nb ON r.productId = nb.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nb.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item, num, den,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand)
+        |SELECT userId, item, num, den, pred FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |  FROM predt) WHERE rn <= 3""".stripMargin,
+    // q191's oracle over the slice population
+    "q283_slope_one_slice" ->
+      s"""WITH $itemCfSliceCtes,
+        |mir2 AS (
+        |  SELECT pa AS item, pb AS base, dsum AS dev, support AS c FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, -dsum, support FROM pairs),
+        |mirp AS (
+        |  SELECT item, base, dev, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY c DESC, base) AS prn
+        |    FROM mir2) WHERE prn <= 8),
+        |sc2 AS (
+        |  SELECT r.userId, m.item,
+        |    CAST(sum(m.dev + r.rv * m.c) AS BIGINT) AS num,
+        |    CAST(sum(m.c) AS BIGINT) AS den
+        |  FROM r JOIN mirp m ON r.productId = m.base
+        |  GROUP BY 1, 2),
+        |cand2 AS (
+        |  SELECT sc2.* FROM sc2
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc2.userId AND r.productId = sc2.item)),
+        |predt2 AS (
+        |  SELECT userId, item, num, den,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand2)
+        |SELECT userId, item, num, den, pred FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |  FROM predt2) WHERE rn <= 3""".stripMargin,
+    // q201's oracle over the slice population: the slice filter lands on
+    // r0 (the deduped base), exactly where cfDedupedSlice applies it
+    "q284_hitrate_slice" ->
+      s"""WITH ${itemCfChainFrom(
+        s"""$ratingsCte,
+           |r0 AS (
+           |  SELECT userId, productId, CAST(max(rating) AS BIGINT) AS rv
+           |  FROM ratings WHERE userId % ${EntryHelpers.CfSliceMod} = 0 GROUP BY 1, 2),
+           |rs AS (
+           |  SELECT userId, productId, rv,
+           |    ${md5Prefix32Sql("'hit:' || CAST(userId AS VARCHAR) || ':' || CAST(productId AS VARCHAR)")} % 5 = 0 AS is_test
+           |  FROM r0),
+           |r AS (SELECT userId, productId, rv FROM rs WHERE NOT is_test)""".stripMargin)},
+        |nb AS (
+        |  SELECT item, neighbor, CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |sc AS (
+        |  SELECT r.userId, nb.item,
+        |    CAST(sum(nb.w * r.rv) AS BIGINT) AS num, CAST(sum(nb.w) AS BIGINT) AS den
+        |  FROM r JOIN nb ON r.productId = nb.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nb.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item, num, den,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand),
+        |topk AS (
+        |  SELECT userId, item FROM (
+        |    SELECT userId, item,
+        |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |    FROM predt) WHERE rn <= 5),
+        |test AS (SELECT userId, productId AS item FROM rs WHERE is_test),
+        |hits AS (
+        |  SELECT t.* FROM test t
+        |  WHERE EXISTS (SELECT 1 FROM topk k WHERE k.userId = t.userId AND k.item = t.item)),
+        |ta AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(count(DISTINCT userId) AS BIGINT) AS n_test_users FROM test),
+        |ha AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits)
+        |SELECT CAST(5 AS BIGINT) AS k, n_test_users, n_test, n_hits,
+        |  CAST(n_hits * 1000000 // n_test AS BIGINT) AS hit_rate_ppm
+        |FROM ta CROSS JOIN ha""".stripMargin,
     // integer dots/norms from the deduped (user, product) max-rating;
     // cosine = one division by one sqrt of an exact integer product, and
     // the row_number (cos DESC, neighbor) mirror of the ExactTopK contract

@@ -80,6 +80,13 @@ private[graft] object SimilarityRegistry {
     // brute truth — the latency/recall trade-off sweep beside q83
     "q225_ann_tuning" -> ((s, dir) =>
       Similarity.annTuning(simQueries(s, dir), Tables.embeddings(s, dir))),
+    // SLICE twin for the sf10 oracle gate: the identical tuning sweep with
+    // the CORPUS reduced to vec_id % 4 == 0 (queries stay the full q37
+    // panel) — q225's DuckDB twin re-derives the hierarchical assignment
+    // 3x and exceeded the oracle's disk at sf10
+    "q285_ann_tuning_slice" -> ((s, dir) =>
+      Similarity.annTuning(simQueries(s, dir),
+        Tables.embeddings(s, dir).where(col("vec_id") % 4 === 0))),
     // sign-random-projection signatures: cosine-LSH bits over the micro
     // grid with one-JVM ±1 plane literals; bucket sizes = near-dup sets
     "q227_srp_signatures" -> ((s, dir) =>
@@ -243,6 +250,31 @@ private[graft] object SimilarityRegistry {
          |i1 AS (${ivfTopkOracleN(1)}),
          |i2 AS (${ivfTopkOracleN(2)}),
          |i4 AS (${ivfTopkOracleN(4)}),
+         |h AS (
+         |  SELECT CAST(1 AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM i1 WHERE EXISTS (SELECT 1 FROM brute b
+         |    WHERE b.q_id = i1.q_id AND b.vec_id = i1.vec_id)
+         |  UNION ALL
+         |  SELECT 2, CAST(count(*) AS BIGINT) FROM i2
+         |  WHERE EXISTS (SELECT 1 FROM brute b
+         |    WHERE b.q_id = i2.q_id AND b.vec_id = i2.vec_id)
+         |  UNION ALL
+         |  SELECT 4, CAST(count(*) AS BIGINT) FROM i4
+         |  WHERE EXISTS (SELECT 1 FROM brute b
+         |    WHERE b.q_id = i4.q_id AND b.vec_id = i4.vec_id))
+         |SELECT nprobe, n_queries, n_hits,
+         |  n_hits * 1000000 // (n_queries * 5) AS recall_ppm
+         |FROM h CROSS JOIN nq""".stripMargin,
+    // q225's oracle with every CORPUS reference routed through the es
+    // slice CTE (queries stay the full panel; inner WITHs see outer es)
+    "q285_ann_tuning_slice" ->
+      s"""WITH es AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+         |brute AS (${bruteTopkOracleFrom("es")}),
+         |nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM brute),
+         |i1 AS (${ivfTopkOracleN(1, "es")}),
+         |i2 AS (${ivfTopkOracleN(2, "es")}),
+         |i4 AS (${ivfTopkOracleN(4, "es")}),
          |h AS (
          |  SELECT CAST(1 AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
          |  FROM i1 WHERE EXISTS (SELECT 1 FROM brute b

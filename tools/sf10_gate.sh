@@ -15,10 +15,23 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF10=${SF10_DIR:-testdata_sf10}
-SUBSET=${SF10_SUBSET:-q36_ngram_jaccard,q38_embedding_neardup,q40_dedup_simhash,q45_dedup_clusters,q69_source_overlap,q102_hll_cardinality,q106_ppjoin,q107_item_cf,q108_cf_predict,q110_edit_distance,q191_slope_one,q193_waiting_suppliers,q200_knn_label_consistency,q201_hitrate_eval,q214_ktruss,q225_ann_tuning,q262_rerank_candidates}
+# Round-16 subset: the 12 queries that fresh-oracled at sf10 in r15, PLUS
+# the five SLICE TWINS (q281-q285) standing in for the resource-bound
+# full-population CF/ANN oracles (q107/q108/q191/q201/q225 spill >=60-70GB
+# in DuckDB at sf10 -- the slices run the identical chains over
+# userId % 16 == 0 / vec_id % 4 == 0, sized to the oracle's disk), PLUS
+# the next tier of sf1.0-expensive queries (q59/q70/q104 extension).
+SUBSET=${SF10_SUBSET:-q36_ngram_jaccard,q38_embedding_neardup,q40_dedup_simhash,q45_dedup_clusters,q59_incremental_neardup,q69_source_overlap,q70_quote_hits,q102_hll_cardinality,q104_sorted_neighborhood,q106_ppjoin,q110_edit_distance,q193_waiting_suppliers,q200_knn_label_consistency,q214_ktruss,q262_rerank_candidates,q281_item_cf_slice,q282_cf_predict_slice,q283_slope_one_slice,q284_hitrate_slice,q285_ann_tuning_slice}
 HEAD_SHA=$(git rev-parse HEAD)
 if [ -n "$(git status --porcelain --untracked-files=no)" ]; then
   HEAD_SHA="$HEAD_SHA-dirty"
+fi
+# Round artifacts must be stamped at a clean commit (VERDICT r15 #7): a
+# -dirty artifact claims a tree no commit reproduces. ALLOW_DIRTY=1 is the
+# explicit local-iteration override.
+if [[ "$HEAD_SHA" == *-dirty && "${ALLOW_DIRTY:-0}" != "1" ]]; then
+  echo "refusing to run: working tree is dirty -- commit first (or ALLOW_DIRTY=1)"
+  exit 1
 fi
 if [ ! -d "$SF10" ]; then
   echo "== sf10 gate: $SF10 missing -- deriving (reps=100) =="

@@ -25,6 +25,13 @@ HEAD_SHA=$(git rev-parse HEAD)
 if [ -n "$(git status --porcelain --untracked-files=no)" ]; then
   HEAD_SHA="$HEAD_SHA-dirty"
 fi
+# Round artifacts must be stamped at a clean commit (VERDICT r15 #7): a
+# -dirty artifact claims a tree no commit reproduces. ALLOW_DIRTY=1 is the
+# explicit local-iteration override.
+if [[ "$HEAD_SHA" == *-dirty && "${ALLOW_DIRTY:-0}" != "1" ]]; then
+  echo "refusing to run: working tree is dirty -- commit first (or ALLOW_DIRTY=1)"
+  exit 1
+fi
 
 # --recert: make the certificate mechanically track HEAD (VERDICT r13 #1).
 # Re-runs Verify at HEAD, hash-diffs against the certified set
