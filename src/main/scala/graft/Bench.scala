@@ -92,10 +92,20 @@ object Bench {
       if (dirty) sha + "-dirty" else sha
     } catch { case _: Throwable => "unknown" }
 
+  /** Shuffle-partition override (default: = cpus, the grading config).
+    * Scale probes need partitions sized to DATA, not cores: the sf10-skew
+    * exact CF run shuffles ~2.2e9 partially-aggregated pair rows, and at
+    * 24 partitions each reducer owns ~90M keys — the merge's unmanaged
+    * read-ahead buffers OOM'd a 72 GB heap. 96 partitions cut per-reduce
+    * state 4× at unchanged parallelism (concurrency stays = cores).
+    * Non-default values are stamped into every emitted JSON.
+    */
+  private val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE")
+
   private def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -265,7 +275,8 @@ object Bench {
     // analogous StreamBench seam).
     val onlyJson = onlyEnv.map(s =>
       s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("") +
-      (if (prodMode) """"mode":"sketch_prod",""" else "")
+      (if (prodMode) """"mode":"sketch_prod",""" else "") +
+      shufflePartitions.map(p => s""""shuffle_partitions":$p,""").getOrElse("")
     val gradeJson = s""""value_grade":${fmt(totalGrade)},""" +
       s""""value_prod":${fmt(total - totalGrade)},"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
