@@ -158,6 +158,12 @@ private[graft] object RecoRegistry {
       Reco.slopeOnePredictions(cfDedupedSlice(s, dir), cfPairsSlice(s, dir))),
     "q284_hitrate_slice" -> ((s, dir) =>
       Reco.hitRateFromRanked(holdoutSplitSliceDf(s, dir), holdoutRankedSlice(s, dir))),
+    // q280's cap-quality A/B over the slice population - the report that
+    // grades the production cap ON SKEWED DATA at sf10 scale, sized so
+    // both the Spark exact chain and the DuckDB twin stay oracle-feasible
+    "q286_cf_cap_quality_slice" -> ((s, dir) =>
+      Reco.cfCapReport(cfDedupedSlice(s, dir), cfPairsSlice(s, dir),
+        cfNeighborsSlice(s, dir), cfPredsSlice(s, dir))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -279,6 +285,101 @@ private[graft] object RecoRegistry {
     // the Σdeg² self-join per reference)
     "q280_cf_cap_quality" ->
       s"""WITH $itemCfCtes,
+        |nb5 AS MATERIALIZED (
+        |  SELECT item, neighbor, cos FROM (
+        |    SELECT item, neighbor, cos,
+        |      row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |nbw AS (SELECT item, neighbor,
+        |    CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM nb5),
+        |sc AS MATERIALIZED (
+        |  SELECT r.userId, nbw.item,
+        |    CAST(sum(nbw.w * r.rv) AS BIGINT) AS num, CAST(sum(nbw.w) AS BIGINT) AS den
+        |  FROM r JOIN nbw ON r.productId = nbw.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nbw.w) > 0),
+        |cand AS (
+        |  SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = sc.userId AND r.productId = sc.item)),
+        |predt AS (
+        |  SELECT userId, item,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM cand),
+        |topk_e AS MATERIALIZED (
+        |  SELECT userId, item, pred FROM (
+        |    SELECT userId, item, pred,
+        |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |    FROM predt) WHERE rn <= 3),
+        |rcap AS (
+        |  SELECT userId, productId, rv FROM (
+        |    SELECT userId, productId, rv,
+        |      row_number() OVER (PARTITION BY userId ORDER BY rv DESC, productId) AS crn
+        |    FROM r) WHERE crn <= ${Reco.CfPairCap}),
+        |pairs_cap AS MATERIALIZED (
+        |  SELECT a.productId AS pa, b.productId AS pb,
+        |    CAST(sum(a.rv * b.rv) AS BIGINT) AS dot
+        |  FROM rcap a JOIN rcap b
+        |    ON a.userId = b.userId AND a.productId < b.productId
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |mir_cap AS (
+        |  SELECT pa AS item, pb AS neighbor, dot FROM pairs_cap
+        |  UNION ALL
+        |  SELECT pb, pa, dot FROM pairs_cap),
+        |scored_cap AS (
+        |  SELECT item, neighbor,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 * nb.s2 AS DOUBLE)) AS cos
+        |  FROM mir_cap JOIN norms na ON na.productId = item
+        |               JOIN norms nb ON nb.productId = neighbor),
+        |nb5c AS MATERIALIZED (
+        |  SELECT item, neighbor, cos FROM (
+        |    SELECT item, neighbor, cos,
+        |      row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor) AS rn
+        |    FROM scored_cap) WHERE rn <= 5),
+        |nbwc AS (SELECT item, neighbor,
+        |    CAST(floor(cos * 1000000.0) AS BIGINT) AS w FROM nb5c),
+        |scc AS MATERIALIZED (
+        |  SELECT r.userId, nbwc.item,
+        |    CAST(sum(nbwc.w * r.rv) AS BIGINT) AS num, CAST(sum(nbwc.w) AS BIGINT) AS den
+        |  FROM r JOIN nbwc ON r.productId = nbwc.neighbor
+        |  GROUP BY 1, 2 HAVING sum(nbwc.w) > 0),
+        |candc AS (
+        |  SELECT scc.* FROM scc
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM r WHERE r.userId = scc.userId AND r.productId = scc.item)),
+        |predtc AS (
+        |  SELECT userId, item,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pred FROM candc),
+        |topk_c AS MATERIALIZED (
+        |  SELECT userId, item, pred FROM (
+        |    SELECT userId, item, pred,
+        |      row_number() OVER (PARTITION BY userId ORDER BY pred DESC, item) AS rn
+        |    FROM predtc) WHERE rn <= 3),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM pairs) AS n_pairs_exact,
+        |  (SELECT count(*) FROM pairs_cap) AS n_pairs_capped,
+        |  (SELECT count(*) FROM nb5) AS n_nb_exact,
+        |  (SELECT count(*) FROM nb5c) AS n_nb_capped,
+        |  (SELECT count(*) FROM nb5 a JOIN nb5c b
+        |     ON a.item = b.item AND a.neighbor = b.neighbor) AS n_nb_inter,
+        |  (SELECT count(*) FROM topk_e) AS n_rec_exact,
+        |  (SELECT count(*) FROM topk_c) AS n_rec_capped,
+        |  (SELECT count(*) FROM topk_e e JOIN topk_c c
+        |     ON e.userId = c.userId AND e.item = c.item) AS n_rec_inter,
+        |  (SELECT count(*) FROM topk_e e JOIN topk_c c
+        |     ON e.userId = c.userId AND e.item = c.item) AS n_common_rec,
+        |  (SELECT COALESCE(CAST(sum(CAST(floor(abs(e.pred - c.pred) * 1000000.0)
+        |       AS BIGINT)) AS BIGINT), 0)
+        |     FROM topk_e e JOIN topk_c c
+        |     ON e.userId = c.userId AND e.item = c.item) AS drift_micro_sum)
+        |SELECT CAST(${Reco.CfPairCap} AS BIGINT) AS cap, CAST(5 AS BIGINT) AS k,
+        |  n_pairs_exact, n_pairs_capped, n_nb_exact, n_nb_capped, n_nb_inter,
+        |  1000000 * n_nb_inter // n_nb_capped AS nb_precision_ppm,
+        |  1000000 * n_nb_inter // n_nb_exact AS nb_recall_ppm,
+        |  n_rec_exact, n_rec_capped, n_rec_inter,
+        |  1000000 * n_rec_inter // n_rec_exact AS rec_overlap_ppm,
+        |  n_common_rec, drift_micro_sum
+        |FROM m""".stripMargin,
+    "q286_cf_cap_quality_slice" ->
+      s"""WITH $itemCfSliceCtes,
         |nb5 AS MATERIALIZED (
         |  SELECT item, neighbor, cos FROM (
         |    SELECT item, neighbor, cos,

@@ -21,7 +21,7 @@ SF10=${SF10_DIR:-testdata_sf10}
 # in DuckDB at sf10 -- the slices run the identical chains over
 # userId % 16 == 0 / vec_id % 4 == 0, sized to the oracle's disk), PLUS
 # the next tier of sf1.0-expensive queries (q59/q70/q104 extension).
-SUBSET=${SF10_SUBSET:-q36_ngram_jaccard,q38_embedding_neardup,q40_dedup_simhash,q45_dedup_clusters,q59_incremental_neardup,q69_source_overlap,q70_quote_hits,q102_hll_cardinality,q104_sorted_neighborhood,q106_ppjoin,q110_edit_distance,q193_waiting_suppliers,q200_knn_label_consistency,q214_ktruss,q262_rerank_candidates,q281_item_cf_slice,q282_cf_predict_slice,q283_slope_one_slice,q284_hitrate_slice,q285_ann_tuning_slice}
+SUBSET=${SF10_SUBSET:-q36_ngram_jaccard,q38_embedding_neardup,q40_dedup_simhash,q45_dedup_clusters,q59_incremental_neardup,q69_source_overlap,q70_quote_hits,q102_hll_cardinality,q104_sorted_neighborhood,q106_ppjoin,q110_edit_distance,q193_waiting_suppliers,q200_knn_label_consistency,q214_ktruss,q262_rerank_candidates,q281_item_cf_slice,q282_cf_predict_slice,q283_slope_one_slice,q284_hitrate_slice,q285_ann_tuning_slice,q286_cf_cap_quality_slice}
 HEAD_SHA=$(git rev-parse HEAD)
 if [ -n "$(git status --porcelain --untracked-files=no)" ]; then
   HEAD_SHA="$HEAD_SHA-dirty"
