@@ -40,7 +40,7 @@ if [ ! -d "$SF10" ]; then
 fi
 
 echo "== [1/2] Verify subset at sf10 =="
-SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} SPARK_DRIVER_MEM=64g \
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
   tools/run_main.sh graft.Verify "$SF10" verify_sf10_out "$SUBSET"
 
 echo "== [2/2] DuckDB oracle compare (one connection per query) =="
