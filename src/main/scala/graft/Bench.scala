@@ -256,7 +256,10 @@ object Bench {
     // total muddies round-over-round comparisons against the ~120 s bar.
     // `value` stays the FULL total (continuity with BENCH_r01..r14);
     // value_grade / value_prod make the decomposition explicit.
-    val gradeSet = Set("q280_cf_cap_quality")
+    // q286 joined in r17: it executes the exact AND capped CF chains over
+    // the skew-feasible slice by construction (VERDICT r16 #4), same
+    // run-it-twice nature as q280.
+    val gradeSet = Set("q280_cf_cap_quality", "q286_cf_cap_quality_slice")
     val totalGrade = best.collect { case (k, v) if gradeSet.contains(k) => v }.sum
     // Load-normalized total: divides out MEASURED slowdown vs nominal but
     // never awards a bonus for a fast host (load clamps at 1 from below) —
@@ -277,8 +280,12 @@ object Bench {
       s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("") +
       (if (prodMode) """"mode":"sketch_prod",""" else "") +
       shufflePartitions.map(p => s""""shuffle_partitions":$p,""").getOrElse("")
+    // grade_set is emitted so downstream tooling (merge_bench_patch.py)
+    // derives the split from the artifact instead of mirroring this
+    // constant in Python (ADVICE r16).
     val gradeJson = s""""value_grade":${fmt(totalGrade)},""" +
-      s""""value_prod":${fmt(total - totalGrade)},"""
+      s""""value_prod":${fmt(total - totalGrade)},""" +
+      s""""grade_set":${gradeSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""value_norm":${fmt(totalNorm)},$gradeJson$onlyJson$sentJson,"head":"$head","queries":$qs,"sf":"$sfDir"}"""
     println(json)

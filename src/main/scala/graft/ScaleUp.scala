@@ -51,7 +51,12 @@ object ScaleUp {
     // lineitem would cost hours for data the probe never reads)
     val tables = args.lift(3).map(_.split(",").toSet).filterNot(_.contains("-"))
     // optional 5th/6th args: power-law skew mode — headUsers zipfPermille
-    // (see [[skewedCustkey]]); "-" as the 4th arg = all tables + skew
+    // (see [[skewedCustkey]]); "-" as the 4th arg = all tables + skew.
+    // Require BOTH or NEITHER: a truncated invocation (headUsers without
+    // permille) must not silently write a plain derivation to the
+    // requested output path and masquerade as a skewed dataset.
+    require(args.lift(4).isEmpty == args.lift(5).isEmpty,
+      s"skew mode needs both headUsers and zipfPermille (got args ${args.mkString(" ")})")
     val skew = args.lift(5).map(p => (args(4).toInt, p.toInt))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()

@@ -90,11 +90,19 @@ object StreamBench {
     // small-batch shape (r15's lsh cost model measured the intercept at
     // ~2.0 s/batch; on tmpfs it is milliseconds). A real cluster would put
     // checkpoints on a fast DFS, not a throttled local disk.
+    val localDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
+      .toAbsolutePath
+    // getParent of a single-segment relative path is null after
+    // toAbsolutePath only for "/" itself; still fall back to the local-dir
+    // so an unusual SPARK_GRAFT_LOCAL_DIR can't NPE, and log the choice so
+    // a non-tmpfs placement (which reintroduces the throttled-disk fsync
+    // cost this staging exists to avoid) is visible in the run output.
+    val stagingRoot = Option(localDir.getParent).getOrElse(localDir)
+    java.nio.file.Files.createDirectories(stagingRoot)
     val work = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
-        .getParent,
-      "graft-streambench").toString
+      stagingRoot, "graft-streambench").toString
+    println(s"staging root: $stagingRoot (tmpfs expected)")
     val stage = s"$work/events"
     val spark = build(cpus)
     import java.nio.file.{Files, Paths}

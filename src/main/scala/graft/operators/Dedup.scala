@@ -277,8 +277,12 @@ object Dedup {
     * and state commit volume was the measured per-batch cost floor of
     * the lsh_neardup gate):
     *
-    *   - `sig32: array<int>` — each minhash value lives in [0, 2^32), so
-    *     the int cast is the mod-2^32 WRAP, a bijection per element:
+    *   - `sig32: array<int>` — each minhash value lives in [0, 2^31−1)
+    *     because [[org.apache.spark.sql.graft.MinHashSignature]] reduces
+    *     mod p = 2³¹−1 (Mersenne), so the int cast is LOSSLESS — not a
+    *     wrap (under Spark's default ANSI mode a genuinely 32-bit value
+    *     would make cast(array<int>) throw CAST_OVERFLOW, so the range
+    *     invariant is load-bearing and spec-asserted in DedupSpec):
     *     int equality ⇔ long equality, and the agreement-fraction
     *     estimate downstream is unchanged. Half the bytes.
     *   - `key: long` — xxhash64 of the band's sig32 slice instead of the

@@ -556,7 +556,8 @@ object RealTime {
       // exactness restored post-join: the 64-bit band key can collide where
       // the batch form's content key cannot, so re-verify the band CONTENT
       // from the sig32 slices both sides already carry (int equality ⇔
-      // long equality under the mod-2^32 wrap). A collision costs only a
+      // long equality: minhash values are < 2³¹−1 from the Mersenne-prime
+      // reduction, so the int cast is lossless). A collision costs only a
       // discarded candidate here — never a wrong emit — keeping the
       // closed-input replay exactly equal to batch minhashPairs.
       .where(slice(col("sig_a"), col("a_band") * rowsPerBand + 1, lit(rowsPerBand)) ===

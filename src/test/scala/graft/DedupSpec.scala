@@ -59,6 +59,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!jk.contains((0L, 4L)))
   }
 
+  test("minhash signature values fit in Int: the compact form's cast is lossless") {
+    // bandedSignaturesStreamCompact casts array<long> -> array<int>; under
+    // Spark's default ANSI mode a value >= 2^31 would throw CAST_OVERFLOW
+    // at runtime in streaming queries. The invariant comes from
+    // MinHashSignature's mod-p reduction (p = 2^31-1): assert it here so a
+    // future signature-range change fails loudly in this suite instead.
+    val maxSig = Dedup.bandedSignaturesStream(docs).select(col("sig"))
+      .select(explode(col("sig")).as("v")).agg(max(col("v"))).as[Long].head()
+    assert(maxSig < Int.MaxValue.toLong,
+      s"minhash value $maxSig would overflow the compact form's int cast")
+  }
+
   test("minhashPairs surfaces the same near-dup candidates") {
     val pairs = Dedup.minhashPairs(docs)
       .select("a_id", "b_id", "est_jaccard")

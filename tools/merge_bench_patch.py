@@ -74,10 +74,13 @@ def main(full_path, patch_path, bench_path):
     bench["value_norm"] = round(total_norm, 3)
     # Keep the grading-tier decomposition in sync with the recomputed
     # value (ADVICE r15): a patched grade-set query would otherwise leave
-    # value_grade/value_prod stale against the new total. The grade set
-    # mirrors Bench.scala's (q280_cf_cap_quality).
+    # value_grade/value_prod stale against the new total. The grade set is
+    # READ FROM THE ARTIFACT (Bench.scala emits "grade_set" since r17) so
+    # a Scala-side rename/addition can't leave this tool recomputing with
+    # a stale mirror (ADVICE r16); the literal fallback only covers
+    # pre-r17 artifacts that lack the field.
     if "value_grade" in bench or "value_prod" in bench:
-        grade_set = {"q280_cf_cap_quality"}
+        grade_set = set(bench.get("grade_set", ["q280_cf_cap_quality"]))
         total_grade = sum(v for k, v in best.items() if k in grade_set)
         bench["value_grade"] = round(total_grade, 3)
         bench["value_prod"] = round(total - total_grade, 3)

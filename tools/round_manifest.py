@@ -30,6 +30,9 @@ ARTIFACT_GLOBS = [
     # round-15 additions: the q36 next-decade probe, the sf10 oracle
     # subset certificate, the capped-CF production benches
     "SCALING_q36.json", "CORRECTNESS_sf10_subset.json", "BENCH_cf_prod*.json",
+    # round-17 addition: the sf10 subset's canonical content hashes travel
+    # with the certificate they back
+    "verify_hashes_sf10_subset.json",
 ]
 
 # Head-stamp convention (VERDICT r13 #7): the manifest is regenerated as
@@ -47,11 +50,47 @@ def sha256(path):
     return h.hexdigest()
 
 
+def check_gate_claims():
+    """VERDICT r16 #8: round-16's sf10 gate evidence lived only in
+    gitignored scratch dirs while SURVEY claimed the gate ran — the
+    snapshot must FAIL when a claimed gate has no matching committed
+    certificate. Convention: SURVEY.md declares each gate it claims as a
+    line `gate-artifact: <file>@<head-prefix>`; this check requires the
+    file to exist, parse, be green (ok == total, zero fail), and carry
+    the declared head prefix in its own `head` stamp."""
+    import re
+    claims = []
+    for line in open("SURVEY.md"):
+        m = re.match(r"\s*gate-artifact:\s*(\S+?)@(\S+)", line)
+        if m:
+            claims.append((m.group(1), m.group(2)))
+    errors = []
+    for path, head_prefix in claims:
+        try:
+            cert = json.load(open(path))
+        except (OSError, ValueError) as e:
+            errors.append(f"{path}: unreadable ({e})")
+            continue
+        if not str(cert.get("head", "")).startswith(head_prefix):
+            errors.append(f"{path}: head {cert.get('head')!r} does not "
+                          f"match claimed @{head_prefix}")
+        if cert.get("fail", 0) or cert.get("ok") != cert.get("total"):
+            errors.append(f"{path}: not green "
+                          f"(ok={cert.get('ok')}/{cert.get('total')}, "
+                          f"fail={cert.get('fail')})")
+    if errors:
+        raise SystemExit("gate-claim check FAILED (SURVEY claims a gate "
+                         "with no matching committed certificate):\n  "
+                         + "\n  ".join(errors))
+    print(f"gate claims: {len(claims)} checked, all green and head-matched")
+
+
 def main(out="ROUND_MANIFEST.json"):
     head = subprocess.run(["git", "rev-parse", "HEAD"], check=True,
                           capture_output=True, text=True).stdout.strip()
     dirty = subprocess.run(["git", "status", "--porcelain"], check=True,
                            capture_output=True, text=True).stdout
+    check_gate_claims()
     files = sorted({p for g in ARTIFACT_GLOBS for p in glob.glob(g)})
     manifest = {
         "head": head,

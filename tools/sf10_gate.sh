@@ -84,4 +84,8 @@ json.dump({"sf": f"{sf} (100x derived)", "head": head,
 print(f"CORRECTNESS_sf10_subset.json: {len(ok)}/{len(subset)} ok")
 EOF
 if [ "$ORACLE_RC" -ne 0 ]; then echo "oracle FAILURES -- sf10 gate red"; exit 1; fi
+# The canonical content hashes travel WITH the certificate they back
+# (VERDICT r16 #1/#8): a subset-filtered Verify writes
+# verify_hashes.partial.json; promote it to the committed artifact.
+cp verify_sf10_out/verify_hashes.partial.json verify_hashes_sf10_subset.json
 echo "sf10 subset gate green at $HEAD_SHA"

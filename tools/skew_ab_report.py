@@ -5,34 +5,53 @@ quality report run AT the skewed operating point and the DuckDB-counted
 pair-work decomposition. Local tooling only.
 
 Usage: tools/skew_ab_report.py <capped_bench.json> <exact_bench.json> \
-           <q280_parquet_dir> <out.json>
+           <q280_parquet_dir> <out.json> [skew_dataset_dir] [cap]
 """
 import sys, json, glob
 
 
-def main(capped_p, exact_p, q280_dir, out_p):
+def degree_shape(con, dataset_dir, cap):
+    """Compute the degree-shape stats FROM the derivation (ADVICE r16:
+    the round-16 version inlined that round's corpus constants, so a
+    rerun against any other derivation/skew setting would stamp stale
+    provenance into a supposedly self-contained report)."""
+    q = f"""
+      WITH deg AS (
+        SELECT o_custkey AS u, count(*)::BIGINT AS d
+        FROM read_parquet('{dataset_dir}/orders.parquet')
+        JOIN read_parquet('{dataset_dir}/lineitem.parquet')
+          ON l_orderkey = o_orderkey
+        GROUP BY 1)
+      SELECT sum(d)::BIGINT                          AS n_ratings,
+             count(*)::BIGINT                        AS n_users,
+             max(d)::BIGINT                          AS max_user_degree,
+             sum(d*(d-1)//2)::BIGINT                 AS exact_pair_work,
+             sum(least(d,{cap})*(least(d,{cap})-1)//2)::BIGINT AS capped_pair_work
+      FROM deg"""
+    r = con.execute(q).fetchone()
+    return {"n_ratings": r[0], "n_users": r[1], "max_user_degree": r[2],
+            "exact_pair_work_sum_C_d_2": r[3],
+            f"capped_pair_work_sum_C_min_d_{cap}_2": r[4],
+            "note": "computed from the dataset at report time (cap bounds "
+                    "pair generation at Sigma min(deg,cap)^2)"}
+
+
+def main(capped_p, exact_p, q280_dir, out_p,
+         dataset_dir="testdata_sf10_skew", cap=64):
     capped = json.load(open(capped_p))
     exact = json.load(open(exact_p))
     # q280 report row (spark output parquet written by graft.Verify)
     import duckdb
+    con = duckdb.connect()
     files = glob.glob(f"{q280_dir}/*.parquet")
     row = None
     if files:
-        con = duckdb.connect()
         cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
         cols = [d[0] for d in cur.description]
         row = dict(zip(cols, [int(v) for v in cur.fetchall()[0]]))
-    # DuckDB-counted pair work on the skew derivation (computed in-round;
-    # restated here so the artifact is self-contained)
     report = {
-        "dataset": "testdata_sf10_skew (ScaleUp reps=100, skew H=1000 users, 5 permille zipf mass)",
-        "degree_shape": {
-            "n_ratings": 60000000, "n_users": 1499898, "max_user_degree": 30230,
-            "exact_pair_work_sum_C_d_2": 2216008226,
-            "capped_pair_work_sum_C_min_d_64_2": 1263640231,
-            "note": "41% of the exact Sigma-deg^2 fan-out comes from the "
-                    "1000 head users (0.07% of users); the cap bounds it "
-                    "at Sigma min(deg,64)^2"},
+        "dataset": dataset_dir,
+        "degree_shape": degree_shape(con, dataset_dir, int(cap)),
         "runs": {
             "capped (SPARK_GRAFT_SKETCH_PROD=1)": capped,
             "exact": exact},
@@ -47,4 +66,4 @@ def main(capped_p, exact_p, q280_dir, out_p):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:5])
+    main(*sys.argv[1:7])
