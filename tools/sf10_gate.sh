@@ -53,19 +53,52 @@ echo "== [2/2] DuckDB oracle compare (one connection per query) =="
 # oracle a bigger memory cap than the 25 GB co-tenant default -- nothing
 # else heavy should run during this gate.
 export GRAFT_DUCKDB_TMP=${GRAFT_DUCKDB_TMP:-$(pwd)/.duckdb_tmp_sf10}
-export GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-70GB}
+# SF10_LANES=N runs N oracle loops concurrently (round-robin split of the
+# subset, one DuckDB connection + temp dir per query per lane). The subset
+# has one multi-hour outlier (q45's 64-permutation minhash in SQL); with
+# lanes=2 the other 20 queries drain in the second lane instead of
+# queueing behind it. Memory: the per-connection cap must be sized so
+# lanes x cap fits beside whatever else runs -- default drops to 35GB/lane
+# when lanes > 1 (q45 observed ~35GB peak solo at 70GB cap).
+LANES=${SF10_LANES:-1}
+if [ "$LANES" -gt 1 ]; then
+  export GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-35GB}
+else
+  export GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-70GB}
+fi
 ORACLE_RC=0
 : > /tmp/oracle_sf10.log
+run_lane() { # $1 = lane idx; queries read from /tmp/oracle_sf10.lane$1.list
+  local rc_all=0 tmp="${GRAFT_DUCKDB_TMP}.lane$1"
+  : > "/tmp/oracle_sf10.lane$1.log"
+  while read -r q; do
+    mkdir -p "$tmp"
+    GRAFT_DUCKDB_TMP="$tmp" python3 tools/oracle_check.py "$SF10" verify_sf10_out "$q" \
+      >> "/tmp/oracle_sf10.lane$1.log" 2>&1 || rc_all=1
+    rm -rf "$tmp"
+  done < "/tmp/oracle_sf10.lane$1.list"
+  return $rc_all
+}
+# Lane split: the FIRST query of the subset gets lane 1 to itself (order
+# the known outlier first), the rest round-robin over the other lanes —
+# with LANES=1 everything stays sequential as before.
+i=0
+for l in $(seq 1 "$LANES"); do : > "/tmp/oracle_sf10.lane$l.list"; done
 for q in ${SUBSET//,/ }; do
-  mkdir -p "$GRAFT_DUCKDB_TMP"
-  set +e
-  python3 tools/oracle_check.py "$SF10" verify_sf10_out "$q" \
-    | tee -a /tmp/oracle_sf10.log
-  rc=${PIPESTATUS[0]}
-  set -e
-  [ "$rc" -ne 0 ] && ORACLE_RC=1
-  rm -rf "$GRAFT_DUCKDB_TMP"
+  if [ "$LANES" -gt 1 ]; then
+    if [ "$i" -eq 0 ]; then lane=1; else lane=$((($i - 1) % (LANES - 1) + 2)); fi
+  else
+    lane=1
+  fi
+  echo "$q" >> "/tmp/oracle_sf10.lane$lane.list"
+  i=$((i + 1))
 done
+set +e
+PIDS=()
+for l in $(seq 1 "$LANES"); do run_lane "$l" & PIDS+=($!); done
+for p in "${PIDS[@]}"; do wait "$p" || ORACLE_RC=1; done
+set -e
+cat /tmp/oracle_sf10.lane*.log | tee /tmp/oracle_sf10.log
 python3 - "$SF10" "$HEAD_SHA" "$SUBSET" <<'EOF'
 import sys, json, re
 sf, head, subset = sys.argv[1], sys.argv[2], sorted(sys.argv[3].split(","))

@@ -17,12 +17,13 @@ def degree_shape(con, dataset_dir, cap):
     provenance into a supposedly self-contained report)."""
     q = f"""
       WITH deg AS (
-        SELECT o_custkey AS u, count(*)::BIGINT AS d
-        FROM read_parquet('{dataset_dir}/orders.parquet')
-        JOIN read_parquet('{dataset_dir}/lineitem.parquet')
-          ON l_orderkey = o_orderkey
+        SELECT o_custkey AS u, count(*)::BIGINT AS n,
+               count(DISTINCT l_partkey)::BIGINT AS d
+        FROM read_parquet('{dataset_dir}/orders.parquet') o
+        JOIN read_parquet('{dataset_dir}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
         GROUP BY 1)
-      SELECT sum(d)::BIGINT                          AS n_ratings,
+      SELECT sum(n)::BIGINT                          AS n_ratings,
              count(*)::BIGINT                        AS n_users,
              max(d)::BIGINT                          AS max_user_degree,
              sum(d*(d-1)//2)::BIGINT                 AS exact_pair_work,
