@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Assemble CORRECTNESS_sf10_subset.json from one or more oracle logs.
+
+The sf10 gate's lanes each write OK/FAIL lines; when a lane-capped query
+legitimately needs more memory than the lane budget (q38's embedding
+near-dup OOM'd at the 35 GB 3-lane cap in round 17), the honest fix is a
+solo re-run at a bigger cap — which produces a SECOND log line for the
+same query. This assembler merges logs with last-writer-wins per query
+(a later OK supersedes an earlier resource-bound FAIL; a later FAIL
+supersedes an earlier OK too — no cherry-picking direction), records
+every superseded line under `superseded`, and writes the same
+certificate schema tools/sf10_gate.sh emits.
+
+Usage: assemble_sf10_cert.py OUT.json SF_DIR HEAD_SHA SUBSET_CSV LOG [LOG...]
+Logs are consumed in argument order; within a log, in line order.
+"""
+import sys, json, re
+
+
+def main(out, sf, head, subset_csv, *logs):
+    subset = sorted(subset_csv.split(","))
+    verdict, superseded = {}, []
+    for path in logs:
+        for line in open(path):
+            m = re.match(r"(OK|FAIL)\s+(\S+?):(.*)", line)
+            if not m:
+                continue
+            st, q, detail = m.group(1), m.group(2), m.group(3).strip()
+            if q in verdict and verdict[q][0] != st:
+                superseded.append({"query": q, "was": verdict[q][0],
+                                   "was_detail": verdict[q][1],
+                                   "now": st, "now_detail": detail})
+            verdict[q] = (st, detail)
+    ok = sorted(q for q, (st, _) in verdict.items() if st == "OK")
+    fail = sorted(q for q, (st, _) in verdict.items() if st == "FAIL")
+    missing = sorted(set(subset) - set(ok) - set(fail))
+    cert = {"sf": f"{sf} (100x derived)", "head": head,
+            "subset": subset, "total": len(subset),
+            "ok": len(ok), "fail": len(fail) + len(missing),
+            "failed": fail, "not_run": missing,
+            "superseded": superseded,
+            "generated_by": "tools/assemble_sf10_cert.py (lane logs + solo re-runs, last-writer-wins)"}
+    json.dump(cert, open(out, "w"), indent=1)
+    print(f"{out}: {len(ok)}/{len(subset)} ok, {len(fail)} fail, "
+          f"{len(missing)} not_run, {len(superseded)} superseded")
+    return 0 if (len(ok) == len(subset)) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
