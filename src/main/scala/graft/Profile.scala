@@ -31,9 +31,17 @@ object Profile {
       else args(1).split(",").toSeq
     val doExplain = args.length > 2 && args(2) == "explain"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Shuffle partitions default to core count (the suite's sf0.1 shape)
+    // but MUST scale with the data when profiling scale derivations:
+    // q36's sf100 probe aggregates a 3.4e9-row candidate stream, and at
+    // 24 partitions one hash-aggregate partition holds ~140M pair rows —
+    // the kernel OOM-killed a 90g heap before AQE could help (AQE only
+    // coalesces down; it never raises the initial partition count).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
