@@ -72,6 +72,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Sustained-parallel sentinel (VERDICT r17 #3): the burst sentinel is a
+    * short data-free CPU job, so it cannot see the throttle class this
+    * host actually exhibits — slowdown that only engages under SUSTAINED
+    * 32-wide shuffle pressure (SURVEY r17 conceded `value_norm`
+    * under-corrects for exactly that reason). This one is a ~3 s 32-way
+    * hash-aggregate: 2^26 rows hashed into 2^22 groups, full exchange
+    * across all shuffle partitions, combine-resistant keys (pmod(hash)),
+    * so it exercises shuffle write + fetch + final agg the way the suite's
+    * own heavy stages do. Sampled at the same start/middle/end points as
+    * the burst; both families land in the artifact. The HEADLINE
+    * `value_norm` stays burst-normalized for continuity with
+    * BENCH_r01..r17; `value_norm_sustained` is the defensible number on a
+    * host whose sustained load factor exceeds its burst one.
+    */
+  private val ShuffleSentinelRows = 1L << 26
+  private val ShuffleSentinelGroups = 1L << 22
+  private val ShuffleSentinelNominalS =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_SENTINEL_NOMINAL", "2.89").toDouble
+  private val ShuffleSentinelNominalSrc =
+    if (sys.env.contains("SPARK_GRAFT_SHUFFLE_SENTINEL_NOMINAL")) "env-override"
+    else "r18-idle-host-median(5 samples, 2.84-3.67)"
+
+  private[graft] def shuffleSentinel(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(ShuffleSentinelRows)
+      .selectExpr(s"pmod(hash(id), ${ShuffleSentinelGroups}L) as k", "id")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("id").as("s"))
+      .selectExpr("sum(hash(k, s))").head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
@@ -170,7 +201,7 @@ object Bench {
       * end), so the artifact records load ACROSS the pass, not a single
       * point a short steal window could miss.
       */
-    def runPass(only: Set[String]): (Map[String, Double], Seq[Double]) = {
+    def runPass(only: Set[String]): (Map[String, Double], Seq[Double], Seq[Double]) = {
       val spark = build(cpus)
       try {
         // Warmup: JIT + codegen + parquet footers + page cache for every
@@ -188,12 +219,17 @@ object Bench {
           // which is comparable to what each graded query pays after q01.
           queryMap.get("q01_top_products").foreach(_(spark, sfDir).count())
           sentinel(spark) // untimed: JIT-warms the sentinel's own codegen
+          shuffleSentinel(spark) // untimed warm of the sustained sentinel
         } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
         val sent = scala.collection.mutable.ArrayBuffer(sentinel(spark))
+        val sentSh = scala.collection.mutable.ArrayBuffer(shuffleSentinel(spark))
         val passNames = names.filter(only.contains)
         val half = passNames.size / 2
         val timings = passNames.zipWithIndex.map { case (name, i) =>
-          if (i == half && passNames.size >= 4) sent += sentinel(spark)
+          if (i == half && passNames.size >= 4) {
+            sent += sentinel(spark)
+            sentSh += shuffleSentinel(spark)
+          }
           // Progress to stderr: long runs (sf1.0+) are otherwise opaque from
           // outside the JVM — a stalled or spilling query should name itself
           // while it runs, not only in the post-mortem.
@@ -207,7 +243,8 @@ object Bench {
           name -> sec
         }.toMap
         sent += sentinel(spark)
-        (timings, sent.toSeq)
+        sentSh += shuffleSentinel(spark)
+        (timings, sent.toSeq, sentSh.toSeq)
       } finally spark.stop()
     }
 
@@ -218,21 +255,23 @@ object Bench {
     // into the audit JSON either way.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val all = names.toSet
-    val (p1, s1) = runPass(all)
-    val (p2, s2) =
+    val (p1, s1, sh1) = runPass(all)
+    val (p2, s2, sh2) =
       if (nPasses >= 2) runPass(all)
-      else (Map.empty[String, Double], Seq.empty[Double])
+      else (Map.empty[String, Double], Seq.empty[Double], Seq.empty[Double])
     val outliers =
       if (nPasses >= 2) names.filter(n => math.min(p1(n), p2(n)) > 15.0)
       else Seq.empty
-    val (p3, s3) =
+    val (p3, s3, sh3) =
       if (outliers.nonEmpty) runPass(outliers.toSet)
-      else (Map.empty[String, Double], Seq.empty[Double])
+      else (Map.empty[String, Double], Seq.empty[Double], Seq.empty[Double])
 
     val sentSamples = s1 ++ s2 ++ s3
+    val sentShSamples = sh1 ++ sh2 ++ sh3
     // load factor: >1 means the host ran the fixed CPU job slower than the
     // quiet-host nominal during this suite run
     val load = median(sentSamples) / SentinelNominalS
+    val loadSustained = median(sentShSamples) / ShuffleSentinelNominalS
 
     val samples: Seq[(String, Seq[Double])] =
       names.map(n => n -> (Seq(p1(n)) ++ p2.get(n).toSeq ++ p3.get(n).toSeq))
@@ -265,12 +304,23 @@ object Bench {
     // never awards a bonus for a fast host (load clamps at 1 from below) —
     // the defensible number when the sentinel shows the host was throttled.
     val totalNorm = total / math.max(load, 1.0)
+    // Sustained-family twin of value_norm: same clamp-at-1 rule, divided by
+    // the shuffle sentinel's measured load. NOT the headline (BASELINE.md
+    // documents the burst family as the headline normalizer); it exists so
+    // a host whose throttle only engages under sustained parallel shuffle
+    // (this fleet's, per profile_r17) has a defensible corrected number.
+    val totalNormSustained = total / math.max(loadSustained, 1.0)
     // cpus recorded because the nominal is a local[32] constant — a
     // SPARK_GRAFT_CPUS-reduced run reads load ~4/cpus× high by construction
     val sentJson = s""""sentinel":{"nominal_s":${fmt(SentinelNominalS)},""" +
       s""""nominal_src":"$SentinelNominalSrc","nominal_cpus":32,"cpus":$cpus,""" +
       s""""advisory":true,""" +
-      s""""load":${fmt(load)},"samples_s":${sentSamples.map(fmt).mkString("[", ",", "]")}}"""
+      s""""load":${fmt(load)},"samples_s":${sentSamples.map(fmt).mkString("[", ",", "]")}},""" +
+      s""""sentinel_sustained":{"nominal_s":${fmt(ShuffleSentinelNominalS)},""" +
+      s""""nominal_src":"$ShuffleSentinelNominalSrc","nominal_cpus":32,"cpus":$cpus,""" +
+      s""""advisory":true,"shape":"range(2^26) pmod-hash into 2^22 groups, 32-way hash-agg exchange",""" +
+      s""""load":${fmt(loadSustained)},"value_norm_sustained":${fmt(totalNormSustained)},""" +
+      s""""samples_s":${sentShSamples.map(fmt).mkString("[", ",", "]")}}"""
     val head = headSha
     // A SPARK_GRAFT_ONLY-filtered run is a PARTIAL suite: stamp the filter
     // into the JSON and land it in subset-suffixed files so it can never
@@ -302,6 +352,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""value_norm":${fmt(totalNorm)},$gradeJson"sentinel_load":${fmt(load)},""" +
+      s""""sentinel_load_sustained":${fmt(loadSustained)},""" +
       s""""n_queries":${best.size},"queries":$top10,"sf":"$sfDir"}""")
     // Full audit record — every raw sample per pass plus the retried list —
     // goes to a sidecar file where line length doesn't matter.

@@ -251,9 +251,20 @@ object StreamBench {
     // configuration — route it to a suffixed path like subset runs
     // (ADVICE r15) so it can never silently clobber the default artifact.
     val fptSuffix = if (filesPerTrigger != "1") s"_fpt$filesPerTrigger" else ""
+    // Scale label baked into the DEFAULT filename too (ADVICE r17): the
+    // fixed subset name let an sf1.0 sample run overwrite the sf10
+    // 10x-docs state-bound result. sf0.1 (the per-round default) keeps the
+    // historical unsuffixed names; every other scale is suffixed.
+    // "testdata_sf1.0" -> "_sf1", "testdata_sf10" -> "_sf10",
+    // "testdata_sf10_skew" -> "_sf10_skew".
+    val sfSuffix = {
+      val base = Paths.get(sfDir).getFileName.toString
+        .stripPrefix("testdata_").stripSuffix(".0")
+      if (base == "sf0.1") "" else s"_$base"
+    }
     val defaultOut =
-      if (onlyEnv.isDefined) s"BENCH_streaming_subset$fptSuffix.json"
-      else s"BENCH_streaming$fptSuffix.json"
+      if (onlyEnv.isDefined) s"BENCH_streaming_subset$fptSuffix$sfSuffix.json"
+      else s"BENCH_streaming$fptSuffix$sfSuffix.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", defaultOut)
     try Files.writeString(Paths.get(outPath), combined + "\n")
     catch { case _: Throwable => () }

@@ -26,6 +26,13 @@ def main(out, sf, head, subset_csv, *logs):
             if not m:
                 continue
             st, q, detail = m.group(1), m.group(2), m.group(3).strip()
+            # Verdicts are restricted to the declared subset (ADVICE r17):
+            # an OK for an out-of-subset query in a lane log must not
+            # offset a missing/failed subset query in the count check.
+            if q not in subset:
+                print(f"warn: ignoring out-of-subset log line: {st} {q}",
+                      file=sys.stderr)
+                continue
             if q in verdict and verdict[q][0] != st:
                 superseded.append({"query": q, "was": verdict[q][0],
                                    "was_detail": verdict[q][1],
@@ -43,7 +50,11 @@ def main(out, sf, head, subset_csv, *logs):
     json.dump(cert, open(out, "w"), indent=1)
     print(f"{out}: {len(ok)}/{len(subset)} ok, {len(fail)} fail, "
           f"{len(missing)} not_run, {len(superseded)} superseded")
-    return 0 if (len(ok) == len(subset)) else 1
+    # Green iff every subset query has exactly an OK verdict: no fails, no
+    # not_run, and the OK set IS the subset (ADVICE r17 — len() equality
+    # alone could be offset by stray lines; subset-filtering above plus
+    # set equality here closes the false-green path from both ends).
+    return 0 if (not fail and not missing and set(ok) == set(subset)) else 1
 
 
 if __name__ == "__main__":
