@@ -47,6 +47,22 @@ def main(out, sf, head, subset_csv, *logs):
             "failed": fail, "not_run": missing,
             "superseded": superseded,
             "generated_by": "tools/assemble_sf10_cert.py (lane logs + solo re-runs, last-writer-wins)"}
+    # Self-describing coverage gap (ADVICE r17): when the CF/ANN slice
+    # twins stand in for their full-population queries, the certificate
+    # itself says which full-population oracles remain unverified and why
+    # — regenerating the cert must not silently drop this record.
+    if "q281_item_cf_slice" in subset:
+        cert["deferred_full_population"] = {
+            "queries": ["q107_item_cf", "q108_cf_predictions",
+                        "q191_slope_one", "q201_hitrate_mrr_ndcg",
+                        "q225_ann_recall"],
+            "why": ("full-population CF/ANN oracles at sf10 exceed "
+                    "single-node DuckDB memory (r16 recorded "
+                    "oracle_resource_bound; partial hashes preserved at "
+                    "verify_sf10_out/verify_hashes.partial.json for a "
+                    "future big-host gate). The slice twins q281-q286 "
+                    "grade the same operator chains on a bounded "
+                    "user/doc slice and stand in for them here.")}
     json.dump(cert, open(out, "w"), indent=1)
     print(f"{out}: {len(ok)}/{len(subset)} ok, {len(fail)} fail, "
           f"{len(missing)} not_run, {len(superseded)} superseded")

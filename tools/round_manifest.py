@@ -33,6 +33,14 @@ ARTIFACT_GLOBS = [
     # round-17 addition: the sf10 subset's canonical content hashes travel
     # with the certificate they back
     "verify_hashes_sf10_subset.json",
+    # round-18 additions (VERDICT r17 #1: the committed manifest had gone
+    # two rounds stale and omitted every r16/r17 artifact class): host
+    # profiles, the skew-invariance measurement, the q36 decade record,
+    # the sf10 CF partial hashes the certificate points at, and the
+    # production-path sf1.0 bench
+    "profile_r*.json", "SKEW_CAPPED_INVARIANCE_*.json",
+    "verify_sf10_out/verify_hashes.partial.json",
+    "BENCH_prod_sf1.json", "BASELINE.json",
 ]
 
 # Head-stamp convention (VERDICT r13 #7): the manifest is regenerated as
