@@ -99,7 +99,17 @@ def main(out="ROUND_MANIFEST.json"):
     dirty = subprocess.run(["git", "status", "--porcelain"], check=True,
                            capture_output=True, text=True).stdout
     check_gate_claims()
-    files = sorted({p for g in ARTIFACT_GLOBS for p in glob.glob(g)})
+    # Pin only TRACKED artifacts: the manifest binds artifacts to a tree
+    # state via `git show <snapshot>:<file>`, so a gitignored-but-present
+    # file (COPYCHECK.json is driver-generated and deliberately untracked;
+    # bench_samples_{subset,prod}.json are local-iteration outputs) can
+    # never satisfy the binding — round_close.sh's post-commit check
+    # caught exactly this at the first r18 close attempt.
+    tracked = set(subprocess.run(["git", "ls-files"], check=True,
+                                 capture_output=True, text=True)
+                  .stdout.splitlines())
+    files = sorted({p for g in ARTIFACT_GLOBS for p in glob.glob(g)
+                    if p in tracked})
     manifest = {
         "head": head,
         # The manifest itself is committed after generation, so "dirty"
