@@ -83,6 +83,12 @@ run_lane() { # $1 = lane idx; queries read from /tmp/oracle_sf10.lane$1.list
 # the known outlier first), the rest round-robin over the other lanes —
 # with LANES=1 everything stays sequential as before.
 i=0
+# Clear ALL stale lane logs first, not just lanes 1..LANES: a prior run
+# with more lanes leaves /tmp/oracle_sf10.laneN.log files whose verdict
+# lines would be concatenated into this run's merged log (caught live in
+# round 18: a stale 4-lane session's lane4.log held 8 OK lines for
+# in-subset queries and had to be removed by hand before assembly).
+rm -f /tmp/oracle_sf10.lane*.log /tmp/oracle_sf10.lane*.list
 for l in $(seq 1 "$LANES"); do : > "/tmp/oracle_sf10.lane$l.list"; done
 for q in ${SUBSET//,/ }; do
   if [ "$LANES" -gt 1 ]; then
